@@ -1,0 +1,56 @@
+"""Scalar expression builders (SURVEY.md §2.8 F4–F7).
+
+All native expressions; the reference used row-wise ``apply(axis=1)``
+lambdas (app.py:472,476) — the slowest possible path on Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def composite_key(*cols: Column | str, sep: str = ", ") -> Column:
+    """F5 — string composite key, mirroring the reference's
+    ``event_number + ', ' + str(ind)`` row-wise lambda (app.py:472,476)
+    as native ``concat_ws`` (casts non-strings implicitly).
+
+    Note: the engine's dedup (operators/dedup.py) makes this key
+    unnecessary — it exists for parity and for callers that genuinely
+    need a single-string key (e.g. hash-partitioned sinks)."""
+    parts = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.concat_ws(sep, *[p.cast("string") for p in parts])
+
+
+def to_numeric(col: Column | str, dtype: str = "double") -> Column:
+    """F6 — ``pd.to_numeric(errors='coerce')`` (app.py:284-286):
+    cast with NULL on failure (Spark ANSI-off cast)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(dtype)
+
+
+def dec2(col: Column | str) -> Column:
+    """Cast a 2-decimal money-like double to DECIMAL(18,2).
+
+    Cross-engine determinism rule (SURVEY.md §7.3 #1): double sums are
+    accumulation-order-dependent, so a sum that must hash-match another
+    engine is computed over exact decimals, rounded, then cast back to
+    double. Decimal arithmetic is exact in both Spark and DuckDB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def money_sum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent exact sum of a 2-decimal column → DOUBLE."""
+    return F.round(F.sum(dec2(col)), scale).cast("double")
+
+
+def null_percent_exprs(columns: list[str], scale: int = 1) -> list[Column]:
+    """F7/A6 helper — one expression per column computing its null
+    percentage; composed by operators/aggregates.py:null_profile into a
+    SINGLE pass over the data. The reference ran one full graph
+    execution per column per statistic (~40 passes, app.py:223-250)."""
+    return [
+        F.round(F.avg(F.col(c).isNull().cast("int")) * 100, scale).alias(c)
+        for c in columns
+    ]

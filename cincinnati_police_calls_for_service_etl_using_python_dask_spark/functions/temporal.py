@@ -1,0 +1,96 @@
+"""Temporal expression builders (SURVEY.md §2.8 F1–F3, F8–F9).
+
+Everything here is native Catalyst expressions — the reference computed
+these with per-element ``apply`` lambdas wrapped in ``map_partitions``
+(``app.py:320-346``), which on Spark would be the row-at-a-time Python
+UDF slow path. Native expressions stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import CFS_TIME_FORMAT
+
+
+def parse_timestamps(
+    df: DataFrame,
+    columns: tuple[str, ...] | None = None,
+    fmt: str = CFS_TIME_FORMAT,
+) -> DataFrame:
+    """F1 — parse string timestamp columns in place.
+
+    Mirrors app.py:275-282: the reference selects columns by the
+    name-substring rule ``'time' in c.lower()`` and parses with
+    ``%Y-%m-%dT%H:%M:%S.%f``. Delta (documented, SURVEY.md §7.3):
+    malformed input yields NULL (Spark ANSI-off) where pandas raises.
+    """
+    if columns is None:
+        columns = tuple(c for c in df.columns if "time" in c.lower())
+    return df.withColumns({c: F.to_timestamp(F.col(c), fmt) for c in columns})
+
+
+def minutes_between(end: Column | str, start: Column | str, scale: int = 2) -> Column:
+    """F2 — timestamp difference in minutes, rounded.
+
+    The reference derives four of these (create→closed, create→dispatch,
+    create→arrival, dispatch→arrival; app.py:290-312) via
+    ``.dt.total_seconds() / 60``. ``unix_micros`` preserves the ``.%f``
+    sub-second precision (a plain ``cast("long")`` truncates to seconds).
+    Rounding is HALF_UP (``F.round``), matching DuckDB ROUND; numpy's
+    HALF_EVEN is the documented delta (SURVEY.md §2.8 F4).
+    """
+    end_c = F.col(end) if isinstance(end, str) else end
+    start_c = F.col(start) if isinstance(start, str) else start
+    return F.round((F.unix_micros(end_c) - F.unix_micros(start_c)) / 6e7, scale)
+
+
+def date_parts(col: Column | str) -> dict[str, Column]:
+    """F3 — year/month/day/hour extraction (app.py:320-346) as native
+    expressions instead of the reference's four apply-lambda passes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "year": F.year(c),
+        "month": F.month(c),
+        "day": F.dayofmonth(c),
+        "hour": F.hour(c),
+    }
+
+
+def with_date_parts(df: DataFrame, ts_col: str, prefix: str = "") -> DataFrame:
+    """Attach year/month/day/hour columns derived from ``ts_col``."""
+    parts = date_parts(ts_col)
+    return df.withColumns({f"{prefix}{name}": expr for name, expr in parts.items()})
+
+
+def month_windows(
+    start: dt.date, end: dt.date
+) -> list[tuple[dt.date, dt.date]]:
+    """F9 — enumerate non-overlapping month-granularity [start, end]
+    day-closed windows, reproducing the reference's datepairs
+    construction (app.py:95-134): month boundaries, first/last pinned to
+    the requested range, +1-day shift so consecutive windows don't
+    overlap.
+
+    Runs at plan-build time on the driver (as in the reference); each
+    window becomes one source partition for the REST source
+    (sources/rest.py) so fetches run in parallel on executors — fixing
+    the reference's sequential-HTTP bottleneck (SURVEY.md §3.1).
+    """
+    if end < start:
+        raise ValueError("end before start")
+    windows: list[tuple[dt.date, dt.date]] = []
+    cur = start
+    while True:
+        # last day of cur's month
+        nxt_month = (cur.replace(day=1) + dt.timedelta(days=32)).replace(day=1)
+        month_end = nxt_month - dt.timedelta(days=1)
+        win_end = min(month_end, end)
+        windows.append((cur, win_end))
+        if win_end >= end:
+            break
+        cur = win_end + dt.timedelta(days=1)  # +1-day shift (app.py:110-131)
+    return windows

@@ -1,0 +1,31 @@
+from .relational import (
+    keep_columns,
+    multiway_join,
+    rename_all,
+    semi_join,
+    anti_join,
+    top_k,
+    union_all,
+)
+from .aggregates import (
+    group_agg,
+    null_profile,
+    pivot_count_distinct,
+    value_counts,
+)
+from .dedup import latest_per_key
+
+__all__ = [
+    "anti_join",
+    "group_agg",
+    "keep_columns",
+    "latest_per_key",
+    "multiway_join",
+    "null_profile",
+    "pivot_count_distinct",
+    "rename_all",
+    "semi_join",
+    "top_k",
+    "union_all",
+    "value_counts",
+]

@@ -1,0 +1,106 @@
+"""Aggregations (SURVEY.md §2.4 A1–A8).
+
+Exact global semantics everywhere: the reference's per-partition
+``map_partitions(get_agg)`` shortcut (A2, app.py:590) — a partial
+hash-agg with no final merge whose correctness leaned on a prior global
+sort — is replaced by Spark's built-in partial/final HashAggregate pair.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import null_percent_exprs
+
+
+def group_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    count_distinct: Sequence[str] = (),
+    avg: Sequence[str] = (),
+    avg_scale: int | None = 4,
+    extra: Mapping[str, Column] | None = None,
+) -> DataFrame:
+    """A1 — the reference's flagship 14-key aggregate (``get_agg``,
+    app.py:520-585): groupBy with ``countDistinct`` + ``mean``.
+
+    Semantics pinned by tests: NULL grouping keys form groups
+    (pandas ``dropna=False`` ≡ Spark default); ``countDistinct``
+    ignores NULL inputs (≡ pandas ``nunique``). Spark executes this as
+    partial agg → shuffle on keys → final agg; at skew, AQE splits hot
+    groups. Aggregate columns are aliased ``nunique_<c>`` / ``avg_<c>``.
+
+    ``avg_scale`` defaults to 4: averages of 2-decimal inputs over small
+    groups can sit exactly on a ``.xx5`` boundary at scale 2 (where
+    engines' rounding of the double representation diverges) but can't
+    at scale 4 — see functions/scalar.py:dec2 for the policy.
+    """
+    aggs: list[Column] = []
+    for c in count_distinct:
+        aggs.append(F.countDistinct(c).alias(f"nunique_{c}"))
+    for c in avg:
+        a = F.avg(c)
+        if avg_scale is not None:
+            a = F.round(a, avg_scale)
+        aggs.append(a.alias(f"avg_{c}"))
+    for name, col in (extra or {}).items():
+        aggs.append(col.alias(name))
+    if not aggs:
+        raise ValueError("no aggregates requested")
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def value_counts(df: DataFrame, column: str, desc: bool = True) -> DataFrame:
+    """A4 — frequency table (``get_value_counts_func``, app.py:254-269):
+    count rows per distinct value, sorted by count. Ties broken by the
+    value itself for determinism (the reference's pandas sort is
+    unstable across partitions)."""
+    counts = df.groupBy(column).agg(F.count(F.lit(1)).alias("count"))
+    order = [F.desc("count") if desc else F.asc("count"), F.asc(column)]
+    return counts.orderBy(*order)
+
+
+def null_profile(df: DataFrame, columns: Sequence[str] | None = None, scale: int = 1) -> DataFrame:
+    """A6 — column-wise null-percentage profile in ONE pass.
+
+    The reference (``show_nan``, app.py:223-250) executed the whole
+    task graph once per column per statistic (~40 redundant passes).
+    Here every column's null-% is an aggregate expression in a single
+    job — at 100 TB that's one scan instead of forty."""
+    cols = list(columns) if columns is not None else df.columns
+    return df.agg(*null_percent_exprs(cols, scale))
+
+
+def pivot_count_distinct(
+    df: DataFrame,
+    index: Sequence[str],
+    pivot_col: str,
+    values_col: str,
+    pivot_values: Sequence | None = None,
+    null_filter_col: str | None = None,
+) -> DataFrame:
+    """A5 — the reference's manual pivot (``get_nan_pivot``,
+    app.py:350-403): per-year filter → groupby → nunique → stack →
+    reduce-left-join, collapsed into one native ``pivot``.
+
+    Passing ``pivot_values`` explicitly skips the extra distinct-scan
+    Spark otherwise runs to discover the pivot domain — at scale, always
+    pass it. ``null_filter_col`` reproduces the reference's
+    ``nancol IS NULL`` slice semantics."""
+    if null_filter_col is not None:
+        df = df.filter(F.col(null_filter_col).isNull())
+    grouped = df.groupBy(*index)
+    pivoted = (
+        grouped.pivot(pivot_col, list(pivot_values))
+        if pivot_values is not None
+        else grouped.pivot(pivot_col)
+    )
+    return pivoted.agg(F.countDistinct(values_col))
+
+
+def distinct_values(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """A7 — distinct over a projection (app.py:370, 600-616)."""
+    return df.select(*columns).distinct()

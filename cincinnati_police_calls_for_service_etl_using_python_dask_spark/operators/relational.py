@@ -1,0 +1,91 @@
+"""Relational core: projections, filters, joins, unions, sorts
+(SURVEY.md §2.2 P1–P8, §2.3 J1–J3, §2.6 O1–O3, §2.7 U1).
+
+Thin, intention-revealing wrappers over the DataFrame API. They exist
+to (a) name the reference's operators for parity auditing, and (b) pin
+the scale-correct defaults: broadcast small dims, semi/anti joins
+instead of ``isin`` value lists, ``unionByName`` instead of positional
+concat.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def keep_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """P1 — keep-list projection (the reference's 26-col reorder after
+    its join, app.py:491-516). Catalyst's ColumnPruning pushes this all
+    the way into the parquet ReadSchema."""
+    return df.select(*columns)
+
+
+def rename_all(df: DataFrame, names: Sequence[str]) -> DataFrame:
+    """P3 — positional bulk rename (app.py:434-461)."""
+    if len(names) != len(df.columns):
+        raise ValueError(f"expected {len(df.columns)} names, got {len(names)}")
+    return df.toDF(*names)
+
+
+def semi_join(
+    left: DataFrame, right: DataFrame, on: str | list[str], broadcast_right: bool = True
+) -> DataFrame:
+    """P7 — membership filter as a LEFT SEMI join.
+
+    The reference collected repeated event numbers to the driver and
+    used ``isin`` (app.py:408-414) — a driver-side value list that dies
+    at scale. A broadcast left-semi join keeps the whole thing
+    distributed; drop ``broadcast_right`` for large right sides and let
+    AQE pick shuffle strategy."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how="left_semi")
+
+
+def anti_join(
+    left: DataFrame, right: DataFrame, on: str | list[str], broadcast_right: bool = True
+) -> DataFrame:
+    """NOT-IN complement of P7 (not in the reference; standard surface)."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how="left_anti")
+
+
+def multiway_join(
+    dfs: Sequence[DataFrame],
+    keys: Sequence[str | list[str]],
+    how: str = "left",
+) -> DataFrame:
+    """J3 — n-way reduce-fold join (``functools.reduce(merge_dfs, dfs)``,
+    app.py:399-401). ``keys[i]`` joins ``dfs[i+1]`` onto the running
+    result. Catalyst + AQE handle ordering/strategy; small sides are
+    broadcast automatically under the 10 MB threshold."""
+    if len(keys) != len(dfs) - 1:
+        raise ValueError("need one key (set) per join")
+    result = dfs[0]
+    for df, key in zip(dfs[1:], keys):
+        result = result.join(df, on=key, how=how)
+    return result
+
+
+def union_all(dfs: Iterable[DataFrame], allow_missing_columns: bool = True) -> DataFrame:
+    """U1 — vertical concat (``dd.concat`` accumulator loop,
+    app.py:165-186). ``unionByName`` aligns by name, and
+    ``allowMissingColumns`` handles ragged chunks (the reference's
+    schema-from-chunks behavior, where API months can differ)."""
+    dfs = list(dfs)
+    if not dfs:
+        raise ValueError("union of zero dataframes")
+    return functools.reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=allow_missing_columns), dfs
+    )
+
+
+def top_k(df: DataFrame, k: int, by: Sequence[str], ascending: bool = False) -> DataFrame:
+    """O3 — global top-k. ``orderBy().limit()`` compiles to
+    TakeOrderedAndProject: each partition keeps k rows, the driver merges
+    — no full global sort even at 100 TB."""
+    order = [F.col(c).asc() if ascending else F.col(c).desc() for c in by]
+    return df.orderBy(*order).limit(k)

@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+The reference ran everything on Dask's single-process threaded scheduler
+(no ``distributed.Client`` anywhere — ``app.py:32``, SURVEY.md §3.2).
+Here the session is configured for real distributed execution semantics:
+AQE for runtime re-planning (coalesce + skew-join splitting), Arrow for
+any pandas interchange, UTC session time so event-time semantics are
+stable across engines and executors.
+
+``spark.sql.shuffle.partitions`` defaults to a local-friendly value but
+is just a default — at cluster scale AQE coalescing makes the initial
+number a ceiling, not a hard choice.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# One knob for local parallelism; the driver may run us under its own
+# session, so every operator in this package is session-agnostic.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "cfs_spark_engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Scale posture (SURVEY.md §7.2 M6): AQE enabled so partition counts
+    and join strategies adapt at runtime; skew-join handling on for hot
+    keys (the reference's ``event_number`` analog); broadcast threshold
+    left at default (10 MB) — small dims (region/nation) broadcast
+    automatically.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.config("spark.master", master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.config("spark.master", f"local[{_DEFAULT_CPUS}]")
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    else:
+        builder = builder.config("spark.sql.shuffle.partitions", _DEFAULT_CPUS)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
