@@ -24,9 +24,10 @@ def composite_key(*cols: Column | str, sep: str = ", ") -> Column:
 
 def to_numeric(col: Column | str, dtype: str = "double") -> Column:
     """F6 — ``pd.to_numeric(errors='coerce')`` (app.py:284-286):
-    cast with NULL on failure (Spark ANSI-off cast)."""
+    NULL on failure. ``try_cast``, not ``cast``: Spark 4 defaults to
+    ANSI mode where a malformed cast throws."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(dtype)
+    return c.try_cast(dtype)
 
 
 def dec2(col: Column | str) -> Column:

@@ -26,26 +26,42 @@ def parse_timestamps(
     Mirrors app.py:275-282: the reference selects columns by the
     name-substring rule ``'time' in c.lower()`` and parses with
     ``%Y-%m-%dT%H:%M:%S.%f``. Delta (documented, SURVEY.md §7.3):
-    malformed input yields NULL (Spark ANSI-off) where pandas raises.
+    malformed input yields NULL where pandas raises —
+    ``try_to_timestamp``, because Spark 4 defaults to ANSI mode where
+    plain ``to_timestamp`` throws.
     """
     if columns is None:
         columns = tuple(c for c in df.columns if "time" in c.lower())
-    return df.withColumns({c: F.to_timestamp(F.col(c), fmt) for c in columns})
+    return df.withColumns(
+        {c: F.try_to_timestamp(F.col(c), F.lit(fmt)) for c in columns}
+    )
 
 
 def minutes_between(end: Column | str, start: Column | str, scale: int = 2) -> Column:
-    """F2 — timestamp difference in minutes, rounded.
+    """F2 — timestamp difference in minutes, rounded HALF_UP.
 
     The reference derives four of these (create→closed, create→dispatch,
     create→arrival, dispatch→arrival; app.py:290-312) via
-    ``.dt.total_seconds() / 60``. ``unix_micros`` preserves the ``.%f``
-    sub-second precision (a plain ``cast("long")`` truncates to seconds).
-    Rounding is HALF_UP (``F.round``), matching DuckDB ROUND; numpy's
-    HALF_EVEN is the documented delta (SURVEY.md §2.8 F4).
+    ``.dt.total_seconds() / 60``.
+
+    Implementation detail that matters for determinism:
+    ``timestamp_diff(MICROSECOND, ...)`` works on both TIMESTAMP and
+    TIMESTAMP_NTZ and keeps the ``.%f`` sub-second precision; the
+    rounding is done in INTEGER arithmetic (``(|µs| + half) div step``)
+    rather than ``round(µs / 6e7, s)`` — a double division can land
+    within 1 ulp of a rounding tie (any diff that's an odd multiple of
+    0.3 s does) where engines' double-rounding diverges. Integer
+    arithmetic is exact in every engine. Requires scale ≤ 7.
     """
     end_c = F.col(end) if isinstance(end, str) else end
     start_c = F.col(start) if isinstance(start, str) else start
-    return F.round((F.unix_micros(end_c) - F.unix_micros(start_c)) / 6e7, scale)
+    micros = F.timestamp_diff("MICROSECOND", start_c, end_c)
+    step = 60_000_000 // (10**scale)
+    half = step // 2
+    magnitude = (F.abs(micros) + F.lit(half)).cast("long") / F.lit(step)
+    rounded = F.floor(magnitude).cast("long")
+    signed = F.when(micros < 0, -rounded).otherwise(rounded)
+    return (signed / F.lit(10**scale)).cast("double")
 
 
 def date_parts(col: Column | str) -> dict[str, Column]:

@@ -420,3 +420,241 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.aggregates import distinct_values
 
     return distinct_values(_t(spark, sf_dir, "part"), ["p_brand", "p_type"])
+
+
+# ---------------------------------------------------------------------------
+# §2.5 — window functions (ranking + analytic). Not in the reference; the
+# J1 dedup is their use case and the engine exposes the full surface.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           LAG(o_orderkey) OVER w AS prev_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets — rollup (SURVEY.md §2.4 "not present / free in Spark").
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_region_nation",
+    """
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").withColumnRenamed("c_nationkey", "n_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    joined = multiway_join([cust, nation, region], keys=["n_nationkey", "n_regionkey"], how="inner")
+    return joined.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction over events.props (north-star surface, FIXTURES.md) +
+# F6 numeric coercion. try_cast: ANSI-safe NULL-on-malformed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           ROUND(AVG(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import to_numeric
+
+    ev = _t(spark, sf_dir, "events")
+    k = to_numeric(F.get_json_object("props", "$.k"), "long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 via window lag — minutes between consecutive events per user. The
+# reference's four duration metrics (app.py:290-312) need paired columns the
+# testdata lacks; lag(ts) builds the pair. Exact integer rounding:
+# functions/temporal.py:minutes_between.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_lag_minutes",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(((date_diff('microsecond', prev_ts, ts) + 300000) // 600000) / 100.0
+                AS DOUBLE) AS minutes_since_prev
+    FROM x
+    WHERE prev_ts IS NOT NULL
+    """,
+)
+def q_event_lag_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.temporal import minutes_between
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    with_prev = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    return with_prev.filter(F.col("prev_ts").isNotNull()).select(
+        "user_id",
+        "event_id",
+        minutes_between("ts", "prev_ts").alias("minutes_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — composite string key (enum_ind, app.py:472-476) as native concat_ws.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "composite_key_events",
+    """
+    SELECT event_id,
+           CAST(user_id AS VARCHAR) || ', ' || CAST(event_id AS VARCHAR) AS enum_ind
+    FROM events
+    """,
+)
+def q_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import composite_key
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", composite_key("user_id", "event_id").alias("enum_ind"))
+
+
+# ---------------------------------------------------------------------------
+# F6 — numeric coercion with NULL-on-failure (pd.to_numeric errors='coerce',
+# app.py:284-286): event_type is never numeric (all NULL), props.k always is.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "numeric_coerce",
+    """
+    SELECT event_id,
+           TRY_CAST(event_type AS DOUBLE) AS et_num,
+           TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_num
+    FROM events
+    """,
+)
+def q_numeric_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import to_numeric
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        to_numeric("event_type").alias("et_num"),
+        to_numeric(F.get_json_object("props", "$.k")).alias("k_num"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 — timestamp format/parse roundtrip pinning the '%Y-%m-%dT%H:%M:%S.%f'
+# semantics (app.py:275-282): every formatted ts must parse back equal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timestamp_parse_roundtrip",
+    """
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'),
+                                  '%Y-%m-%dT%H:%M:%S.%f') = ts
+                    THEN 1 ELSE 0 END) AS n_roundtrip
+    FROM events
+    """,
+)
+def q_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    parsed = F.to_timestamp_ntz(F.date_format("ts", fmt), F.lit(fmt))
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(parsed == F.col("ts"), 1).otherwise(0)).alias("n_roundtrip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 — month-window enumeration (datepairs, app.py:95-134) driving a
+# windowed count: each window becomes a filter range, exactly how the
+# reference compiled windows into source predicates (S2).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "month_window_counts",
+    """
+    SELECT CAST(GREATEST(CAST(date_trunc('month', o_orderdate) AS DATE),
+                         (SELECT CAST(MIN(o_orderdate) AS DATE) FROM orders))
+                AS VARCHAR) AS win_start,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_month_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from .functions.temporal import month_windows
+
+    orders = _t(spark, sf_dir, "orders")
+    # Plan-build-time range discovery (driver-side, as in the reference).
+    lo, hi = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    ).first()
+    windows = month_windows(lo.date(), hi.date())
+    win_df = spark.createDataFrame(
+        [(s, e) for s, e in windows], "win_start date, win_end date"
+    )
+    joined = orders.join(
+        F.broadcast(win_df),
+        (F.col("o_orderdate") >= F.col("win_start").cast("timestamp_ntz"))
+        & (
+            F.col("o_orderdate")
+            < F.date_add(F.col("win_end"), 1).cast("timestamp_ntz")
+        ),
+        "inner",
+    )
+    # DATE-typed outputs render differently across engines' pandas
+    # bridges (datetime.date vs datetime64); ISO strings compare exactly.
+    return joined.groupBy(F.col("win_start").cast("string").alias("win_start")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
