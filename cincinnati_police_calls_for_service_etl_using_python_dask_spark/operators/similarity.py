@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (``array<float>``) —
+BASELINE.json north star.
+
+Two tiers, as a real 100 TB pipeline needs:
+
+- :func:`brute_force_topk` — exact cosine top-k. The query set is
+  broadcast; scores are computed map-side with array expressions and
+  the top-k per query uses a window over (query, score) — shuffle
+  carries only (query_id, vec_id, score), never the vectors.
+- :func:`lsh_ann_topk` — random-hyperplane LSH: deterministic
+  pseudo-random hyperplanes from the shared hash family, sign-bit
+  bucket per vector, candidates = same-bucket vectors, exact rerank
+  inside buckets. Sub-linear candidate sets at scale; recall tested
+  against the brute-force tier in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import hash56
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double precision, left-to-right (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, computed in double."""
+    ad, bd = _to_double(a), _to_double(b)
+    return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (query_id, vec_id, rank) — rank 1..k by score desc with
+    vec_id as the deterministic tie-break. Scores are intentionally not
+    emitted: cross-engine float summation differs in the last ulp, ids
+    and ranks don't.
+
+    Scale: broadcast the (small) query set; one pass over the corpus;
+    per-query top-k via window — at very large k or query counts,
+    swap the window for repartition+sortWithinPartitions.
+    """
+    scored = vectors.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("_score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank")
+    )
+
+
+def hyperplane_bits(
+    vec: Column, num_planes: int = 16, dim: int = 64
+) -> Column:
+    """Sign-bit signature of ``vec`` against ``num_planes``
+    deterministic pseudo-random hyperplanes.
+
+    Plane p's component d is (H(p:d) / 2^55) − 1 ∈ [−1, 1) — derived
+    from the shared md5 hash family, so signatures are reproducible
+    everywhere with no stored model. Returns a BIGINT bucket key.
+    """
+    two54 = float(2**54)
+
+    def plane_component(p: int, d: Column) -> Column:
+        return (
+            hash56(F.concat(F.lit(f"plane{p}:"), d.cast("string"))).cast("double")
+            / F.lit(two54)
+            - 2.0
+        )
+
+    def projector(p: int):
+        # Closure factory — a default-arg lambda would change the
+        # pyspark lambda arity (zip_with requires exactly 2).
+        return lambda x, d: x.cast("double") * plane_component(p, d)
+
+    bits = []
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), projector(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane
+    bucket, then exact cosine rerank inside the candidate set.
+
+    Scale: the corpus is bucketed once (map-side signature), the join
+    is a hash join on bucket — at 1000 executors this is the IVF-style
+    probe pattern; increase num_planes for smaller buckets, add
+    multi-probe (flip one bit) for recall.
+    """
+    bucketed = vectors.withColumn("_bucket", hyperplane_bits(F.col(vec_col), num_planes, dim))
+    q_bucketed = queries.withColumn(
+        "_bucket", hyperplane_bits(F.col(query_vec_col), num_planes, dim)
+    )
+    candidates = bucketed.join(F.broadcast(q_bucketed), on="_bucket", how="inner")
+    scored = candidates.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("_score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank")
+    )

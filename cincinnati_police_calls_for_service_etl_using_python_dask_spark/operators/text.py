@@ -1,0 +1,133 @@
+"""Text-analysis operators for LLM-data pipelines (BASELINE.json north
+star; SURVEY.md §7.2 M5): tokenization, quality scoring, language ID,
+fingerprinting, shingling.
+
+All pure Catalyst expressions — no Python UDFs — so they stay inside
+whole-stage codegen and scale to 100 TB document corpora. Regex
+patterns are restricted to syntax shared by Java regex (Spark) and RE2
+(DuckDB) so every operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer — identical semantics in Java regex and RE2.
+TOKEN_SPLIT = r"\s+"
+
+# Characters that count as "punctuation" for quality scoring: anything
+# that's not alphanumeric or whitespace. Explicit class, dialect-safe.
+PUNCT_CLASS = r"[^a-zA-Z0-9\s]"
+
+# Small English stopword list for the language-ID heuristic. Order and
+# content pinned — the oracle SQL embeds the same list.
+EN_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this", "be", "are",
+)
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokens of trimmed (optionally lowercased) text."""
+    c = F.trim(_c(col))
+    if lowercase:
+        c = F.lower(c)
+    return F.split(c, TOKEN_SPLIT)
+
+
+def token_count(col: Column | str) -> Column:
+    """Token count; 0 for empty/whitespace-only text (split of an empty
+    string yields [''], which must not count)."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, TOKEN_SPLIT)))
+
+
+def punct_count(col: Column | str) -> Column:
+    """Number of punctuation characters (PUNCT_CLASS matches)."""
+    c = _c(col)
+    return F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+
+
+def stopword_count(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Occurrences (with repeats) of stopwords among the tokens."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1] from length / punctuation /
+    stopword signals — the standard cheap pre-filter for LLM training
+    corpora.
+
+    score = [ floor(4000·min(tokens,64)/64) + floor(3000·(chars−punct)/chars)
+            + min(3000, floor(15000·stopwords/tokens)) ] / 10000
+
+    i.e. 0.4·length + 0.3·(1−punct_ratio) + 0.3·min(1, 5·stopword_ratio),
+    with each component floored at the 4th decimal in INTEGER
+    arithmetic. Float formulas produce rationals that can land exactly
+    on rounding ties where engines diverge; integer floor-division is
+    bit-identical everywhere (the final /10000.0 of an int ≤ 10000 is
+    an exact IEEE op).
+    """
+    n_tok = token_count(col).cast("long")
+    n_char = F.length(_c(col)).cast("long")
+    n_punct = punct_count(col).cast("long")
+    n_sw = stopword_count(col).cast("long")
+    comp_len = F.floor(F.least(n_tok, F.lit(64)) * 4000 / 64).cast("long")
+    comp_punct = F.when(
+        n_char > 0, F.floor((n_char - n_punct) * 3000 / n_char).cast("long")
+    ).otherwise(F.lit(3000))
+    comp_sw = F.when(
+        n_tok > 0, F.least(F.lit(3000), F.floor(n_sw * 15000 / n_tok).cast("long"))
+    ).otherwise(F.lit(0))
+    return ((comp_len + comp_punct + comp_sw) / F.lit(10000.0)).cast("double")
+
+
+def lang_id(col: Column | str, threshold: float = 0.05) -> Column:
+    """Stopword-ratio language ID: 'en' when ≥ threshold of tokens are
+    English stopwords, else 'und'. (N-gram models plug in the same way;
+    this pins the operator shape with a dependency-free heuristic.)"""
+    n_tok = token_count(col).cast("double")
+    ratio = F.when(n_tok > 0, stopword_count(col) / n_tok).otherwise(F.lit(0.0))
+    return F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical content fingerprint: md5 of whitespace-collapsed,
+    lowercased, trimmed text. Computed map-side; downstream dedup
+    shuffles only the 32-char digest, never the document."""
+    normalized = F.regexp_replace(F.lower(F.trim(_c(col))), TOKEN_SPLIT, " ")
+    return F.md5(normalized)
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the MinHash input). For texts
+    shorter than n tokens, the whole text is the single shingle."""
+    toks = tokens(col)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(F.when(k >= n, grams).otherwise(whole))
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard per-document stat columns in one projection
+    (single scan; all codegen)."""
+    return df.withColumns(
+        {
+            "n_tokens": token_count(text_col),
+            "n_punct": punct_count(text_col),
+            "n_stopwords": stopword_count(text_col),
+            "quality": quality_score(text_col),
+            "lang_guess": lang_id(text_col),
+            "fingerprint": fingerprint(text_col),
+        }
+    )

@@ -1,7 +1,312 @@
 """LLM-data-pipeline query/oracle pairs (BASELINE.json north star):
 dedup, similarity search, text analysis, multimodal plumbing.
 
-Filled in milestone M5 (SURVEY.md §7.2).
+Every operator here is oracle-checked where a deterministic SQL
+equivalent exists — including MinHash and SimHash, via the shared
+56-bit md5 hash family (functions/hashing.py) that both engines
+compute bit-identically. Only the LSH-ANN approximate path is
+rows-only (its recall is property-tested against the exact tier in
+tests/test_similarity.py).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.hashing import duckdb_hash56_sql
+from .operators import dedup as dd
+from .operators import multimodal as mm
+from .operators import similarity as sim
+from .operators import text as tx
+from .queries import register
+from .sources.files import read_testdata
+
+# DuckDB fragments shared by several oracles — kept in one place so the
+# tokenization semantics stay pinned to operators/text.py.
+_D_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+_D_TOKS_NOCASE = r"regexp_split_to_array(trim(text), '\s+')"
+_D_STOPWORDS = "[" + ", ".join(f"'{s}'" for s in tx.EN_STOPWORDS) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting, punctuation, stopwords, quality, lang-id.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len({_D_TOKS_NOCASE}) END                         AS n_tokens,
+           length(text)                                                AS n_chars_measured,
+           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                                                                       AS n_punct,
+           len(list_filter({_D_TOKS}, t -> list_contains({_D_STOPWORDS}, t)))
+                                                                       AS n_stopwords
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        tx.punct_count("text").cast("long").alias("n_punct"),
+        tx.stopword_count("text").cast("long").alias("n_stopwords"),
+    )
+
+
+@register(
+    "text_quality_lang",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({_D_TOKS_NOCASE}) END                       AS n_tok,
+             length(text)                                              AS n_chr,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                                                                       AS n_punct,
+             len(list_filter({_D_TOKS}, t -> list_contains({_D_STOPWORDS}, t)))
+                                                                       AS n_sw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(( (least(n_tok, 64) * 4000) // 64
+                + (CASE WHEN n_chr > 0
+                        THEN ((n_chr - n_punct) * 3000) // n_chr
+                        ELSE 3000 END)
+                + (CASE WHEN n_tok > 0
+                        THEN least(3000, (n_sw * 15000) // n_tok)
+                        ELSE 0 END)
+                ) / 10000.0 AS DOUBLE)                                 AS quality,
+           CASE WHEN (CASE WHEN n_tok > 0
+                           THEN n_sw / CAST(n_tok AS DOUBLE)
+                           ELSE 0.0 END) >= 0.05
+                THEN 'en' ELSE 'und' END                               AS lang_guess
+    FROM s
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.quality_score("text").alias("quality"),
+        tx.lang_id("text").alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: md5 fingerprint groupBy — shuffles 32-char digests, not docs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_fingerprint",
+    """
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, fingerprint_col="text", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# N-gram (token-set) Jaccard near-dup — the exact quadratic tier.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_D_TOKS}) AS toks FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.9
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures — bit-identical to the oracle via the shared hash
+# family; num_hashes=4, trigram shingles.
+# ---------------------------------------------------------------------------
+
+_MINHASH_K = 4
+
+
+def _duckdb_minhash_cte() -> str:
+    sigs = ",\n           ".join(
+        "list_min(list_transform(shingles, s -> "
+        + duckdb_hash56_sql("s", seed=i)
+        + f")) AS sig_{i}"
+        for i in range(_MINHASH_K)
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {_D_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                                    i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS shingles
+      FROM tk
+    )
+    SELECT doc_id,
+           {sigs}
+    FROM sh
+    """
+
+
+@register("minhash_signatures", _duckdb_minhash_cte())
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return dd.minhash_signatures(docs, num_hashes=_MINHASH_K, shingle_n=3)
+
+
+@register(
+    "minhash_lsh_candidates",
+    f"""
+    WITH sigs AS ({_duckdb_minhash_cte()})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE (a.sig_0 = b.sig_0 AND a.sig_1 = b.sig_1)
+       OR (a.sig_2 = b.sig_2 AND a.sig_3 = b.sig_3)
+    """,
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, num_hashes=_MINHASH_K, shingle_n=3)
+    return dd.lsh_candidate_pairs(sigs, num_hashes=_MINHASH_K, band_size=2)
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 32-bit, oracle-checked bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _duckdb_simhash_sql() -> str:
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(32)
+    )
+    packed = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, UNNEST(list_distinct({_D_TOKS})) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, {duckdb_hash56_sql('tok')} AS hv FROM tk
+    ), votes AS (
+      SELECT doc_id,
+           {votes}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register("simhash32", _duckdb_simhash_sql())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return dd.simhash32(docs)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search — exact brute-force cosine top-k (ids+ranks only;
+# score floats stay engine-internal).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(
+                          list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) DESC,
+                        e.vec_id ASC
+             ) AS rank
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, rank FROM scored WHERE rank <= 10
+    """,
+)
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.brute_force_topk(emb, queries, k=10)
+
+
+@register("ann_lsh_topk", None)  # approximate: rows-only; recall tested in pytest
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.lsh_ann_topk(emb, queries, k=10, num_planes=8)
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id, label,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
+             AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(sim.l2_norm(arr), 4).alias("l2_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing — binary payload + stubbed decode via mapInPandas.
+# The oracle mirrors the deterministic stub kernel in SQL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode_stub",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT)            AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT)  AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT)  AS height,
+           'stub-decoded'                                      AS status
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return mm.decode_metadata(mm.attach_binary_payload(docs))

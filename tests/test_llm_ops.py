@@ -1,0 +1,120 @@
+"""Property tests for the LLM-pipeline operators (SURVEY.md §5.2 #4):
+dedup invariants, MinHash/LSH behavior, ANN recall, multimodal stub.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+    dedup as dd,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+    multimodal as mm,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+    similarity as sim,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+    text as tx,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.files import (
+    read_testdata,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),        # exact dup
+            (3, "the quick brown fox leaps over the lazy dog"),        # near dup
+            (4, "completely different content about spark engines"),
+            (5, ""),                                                    # empty
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    out = {r["keep_id"]: r["n_dups"] for r in dd.exact_dedup(_docs(spark)).collect()}
+    assert out[1] == 2          # docs 1+2 share a fingerprint, min id kept
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    sigs = {r["doc_id"]: (r["sig_0"], r["sig_1"], r["sig_2"], r["sig_3"])
+            for r in dd.minhash_signatures(_docs(spark), num_hashes=4).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_lsh_candidates_contain_exact_dups(spark):
+    sigs = dd.minhash_signatures(_docs(spark), num_hashes=4)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dd.lsh_candidate_pairs(sigs, num_hashes=4, band_size=2).collect()}
+    assert (1, 2) in pairs              # identical docs always collide
+    assert (1, 4) not in pairs          # unrelated docs shouldn't
+
+
+def test_simhash_identical_equal_and_near_dup_close(spark):
+    out = {r["doc_id"]: r["simhash"] for r in dd.simhash32(_docs(spark)).collect()}
+    assert out[1] == out[2]
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dd.ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.7
+
+
+def test_lsh_ann_recall_against_brute_force(spark):
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["vec_id"])
+             for r in sim.brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in sim.lsh_ann_topk(emb, queries, k=5, num_planes=4).collect()}
+    # every query must at least find itself (cosine 1.0 in its own bucket)
+    for q in range(10):
+        assert (q, q) in approx
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall degenerated: {recall}"
+
+
+def test_multimodal_decode_stub_contract(spark):
+    docs = read_testdata(spark, SF_SMOKE, "documents").limit(20)
+    out = mm.decode_metadata(mm.attach_binary_payload(docs))
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_bytes", "width", "height", "status"]
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_bytes"] > 0
+        assert 1 <= r["width"] <= 640 and 1 <= r["height"] <= 480
+        assert r["status"] == "stub-decoded"
+
+
+def test_text_stats_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "a b  c\td"), (5, "hi, world!")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        tx.token_count("text").alias("nt"),
+        tx.punct_count("text").alias("np"),
+        tx.quality_score("text").alias("q"),
+    ).collect()}
+    assert out[1]["nt"] == 0 and out[2]["nt"] == 0
+    assert out[3]["nt"] == 1 and out[4]["nt"] == 4
+    assert out[5]["np"] == 2                      # ',' and '!'
+    assert all(0.0 <= out[i]["q"] <= 1.0 for i in out)

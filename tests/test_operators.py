@@ -1,0 +1,120 @@
+"""Unit tests on tiny inline frames (SURVEY.md §5.2 #2): null group
+keys, ragged unions, parse failures, rounding pins, dedup tie-breaks.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.functions.temporal import (
+    minutes_between,
+    month_windows,
+    parse_timestamps,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.aggregates import (
+    group_agg,
+    null_profile,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.dedup import (
+    latest_per_key,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.relational import (
+    union_all,
+)
+
+
+def test_latest_per_key_tiebreak_and_null_filter(spark):
+    # Mirrors the reference's dedup semantics (app.py:463-480): keep the
+    # max-order row per key, pre-filtering NULL district rows; known-
+    # entity probe analog of app.py:430.
+    rows = [
+        ("E1", "2024-01-01T10:00:00", 1, "D1"),
+        ("E1", "2024-01-01T11:00:00", 2, None),   # later but null district
+        ("E1", "2024-01-01T09:00:00", 3, "D2"),
+        ("E2", "2024-01-01T08:00:00", 4, "D9"),
+        ("E3", "2024-01-01T08:00:00", 5, "D5"),
+        ("E3", "2024-01-01T08:00:00", 6, "D6"),   # ts tie → higher ind wins
+    ]
+    df = spark.createDataFrame(rows, "event_number string, ts string, ind long, district string")
+    out = latest_per_key(
+        df, keys=["event_number"], order_by="ts", tie_breakers=["ind"],
+        keep_where_not_null="district",
+    )
+    got = {r["event_number"]: (r["ind"], r["district"]) for r in out.collect()}
+    assert got == {"E1": (1, "D1"), "E2": (4, "D9"), "E3": (6, "D6")}
+
+
+def test_group_agg_null_keys_and_countdistinct_nulls(spark):
+    # dropna=False parity (app.py:562): NULL keys form groups; nunique
+    # ignores NULL values (pandas nunique default == countDistinct).
+    rows = [("a", "x"), ("a", None), (None, "y"), (None, "y"), (None, None)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    out = {r["k"]: r["nunique_v"] for r in group_agg(df, ["k"], count_distinct=["v"]).collect()}
+    assert out == {"a": 1, None: 1}
+
+
+def test_union_all_ragged_columns(spark):
+    # The accumulator concat (app.py:165-186) with ragged API months.
+    a = spark.createDataFrame([(1, "x")], "id long, extra string")
+    b = spark.createDataFrame([(2,)], "id long")
+    out = union_all([a, b]).orderBy("id").collect()
+    assert [(r["id"], r["extra"]) for r in out] == [(1, "x"), (2, None)]
+
+
+def test_null_profile_all_null_column(spark):
+    df = spark.createDataFrame([(None, 1), (None, 2)], "dead string, alive long")
+    row = null_profile(df).first()
+    assert row["dead"] == 100.0 and row["alive"] == 0.0
+
+
+def test_parse_timestamps_malformed_to_null(spark):
+    # F1 semantics: NULL on malformed (delta vs pandas raise) — and must
+    # not throw under Spark 4 ANSI mode.
+    df = spark.createDataFrame(
+        [("2024-03-05T10:20:30.123456",), ("not-a-time",), (None,)],
+        "create_time_incident string",
+    )
+    out = parse_timestamps(df).collect()
+    assert out[0][0] == dt.datetime(2024, 3, 5, 10, 20, 30, 123456)
+    assert out[1][0] is None and out[2][0] is None
+
+
+def test_minutes_between_rounding_pins(spark):
+    # 4.5 s = 0.075 min sits exactly on the scale-2 rounding tie; the
+    # integer implementation must give HALF_UP = 0.08 (float paths give
+    # engine-dependent results). Negative diffs round away from zero.
+    rows = [
+        ("2024-01-01T00:00:00.000000", "2024-01-01T00:00:04.500000", 0.08),
+        ("2024-01-01T00:00:04.500000", "2024-01-01T00:00:00.000000", -0.08),
+        ("2024-01-01T00:00:00.000000", "2024-01-01T01:30:00.000000", 90.0),
+        ("2024-01-01T00:00:00.100000", "2024-01-01T00:00:00.400000", 0.01),
+    ]
+    df = spark.createDataFrame([(a, b) for a, b, _ in rows], "t0 string, t1 string")
+    df = parse_timestamps(df, columns=("t0", "t1"))
+    got = [r[0] for r in df.select(minutes_between("t1", "t0")).collect()]
+    assert got == [w for _, _, w in rows]
+
+
+def test_month_windows_reference_shape():
+    # datepairs construction (app.py:95-134): first/last pinned,
+    # non-overlapping, +1-day shift between windows.
+    wins = month_windows(dt.date(2019, 1, 15), dt.date(2019, 4, 10))
+    assert wins[0][0] == dt.date(2019, 1, 15)
+    assert wins[-1][1] == dt.date(2019, 4, 10)
+    for (s1, e1), (s2, _) in zip(wins, wins[1:]):
+        assert s2 == e1 + dt.timedelta(days=1)
+    # single-day range
+    assert month_windows(dt.date(2020, 5, 5), dt.date(2020, 5, 5)) == [
+        (dt.date(2020, 5, 5), dt.date(2020, 5, 5))
+    ]
+
+
+def test_composite_key_concat(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.functions.scalar import (
+        composite_key,
+    )
+
+    df = spark.createDataFrame([("CPD1", 7)], "e string, i long")
+    assert df.select(composite_key("e", "i")).first()[0] == "CPD1, 7"
