@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology: each query runs twice — cold (plan + JIT + shuffle
+warmup) and warm — and the warm time is reported; execution is forced
+through the `noop` sink so every output column is computed (a bare
+count() would let Catalyst prune the very expressions being measured).
+
+The quadratic ngram_jaccard_pairs tier is deliberately NOT a headline
+query: its role is ground-truth for MinHash-LSH, which IS measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_cfs_pipeline",
+    "groupby_multi_agg",
+    "dedup_latest_per_key",
+    "event_lag_minutes",
+    "window_rank_orders",
+    "multiway_join_agg",
+    "pivot_orders_priority_year",
+    "month_window_counts",
+    "value_counts_event_type",
+    "json_extract_props",
+    "text_stats",
+    "dedup_exact_fingerprint",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash32",
+    "ann_cosine_topk",
+    "embedding_norms",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.session import (
+        get_spark,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.queries import (
+        spark_queries,
+    )
+
+    spark = get_spark(
+        app_name="cfs_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    queries = spark_queries()
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # Session warmup: JVM/codegen/parquet-footer caches.
+    force(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1000))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        force(fn(spark, sf_dir))  # cold: planning + JIT
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

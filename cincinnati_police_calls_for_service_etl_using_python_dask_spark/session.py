@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Python data sources (sources/rest.py) declare pushFilters;
+        # Spark refuses to plan them unless pushdown is enabled.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

@@ -1,0 +1,156 @@
+"""Tests for the REST Python data source, the document sink, and the
+Structured Streaming variants (SURVEY.md §2.1, §2.9).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.docsink import (
+    JsonLinesClient,
+    full_refresh_write,
+    write_documents,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.files import (
+    read_testdata,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.rest import (
+    SocrataSource,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.ingest import (
+    read_event_stream,
+    run_available_now,
+    watermark_dedup,
+    windowed_counts,
+)
+
+from .conftest import SF_SMOKE
+
+EVENTS_PARQUET = os.path.join(SF_SMOKE, "events.parquet")
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SocrataSource)
+    return spark
+
+
+def _load(spark, **extra):
+    opts = {
+        "mode": "fixture",
+        "fixture_path": EVENTS_PARQUET,
+        "ts_column": "ts",
+        "start": "2024-01-01",
+        "end": "2024-12-31",
+    } | extra
+    reader = spark.read.format("socrata_cfs")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def test_rest_source_fetches_all_windows(registered, spark):
+    df = _load(spark)
+    n_expected = read_testdata(spark, SF_SMOKE, "events").count()
+    assert df.count() == n_expected
+    # one partition per monthly window (Jan..Dec 2024)
+    assert df.rdd.getNumPartitions() == 12
+
+
+def test_rest_source_rows_roundtrip(registered, spark):
+    df = _load(spark)
+    ref = read_testdata(spark, SF_SMOKE, "events")
+    got = df.select("event_id", "event_type", "value").orderBy("event_id").collect()
+    want = ref.select("event_id", "event_type", "value").orderBy("event_id").collect()
+    assert got == want
+    # string timestamps parse back to the original µs values
+    parsed = df.select(
+        F.to_timestamp_ntz("ts", F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")).alias("ts")
+    ).orderBy("ts").collect()
+    want_ts = ref.select("ts").orderBy("ts").collect()
+    assert parsed == want_ts
+
+
+def test_rest_source_filter_pushdown_narrows_windows(registered, spark):
+    # A ts range filter must reach the source: fewer partitions planned,
+    # not a full fetch + post-filter.
+    df = _load(spark).filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20"))
+    assert df.rdd.getNumPartitions() == 1  # narrowed to January only
+    rows = df.count()
+    ref = (
+        read_testdata(spark, SF_SMOKE, "events")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-10").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-20").cast("timestamp_ntz"))
+        )
+        .count()
+    )
+    assert rows == ref
+
+
+def test_document_sink_distributed_write_and_refresh(spark, tmp_path):
+    root = str(tmp_path / "docstore")
+    df = read_testdata(spark, SF_SMOKE, "events").select("event_id", "event_type").limit(100)
+    factory = lambda: JsonLinesClient(root)  # noqa: E731
+
+    write_documents(df, "calls", factory, retry_sleep_s=0.0)
+    docs = JsonLinesClient(root).read_all("calls")
+    assert len(docs) == 100 and {"event_id", "event_type"} <= set(docs[0])
+
+    # full refresh: drop + reload must not duplicate (app.py:957-968)
+    full_refresh_write(df, "calls", factory, retry_sleep_s=0.0)
+    assert len(JsonLinesClient(root).read_all("calls")) == 100
+
+
+def test_streaming_windowed_counts_available_now(spark, tmp_path):
+    # Batch-parity check: the streaming windowed agg over a static dir
+    # must equal the same agg computed in batch.
+    src = str(tmp_path / "stream_src")
+    events = read_testdata(spark, SF_SMOKE, "events")
+    # µs timestamps (streaming schema uses TimestampType)
+    events.withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+
+    stream = read_event_stream(spark, src)
+    result = windowed_counts(stream, window="6 hours", watermark="0 seconds", group_cols=["event_type"])
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(result, ckpt, out)
+
+    got = spark.read.parquet(out)
+    # Append mode emits a window only once the watermark passes its end:
+    # the final partial window stays in state. Batch parity therefore
+    # covers windows with end <= max event time.
+    max_ts = events.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+    batch = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .filter(F.col("window.end") <= F.lit(max_ts))
+    )
+    assert got.count() == batch.count()
+    assert (
+        got.agg(F.sum("n_events")).first()[0]
+        == batch.agg(F.sum("n_events")).first()[0]
+    )
+
+
+def test_streaming_watermark_dedup(spark, tmp_path):
+    src = str(tmp_path / "dedup_src")
+    events = read_testdata(spark, SF_SMOKE, "events").limit(200)
+    # duplicate every record (the re-fetch overlap scenario)
+    dup = events.unionAll(events)
+    dup.withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+
+    stream = read_event_stream(spark, src)
+    deduped = watermark_dedup(stream, keys=["event_id"], watermark="1 hour")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    run_available_now(deduped, ckpt, out)
+
+    assert spark.read.parquet(out).count() == 200
