@@ -104,3 +104,69 @@ def pivot_count_distinct(
 def distinct_values(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """A7 — distinct over a projection (app.py:370, 600-616)."""
     return df.select(*columns).distinct()
+
+
+def cube_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Mapping[str, Column],
+) -> DataFrame:
+    """Multi-dimensional rollup via ``CUBE`` — SURVEY.md §2.4 "Not
+    present" row: the reference assembles its wide per-year view with a
+    filter-loop + stack + reduce-join (app.py:350-403); grouping sets
+    compute every subtotal combination in one shuffle (Spark expands
+    the grouping-set id map-side, so the input is scanned once)."""
+    return df.cube(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def percentiles_cents(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact grouped percentiles of a 2-decimal money column.
+
+    Hash-portability design: the value is first converted to integer
+    cents (exact in int64), and ``percentile`` interpolates between
+    integers at quarter fractions — every result is a dyadic rational,
+    exactly representable in a double, so any engine computing linear
+    interpolation produces the identical bits. Dividing back to dollars
+    would reintroduce non-representable doubles; outputs stay in cents
+    (``p{q}_cents``).
+
+    Exact percentile holds each group's values; for 100 TB use
+    ``approx_profile`` (t-digest/GK sketch, bounded memory) instead.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    tagged = df.withColumn("__cents", cents)
+    aggs = [
+        F.percentile("__cents", F.lit(q)).alias(f"p{int(q * 100)}_cents")
+        for q in quantiles
+    ]
+    return tagged.groupBy(*keys).agg(*aggs)
+
+
+def approx_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str,
+    quantile_col: str,
+    quantiles: Sequence[float] = (0.5,),
+    rsd: float = 0.05,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-based profile: HyperLogLog++ ``approx_count_distinct`` +
+    GK ``percentile_approx`` — the constant-memory scale path the exact
+    operators (A1 countDistinct, percentiles_cents) can't walk at
+    100 TB. Engine-specific sketch results: rows-only driver check (no
+    cross-engine oracle can hash-match an HLL estimate)."""
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(distinct_col, rsd).alias(f"approx_nunique_{distinct_col}"),
+        *[
+            F.percentile_approx(quantile_col, F.lit(q), F.lit(accuracy)).alias(
+                f"approx_p{int(q * 100)}_{quantile_col}"
+            )
+            for q in quantiles
+        ],
+    )

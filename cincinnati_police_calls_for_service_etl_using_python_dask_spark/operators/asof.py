@@ -1,0 +1,127 @@
+"""As-of join and sessionization (SURVEY.md §2.3 "Not present" row).
+
+The reference has no temporal joins, but its domain begs for them
+(create→dispatch→arrival alignment, app.py:290-312 computes those
+durations only because the rows are pre-joined upstream). These are the
+operators a CFS-style event pipeline needs at scale.
+
+Scale design: both operators are implemented as a SINGLE hash-shuffle
+on the entity key — no range join, no cross product, no driver
+collection.
+
+- ``as_of_join`` uses the union + running-``last(ignorenulls)`` window
+  trick: tag left/right rows, union them, sort within each key
+  partition by event time, and carry the latest right-side payload
+  forward. One exchange on ``on``; the window sort is local to each
+  partition. At 100 TB this beats a range join (which Spark plans as
+  broadcast-nested-loop or a cartesian chunk) by orders of magnitude,
+  and beats per-key ``applyInPandas`` by staying in whole-stage
+  codegen.
+- ``sessionize`` is the classic gap-based session id: ``lag`` +
+  cumulative ``sum`` over the same single shuffle.
+
+Both are deterministic given a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: Sequence[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with
+    the greatest ``right_ts`` <= ``left_ts`` within the same key group
+    (inclusive on equality, like DuckDB/kdb ASOF).
+
+    ``payload`` — right-side columns to carry (default: all non-key
+    columns). They appear on the output as ``{prefix}{col}``; the right
+    timestamp is ``{prefix}{right_ts}``.
+
+    Ties between two right rows with identical (key, ts) are resolved
+    by the later row in the window order; supply de-duplicated right
+    input when that matters (the testdata's (user_id, ts) is unique).
+    """
+    keys = list(on)
+    if payload is None:
+        payload = [c for c in right.columns if c not in keys and c != right_ts]
+    out_payload = [f"{prefix}{c}" for c in [*payload, right_ts]]
+
+    right_types = dict(right.dtypes)
+    left_tagged = left.select(
+        *left.columns,
+        F.col(left_ts).alias("__evt_ts"),
+        F.lit(1).alias("__is_left"),
+        *[
+            F.lit(None).cast(right_types[c]).alias(f"{prefix}{c}")
+            for c in [*payload, right_ts]
+        ],
+    )
+    left_types = dict(left.dtypes)
+    right_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__evt_ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in [*payload, right_ts]],
+        *[
+            F.lit(None).cast(left_types[c]).alias(c)
+            for c in left.columns
+            if c not in keys
+        ],
+    )
+    unioned = left_tagged.unionByName(right_tagged)
+
+    # Right rows sort before left rows at equal event time => inclusive.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__evt_ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumns(
+        {c: F.last(c, ignorenulls=True).over(w) for c in out_payload}
+    )
+    return filled.filter(F.col("__is_left") == 1).drop("__evt_ts", "__is_left")
+
+
+def sessionize(
+    df: DataFrame,
+    key: Sequence[str],
+    ts: str = "ts",
+    gap_minutes: float = 30.0,
+    tiebreak: str | None = None,
+    session_col: str = "session_seq",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap from
+    the previous event of the same key exceeds ``gap_minutes``.
+
+    Adds ``session_col`` (1-based session ordinal per key). Exactly one
+    shuffle (hash by ``key``); the gap test uses integer microsecond
+    arithmetic (``timestamp_diff``) so TIMESTAMP_NTZ inputs are immune
+    to the session timezone — a double-epoch subtraction would shift
+    across DST in non-UTC driver sessions.
+    """
+    keys = list(key)
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    gap_us = int(gap_minutes * 60_000_000)
+    prev_ts = F.lag(ts).over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (F.timestamp_diff("MICROSECOND", prev_ts, F.col(ts)) > F.lit(gap_us))
+    ).cast("long")
+    running = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(session_col, F.sum(is_new).over(running))

@@ -79,6 +79,60 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_planes: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b) with
+    cosine >= threshold — the semantic tier of the dedup ladder
+    (exact md5 → MinHash/SimHash → embedding cosine).
+
+    ``bucket_planes=None`` is the exact O(n²) tier (self-join on
+    id_a < id_b — fine for a sampled corpus or within-cluster rerank).
+    With ``bucket_planes=p`` the pair space is first restricted to
+    same-hyperplane-bucket vectors (hash join on the sign-bit key, the
+    blocked/LSH tier) — at 100 TB the cross product is never
+    materialized; recall is traded via p exactly as in lsh_ann_topk.
+
+    Norms are precomputed per row (map-side) so each pair costs one
+    dot product, not two extra norm passes.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = vectors.select(
+        F.col(id_col), vd.alias("_v"), l2_norm(vd).alias("_n")
+    )
+    if bucket_planes is not None:
+        base = base.withColumn(
+            "_bucket", hyperplane_bits(F.col("_v"), bucket_planes, dim)
+        )
+    a = base.select(
+        *(["_bucket"] if bucket_planes is not None else []),
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = base.select(
+        *(["_bucket"] if bucket_planes is not None else []),
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    if bucket_planes is not None:
+        pairs = a.join(b, on="_bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim_expr = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        pairs.withColumn("_sim", sim_expr)
+        .filter(F.col("_sim") >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+
+
 def hyperplane_bits(
     vec: Column, num_planes: int = 16, dim: int = 64
 ) -> Column:

@@ -1,0 +1,254 @@
+"""Advanced operator query/oracle pairs: temporal joins, grouping
+sets, exact percentiles, range joins, string functions, embedding
+near-dup, and the sketch-based scale path.
+
+These extend the reference's repertoire where SURVEY.md §2 marks "Not
+present" — operators a CFS-style event pipeline (and any 100 TB
+training-data pipeline) needs: as-of alignment of dispatch↔arrival
+sequences (app.py:290-312 only computes those because its rows arrive
+pre-joined), sessionization, CUBE subtotals, and the approximate
+aggregates the exact tier can't afford at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.scalar import money_sum
+from .functions.temporal import minutes_between
+from .operators import aggregates as ag
+from .operators import asof as ao
+from .operators import similarity as sim
+from .queries import register
+from .sources.files import read_testdata
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's most recent prior
+# click (inclusive). One hash shuffle on user_id — no range join, no
+# cross product (operators/asof.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_last_click",
+    """
+    WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT l.event_id, l.user_id,
+           r.event_id AS asof_event_id,
+           CASE WHEN r.event_id IS NULL THEN NULL
+                ELSE CAST(((date_diff('microsecond', r.ts, l.ts) + 300000)
+                           // 600000) AS DOUBLE) / 100 END AS wait_minutes
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = ao.as_of_join(
+        purchases, clicks, on=["user_id"], payload=["event_id"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id"),
+        minutes_between("ts", "asof_ts").alias("wait_minutes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: 30-minute-gap sessions per user; lag + running sum,
+# one shuffle (operators/asof.py:sessionize).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_user_events",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                          OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM (SELECT event_id, user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events)
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    out = ao.sessionize(ev, key=["user_id"], ts="ts", gap_minutes=30.0)
+    return out.select("event_id", "user_id", "session_seq")
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all subtotal combinations in one shuffle (A5's manual
+# filter-loop pivot generalized; operators/aggregates.py:cube_agg).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_orders_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    return ag.cube_agg(
+        orders,
+        keys=["o_orderstatus", "o_orderpriority"],
+        aggs={
+            "n_orders": F.count(F.lit(1)),
+            "sum_price": money_sum("o_totalprice"),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped percentiles, hash-portable via integer-cents dyadic
+# interpolation (operators/aggregates.py:percentiles_cents).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentiles_price_by_status",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(CAST(round(o_totalprice * 100) AS DOUBLE), 0.25) AS p25_cents,
+           quantile_cont(CAST(round(o_totalprice * 100) AS DOUBLE), 0.5)  AS p50_cents,
+           quantile_cont(CAST(round(o_totalprice * 100) AS DOUBLE), 0.75) AS p75_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    return ag.percentiles_cents(
+        orders, value_col="o_totalprice", keys=["o_orderstatus"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join against a small band dimension — broadcast non-equi join,
+# so the fact side streams map-side with zero shuffle before the agg.
+# ---------------------------------------------------------------------------
+
+_BANDS = [
+    ("b0_050k", 0.0, 50_000.0),
+    ("b1_100k", 50_000.0, 100_000.0),
+    ("b2_200k", 100_000.0, 200_000.0),
+    ("b3_top", 200_000.0, 1e18),
+]
+
+
+@register(
+    "range_join_price_bands",
+    f"""
+    WITH bands(band, lo, hi) AS (VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)})
+    SELECT band, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_price
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, schema="band string, lo double, hi double")
+    joined = orders.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice").alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String/regexp scalar functions (SURVEY.md §2.8 "Not present" row) —
+# all native Catalyst expressions, zero UDFs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_funcs_docs",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '[A-Za-z]+')            AS first_word,
+           substr(text, 1, 20)                          AS head20,
+           upper(source)                                AS src_upper,
+           CAST(CASE WHEN lower(text) LIKE '% the %'
+                     THEN 1 ELSE 0 END AS INT)          AS has_the,
+           CAST(strpos(lower(text), 'data') AS BIGINT)  AS data_pos,
+           reverse(source)                              AS src_rev
+    FROM documents
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "[A-Za-z]+", 0).alias("first_word"),
+        F.substring("text", 1, 20).alias("head20"),
+        F.upper("source").alias("src_upper"),
+        F.lower(F.col("text")).like("% the %").cast("int").alias("has_the"),
+        F.instr(F.lower(F.col("text")), "data").cast("long").alias("data_pos"),
+        F.reverse("source").alias("src_rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup — the semantic tier of the dedup ladder
+# (exact md5 → MinHash/SimHash → cosine). Threshold 0.4 calibrated to
+# the synthetic embeddings (margin to nearest pair ≈ 1e-4 at sf0.01,
+# >> double noise, so the pair set is engine-stable).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.vd, b.vd) >= 0.4
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+@register("dedup_embedding_cosine_lsh", None)  # blocked tier: rows-only;
+# recall vs the exact tier is property-tested in tests/test_llm_ops.py
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs(emb, threshold=0.4, bucket_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based scale path: HLL++ count-distinct + GK quantile — what
+# replaces the exact tier at 100 TB. Engine-specific estimates: no
+# cross-engine oracle can hash-match, driver does the rows-only check;
+# estimate-vs-exact error bounds are asserted in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+
+
+@register("approx_profile_events", None)
+def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    return ag.approx_profile(
+        ev, keys=["event_type"], distinct_col="user_id", quantile_col="value"
+    )

@@ -1,0 +1,134 @@
+"""Unit tests for as-of join, sessionize, cube, percentiles, and the
+embedding near-dup tiers (SURVEY.md §5.2 #2/#4: tiny inline frames +
+property checks)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+    aggregates as ag,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+    asof as ao,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+    similarity as sim,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.files import (
+    read_testdata,
+)
+
+from .conftest import SF_ORACLE
+
+T0 = dt.datetime(2020, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_join_inclusive_and_nulls(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "L1"), (1, _ts(0), "L2"), (2, _ts(300), "L3")],
+        "k long, ts timestamp_ntz, lid string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), "R1"), (1, _ts(10), "R2"), (2, _ts(1440), "R3")],
+        "k long, ts timestamp_ntz, rid string",
+    )
+    out = {
+        r["lid"]: r["asof_rid"]
+        for r in ao.as_of_join(left, right, on=["k"], payload=["rid"]).collect()
+    }
+    # equal timestamps match (inclusive); earlier left rows get no match;
+    # right rows strictly in the future never match.
+    assert out == {"L1": "R2", "L2": None, "L3": None}
+
+
+def test_asof_join_carries_ts_and_is_deterministic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(100), "L1")], "k long, ts timestamp_ntz, lid string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(40), "R1"), (1, _ts(90), "R2")],
+        "k long, ts timestamp_ntz, rid string",
+    )
+    row = ao.as_of_join(left, right, on=["k"], payload=["rid"]).collect()[0]
+    assert row["asof_rid"] == "R2" and row["asof_ts"] == _ts(90)
+
+
+def test_sessionize_gap_boundary(spark):
+    # gaps: 30m exactly (same session), 30m+1s (new session)
+    df = spark.createDataFrame(
+        [
+            (1, _ts(0), 1),
+            (1, _ts(30), 2),  # ==30m gap: same session
+            (1, _ts(60.5), 3),  # 30.5m gap: new session
+            (2, _ts(0), 4),
+        ],
+        "user long, ts timestamp_ntz, eid long",
+    )
+    out = {
+        r["eid"]: r["session_seq"]
+        for r in ao.sessionize(df, key=["user"], ts="ts", gap_minutes=30.0).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_cube_totals_consistency(spark):
+    orders = read_testdata(spark, SF_ORACLE, "orders")
+    cube = ag.cube_agg(
+        orders,
+        keys=["o_orderstatus", "o_orderpriority"],
+        aggs={"n_orders": F.count(F.lit(1))},
+    ).collect()
+    grand = [r for r in cube if r[0] is None and r[1] is None]
+    assert len(grand) == 1 and grand[0]["n_orders"] == orders.count()
+    by_status = sum(r["n_orders"] for r in cube if r[0] is not None and r[1] is None)
+    assert by_status == orders.count()
+
+
+def test_percentiles_are_dyadic_cents(spark):
+    df = spark.createDataFrame(
+        [("a", 1.01), ("a", 1.02), ("a", 1.03), ("a", 1.06)], "k string, v double"
+    )
+    row = ag.percentiles_cents(df, "v", ["k"]).collect()[0]
+    # interpolation at quarter fractions over integer cents is exact
+    assert row["p25_cents"] == 101.75
+    assert row["p50_cents"] == 102.5
+    assert row["p75_cents"] == 103.75
+
+
+def test_lsh_near_dup_is_subset_of_exact(spark):
+    emb = read_testdata(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.4, bucket_planes=4).collect()
+    }
+    assert blocked <= exact
+    assert len(blocked) > 0  # recall is not zero at 4 planes
+
+
+def test_approx_profile_error_bounds(spark):
+    ev = read_testdata(spark, SF_ORACLE, "events")
+    approx = {
+        r["event_type"]: r["approx_nunique_user_id"]
+        for r in ag.approx_profile(
+            ev, keys=["event_type"], distinct_col="user_id", quantile_col="value"
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] < 0.15  # rsd=0.05, generous bound
