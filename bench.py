@@ -42,6 +42,14 @@ HEADLINE = [
     "simhash32",
     "ann_cosine_topk",
     "embedding_norms",
+    "asof_purchase_last_click",
+    "sessionize_user_events",
+    "cube_orders_status_priority",
+    "percentiles_price_by_status",
+    "range_join_price_bands",
+    "string_funcs_docs",
+    "text_quality_lang",
+    "dedup_embedding_cosine_lsh",
 ]
 
 

@@ -18,11 +18,11 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash56
-from .text import tokens, word_shingles
+from ..functions.hashing import P31, affine_minhash, hash56
+from .text import tokens
 
 
 def latest_per_key(
@@ -134,28 +134,48 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures over word n-gram shingles.
 
-    For each seed i: sig_i = min over shingles s of H_i(s), with H the
-    shared 56-bit md5 family (functions/hashing.py) so the signature is
-    bit-identical in the DuckDB oracle.
+    sig_i = min over shingles s of (A_i · (H(s) mod P) + B_i) mod P —
+    the 2-universal affine family over the shared 56-bit md5 base hash
+    (functions/hashing.py), so signatures are bit-identical in the
+    DuckDB oracle while paying ONE md5 per shingle instead of k.
 
-    Scale posture: signatures are computed entirely MAP-SIDE with array
-    expressions (transform + array_min) — zero shuffle, zero UDF; the
-    document text never leaves the scan stage. Output is
+    Scale posture: zero UDFs; the document text never leaves the scan
+    stage (only per-task per-doc signature partials shuffle). Output is
     (id, sig_0..sig_{k-1}).
     """
-    shingles = word_shingles(text_col, n=shingle_n)
-
-    def seeded(i: int):
-        # Closure factory: a `lambda s, i=i:` default-arg would make
-        # pyspark bind a 2-arg (element, index) lambda and silently use
-        # the ARRAY INDEX as the seed.
-        return lambda s: hash56(s, seed=i)
-
-    sig_cols = [
-        F.array_min(F.transform(shingles, seeded(i))).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
-    return df.select(F.col(id_col), *sig_cols)
+    toks = tokens(text_col)
+    # One row per shingle START POSITION via explode(sequence) + slice —
+    # min(H(s)) over positions == min over DISTINCT shingles, so the
+    # result is identical to hashing the distinct-shingle set. Chosen
+    # over array `transform` because Spark evaluates higher-order array
+    # functions INTERPRETED and outside common-subexpression
+    # elimination: k sig columns re-ran the whole tokenize→shingle→md5
+    # chain k times (measured 26× slower than the oracle at sf0.1).
+    # Exploded rows run the md5/conv chain in whole-stage codegen once
+    # per (shingle, seed), and the groupBy's partial min collapses each
+    # task's rows map-side — the shuffle carries ≤ one row per doc per
+    # task, never the shingles.
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        F.greatest(F.size(toks) - F.lit(shingle_n - 1), F.lit(1)).alias("__m"),
+    )
+    exploded = base.select(
+        id_col,
+        "__t",
+        F.explode(F.sequence(F.lit(1), F.col("__m"))).alias("__i"),
+    )
+    # slice past the end (docs shorter than n tokens) yields the whole
+    # text as the single shingle — same rule as the oracle CTE.
+    shingle = F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), shingle_n))
+    base = (hash56(shingle) % F.lit(P31)).alias("__h")
+    hashed = exploded.select(id_col, base)
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(affine_minhash(F.col("__h"), i)).alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def lsh_candidate_pairs(
@@ -217,36 +237,34 @@ def simhash32(
     """32-bit SimHash over distinct tokens: bit j of the output is 1
     iff sum over tokens of ±1 (sign of bit j of H(token)) is positive.
 
-    Map-side only: per row, tokens → hashes (array transform) → a
-    32-slot vote vector folded with ``aggregate`` + ``zip_with`` → bits
-    packed into an int. No shuffle, no UDF. Output (id, simhash).
+    Explode distinct tokens → hash (whole-stage codegen) → 32
+    conditional-sum vote aggregates with map-side partial agg → pack.
+    (An earlier array-``aggregate``+``zip_with`` fold was map-only but
+    ran interpreted — higher-order array functions don't codegen — and
+    lost 5× to the oracle; the explode keeps every expression
+    codegen'd, and the shuffle carries one 32-column partial per doc
+    per task.) Output (id, simhash).
 
     Hamming-distance bucketing on the result gives another near-dup
     family; equality on simhash is the degenerate exact-bucket case.
     """
     toks = F.array_distinct(tokens(text_col))
-    hashes = F.transform(toks, lambda t: hash56(t))
-    zero = F.array_repeat(F.lit(0).cast("long"), 32)
-
-    def bit_votes(h: Column) -> Column:
-        # Shift amounts are compile-time constants (shiftright needs a
-        # Python int), so the 32-slot vote array is built per hash.
-        return F.array(
-            *[
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+    h = hash56(F.col("__tok"))
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
                 F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
                 .otherwise(F.lit(-1))
                 .cast("long")
-                for j in range(32)
-            ]
-        )
-
-    votes = F.aggregate(
-        hashes, zero, lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, v: a + v)
+            ).alias(f"__v{j}")
+            for j in range(32)
+        ]
     )
     packed = None
     for j in range(32):
-        bit = F.when(F.get(votes, j) > 0, F.lit(1 << j).cast("long")).otherwise(
+        bit = F.when(F.col(f"__v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         packed = bit if packed is None else packed + bit
-    return df.select(F.col(id_col), packed.alias("simhash"))
+    return votes.select(F.col(id_col), packed.alias("simhash"))

@@ -73,7 +73,7 @@ def brute_force_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_score"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank")
     )
@@ -206,7 +206,7 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_score"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank")
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.hashing import duckdb_hash56_sql
+from .functions.hashing import P31, duckdb_affine_minhash_sql, duckdb_hash56_sql
 from .operators import dedup as dd
 from .operators import multimodal as mm
 from .operators import similarity as sim
@@ -151,12 +151,15 @@ _MINHASH_K = 4
 
 
 def _duckdb_minhash_cte() -> str:
+    # Same structure as the Spark operator: one base hash per shingle
+    # (mod P31), then the affine family per signature slot.
     sigs = ",\n           ".join(
-        "list_min(list_transform(shingles, s -> "
-        + duckdb_hash56_sql("s", seed=i)
+        "list_min(list_transform(hs, h -> "
+        + duckdb_affine_minhash_sql("h", i)
         + f")) AS sig_{i}"
         for i in range(_MINHASH_K)
     )
+    base = duckdb_hash56_sql("s")
     return f"""
     WITH tk AS (
       SELECT doc_id, {_D_TOKS} AS t FROM documents
@@ -167,10 +170,14 @@ def _duckdb_minhash_cte() -> str:
                                                     i -> array_to_string(t[i:i+2], ' ')))
                   ELSE [array_to_string(t, ' ')] END AS shingles
       FROM tk
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> ({base}) % {P31}) AS hs
+      FROM sh
     )
     SELECT doc_id,
            {sigs}
-    FROM sh
+    FROM hashed
     """
 
 

@@ -11,7 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions.scalar import dec2, money_sum
+from .functions.scalar import (
+    DUCKDB_DISCOUNTED_REVENUE_SUM,
+    dec2,
+    discounted_revenue_sum,
+    money_sum,
+)
 from .operators.aggregates import group_agg, pivot_count_distinct, value_counts
 from .operators.dedup import latest_per_key
 from .operators.relational import anti_join, multiway_join, semi_join, top_k, union_all
@@ -69,13 +74,16 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT l_orderkey)                               AS nunique_l_orderkey,
            ROUND(AVG(l_quantity), 4)                                AS avg_l_quantity,
            ROUND(AVG(l_extendedprice), 4)                           AS avg_l_extendedprice,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
-                AS DOUBLE)                                          AS revenue,
+           __REVENUE__                                              AS revenue,
            COUNT(*)                                                 AS n_rows
     FROM lineitem
     GROUP BY 1, 2
-    """,
+    """.replace(
+        "__REVENUE__",
+        DUCKDB_DISCOUNTED_REVENUE_SUM.format(
+            price="l_extendedprice", discount="l_discount"
+        ),
+    ),
 )
 def q_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -85,12 +93,11 @@ def q_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_distinct=["l_orderkey"],
         avg=["l_quantity", "l_extendedprice"],
         extra={
-            # Exact decimal arithmetic so the sum is accumulation-order
-            # independent and hash-matches the oracle (scalar.py:dec2).
-            "revenue": F.round(
-                F.sum(dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))),
-                2,
-            ).cast("double"),
+            # Exact integer-cents arithmetic: accumulation-order
+            # independent AND map-side-cheap (scalar.py:
+            # discounted_revenue_sum — decimal only at the final
+            # per-group conversion).
+            "revenue": discounted_revenue_sum("l_extendedprice", "l_discount"),
             "n_rows": F.count(F.lit(1)),
         },
     )
@@ -447,9 +454,9 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
         F.lag("o_orderkey").over(w).alias("prev_orderkey"),
     )
 
@@ -598,7 +605,7 @@ def q_numeric_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_rows,
            SUM(CASE WHEN strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'),
                                   '%Y-%m-%dT%H:%M:%S.%f') = ts
-                    THEN 1 ELSE 0 END) AS n_roundtrip
+                    THEN 1 ELSE 0 END)::BIGINT AS n_roundtrip
     FROM events
     """,
 )
@@ -631,30 +638,30 @@ def q_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_month_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime as dt
-
-    from .functions.temporal import month_windows
-
     orders = _t(spark, sf_dir, "orders")
-    # Plan-build-time range discovery (driver-side, as in the reference).
-    lo, hi = orders.agg(
-        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
-    ).first()
-    windows = month_windows(lo.date(), hi.date())
-    win_df = spark.createDataFrame(
-        [(s, e) for s, e in windows], "win_start date, win_end date"
-    )
-    joined = orders.join(
-        F.broadcast(win_df),
-        (F.col("o_orderdate") >= F.col("win_start").cast("timestamp_ntz"))
-        & (
-            F.col("o_orderdate")
-            < F.date_add(F.col("win_end"), 1).cast("timestamp_ntz")
-        ),
-        "inner",
-    )
+    # Tumbling calendar-month windows with the first window start pinned
+    # to the data's min date (the reference's datepairs rule,
+    # app.py:95-134; functions/temporal.py:month_windows implements the
+    # same enumeration for the REST source's partition planning).
+    #
+    # Declarative form: group on date_trunc('month') and clamp the first
+    # bucket with a broadcast 1-row min — counts are identical to
+    # materializing [start, end] windows and range-joining, because
+    # every order in the first calendar month is >= the min date by
+    # definition. This keeps the whole thing one shuffle + one 1-row
+    # broadcast; the earlier range-join version also ran a separate
+    # driver-side min/max job per invocation (a blocking round-trip the
+    # optimizer can't pipeline — visible at any scale).
+    months = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("__m")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    min_row = orders.agg(F.min("o_orderdate").cast("date").alias("__lo"))
     # DATE-typed outputs render differently across engines' pandas
     # bridges (datetime.date vs datetime64); ISO strings compare exactly.
-    return joined.groupBy(F.col("win_start").cast("string").alias("win_start")).agg(
-        F.count(F.lit(1)).alias("n_orders")
+    return (
+        months.crossJoin(F.broadcast(min_row))
+        .groupBy(
+            F.greatest("__m", "__lo").cast("string").alias("win_start")
+        )
+        .agg(F.sum("n_orders").cast("long").alias("n_orders"))
     )
