@@ -1,0 +1,101 @@
+"""The Arrow/pandas extension surface (SURVEY.md §2.10 D1–D4).
+
+Every concrete use of ``map_partitions``/``apply`` in the reference
+compiled to native Catalyst expressions (temporal.py, scalar.py,
+aggregates.py). These operators keep the ESCAPE HATCH real and tested:
+when a pipeline genuinely needs custom Python (a model score, a numpy
+kernel, a bespoke aggregate), this is the shape it takes — Arrow-batched
+pandas UDFs, never row-at-a-time ``udf``.
+
+Scale notes baked into each operator:
+
+- grouped-agg pandas UDF (D4): partial aggregation is NOT available to
+  Python UDAFs — every row of a group is shipped to one executor. Fine
+  for bounded groups; for heavy-hitter keys prefer a native two-phase
+  rewrite or a sketch (aggregates.py:approx_profile).
+- ``applyInPandas`` (D1): one shuffle on the grouping key, then the
+  whole group materializes as ONE pandas frame — group size must fit
+  executor memory. ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  does not chunk groups; key cardinality is the knob.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def grouped_median_cents(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    out_col: str = "median_cents",
+) -> DataFrame:
+    """Exact per-group median of a 2-decimal money column via a
+    grouped-aggregate pandas UDF (the D4 UDAF pattern, replacing the
+    reference's ``.agg({col: callable})``, app.py:366/466/569).
+
+    Values are pre-converted to integer cents JVM-side, so the numpy
+    median (midpoint interpolation → .5 steps of integers) is a dyadic
+    rational — bit-identical to any engine's linear-interpolated
+    median, hash-portable (same trick as aggregates.py:
+    percentiles_cents)."""
+
+    @pandas_udf("double")
+    def _median(v: pd.Series) -> float:
+        arr = v.dropna().to_numpy(dtype=np.int64)
+        if arr.size == 0:
+            return None
+        return float(np.median(arr))
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        df.withColumn("__cents", cents)
+        .groupBy(*keys)
+        .agg(_median("__cents").alias(out_col))
+    )
+
+
+def user_event_gaps(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key successive event gaps in integer microseconds via
+    ``applyInPandas`` (the D1 grouped map_partitions pattern,
+    app.py:470/590).
+
+    Semantics identical to ``lag`` + ``timestamp_diff`` (the native
+    form — operators/asof.py:sessionize uses it); this version exists
+    to pin the applyInPandas contract: schema-declared output, one
+    group per pandas frame, integer arithmetic so the oracle matches
+    exactly. First event of each key has gap NULL."""
+
+    out_schema = f"{id_col} long, {key} long, gap_us long"
+
+    def _gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        # normalize to µs integers regardless of the Arrow unit (Spark 4
+        # hands TIMESTAMP_NTZ over as datetime64[us], older bridges ns)
+        ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64")
+        gap = pd.Series(ts_us).diff().astype("Int64")  # <NA> for first row
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                key: pdf[key].to_numpy(),
+                "gap_us": gap.values,  # nullable IntegerArray, positional
+            }
+        )
+
+    return (
+        df.select(key, id_col, ts_col)
+        .groupBy(key)
+        .applyInPandas(_gaps, schema=out_schema)
+    )

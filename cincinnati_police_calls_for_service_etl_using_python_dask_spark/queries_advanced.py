@@ -19,6 +19,7 @@ from .functions.scalar import money_sum
 from .functions.temporal import minutes_between
 from .operators import aggregates as ag
 from .operators import asof as ao
+from .operators import pandas_ext as pe
 from .operators import similarity as sim
 from .queries import register
 from .sources.files import read_testdata
@@ -252,3 +253,66 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ag.approx_profile(
         ev, keys=["event_type"], distinct_col="user_id", quantile_col="value"
     )
+
+
+# ---------------------------------------------------------------------------
+# D4/D1 — the Arrow/pandas escape hatch, oracle-checked via exact
+# integer semantics (operators/pandas_ext.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pandas_udaf_median_price",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(CAST(round(o_totalprice * 100) AS DOUBLE), 0.5)
+             AS median_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    return pe.grouped_median_cents(
+        orders, value_col="o_totalprice", keys=["o_orderstatus"]
+    )
+
+
+@register(
+    "applyinpandas_event_gaps",
+    """
+    SELECT event_id, user_id,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_us
+    FROM events
+    """,
+)
+def q_applyinpandas_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    return pe.user_event_gaps(ev)
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — Structured Streaming drained via Trigger.AvailableNow, equal to
+# the batch aggregate (streaming/ingest.py:batch_equivalent_daily_counts).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_daily_counts",
+    """
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS win_start,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .streaming.ingest import batch_equivalent_daily_counts
+
+    ev = read_testdata(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="cfs_stream_")
+    return batch_equivalent_daily_counts(spark, ev, scratch)

@@ -68,6 +68,46 @@ def windowed_counts(
     )
 
 
+def batch_equivalent_daily_counts(
+    spark: SparkSession, events: DataFrame, scratch_dir: str
+) -> DataFrame:
+    """Run the full streaming path over a static snapshot and return the
+    drained result as a batch DataFrame — the ``Trigger.AvailableNow``
+    scheduled-batch analog (SURVEY.md §2.9 row 1), made ORACLE-CHECKABLE:
+    complete-mode output of a tumbling 1-day event-time count equals the
+    batch ``date_trunc('day')`` aggregate, bit for bit.
+
+    ``ts`` stays TIMESTAMP_NTZ end-to-end so window alignment (epoch
+    days) is immune to the session timezone. Complete mode (not append)
+    so no window is held back by the watermark at end-of-stream.
+    """
+    import uuid
+
+    src = f"{scratch_dir}/src"
+    events.write.mode("overwrite").parquet(src)
+    schema = events.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = stream.groupBy(F.window("ts", "1 day").alias("win")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    name = f"stream_daily_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.trigger(availableNow=True)
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{scratch_dir}/ckpt_{name}")
+        .start()
+    )
+    q.awaitTermination()
+    # date-string output: engines render midnight TIMESTAMPs differently
+    # ('2024-01-07' vs '2024-01-07 00:00:00'); DATE→string is identical.
+    return spark.table(name).select(
+        F.col("win.start").cast("date").cast("string").alias("win_start"),
+        "n_events",
+    )
+
+
 def run_available_now(result: DataFrame, checkpoint: str, out_path: str) -> None:
     """Drain everything currently available (the scheduled-batch analog
     of Trigger.AvailableNow), write parquet, stop. Append mode."""

@@ -116,6 +116,34 @@ def test_lsh_near_dup_is_subset_of_exact(spark):
     assert len(blocked) > 0  # recall is not zero at 4 planes
 
 
+def test_grouped_median_cents_nulls_and_even_groups(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        pandas_ext as pe,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.00), ("a", 2.00), ("a", None), ("b", 5.55), ("c", None)],
+        "k string, v double",
+    )
+    out = {r["k"]: r["median_cents"] for r in pe.grouped_median_cents(df, "v", ["k"]).collect()}
+    assert out["a"] == 150.0  # even count: midpoint, dyadic-exact
+    assert out["b"] == 555.0
+    assert out["c"] is None  # all-null group
+
+
+def test_user_event_gaps_first_is_null(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        pandas_ext as pe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, _ts(0)), (1, 11, _ts(2)), (2, 20, _ts(5))],
+        "user_id long, event_id long, ts timestamp_ntz",
+    )
+    out = {r["event_id"]: r["gap_us"] for r in pe.user_event_gaps(df).collect()}
+    assert out == {10: None, 11: 120_000_000, 20: None}
+
+
 def test_approx_profile_error_bounds(spark):
     ev = read_testdata(spark, SF_ORACLE, "events")
     approx = {
