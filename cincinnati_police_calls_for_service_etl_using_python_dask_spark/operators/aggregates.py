@@ -147,6 +147,37 @@ def percentiles_cents(
     return tagged.groupBy(*keys).agg(*aggs)
 
 
+def salted_count_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str,
+    salt_buckets: int = 16,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Skew-resistant EXACT count-distinct (SURVEY.md §7.2 M6).
+
+    A hot grouping key (the reference's skewed ``event_number``
+    frequencies are the A4 motivation) funnels its whole distinct-set
+    through one reducer in the standard plan. Salting by
+    ``hash(value) % b`` splits each group into b sub-groups that can be
+    counted INDEPENDENTLY AND EXACTLY — a distinct value lands in
+    exactly one salt bucket, so the per-bucket countDistincts sum to
+    the true count (unlike row-random salting, which double-counts).
+    Two shuffles, both skew-free; nulls are counted by neither phase,
+    matching ``countDistinct``.
+    """
+    out = out_col or f"nunique_{distinct_col}"
+    salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(salt_buckets))
+    per_bucket = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.countDistinct(distinct_col).alias("__partial"))
+    )
+    return per_bucket.groupBy(*keys).agg(
+        F.sum("__partial").cast("long").alias(out)
+    )
+
+
 def approx_profile(
     df: DataFrame,
     keys: Sequence[str],

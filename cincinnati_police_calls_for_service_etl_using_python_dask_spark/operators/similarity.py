@@ -106,25 +106,45 @@ def cosine_near_dup_pairs(
         F.col(id_col), vd.alias("_v"), l2_norm(vd).alias("_n")
     )
     if bucket_planes is not None:
-        base = base.withColumn(
+        # Blocked tier: group by sign-bit bucket, then a dense numpy
+        # Gram matrix per bucket via applyInPandas — Arrow ships each
+        # vector ONCE (not once per pair), and the O(b²) inner loop is
+        # a BLAS matmul instead of an interpreted array fold. Bucket
+        # size is the memory bound: planes ↑ → buckets ↓ in size.
+        import numpy as np
+        import pandas as pd
+
+        bucketed = base.withColumn(
             "_bucket", hyperplane_bits(F.col("_v"), bucket_planes, dim)
         )
+
+        def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            order = pdf["__id"].to_numpy().argsort()
+            ids = pdf["__id"].to_numpy()[order]
+            mat = np.stack(pdf["_v"].to_numpy()[order]).astype(np.float64)
+            norms = pdf["_n"].to_numpy()[order]
+            gram = (mat / norms[:, None]) @ (mat / norms[:, None]).T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = gram[ia, ib] >= threshold
+            return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]})
+
+        return (
+            bucketed.withColumnRenamed(id_col, "__id")
+            .groupBy("_bucket")
+            .applyInPandas(_bucket_pairs, schema="id_a long, id_b long")
+        )
+
     a = base.select(
-        *(["_bucket"] if bucket_planes is not None else []),
         F.col(id_col).alias("id_a"),
         F.col("_v").alias("_va"),
         F.col("_n").alias("_na"),
     )
     b = base.select(
-        *(["_bucket"] if bucket_planes is not None else []),
         F.col(id_col).alias("id_b"),
         F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"),
     )
-    if bucket_planes is not None:
-        pairs = a.join(b, on="_bucket").filter(F.col("id_a") < F.col("id_b"))
-    else:
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sim_expr = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         pairs.withColumn("_sim", sim_expr)

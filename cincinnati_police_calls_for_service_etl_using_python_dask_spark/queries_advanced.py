@@ -256,6 +256,59 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M6 — skew path: salted EXACT count-distinct; result equals the plain
+# COUNT(DISTINCT) oracle (operators/aggregates.py:salted_count_distinct).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_count_distinct_orders",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS nunique_l_orderkey
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return ag.salted_count_distinct(
+        li, keys=["l_returnflag"], distinct_col="l_orderkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join (the join-type the reference lacks, SURVEY.md §2.3):
+# customers × per-customer order counts, both unmatched sides kept.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "full_outer_customer_orders",
+    """
+    WITH oc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+    SELECT COALESCE(c.c_custkey, oc.o_custkey)              AS custkey,
+           CAST(c.c_custkey IS NOT NULL AS INT)             AS has_customer,
+           COALESCE(oc.n_orders, 0)                         AS n_orders
+    FROM customer c FULL OUTER JOIN oc ON c.c_custkey = oc.o_custkey
+    """,
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_testdata(spark, sf_dir, "customer")
+    oc = (
+        read_testdata(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = cust.join(oc, cust["c_custkey"] == oc["o_custkey"], "full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().cast("int").alias("has_customer"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # D4/D1 — the Arrow/pandas escape hatch, oracle-checked via exact
 # integer semantics (operators/pandas_ext.py).
 # ---------------------------------------------------------------------------
