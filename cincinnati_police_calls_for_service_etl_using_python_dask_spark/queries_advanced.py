@@ -309,6 +309,48 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unpivot/melt — the reference's ``stack()`` step in the pivot assembly
+# (app.py:350-403) as the native wide→long operator, applied to the
+# single-pass null profile (A6).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_null_profile",
+    """
+    WITH p AS (
+      SELECT ROUND(AVG(CASE WHEN value < 5 THEN 1 ELSE 0 END) * 100, 2)            AS value_pct,
+             ROUND(AVG(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100, 2) AS props_pct,
+             ROUND(AVG(0) * 100, 2)                                                AS event_id_pct
+      FROM events
+    )
+    SELECT 'value_pct' AS col_name, value_pct AS null_pct FROM p
+    UNION ALL SELECT 'props_pct', props_pct FROM p
+    UNION ALL SELECT 'event_id_pct', event_id_pct FROM p
+    """,
+)
+def q_unpivot_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregates import null_profile
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        F.when(F.col("value") < 5, None).otherwise(F.col("value")).alias("value_pct"),
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("props"))
+        .alias("props_pct"),
+        F.col("event_id").alias("event_id_pct"),
+    )
+    prof = null_profile(ev, scale=2)
+    # wide (one row, k columns) → long (k rows): Spark's native unpivot
+    # is the reference's pandas stack() without the driver round-trip.
+    return prof.unpivot(
+        ids=[],
+        values=list(prof.columns),
+        variableColumnName="col_name",
+        valueColumnName="null_pct",
+    )
+
+
+# ---------------------------------------------------------------------------
 # D4/D1 — the Arrow/pandas escape hatch, oracle-checked via exact
 # integer semantics (operators/pandas_ext.py).
 # ---------------------------------------------------------------------------

@@ -144,6 +144,35 @@ def test_user_event_gaps_first_is_null(spark):
     assert out == {10: None, 11: 120_000_000, 20: None}
 
 
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """M6 — event-time-partitioned parquet layout gives partition
+    pruning on read (the physical analog of the reference's event-time
+    fetch windows, app.py:101-134)."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.files import (
+        write_parquet,
+    )
+
+    ev = read_testdata(spark, SF_ORACLE, "events").withColumn(
+        "day", F.dayofmonth("ts")
+    )
+    out = str(tmp_path / "part")
+    write_parquet(ev, out, partition_by=("day",))
+
+    target = ev.groupBy("day").count().orderBy(F.desc("count")).first()["day"]
+    back = spark.read.parquet(out).filter(F.col("day") == target)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan or "day#" in plan
+    got = back.count()
+    want = ev.filter(F.col("day") == target).count()
+    assert got == want > 0
+    # pruning proof: per-month directories exist and the target is one
+    import glob
+    import os as _os
+
+    assert _os.path.isdir(f"{out}/day={target}")
+    assert len(glob.glob(f"{out}/day=*")) > 1  # layout actually split
+
+
 def test_approx_profile_error_bounds(spark):
     ev = read_testdata(spark, SF_ORACLE, "events")
     approx = {
