@@ -251,20 +251,19 @@ def simhash32(
     toks = F.array_distinct(tokens(text_col))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
     h = hash56(F.col("__tok"))
+    # Branch-free votes: c_j = Σ bit_j(h), and the ±1 vote sum is
+    # 2·c_j − n, so bit j of the result is just 2·c_j > n.
     votes = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-                .otherwise(F.lit(-1))
-                .cast("long")
-            ).alias(f"__v{j}")
+            F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"__c{j}")
             for j in range(32)
-        ]
+        ],
     )
     packed = None
     for j in range(32):
-        bit = F.when(F.col(f"__v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.col(f"__c{j}") * 2 > F.col("__n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         packed = bit if packed is None else packed + bit
     return votes.select(F.col(id_col), packed.alias("simhash"))

@@ -140,6 +140,48 @@ def test_streaming_windowed_counts_available_now(spark, tmp_path):
     )
 
 
+def test_stateful_running_counts_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    with one file per trigger, the final emission per user equals the
+    batch groupBy count, and multi-batch users show n_batches > 1."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.stateful import (
+        running_user_counts,
+    )
+
+    src = str(tmp_path / "stateful_src")
+    events = read_testdata(spark, SF_SMOKE, "events").select("user_id", "event_id")
+    # three files => three micro-batches under maxFilesPerTrigger=1
+    events.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    result = running_user_counts(stream)
+    out = str(tmp_path / "stateful_out")
+    ckpt = str(tmp_path / "stateful_ckpt")
+    run_available_now(result, ckpt, out)
+
+    got = spark.read.parquet(out)
+    # per user: the LAST emission (max n_batches) carries the full count
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_batches"))
+    final = (
+        got.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n_events")
+    )
+    want = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    assert final.join(want, "user_id").filter(
+        final["n_events"] != want["n_events"]
+    ).count() == 0
+    assert final.count() == want.count()
+    # state actually crossed batches for at least one key
+    assert got.agg(F.max("n_batches")).first()[0] >= 2
+
+
 def test_streaming_watermark_dedup(spark, tmp_path):
     src = str(tmp_path / "dedup_src")
     events = read_testdata(spark, SF_SMOKE, "events").limit(200)
