@@ -66,10 +66,24 @@ def main() -> None:
         spark_queries,
     )
 
+    # Size shuffle partitions to the DATA, not the core count: the
+    # rule is ~64 MB of input per post-shuffle partition (SURVEY.md
+    # §7.2 M6), floored at 8 so small SFs don't serialize, capped at
+    # 2×cores. At sf0.1 (~50 MB) that's 8 — per-query wall-clock is
+    # dominated by task-launch overhead otherwise; at 100 TB the same
+    # formula yields tens of thousands, and AQE coalesces from there.
+    # Map-side parallelism is unaffected (it follows input splits).
+    total_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    shuffle_parts = max(8, min(2 * int(cpus), total_bytes // (64 << 20)))
+
     spark = get_spark(
         app_name="cfs_bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        shuffle_partitions=int(shuffle_parts),
     )
     queries = spark_queries()
 
