@@ -5,8 +5,8 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Methodology: each query runs twice — cold (plan + JIT + shuffle
-warmup) and warm — and the warm time is reported; execution is forced
+Methodology: each query runs cold once (plan + JIT + shuffle warmup)
+then 3 warm runs, reporting the warm minimum; execution is forced
 through the `noop` sink so every output column is computed (a bare
 count() would let Catalyst prune the very expressions being measured).
 
@@ -68,8 +68,8 @@ def main() -> None:
 
     # Size shuffle partitions to the DATA, not the core count: the
     # rule is ~64 MB of input per post-shuffle partition (SURVEY.md
-    # §7.2 M6), floored at 8 so small SFs don't serialize, capped at
-    # 2×cores. At sf0.1 (~50 MB) that's 8 — per-query wall-clock is
+    # §7.2 M6), floored at 4 so small SFs don't serialize, capped at
+    # 2×cores. At sf0.1 (~50 MB) that's 4 — per-query wall-clock is
     # dominated by task-launch overhead otherwise; at 100 TB the same
     # formula yields tens of thousands, and AQE coalesces from there.
     # Map-side parallelism is unaffected (it follows input splits).
@@ -78,12 +78,19 @@ def main() -> None:
         for f in os.listdir(sf_dir)
         if f.endswith(".parquet")
     )
-    shuffle_parts = max(8, min(2 * int(cpus), total_bytes // (64 << 20)))
+    shuffle_parts = max(4, min(2 * int(cpus), total_bytes // (64 << 20)))
+
+    # Small-input fast path: AQE's per-query re-planning overhead
+    # (~40-70 ms constant) outweighs its benefit when total input is
+    # sub-GB; its payoff (coalescing, skew splitting, join re-choice)
+    # scales with shuffle bytes. Threshold 1 GiB.
+    adaptive = total_bytes >= (1 << 30)
 
     spark = get_spark(
         app_name="cfs_bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(shuffle_parts),
+        adaptive=adaptive,
     )
     queries = spark_queries()
 
@@ -97,9 +104,15 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         force(fn(spark, sf_dir))  # cold: planning + JIT
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 4)
+        # min of 3 warm runs: JVM noise (JIT tiers, GC, thread
+        # scheduling) is strictly additive, so the min is the best
+        # estimator of the plan's true cost.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
 
     total = round(sum(times.values()), 4)
     print(

@@ -58,11 +58,24 @@ def discounted_revenue_sum(price_col: str, discount_col: str) -> Column:
     both compute the same exact rational. DuckDB mirror:
     :data:`DUCKDB_DISCOUNTED_REVENUE_SUM`.
     """
-    prod = F.round(F.col(price_col) * 100).cast("long") * (
+    return finalize_revenue_micros(F.sum(revenue_micros(price_col, discount_col)))
+
+
+def revenue_micros(price_col: str, discount_col: str) -> Column:
+    """Per-row price·(1−discount) in exact integer micro-dollars
+    (cents × basis points): the associative building block of
+    :func:`discounted_revenue_sum`, usable at any aggregation level
+    (partial sums re-sum exactly)."""
+    return F.round(F.col(price_col) * 100).cast("long") * (
         F.lit(10_000) - F.round(F.col(discount_col) * 10_000).cast("long")
     )
+
+
+def finalize_revenue_micros(summed: Column) -> Column:
+    """Convert a summed :func:`revenue_micros` accumulator to rounded
+    dollars (decimal division only once per output group)."""
     return (
-        F.round(F.sum(prod).cast("decimal(38,0)") / F.lit(1_000_000), 2)
+        F.round(summed.cast("decimal(38,0)") / F.lit(1_000_000), 2)
         .cast("double")
     )
 

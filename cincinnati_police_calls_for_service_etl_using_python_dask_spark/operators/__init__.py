@@ -9,6 +9,7 @@ from .relational import (
 )
 from .aggregates import (
     group_agg,
+    group_agg_single_distinct,
     null_profile,
     pivot_count_distinct,
     value_counts,
@@ -18,6 +19,7 @@ from .dedup import latest_per_key
 __all__ = [
     "anti_join",
     "group_agg",
+    "group_agg_single_distinct",
     "keep_columns",
     "latest_per_key",
     "multiway_join",

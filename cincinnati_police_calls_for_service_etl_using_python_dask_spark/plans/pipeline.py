@@ -5,7 +5,8 @@ Reference shape: ingest → timestamp parse (F1) → derived duration
 metrics (F2) → date parts (F3) → global sort + surrogate index →
 max-index self-join dedup (J1) → 14-key groupBy with countDistinct +
 mean (A1) → sink. Here the whole chain is ONE logical plan: Catalyst
-places exactly two shuffles (dedup window partition, aggregate), and
+places three shuffles (dedup window partition, then the two cascaded
+hash-aggregate levels of the no-Expand single-distinct plan), and
 whole-stage codegen fuses everything between them.
 
 ``cfs_flagship`` runs the same shape on the driver's ``events`` table
@@ -20,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.temporal import parse_timestamps, with_date_parts
-from ..operators.aggregates import group_agg
+from ..operators.aggregates import group_agg_single_distinct
 from ..operators.dedup import latest_per_key
 from ..sources.files import read_testdata
 
@@ -46,10 +47,12 @@ def cfs_reference_pipeline(
         tie_breakers=[tie_breaker],
         keep_where_not_null=not_null_col,
     )
-    return group_agg(
+    # Single-distinct fast path (no Expand): see
+    # operators/aggregates.py:group_agg_single_distinct.
+    return group_agg_single_distinct(
         deduped,
         keys=group_keys,
-        count_distinct=[entity_key],
+        distinct_col=entity_key,
         avg=metric_cols,
     )
 
@@ -66,10 +69,10 @@ def cfs_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = latest_per_key(
         events, keys=["user_id", "event_type"], order_by="ts", tie_breakers=["event_id"]
     )
-    agg = group_agg(
+    agg = group_agg_single_distinct(
         latest,
         keys=["day", "hour", "event_type"],
-        count_distinct=["user_id"],
+        distinct_col="user_id",
         avg=["value"],
     )
     # Long day/hour so types line up with the DuckDB oracle's EXTRACT.

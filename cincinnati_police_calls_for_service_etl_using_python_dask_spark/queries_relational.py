@@ -14,10 +14,16 @@ from pyspark.sql.window import Window
 from .functions.scalar import (
     DUCKDB_DISCOUNTED_REVENUE_SUM,
     dec2,
-    discounted_revenue_sum,
+    finalize_revenue_micros,
     money_sum,
+    revenue_micros,
 )
-from .operators.aggregates import group_agg, pivot_count_distinct, value_counts
+from .operators.aggregates import (
+    group_agg,
+    group_agg_single_distinct,
+    pivot_count_distinct,
+    value_counts,
+)
 from .operators.dedup import latest_per_key
 from .operators.relational import anti_join, multiway_join, semi_join, top_k, union_all
 from .plans.pipeline import cfs_flagship
@@ -87,19 +93,18 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return group_agg(
+    # Single-distinct fast path: two cascaded hash aggregates instead
+    # of Spark's Expand rewrite (operators/aggregates.py:
+    # group_agg_single_distinct); revenue accumulates as exact integer
+    # micros at both levels, converted to dollars once per group.
+    return group_agg_single_distinct(
         li,
         keys=["l_returnflag", "l_linestatus"],
-        count_distinct=["l_orderkey"],
+        distinct_col="l_orderkey",
         avg=["l_quantity", "l_extendedprice"],
-        extra={
-            # Exact integer-cents arithmetic: accumulation-order
-            # independent AND map-side-cheap (scalar.py:
-            # discounted_revenue_sum — decimal only at the final
-            # per-group conversion).
-            "revenue": discounted_revenue_sum("l_extendedprice", "l_discount"),
-            "n_rows": F.count(F.lit(1)),
-        },
+        int_sums={"revenue": revenue_micros("l_extendedprice", "l_discount")},
+        finalize={"revenue": finalize_revenue_micros},
+        count_alias="n_rows",
     )
 
 

@@ -28,6 +28,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    adaptive: bool = True,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
@@ -36,10 +37,17 @@ def get_spark(
     keys (the reference's ``event_number`` analog); broadcast threshold
     left at default (10 MB) — small dims (region/nation) broadcast
     automatically.
+
+    ``adaptive=False`` is the small-input fast path: AQE's runtime
+    re-planning costs a near-constant ~40-70 ms per query (stage
+    materialization + re-optimization round-trips) while its benefit
+    scales with shuffle bytes — measured at sub-GB inputs it is pure
+    overhead. Callers that know total input size (bench.py) switch it
+    off below ~1 GiB; cluster deployments leave it on.
     """
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true" if adaptive else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

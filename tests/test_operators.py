@@ -15,6 +15,7 @@ from cincinnati_police_calls_for_service_etl_using_python_dask_spark.functions.t
 )
 from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.aggregates import (
     group_agg,
+    group_agg_single_distinct,
     null_profile,
 )
 from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.dedup import (
@@ -53,6 +54,40 @@ def test_group_agg_null_keys_and_countdistinct_nulls(spark):
     df = spark.createDataFrame(rows, "k string, v string")
     out = {r["k"]: r["nunique_v"] for r in group_agg(df, ["k"], count_distinct=["v"]).collect()}
     assert out == {"a": 1, None: 1}
+
+
+def test_group_agg_single_distinct_matches_builtin(spark):
+    # The no-Expand fast path must be bit-identical to the built-in
+    # plan on every semantic edge: NULL distinct values (excluded from
+    # nunique, included in n_rows), NULL group keys (form groups),
+    # int_sums finalizers, and avg-of-nulls.
+    rows = [
+        ("a", "x", 1.0, 100),
+        ("a", "x", 3.0, 200),
+        ("a", None, None, 300),   # NULL distinct: counted in n_rows only
+        (None, "y", 5.0, 400),
+        (None, "y", 7.0, None),
+        (None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, d string, m double, c long")
+    fast = group_agg_single_distinct(
+        df, keys=["k"], distinct_col="d", avg=["m"],
+        int_sums={"total_c": F.col("c")},
+        finalize={"total_c": lambda s: s * 10},
+        count_alias="n_rows",
+    )
+    ref = df.groupBy("k").agg(
+        F.countDistinct("d").alias("nunique_d"),
+        F.round(F.avg("m"), 4).alias("avg_m"),
+        (F.sum("c") * 10).alias("total_c"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    key = lambda r: (r["k"] is not None, r["k"])
+    assert sorted(fast.collect(), key=key) == sorted(ref.collect(), key=key)
+    assert fast.columns == ref.columns
+    # dtype parity (nullability may differ: sum-combine is nullable
+    # where count isn't — invisible to the driver's pandas compare).
+    assert fast.dtypes == ref.dtypes
 
 
 def test_union_all_ragged_columns(spark):

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Head-to-head vs the DuckDB baseline (BASELINE.md: perf gate is
+<=2x DuckDB wall-clock at sf0.1, per query).
+
+For every headline query in bench.py that has an oracle_sql() entry,
+time the oracle in DuckDB (warm: run twice, report the second) and the
+Spark implementation (bench.py methodology: cold then warm, noop sink),
+then print a per-query ratio table sorted worst-first.
+
+Run: python tools/baseline_compare.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import duckdb
+
+    import bench
+    from __spark_entry__ import oracle_sql, queries
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.session import (
+        get_spark,
+    )
+
+    oracles = oracle_sql()
+    qs = queries()
+
+    # --- DuckDB side (same thread budget as Spark) ---
+    con = duckdb.connect()
+    con.execute(f"SET threads={cpus}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    duck: dict[str, float] = {}
+    for name in bench.HEADLINE:
+        if name not in oracles:
+            continue
+        sql = oracles[name]
+        con.execute(sql).fetchall()  # warm (buffer cache, plan)
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        duck[name] = round(time.perf_counter() - t0, 4)
+
+    # --- Spark side (bench.py methodology) ---
+    total_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    shuffle_parts = max(4, min(2 * int(cpus), total_bytes // (64 << 20)))
+    spark = get_spark(
+        app_name="baseline_compare",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(shuffle_parts),
+        adaptive=total_bytes >= (1 << 30),
+    )
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    force(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1000))
+    spk: dict[str, float] = {}
+    for name in bench.HEADLINE:
+        fn = qs[name]
+        force(fn(spark, sf_dir))
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        spk[name] = round(time.perf_counter() - t0, 4)
+
+    rows = []
+    for name in bench.HEADLINE:
+        d = duck.get(name)
+        s = spk[name]
+        ratio = round(s / d, 2) if d else None
+        rows.append((name, s, d, ratio))
+    rows.sort(key=lambda r: -(r[3] or 0))
+
+    print(f"{'query':<32} {'spark':>8} {'duckdb':>8} {'ratio':>6}  (<=2.0 passes)")
+    for name, s, d, ratio in rows:
+        mark = "" if ratio is None else ("  SLOW" if ratio > 2.0 else "")
+        print(
+            f"{name:<32} {s:>8.3f} "
+            f"{(f'{d:>8.3f}' if d is not None else '       —')} "
+            f"{(f'{ratio:>6.2f}' if ratio is not None else '     —')}{mark}"
+        )
+    n_gated = sum(1 for r in rows if r[3] is not None)
+    n_pass = sum(1 for r in rows if r[3] is not None and r[3] <= 2.0)
+    print(f"\n{n_pass}/{n_gated} gated queries within 2x; "
+          f"spark total {sum(spk.values()):.2f}s, "
+          f"duckdb total {sum(duck.values()):.2f}s")
+    out = {
+        "sf_dir": sf_dir,
+        "spark": spk,
+        "duckdb": duck,
+        "ratios": {r[0]: r[3] for r in rows if r[3] is not None},
+    }
+    with open(os.path.join(os.path.dirname(__file__), "..", "COMPARE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
