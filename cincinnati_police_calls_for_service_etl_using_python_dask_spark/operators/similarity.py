@@ -16,6 +16,8 @@ Two tiers, as a real 100 TB pipeline needs:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -193,6 +195,98 @@ def hyperplane_bits(
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def _train_spherical_kmeans(
+    sample, n_lists: int, n_iter: int, seed: int
+):
+    """Lloyd's iterations on the unit sphere (cosine k-means) over a
+    driver-side sample — one BLAS matmul per iteration. Returns unit
+    centroids of shape (n_lists, dim). Deterministic for a fixed
+    (sample, seed)."""
+    rng = np.random.RandomState(seed)
+    unit = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    centroids = unit[rng.choice(len(unit), size=n_lists, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(unit @ centroids.T, axis=1)
+        for c in range(n_lists):
+            members = unit[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    return centroids
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 100_000,
+    n_iter: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the data-adaptive
+    counterpart of :func:`lsh_ann_topk`.
+
+    Index: a spherical k-means coarse quantizer is trained on a
+    bounded driver-side sample (``train_sample`` rows — how production
+    IVF indexes train their quantizers at any corpus size), then every
+    corpus vector is assigned to its nearest centroid by an
+    Arrow-batched pandas UDF (one numpy matmul per batch, map-side, no
+    shuffle). Probe: each query searches its ``n_probe`` nearest
+    centroid lists — candidates come from a broadcast hash join on
+    ``list_id``, never a cross product — and is exactly cosine-reranked
+    within them.
+
+    Scale: corpus touched once for assignment; candidate volume is
+    ~``n_probe``/``n_lists`` of the corpus per query. Recall/latency
+    trades via (n_lists, n_probe); recall gate in tests vs the
+    brute-force tier.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    sample = np.stack(
+        vectors.select(vec_col).limit(train_sample).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    centroids = _train_spherical_kmeans(sample, n_lists, n_iter, seed)
+
+    @pandas_udf("int")
+    def assign_list(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mat @ centroids.T, axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probe_lists(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        top = np.argsort(-(mat @ centroids.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    indexed = vectors.withColumn("_list", assign_list(F.col(vec_col)))
+    probes = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(probe_lists(F.col(query_vec_col))).alias("_list"),
+    )
+    candidates = indexed.join(F.broadcast(probes), on="_list", how="inner")
+    scored = candidates.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("_score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank")
+    )
 
 
 def lsh_ann_topk(

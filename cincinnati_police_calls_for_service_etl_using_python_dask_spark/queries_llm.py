@@ -277,6 +277,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_ann_topk(emb, queries, k=10, num_planes=8)
 
 
+@register("ann_ivf_topk", None)  # approximate: rows-only; recall tested in pytest
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF tier: spherical-k-means coarse quantizer (sample-trained) +
+    # pandas-UDF list assignment + broadcast probe join + exact rerank.
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.ivf_ann_topk(emb, queries, k=10, n_lists=16, n_probe=4)
+
+
 @register(
     "embedding_norms",
     """

@@ -73,6 +73,38 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed managed-table sink — the co-location layout for joins
+    and aggregations that repeat on the same key.
+
+    ``bucketBy(n, key)`` hashes rows into a fixed number of files per
+    partition; two tables bucketed the same way join with ZERO
+    exchanges (Catalyst sees the matching ``HashPartitioning`` output
+    from the scan), and groupBy on the bucket key skips its shuffle
+    too. At 100 TB this turns every repeated fact⋈fact join from a
+    full-network shuffle into a local merge — the biggest single
+    layout lever Spark offers. ``sort_cols`` additionally orders
+    within buckets so the join needs no sort either.
+
+    Bucketed tables must go through the catalog (``saveAsTable``) —
+    plain ``.parquet(path)`` writes would lose the bucket metadata.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)  # external table location
+    writer.format("parquet").saveAsTable(table)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -21,7 +21,7 @@ from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.fil
     read_testdata,
 )
 
-from .conftest import SF_ORACLE
+from .conftest import SF_ORACLE, SF_SMOKE
 
 T0 = dt.datetime(2020, 1, 1, 0, 0, 0)
 
@@ -171,6 +171,41 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
 
     assert _os.path.isdir(f"{out}/day={target}")
     assert len(glob.glob(f"{out}/day=*")) > 1  # layout actually split
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # Co-location layout (SURVEY.md §7.2 M6): two tables bucketed the
+    # same way must join with ZERO shuffles — scans report matching
+    # HashPartitioning, so EnsureRequirements inserts no Exchange.
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.files import (
+        read_testdata,
+        write_bucketed,
+    )
+
+    orders = read_testdata(spark, SF_SMOKE, "orders")
+    cust = read_testdata(spark, SF_SMOKE, "customer")
+    write_bucketed(orders, "b_orders", ("o_custkey",), num_buckets=4,
+                   sort_cols=("o_custkey",), path=str(tmp_path / "bo"))
+    write_bucketed(cust, "b_customer", ("c_custkey",), num_buckets=4,
+                   sort_cols=("c_custkey",), path=str(tmp_path / "bc"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so the exchange test is meaningful
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # correctness: same row count as the plain (shuffled) join
+        want = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+        assert joined.count() == want > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
 def test_approx_profile_error_bounds(spark):

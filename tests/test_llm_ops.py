@@ -91,6 +91,34 @@ def test_lsh_ann_recall_against_brute_force(spark):
     assert recall >= 0.2, f"LSH recall degenerated: {recall}"
 
 
+def test_ivf_ann_recall_against_brute_force(spark):
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["vec_id"])
+             for r in sim.brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in sim.ivf_ann_topk(emb, queries, k=5, n_lists=8, n_probe=4).collect()}
+    # a query's own vector lands in its nearest list, which is probed first
+    for q in range(10):
+        assert (q, q) in approx
+    # probing half the lists of a data-adaptive quantizer must beat
+    # random-hyperplane LSH's floor by a wide margin
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall degenerated: {recall}"
+
+
+def test_ivf_ann_deterministic_across_runs(spark):
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(map(tuple, sim.ivf_ann_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, sim.ivf_ann_topk(emb, queries, k=5).collect()))
+    assert a == b
+
+
 def test_multimodal_decode_stub_contract(spark):
     docs = read_testdata(spark, SF_SMOKE, "documents").limit(20)
     out = mm.decode_metadata(mm.attach_binary_payload(docs))
