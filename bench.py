@@ -41,6 +41,7 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "simhash32",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "embedding_norms",
     "asof_purchase_last_click",
     "sessionize_user_events",

@@ -14,8 +14,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from .functions.scalar import money_sum
+from .functions.scalar import dec2, money_sum
 from .functions.temporal import minutes_between
 from .operators import aggregates as ag
 from .operators import asof as ao
@@ -411,3 +412,37 @@ def q_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_testdata(spark, sf_dir, "events")
     scratch = tempfile.mkdtemp(prefix="cfs_stream_")
     return batch_equivalent_daily_counts(spark, ev, scratch)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 — aggregate-over-frame window (rowsBetween): per-customer rolling
+# revenue across the last 3 orders. Frame determinism pinned by the
+# unique o_orderkey tie-break; exact DECIMAL sum inside the frame.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_revenue_per_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS rolling_revenue
+    FROM orders
+    """,
+)
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_testdata(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec2("o_totalprice")).over(w), 2)
+        .cast("double")
+        .alias("rolling_revenue"),
+    )

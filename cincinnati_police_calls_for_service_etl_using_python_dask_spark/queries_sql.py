@@ -1,0 +1,100 @@
+"""The Spark SQL surface (SURVEY.md §7.1: every relational op is also
+runnable as SQL over temp views) plus SQL-only constructs — GROUPING
+SETS has no DataFrame-API equivalent, so ``spark.sql`` IS the
+idiomatic Spark spelling.
+
+Catalyst compiles these to the identical physical plans as the
+DataFrame API (same analyzer/optimizer), so the SQL surface costs
+nothing — it's the same engine with a second front-end, exactly the
+DataFrame/SQL duality the reference's fixed dataflow lacked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .queries import register
+from .sources.files import read_testdata
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...]
+) -> None:
+    """Expose driver testdata tables as temp views for ``spark.sql``.
+
+    Idempotent per session; views are lazy (no scan happens here), so
+    Catalyst still prunes columns/filters through them.
+    """
+    for t in tables:
+        read_testdata(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           GROUPING(o_orderstatus)  AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*)                 AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                                    AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GROUPING() disambiguates "subtotal" NULLs from genuine NULL keys
+    # — the part of CUBE/ROLLUP the reference's manual pivot (A5,
+    # app.py:350-403) could never express. Spark executes one Expand
+    # over the grouping sets, a single shuffle.
+    register_views(spark, sf_dir, ("orders",))
+    df = spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT)  AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               COUNT(*)                                  AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                                                         AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+    return df
+
+
+@register(
+    "sql_top_revenue_nations",
+    """
+    SELECT n.n_name,
+           o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q_sql_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-join aggregate written AS SQL: Catalyst broadcast-joins the
+    # dims (customer via AQE/size, nation always) exactly as the
+    # DataFrame spelling in multiway_join_agg — one shuffle for the
+    # final aggregate.
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               o.o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                 AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+        """
+    )
