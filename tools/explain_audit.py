@@ -122,6 +122,33 @@ def main() -> None:
             lambda p: "TakeOrderedAndProject" in p,
             "no global sort materialization for ORDER BY + LIMIT",
         ),
+        (
+            "grouping_sets_orders",
+            "grouping sets via Expand (single scan)",
+            lambda p: "Expand" in p,
+            "all subtotal combinations from one pass over the fact",
+        ),
+        (
+            "sql_top_revenue_nations",
+            "SQL front-end broadcasts dims",
+            lambda p: "BroadcastHashJoin" in p,
+            "spark.sql compiles to the same physical plan as the "
+            "DataFrame spelling — no penalty for the SQL surface",
+        ),
+        (
+            "rolling_revenue_per_customer",
+            "single exchange for the frame agg",
+            lambda p: count_exchanges(p) == 1,
+            "rolling sum reuses the window partitioning; no extra "
+            "shuffle beyond partitionBy(o_custkey)",
+        ),
+        (
+            "ann_ivf_topk",
+            "IVF probe join is broadcast",
+            lambda p: "BroadcastHashJoin" in p,
+            "probe lists ship to executors; the corpus never shuffles "
+            "before candidate generation",
+        ),
     ]
 
     lines = [
