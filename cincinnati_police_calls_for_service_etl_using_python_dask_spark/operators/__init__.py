@@ -2,6 +2,7 @@ from .relational import (
     keep_columns,
     multiway_join,
     rename_all,
+    salted_join,
     semi_join,
     anti_join,
     top_k,
@@ -26,6 +27,7 @@ __all__ = [
     "null_profile",
     "pivot_count_distinct",
     "rename_all",
+    "salted_join",
     "semi_join",
     "top_k",
     "union_all",

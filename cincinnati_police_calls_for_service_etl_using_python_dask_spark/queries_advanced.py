@@ -446,3 +446,42 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — native session_window aggregation (batch spelling of the
+# streaming session operator): events merge while consecutive gaps are
+# < 30 min; Spark's session interval is half-open, so a gap of exactly
+# the threshold starts a NEW session (oracle uses >=).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_window_counts",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             CAST(SUM(CASE WHEN prev_ts IS NULL
+                            OR date_diff('microsecond', prev_ts, ts) >= 1800000000
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM (SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events)
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM seq GROUP BY user_id, session_seq
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )

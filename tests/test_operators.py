@@ -98,6 +98,36 @@ def test_union_all_ragged_columns(spark):
     assert [(r["id"], r["extra"]) for r in out] == [(1, "x"), (2, None)]
 
 
+def test_salted_join_matches_plain_join(spark):
+    # Skewed left (one hot key = 80% of rows) joined to a dim with a
+    # duplicate key row and a key missing from the left; salted result
+    # must be row-identical to the plain join for inner AND left.
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.relational import (
+        salted_join,
+    )
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(80)]
+        + [("warm", i) for i in range(15)]
+        + [("rare", 0), ("unmatched", 1)]
+        + [(None, 2)],
+        "k string, v long",
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("warm", "W"), ("warm", "W2"), ("rare", "R"), ("absent", "A")],
+        "k string, attr string",
+    )
+    for how in ("inner", "left"):
+        plain = left.join(right, on="k", how=how)
+        salted = salted_join(left, right, on="k", how=how, salt_buckets=4)
+        assert salted.columns == plain.columns
+        from collections import Counter
+
+        assert Counter(map(tuple, salted.collect())) == Counter(
+            map(tuple, plain.collect())
+        )
+
+
 def test_null_profile_all_null_column(spark):
     df = spark.createDataFrame([(None, 1), (None, 2)], "dead string, alive long")
     row = null_profile(df).first()

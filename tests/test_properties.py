@@ -1,0 +1,111 @@
+"""Property-based spot checks (SURVEY.md §5.2 #4, hypothesis).
+
+Each property batches all generated values into ONE Spark job per
+example, so the suite stays fast despite JVM round-trip costs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.functions.hashing import (
+    hash56,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.aggregates import (
+    group_agg_single_distinct,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.dedup import (
+    latest_per_key,
+)
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Strings whose UTF-8 is md5-stable everywhere; exclude surrogates.
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=24
+)
+
+
+def _py_hash56(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[16:30], 16)
+
+
+@_SETTINGS
+@given(st.lists(_text, min_size=1, max_size=30, unique=True))
+def test_hash56_matches_python_and_duckdb(spark, duck, strings):
+    # The cross-engine foundation: Spark's conv(substring(md5)) chain,
+    # DuckDB's substr-hex cast, and Python's hashlib must agree on
+    # arbitrary unicode — every MinHash/SimHash/LSH oracle rests on it.
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got_spark = {
+        r["s"]: r["h"] for r in df.select("s", hash56("s").alias("h")).collect()
+    }
+    for s in strings:
+        want = _py_hash56(s)
+        assert got_spark[s] == want, f"spark vs python on {s!r}"
+        got_duck = duck.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 17, 14)) AS BIGINT)", [s]
+        ).fetchone()[0]
+        assert got_duck == want, f"duckdb vs python on {s!r}"
+
+
+_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", None]),          # group key
+        st.sampled_from(["x", "y", "z", None]),     # distinct col
+        st.one_of(st.none(), st.integers(-5, 5).map(float)),  # metric
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@_SETTINGS
+@given(_rows)
+def test_single_distinct_fast_path_property(spark, rows):
+    # For ANY small frame, the no-Expand plan equals the built-in plan.
+    df = spark.createDataFrame(rows, "k string, d string, m double")
+    fast = group_agg_single_distinct(
+        df, keys=["k"], distinct_col="d", avg=["m"], count_alias="n_rows"
+    )
+    ref = df.groupBy("k").agg(
+        F.countDistinct("d").alias("nunique_d"),
+        F.round(F.avg("m"), 4).alias("avg_m"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    key = lambda r: (r["k"] is not None, r["k"])
+    assert sorted(fast.collect(), key=key) == sorted(ref.collect(), key=key)
+
+
+_dedup_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["e1", "e2", "e3"]),
+        st.integers(0, 9),   # order value
+        st.integers(0, 99),  # tie-breaker (may collide across rows)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@_SETTINGS
+@given(_dedup_rows)
+def test_latest_per_key_invariants(spark, rows):
+    # Exactly one survivor per key, and it is the lexicographic max of
+    # (order, tie) among that key's rows.
+    df = spark.createDataFrame(rows, "k string, o long, t long")
+    out = latest_per_key(df, keys=["k"], order_by="o", tie_breakers=["t"]).collect()
+    keys = [r["k"] for r in out]
+    assert len(keys) == len(set(keys))
+    want = {}
+    for k, o, t in rows:
+        want[k] = max(want.get(k, (-1, -1)), (o, t))
+    assert {r["k"]: (r["o"], r["t"]) for r in out} == want
