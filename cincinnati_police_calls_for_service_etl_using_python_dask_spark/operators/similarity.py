@@ -16,6 +16,8 @@ Two tiers, as a real 100 TB pipeline needs:
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -155,6 +157,7 @@ def cosine_near_dup_pairs(
     )
 
 
+@functools.lru_cache(maxsize=32)
 def hyperplane_matrix(num_planes: int, dim: int):
     """The deterministic pseudo-random plane matrix M[p, d] =
     H("plane{p}:{d}") / 2^54 − 2 ∈ [−2, 2), from the shared md5 hash
