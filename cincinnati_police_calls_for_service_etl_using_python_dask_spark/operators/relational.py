@@ -105,6 +105,73 @@ def salted_join(
     return l_salted.join(r_salted, on=[on, "__salt"], how=how).drop("__salt")
 
 
+def bucketed_range_join(
+    fact: DataFrame,
+    bands: Sequence[tuple[str, float, float]],
+    value_col: str,
+    bucket_width: float,
+    label_col: str = "band",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Point-in-interval range join as a broadcast HASH join.
+
+    The naive spelling (``fact.join(broadcast(bands), (v >= lo) &
+    (v < hi))``, SURVEY.md §2.3 "Not present" row) has no equi-key, so
+    Spark plans BroadcastNestedLoopJoin: every fact row is tested
+    against every band — O(rows × bands) comparisons with no codegen
+    hash probe. Fine at 4 bands, catastrophic at 10⁴ bands × 10¹¹ rows.
+
+    The scale-correct plan quantizes the value domain into fixed-width
+    buckets: each band is pre-exploded (driver-side, bands are small by
+    construction) into one row per bucket it overlaps, the fact side
+    computes its single bucket id, and the join becomes an equi-join on
+    the bucket id — a BroadcastHashJoin, O(rows) probes — with the
+    original range predicate kept as a residual filter for exactness.
+    Intervals are half-open ``[lo, hi)``. Unbounded/huge upper bands
+    are folded into a cap bucket at the largest finite boundary, so an
+    open-topped band costs one dim row, not infinity.
+
+    Row-identical to the nested-loop spelling (tests/test_operators.py)
+    including NULL handling: NULL values get a NULL bucket id, which an
+    inner equi-join drops — exactly as ``NULL >= lo`` is never true.
+    """
+    import math
+
+    w = float(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    finite = [b for _, lo, hi in bands for b in (lo, hi) if abs(b) < 1e17]
+    if not finite:
+        raise ValueError("bands need at least one finite boundary")
+    cap_idx = math.floor(max(finite) / w)
+    exploded: list[tuple[str, float, float, int]] = []
+    for label, lo, hi in bands:
+        if hi <= lo:
+            continue
+        first = min(math.floor(lo / w), cap_idx)
+        # last bucket holding values < hi: step back when hi sits on a
+        # bucket boundary (half-open interval excludes it)
+        last_raw = math.floor(hi / w)
+        if hi / w == last_raw:
+            last_raw -= 1
+        last = min(last_raw, cap_idx)
+        exploded.extend((label, lo, hi, b) for b in range(first, last + 1))
+    spark = fact.sparkSession
+    dim = spark.createDataFrame(
+        exploded,
+        schema=f"{label_col} string, {lo_col} double, {hi_col} double, __bkt long",
+    )
+    v = F.col(value_col)
+    fact_b = fact.withColumn(
+        "__bkt", F.least(F.floor(v / F.lit(w)), F.lit(cap_idx)).cast("long")
+    )
+    joined = fact_b.join(F.broadcast(dim), "__bkt").where(
+        (v >= F.col(lo_col)) & (v < F.col(hi_col))
+    )
+    return joined.drop("__bkt")
+
+
 def union_all(dfs: Iterable[DataFrame], allow_missing_columns: bool = True) -> DataFrame:
     """U1 — vertical concat (``dd.concat`` accumulator loop,
     app.py:165-186). ``unionByName`` aligns by name, and

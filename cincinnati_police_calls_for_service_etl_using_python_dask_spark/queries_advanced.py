@@ -21,6 +21,7 @@ from .functions.temporal import minutes_between
 from .operators import aggregates as ag
 from .operators import asof as ao
 from .operators import pandas_ext as pe
+from .operators import relational as rel
 from .operators import similarity as sim
 from .queries import register
 from .sources.files import read_testdata
@@ -165,10 +166,11 @@ _BANDS = [
 )
 def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_testdata(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(_BANDS, schema="band string, lo double, hi double")
-    joined = orders.join(
-        F.broadcast(bands),
-        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    # Bucket-quantized: BroadcastHashJoin on the bucket id + residual
+    # range filter, not the O(rows × bands) BroadcastNestedLoopJoin the
+    # naive non-equi spelling plans (relational.bucketed_range_join).
+    joined = rel.bucketed_range_join(
+        orders, _BANDS, value_col="o_totalprice", bucket_width=50_000.0
     )
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_orders"),

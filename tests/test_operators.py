@@ -183,3 +183,33 @@ def test_composite_key_concat(spark):
 
     df = spark.createDataFrame([("CPD1", 7)], "e string, i long")
     assert df.select(composite_key("e", "i")).first()[0] == "CPD1, 7"
+
+
+def test_bucketed_range_join_matches_nested_loop(spark):
+    from collections import Counter
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.relational import (
+        bucketed_range_join,
+    )
+
+    bands = [
+        ("low", 0.0, 10.0),
+        ("mid", 10.0, 35.0),   # straddles bucket boundaries
+        ("top", 35.0, 1e18),   # open-topped -> folds into cap bucket
+    ]
+    fact = spark.createDataFrame(
+        [(0.0,), (9.99,), (10.0,), (34.99,), (35.0,), (1e6,), (-5.0,), (None,)],
+        "v double",
+    )
+    bucketed = bucketed_range_join(fact, bands, value_col="v", bucket_width=10.0)
+    dim = spark.createDataFrame(bands, "band string, lo double, hi double")
+    nested = fact.join(
+        F.broadcast(dim), (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+    ).select(*bucketed.columns)
+    assert Counter(map(tuple, bucketed.collect())) == Counter(
+        map(tuple, nested.collect())
+    )
+    # the point of the operator: equi hash join, not a nested loop
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
