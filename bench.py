@@ -61,39 +61,23 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     from cincinnati_police_calls_for_service_etl_using_python_dask_spark.session import (
+        data_scaled_conf,
         get_spark,
     )
     from cincinnati_police_calls_for_service_etl_using_python_dask_spark.queries import (
         spark_queries,
     )
 
-    # Size shuffle partitions to the DATA, not the core count: the
-    # rule is ~64 MB of input per post-shuffle partition (SURVEY.md
-    # §7.2 M6), floored at 4 so small SFs don't serialize, capped at
-    # 2×cores. At sf0.1 (~50 MB) that's 4 — per-query wall-clock is
-    # dominated by task-launch overhead otherwise; at 100 TB the same
-    # formula yields tens of thousands, and AQE coalesces from there.
-    # Map-side parallelism is unaffected (it follows input splits).
     total_bytes = sum(
         os.path.getsize(os.path.join(sf_dir, f))
         for f in os.listdir(sf_dir)
         if f.endswith(".parquet")
     )
-    shuffle_parts = max(4, min(2 * int(cpus), total_bytes // (64 << 20)))
-
-    # Size INPUT splits to the data too: Spark's default split formula
-    # (min(maxPartitionBytes=128m, max(openCost=4m, bytes/parallelism)))
-    # floors at 4 MB, so an 11 MB lineitem becomes 3 map tasks and 29
-    # of 32 cores idle through every scan stage. Target ~2 splits per
-    # core, floored at 512 KB (below that, per-task overhead dominates)
-    # and capped at the 128 MB default (the 100 TB setting — there the
-    # formula is a no-op and footer/row-group economics rule). Measured
-    # at sf0.1: scan-bound queries drop 20-30% wall-clock.
-    max_split = max(512 << 10, min(128 << 20, total_bytes // (2 * int(cpus))))
-    split_conf = {
-        "spark.sql.files.maxPartitionBytes": str(max_split),
-        "spark.sql.files.openCostInBytes": str(min(4 << 20, max_split // 4)),
-    }
+    # Shuffle partitions AND input splits sized to the data (see
+    # session.data_scaled_conf): with the defaults, an 11 MB lineitem
+    # scans as 3 map tasks and 29 of 32 cores idle. Measured at sf0.1:
+    # scan-bound queries drop 20-30% wall-clock from split sizing.
+    sized = data_scaled_conf(total_bytes, int(cpus))
 
     # Small-input fast path: AQE's per-query re-planning overhead
     # (~40-70 ms constant) outweighs its benefit when total input is
@@ -104,9 +88,8 @@ def main() -> None:
     spark = get_spark(
         app_name="cfs_bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(shuffle_parts),
         adaptive=adaptive,
-        extra_conf=split_conf,
+        extra_conf=sized,
     )
     queries = spark_queries()
 

@@ -73,6 +73,29 @@ def get_spark(
     return spark
 
 
+def data_scaled_conf(total_input_bytes: int, cpus: int) -> dict[str, str]:
+    """Size shuffle and input-split knobs to the DATA, not the machine.
+
+    - shuffle partitions: ~64 MB of input per post-shuffle partition
+      (SURVEY.md §7.2 M6), floored at 4 so tiny SFs don't serialize,
+      capped at 2×cores locally; at cluster scale the same formula
+      yields tens of thousands and AQE coalesces downward.
+    - input splits: Spark's default split formula floors at
+      openCost=4 MB, so a sub-100 MB table scans with a handful of map
+      tasks while the rest of the cores idle. Target ~2 splits per
+      core, floored at 512 KB (below that per-task overhead dominates)
+      and capped at the 128 MB default — at 100 TB the clamp makes
+      this a no-op and row-group economics rule.
+    """
+    shuffle_parts = max(4, min(2 * cpus, total_input_bytes // (64 << 20)))
+    max_split = max(512 << 10, min(128 << 20, total_input_bytes // (2 * cpus)))
+    return {
+        "spark.sql.shuffle.partitions": str(int(shuffle_parts)),
+        "spark.sql.files.maxPartitionBytes": str(max_split),
+        "spark.sql.files.openCostInBytes": str(min(4 << 20, max_split // 4)),
+    }
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

@@ -36,6 +36,7 @@ def main() -> None:
     import bench
     from __spark_entry__ import oracle_sql, queries
     from cincinnati_police_calls_for_service_etl_using_python_dask_spark.session import (
+        data_scaled_conf,
         get_spark,
     )
 
@@ -66,12 +67,11 @@ def main() -> None:
         for f in os.listdir(sf_dir)
         if f.endswith(".parquet")
     )
-    shuffle_parts = max(4, min(2 * int(cpus), total_bytes // (64 << 20)))
     spark = get_spark(
         app_name="baseline_compare",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(shuffle_parts),
         adaptive=total_bytes >= (1 << 30),
+        extra_conf=data_scaled_conf(total_bytes, int(cpus)),
     )
 
     def force(df) -> None:
