@@ -67,9 +67,11 @@ def main() -> None:
         ),
         (
             "range_join_price_bands",
-            "non-equi join is broadcast",
-            lambda p: "BroadcastNestedLoopJoin" in p,
-            "band dim ships to executors; fact side streams map-side",
+            "range join is a bucketed HASH join",
+            lambda p: "BroadcastHashJoin" in p
+            and "BroadcastNestedLoopJoin" not in p,
+            "bucket-quantized equi-key + residual filter: O(rows) hash "
+            "probes, not O(rows × bands) nested-loop comparisons",
         ),
         (
             "groupby_multi_agg",
@@ -173,7 +175,12 @@ def main() -> None:
                 # not an execution question).
                 spark.conf.set("spark.sql.adaptive.enabled", "false")
                 try:
-                    plans[(name, mode)] = plan_of(qs[name](spark, SF_DIR), mode)
+                    # .select("*") forces a fresh QueryExecution: the
+                    # registry caches DataFrames, whose executedPlan is
+                    # memoized from whatever conf was active first.
+                    plans[(name, mode)] = plan_of(
+                        qs[name](spark, SF_DIR).select("*"), mode
+                    )
                 finally:
                     spark.conf.set("spark.sql.adaptive.enabled", "true")
             else:
