@@ -224,3 +224,41 @@ def test_approx_profile_error_bounds(spark):
     }
     for k, est in approx.items():
         assert abs(est - exact[k]) / exact[k] < 0.15  # rsd=0.05, generous bound
+
+
+def test_partition_overwrite_touches_only_new_partitions(spark, tmp_path):
+    """S5/S8 done right at scale: the reference full-refreshes by
+    dropping every collection and reloading all history daily
+    (app.py:645-740, 893-959); dynamic partition overwrite replaces
+    only the partitions present in the incoming frame."""
+    import glob
+    import os as _os
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.files import (
+        write_partition_overwrite,
+    )
+
+    out = str(tmp_path / "inc")
+    base = spark.createDataFrame(
+        [(1, "jan", 10.0), (2, "feb", 20.0), (3, "mar", 30.0)],
+        "id long, month string, v double",
+    )
+    write_partition_overwrite(base, out, partition_by=("month",))
+    feb_files_before = sorted(glob.glob(f"{out}/month=feb/*.parquet"))
+    jan_files_before = sorted(glob.glob(f"{out}/month=jan/*.parquet"))
+
+    # re-ingest feb only, with corrected data
+    fix = spark.createDataFrame([(2, "feb", 99.0)], "id long, month string, v double")
+    write_partition_overwrite(fix, out, partition_by=("month",))
+
+    # jan/mar untouched on disk (same files), feb replaced
+    assert sorted(glob.glob(f"{out}/month=jan/*.parquet")) == jan_files_before
+    assert sorted(glob.glob(f"{out}/month=feb/*.parquet")) != feb_files_before
+    back = {r["month"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert back == {"jan": 10.0, "feb": 99.0, "mar": 30.0}
+    # session conf restored to its prior (static) default
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+        == "STATIC"
+    )
+    assert _os.path.isdir(f"{out}/month=mar")
