@@ -51,6 +51,8 @@ HEADLINE = [
     "string_funcs_docs",
     "text_quality_lang",
     "dedup_embedding_cosine_lsh",
+    "stratified_sample_docs",
+    "hash_split_stats",
 ]
 
 

@@ -328,3 +328,69 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     return mm.decode_metadata(mm.attach_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-based sampling (operators/sampling.py): language
+# rebalancing and train/val/test splits as pure map-side expressions —
+# reproducible across runs, partitionings, and engines (md5-based
+# hash56 is bit-identical in DuckDB, so these are exact-oracle-checked,
+# which no engine-native RNG sample could be).
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.25, "zh": 1.0, "es": 0.5, "de": 0.5, "fr": 0.5}
+_SAMPLE_SEED = 7
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = 3
+
+
+def _stratified_oracle() -> str:
+    from .operators.sampling import _threshold, duckdb_key_sql
+
+    h = duckdb_key_sql(["doc_id"], _SAMPLE_SEED)
+    whens = " ".join(
+        f"WHEN '{v}' THEN {_threshold(r)}" for v, r in _SAMPLE_RATES.items()
+    )
+    return f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {h} < CASE lang {whens} ELSE 0 END
+    """
+
+
+@register("stratified_sample_docs", _stratified_oracle())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sampling as sp
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    kept = sp.stratified_hash_sample(
+        docs, "lang", _SAMPLE_RATES, key_cols=["doc_id"], seed=_SAMPLE_SEED
+    )
+    return kept.select("doc_id", "lang")
+
+
+def _split_oracle() -> str:
+    from .operators.sampling import duckdb_split_case_sql
+
+    case = duckdb_split_case_sql(["doc_id"], _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
+    return f"""
+    SELECT {case}            AS split,
+           COUNT(*)          AS n_docs,
+           SUM(n_chars)::BIGINT AS sum_chars
+    FROM documents
+    GROUP BY 1
+    """
+
+
+@register("hash_split_stats", _split_oracle())
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sampling as sp
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    tagged = sp.hash_split(
+        docs, key_cols=["doc_id"], splits=_SPLIT_WEIGHTS, seed=_SPLIT_SEED
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

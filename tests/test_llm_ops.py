@@ -146,3 +146,72 @@ def test_text_stats_edge_cases(spark):
     assert out[3]["nt"] == 1 and out[4]["nt"] == 4
     assert out[5]["np"] == 2                      # ',' and '!'
     assert all(0.0 <= out[i]["q"] <= 1.0 for i in out)
+
+
+def test_hash_sampling_deterministic_and_partition_invariant(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        sampling as sp,
+    )
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(2000)], "id long, t string")
+    a = {r["id"] for r in sp.hash_sample(df, ["id"], 0.3, seed=5).collect()}
+    # same rows regardless of physical layout (the property df.sample lacks)
+    b = {
+        r["id"]
+        for r in sp.hash_sample(df.repartition(13, "t"), ["id"], 0.3, seed=5).collect()
+    }
+    assert a == b
+    assert 0.2 < len(a) / 2000 < 0.4  # ~rate
+    # nested rates: a 0.1 sample is a subset of the 0.3 sample (same seed)
+    c = {r["id"] for r in sp.hash_sample(df, ["id"], 0.1, seed=5).collect()}
+    assert c <= a
+    # different seed decorrelates
+    d = {r["id"] for r in sp.hash_sample(df, ["id"], 0.3, seed=6).collect()}
+    assert d != a
+
+
+def test_hash_split_partitions_every_row_exactly_once(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        sampling as sp,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    out = sp.hash_split(df, ["id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=1)
+    rows = out.collect()
+    assert len(rows) == 1000 and all(r["split"] in ("train", "val", "test") for r in rows)
+    counts = out.groupBy("split").count().collect()
+    by = {r["split"]: r["count"] for r in counts}
+    assert by["train"] > by["val"] and by["train"] > by["test"]
+    # split assignment is a function of the key: consistent across tables
+    other = spark.createDataFrame([(i, i * 2) for i in range(1000)], "id long, v long")
+    out2 = sp.hash_split(other, ["id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=1)
+    m1 = {r["id"]: r["split"] for r in rows}
+    assert all(m1[r["id"]] == r["split"] for r in out2.collect())
+
+
+def test_stratified_sample_respects_rates_and_nulls(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        sampling as sp,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(500)]
+        + [(1000 + i, "zh") for i in range(50)]
+        + [(2000 + i, None) for i in range(50)],
+        "id long, lang string",
+    )
+    out = sp.stratified_hash_sample(
+        df, "lang", {"en": 0.2, "zh": 1.0}, key_cols=["id"], seed=2
+    ).collect()
+    langs = [r["lang"] for r in out]
+    assert langs.count("zh") == 50          # rate 1.0 keeps everything
+    assert 0.1 < langs.count("en") / 500 < 0.35
+    assert langs.count(None) == 0           # default_rate=0 drops null stratum
+    # sampling is a pure filter: no shuffle in the plan
+    plan = (
+        sp.hash_sample(df, ["id"], 0.5, seed=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
