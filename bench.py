@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_embedding_cosine_lsh",
     "stratified_sample_docs",
     "hash_split_stats",
+    "pack_sequences_docs",
 ]
 
 

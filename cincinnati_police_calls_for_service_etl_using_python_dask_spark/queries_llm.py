@@ -394,3 +394,41 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (operators/packing.py): fixed-budget packs via
+# sharded greedy fill — one window shuffle, shards ≫ cores at scale.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 4000   # chars per pack (n_chars as the token proxy)
+_PACK_SHARDS = 8
+_PACK_SEED = 11
+
+
+def _pack_oracle() -> str:
+    from .operators.packing import duckdb_pack_sql
+
+    shard_expr, pack_expr = duckdb_pack_sql(
+        "n_chars", _PACK_BUDGET, ["doc_id"], num_shards=_PACK_SHARDS, seed=_PACK_SEED
+    )
+    return f"""
+    SELECT doc_id, shard, {pack_expr} AS pack_id, n_chars
+    FROM (SELECT doc_id, n_chars, {shard_expr} AS shard FROM documents)
+    """
+
+
+@register("pack_sequences_docs", _pack_oracle())
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import packing as pk
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    packed = pk.pack_sequences(
+        docs,
+        token_col="n_chars",
+        budget=_PACK_BUDGET,
+        key_cols=["doc_id"],
+        num_shards=_PACK_SHARDS,
+        seed=_PACK_SEED,
+    )
+    return packed.select("doc_id", "shard", "pack_id", "n_chars")

@@ -215,3 +215,38 @@ def test_stratified_sample_respects_rates_and_nulls(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_budget_and_totality(spark):
+    from collections import defaultdict
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        packing as pk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 900) for i in range(400)] + [(9999, 5000)],
+        "doc_id long, tok long",
+    )
+    out = pk.pack_sequences(
+        df, token_col="tok", budget=1000, key_cols=["doc_id"], num_shards=4, seed=1
+    ).collect()
+    assert len(out) == 401  # every row assigned
+    packs = defaultdict(list)
+    for r in sorted(out, key=lambda r: r["doc_id"]):  # key order = fill order
+        packs[(r["shard"], r["pack_id"])].append(r["tok"])
+    for (_, _), toks in packs.items():
+        # next-fit-with-bleed bound: the pack was under budget before
+        # its last document arrived
+        assert sum(toks) - toks[-1] < 1000 or len(toks) == 1
+    # oversize doc packs alone
+    big = [r for r in out if r["doc_id"] == 9999][0]
+    assert len(packs[(big["shard"], big["pack_id"])]) >= 1
+    # deterministic under re-partitioning
+    out2 = pk.pack_sequences(
+        df.repartition(7), token_col="tok", budget=1000, key_cols=["doc_id"],
+        num_shards=4, seed=1,
+    ).collect()
+    assert {(r["doc_id"], r["shard"], r["pack_id"]) for r in out} == {
+        (r["doc_id"], r["shard"], r["pack_id"]) for r in out2
+    }
