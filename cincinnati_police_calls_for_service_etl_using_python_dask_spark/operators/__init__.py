@@ -1,4 +1,5 @@
 from .relational import (
+    bucketed_range_join,
     keep_columns,
     multiway_join,
     rename_all,
@@ -16,19 +17,26 @@ from .aggregates import (
     value_counts,
 )
 from .dedup import latest_per_key
+from .packing import pack_sequences
+from .sampling import hash_sample, hash_split, stratified_hash_sample
 
 __all__ = [
     "anti_join",
+    "bucketed_range_join",
     "group_agg",
     "group_agg_single_distinct",
+    "hash_sample",
+    "hash_split",
     "keep_columns",
     "latest_per_key",
     "multiway_join",
     "null_profile",
+    "pack_sequences",
     "pivot_count_distinct",
     "rename_all",
     "salted_join",
     "semi_join",
+    "stratified_hash_sample",
     "top_k",
     "union_all",
     "value_counts",
