@@ -51,28 +51,38 @@ def as_of_join(
     Ties between two right rows with identical (key, ts) are resolved
     by the later row in the window order; supply de-duplicated right
     input when that matters (the testdata's (user_id, ts) is unique).
+
+    The right payload travels as ONE struct column through a single
+    ``last(struct, ignorenulls=True)`` — never one ``last`` per column —
+    so the attached row is atomic: a NULL inside a payload column stays
+    NULL rather than being back-filled from an older right row (which
+    would fabricate a row that never existed).
     """
     keys = list(on)
     if payload is None:
         payload = [c for c in right.columns if c not in keys and c != right_ts]
-    out_payload = [f"{prefix}{c}" for c in [*payload, right_ts]]
 
-    right_types = dict(right.dtypes)
+    # Atomic carrier: all payload fields + right_ts in one struct. The
+    # struct itself is NULL on left rows, non-NULL on every right row,
+    # so last(ignorenulls=True) always picks a complete right row.
+    struct_fields = [*payload, right_ts]
+    right_struct_type = (
+        "struct<"
+        + ",".join(f"`{c}`:{t}" for c, t in right.select(*struct_fields).dtypes)
+        + ">"
+    )
     left_tagged = left.select(
         *left.columns,
         F.col(left_ts).alias("__evt_ts"),
         F.lit(1).alias("__is_left"),
-        *[
-            F.lit(None).cast(right_types[c]).alias(f"{prefix}{c}")
-            for c in [*payload, right_ts]
-        ],
+        F.lit(None).cast(right_struct_type).alias("__asof_payload"),
     )
     left_types = dict(left.dtypes)
     right_tagged = right.select(
         *keys,
         F.col(right_ts).alias("__evt_ts"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in [*payload, right_ts]],
+        F.struct(*[F.col(c) for c in struct_fields]).alias("__asof_payload"),
         *[
             F.lit(None).cast(left_types[c]).alias(c)
             for c in left.columns
@@ -87,10 +97,19 @@ def as_of_join(
         .orderBy(F.col("__evt_ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.withColumns(
-        {c: F.last(c, ignorenulls=True).over(w) for c in out_payload}
+    filled = unioned.withColumn(
+        "__asof_payload", F.last("__asof_payload", ignorenulls=True).over(w)
     )
-    return filled.filter(F.col("__is_left") == 1).drop("__evt_ts", "__is_left")
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .select(
+            *left.columns,
+            *[
+                F.col(f"__asof_payload.`{c}`").alias(f"{prefix}{c}")
+                for c in struct_fields
+            ],
+        )
+    )
 
 
 def sessionize(

@@ -135,27 +135,50 @@ def bucketed_range_join(
     Row-identical to the nested-loop spelling (tests/test_operators.py)
     including NULL handling: NULL values get a NULL bucket id, which an
     inner equi-join drops — exactly as ``NULL >= lo`` is never true.
+
+    Both tails are capped symmetrically: ±inf and huge (``|b| >= 1e17``)
+    boundaries are excluded from the bucket domain, and everything
+    beyond the largest/smallest FINITE boundary folds into a single
+    cap/floor bucket. An open band (``-inf``/``+inf`` on either side)
+    therefore costs one dim row per tail — never an unbounded
+    ``range()`` enumeration — and the residual range predicate keeps
+    the result exact.
     """
     import math
 
     w = float(bucket_width)
     if w <= 0:
         raise ValueError("bucket_width must be positive")
-    finite = [b for _, lo, hi in bands for b in (lo, hi) if abs(b) < 1e17]
+
+    def _bounded(b: float) -> bool:
+        return not math.isinf(b) and abs(b) < 1e17
+
+    finite = [b for _, lo, hi in bands for b in (lo, hi) if _bounded(b)]
     if not finite:
         raise ValueError("bands need at least one finite boundary")
     cap_idx = math.floor(max(finite) / w)
+    floor_idx = math.floor(min(finite) / w)
     exploded: list[tuple[str, float, float, int]] = []
     for label, lo, hi in bands:
         if hi <= lo:
             continue
-        first = min(math.floor(lo / w), cap_idx)
-        # last bucket holding values < hi: step back when hi sits on a
-        # bucket boundary (half-open interval excludes it)
-        last_raw = math.floor(hi / w)
-        if hi / w == last_raw:
-            last_raw -= 1
-        last = min(last_raw, cap_idx)
+        # Unbounded/huge tails clamp to the finite bucket domain —
+        # math.floor(inf/w) raises, and a -1e18 lo would otherwise make
+        # range() enumerate quintillions of buckets (ADVICE r1, low).
+        first = (
+            floor_idx
+            if not _bounded(lo)
+            else min(max(math.floor(lo / w), floor_idx), cap_idx)
+        )
+        if not _bounded(hi):
+            last = cap_idx
+        else:
+            # last bucket holding values < hi: step back when hi sits on
+            # a bucket boundary (half-open interval excludes it)
+            last_raw = math.floor(hi / w)
+            if hi / w == last_raw:
+                last_raw -= 1
+            last = min(max(last_raw, floor_idx), cap_idx)
         exploded.extend((label, lo, hi, b) for b in range(first, last + 1))
     spark = fact.sparkSession
     dim = spark.createDataFrame(
@@ -164,7 +187,10 @@ def bucketed_range_join(
     )
     v = F.col(value_col)
     fact_b = fact.withColumn(
-        "__bkt", F.least(F.floor(v / F.lit(w)), F.lit(cap_idx)).cast("long")
+        "__bkt",
+        F.greatest(
+            F.least(F.floor(v / F.lit(w)), F.lit(cap_idx)), F.lit(floor_idx)
+        ).cast("long"),
     )
     joined = fact_b.join(F.broadcast(dim), "__bkt").where(
         (v >= F.col(lo_col)) & (v < F.col(hi_col))

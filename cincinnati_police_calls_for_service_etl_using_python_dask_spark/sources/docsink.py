@@ -63,6 +63,45 @@ class JsonLinesClient:
         return docs
 
 
+class MongoDatabaseAdapter:
+    """Adapts a pymongo ``Database`` to the sink's client surface:
+    ``insert_many(collection, docs)`` / ``drop_collection(name)``.
+
+    A raw ``Database`` must NOT be handed to the sink — attribute access
+    on pymongo Databases creates Collections, so ``db.insert_many(...)``
+    would resolve to a Collection named "insert_many" and blow up at
+    call time (ADVICE r1, medium).
+
+    Duplicate-key errors (code 11000) on ``insert_many(ordered=False)``
+    are swallowed: with deterministic content-derived ``_id``s (see
+    :func:`write_documents` ``deterministic_ids``), a retry or Spark
+    task re-execution re-inserting already-written docs is a no-op
+    instead of a duplicate — effective exactly-once. Any other write
+    error is re-raised so the sink's retry loop sees it.
+    """
+
+    _DUP_KEY = 11000
+
+    def __init__(self, db):
+        self._db = db
+
+    def insert_many(self, collection: str, docs: list[dict]) -> int:
+        try:
+            result = self._db[collection].insert_many(docs, ordered=False)
+            return len(result.inserted_ids)
+        except Exception as exc:
+            errs = getattr(exc, "details", None) or {}
+            write_errors = errs.get("writeErrors")
+            if write_errors is not None and all(
+                e.get("code") == self._DUP_KEY for e in write_errors
+            ):
+                return len(docs) - len(write_errors)
+            raise
+
+    def drop_collection(self, collection: str) -> None:
+        self._db.drop_collection(collection)
+
+
 def pymongo_client_factory(uri: str, db: str) -> "Callable[[], object] | None":
     """Real-store factory, import-gated (pymongo isn't in this env)."""
     try:
@@ -73,9 +112,20 @@ def pymongo_client_factory(uri: str, db: str) -> "Callable[[], object] | None":
     def make():
         client = pymongo.MongoClient(uri)
         client.admin.command("ping")  # health check (app.py:621-641)
-        return client[db]
+        return MongoDatabaseAdapter(client[db])
 
     return make
+
+
+def content_id(doc: dict) -> str:
+    """Deterministic document id: sha256 over the key-sorted JSON of the
+    row content. Identical rows (from a retried batch or a re-executed
+    Spark task) map to the same ``_id``, so a unique-key store rejects
+    the re-insert instead of duplicating."""
+    import hashlib  # noqa: PLC0415
+
+    payload = json.dumps(doc, sort_keys=True, default=str)
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
 
 
 def write_documents(
@@ -84,16 +134,31 @@ def write_documents(
     client_factory: Callable[[], JsonLinesClient],
     max_retries: int = DEFAULT_MAX_RETRIES,
     retry_sleep_s: float = DEFAULT_RETRY_SLEEP_S,
+    deterministic_ids: bool = True,
 ) -> None:
     """Distributed document write: per-partition toJSON conversion +
     bulk insert with bounded retry. No driver materialization —
-    contrast app.py:690's ``.compute()``."""
+    contrast app.py:690's ``.compute()``.
+
+    Delivery semantics: the retry loop re-sends the WHOLE partition
+    batch after any failure, and Spark may re-execute a task that
+    already wrote — so the raw transport is at-least-once. With
+    ``deterministic_ids`` (default) every doc carries a content-derived
+    ``_id`` (:func:`content_id`); against a store that enforces ``_id``
+    uniqueness and ignores duplicate-key errors (see
+    :class:`MongoDatabaseAdapter`) the observable result is
+    exactly-once. Set ``deterministic_ids=False`` only for stores
+    without unique keys, and dedup downstream on a fingerprint column.
+    """
     columns = df.columns
 
     def handle_partition(rows) -> None:
         docs = [dict(zip(columns, (row[c] for c in columns))) for row in rows]
         if not docs:
             return
+        if deterministic_ids:
+            for d in docs:
+                d["_id"] = content_id(d)
         client = client_factory()
         attempt = 0
         while True:

@@ -161,6 +161,22 @@ class SocrataReader(DataSourceReader):
             for i in range(batch.num_rows):
                 yield tuple(cols[n][i] for n in names)
 
+    def _window_query(self, partition: _WindowPartition) -> str:
+        """Compile the window into the source query string.
+
+        The upper bound is ``ts < end + 1 day`` — NOT ``ts <= end``:
+        window boundaries are day-granularity dates while ``ts`` values
+        are full timestamps, and a string comparison ``ts <= '2024-01-31'``
+        would silently drop every row with a nonzero time-of-day on the
+        window's last day (ADVICE r1, medium). This mirrors the fixture
+        transport's ``[start, end + 1 day)`` semantics exactly.
+        """
+        hi = (_parse_date(partition.end) + dt.timedelta(days=1)).isoformat()
+        return (
+            f"$where={self.ts_column}>='{partition.start}' "
+            f"AND {self.ts_column}<'{hi}'&$limit=1000000000000"
+        )
+
     def _read_http(self, partition: _WindowPartition):
         """Live transport — the reference's GET with the window compiled
         into $where (app.py:133-134, 168-186), now per-executor."""
@@ -171,10 +187,7 @@ class SocrataReader(DataSourceReader):
                 "http mode requires the 'requests' package; use mode=fixture"
             ) from exc
         url = self.options["url"]
-        query = (
-            f"$where={self.ts_column}>='{partition.start}' "
-            f"AND {self.ts_column}<='{partition.end}'&$limit=1000000000000"
-        )
+        query = self._window_query(partition)
         resp = requests.get(url, params=query, timeout=120)
         resp.raise_for_status()
         names = [f.name for f in self.schema.fields]

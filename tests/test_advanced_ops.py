@@ -60,6 +60,23 @@ def test_asof_join_carries_ts_and_is_deterministic(spark):
     assert row["asof_rid"] == "R2" and row["asof_ts"] == _ts(90)
 
 
+def test_asof_join_null_payload_row_is_atomic(spark):
+    # The matched right row (t=90) has rid=NULL. The output must carry
+    # that row AS-IS — rid stays NULL — not stitch rid from the older
+    # t=40 row onto t=90's price (ADVICE r1, high).
+    left = spark.createDataFrame(
+        [(1, _ts(100), "L1")], "k long, ts timestamp_ntz, lid string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(40), "R1", 10.0), (1, _ts(90), None, 20.0)],
+        "k long, ts timestamp_ntz, rid string, price double",
+    )
+    row = ao.as_of_join(left, right, on=["k"], payload=["rid", "price"]).collect()[0]
+    assert row["asof_ts"] == _ts(90)
+    assert row["asof_price"] == 20.0
+    assert row["asof_rid"] is None  # not back-filled to "R1"
+
+
 def test_sessionize_gap_boundary(spark):
     # gaps: 30m exactly (same session), 30m+1s (new session)
     df = spark.createDataFrame(
