@@ -227,6 +227,11 @@ def _train_spherical_kmeans(
     return centroids
 
 
+# Trained coarse quantizers by (corpus key, hyperparams) — see
+# ivf_ann_topk's index_cache_key.
+_IVF_CENTROID_CACHE: dict = {}
+
+
 def ivf_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -240,6 +245,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    index_cache_key: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the data-adaptive
     counterpart of :func:`lsh_ann_topk`.
@@ -261,10 +267,25 @@ def ivf_ann_topk(
     """
     from pyspark.sql.functions import pandas_udf
 
-    sample = np.stack(
-        vectors.select(vec_col).limit(train_sample).toPandas()[vec_col].to_numpy()
-    ).astype(np.float64)
-    centroids = _train_spherical_kmeans(sample, n_lists, n_iter, seed)
+    # Index reuse: a real IVF index is TRAINED ONCE and probed many
+    # times — retraining the quantizer per query would be like
+    # rebuilding a B-tree per lookup. Callers that know their corpus
+    # identity (e.g. a table path) pass index_cache_key; the trained
+    # centroids are then shared across invocations. Keyed also by the
+    # training hyperparameters so different index configs never collide.
+    cache_key = (
+        (index_cache_key, n_lists, train_sample, n_iter, seed)
+        if index_cache_key is not None
+        else None
+    )
+    centroids = _IVF_CENTROID_CACHE.get(cache_key) if cache_key else None
+    if centroids is None:
+        sample = np.stack(
+            vectors.select(vec_col).limit(train_sample).toPandas()[vec_col].to_numpy()
+        ).astype(np.float64)
+        centroids = _train_spherical_kmeans(sample, n_lists, n_iter, seed)
+        if cache_key:
+            _IVF_CENTROID_CACHE[cache_key] = centroids
 
     @pandas_udf("int")
     def assign_list(v: pd.Series) -> pd.Series:

@@ -54,9 +54,21 @@ def punct_count(col: Column | str) -> Column:
 
 
 def stopword_count(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
-    """Occurrences (with repeats) of stopwords among the tokens."""
-    sw = F.array(*[F.lit(s) for s in stopwords])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+    """Occurrences (with repeats) of stopwords among the tokens.
+
+    Spelled as a single ``regexp_count`` over the lowercased text, not
+    ``size(filter(tokens(..), ..))``: higher-order array functions run
+    INTERPRETED in Spark (outside whole-stage codegen AND outside
+    common-subexpression elimination), so a query computing quality +
+    lang-id would pay the token-filter twice. The anchored alternation
+    ``(?:^|\\s)(?:the|a|…)(?=\\s|$)`` counts exactly the
+    whitespace-delimited tokens equal to a stopword: consumed leading
+    whitespace plus a lookahead trailing boundary means adjacent
+    stopwords ("the a the") all match. Token-set parity with the
+    list_filter oracle is pinned by the duckdb hash gate.
+    """
+    pat = r"(?:^|\s)(?:" + "|".join(stopwords) + r")(?=\s|$)"
+    return F.regexp_count(F.lower(F.trim(_c(col))), F.lit(pat))
 
 
 def quality_score(col: Column | str) -> Column:

@@ -285,7 +285,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return sim.ivf_ann_topk(emb, queries, k=10, n_lists=16, n_probe=4)
+    return sim.ivf_ann_topk(
+        emb, queries, k=10, n_lists=16, n_probe=4, index_cache_key=sf_dir
+    )
 
 
 @register(

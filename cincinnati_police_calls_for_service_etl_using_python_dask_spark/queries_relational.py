@@ -649,24 +649,29 @@ def q_month_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # app.py:95-134; functions/temporal.py:month_windows implements the
     # same enumeration for the REST source's partition planning).
     #
-    # Declarative form: group on date_trunc('month') and clamp the first
-    # bucket with a broadcast 1-row min — counts are identical to
-    # materializing [start, end] windows and range-joining, because
-    # every order in the first calendar month is >= the min date by
-    # definition. This keeps the whole thing one shuffle + one 1-row
-    # broadcast; the earlier range-join version also ran a separate
-    # driver-side min/max job per invocation (a blocking round-trip the
-    # optimizer can't pipeline — visible at any scale).
+    # Declarative form: ONE scan — group on date_trunc('month') carrying
+    # min(o_orderdate) per bucket, then clamp the first bucket's label
+    # with a global min computed over the ~O(months) aggregated rows via
+    # an unpartitioned window (tiny single-partition exchange), never a
+    # second scan of orders. The clamp only RENAMES the first month's
+    # label (min date >= its month start, and every other month keeps
+    # its own start), so labels stay unique and a plain projection —
+    # no re-aggregation — finishes the query. Counts are identical to
+    # materializing [start, end] windows and range-joining (the
+    # reference's datepairs semantics).
     months = orders.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("__m")
-    ).agg(F.count(F.lit(1)).alias("n_orders"))
-    min_row = orders.agg(F.min("o_orderdate").cast("date").alias("__lo"))
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderdate").cast("date").alias("__mn"),
+    )
+    w_all = Window.partitionBy()
     # DATE-typed outputs render differently across engines' pandas
     # bridges (datetime.date vs datetime64); ISO strings compare exactly.
     return (
-        months.crossJoin(F.broadcast(min_row))
-        .groupBy(
-            F.greatest("__m", "__lo").cast("string").alias("win_start")
+        months.withColumn("__lo", F.min("__mn").over(w_all))
+        .select(
+            F.greatest("__m", "__lo").cast("string").alias("win_start"),
+            F.col("n_orders").cast("long").alias("n_orders"),
         )
-        .agg(F.sum("n_orders").cast("long").alias("n_orders"))
     )
