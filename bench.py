@@ -54,6 +54,11 @@ HEADLINE = [
     "stratified_sample_docs",
     "hash_split_stats",
     "pack_sequences_docs",
+    "exists_late_shipments",
+    "scalar_subquery_small_qty_revenue",
+    "rolling_7day_revenue",
+    "top_tokens_docs",
+    "asof_next_click_30min",
 ]
 
 

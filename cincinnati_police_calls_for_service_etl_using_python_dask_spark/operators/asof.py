@@ -39,10 +39,19 @@ def as_of_join(
     right_ts: str = "ts",
     payload: Sequence[str] | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance_minutes: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the right row with
-    the greatest ``right_ts`` <= ``left_ts`` within the same key group
-    (inclusive on equality, like DuckDB/kdb ASOF).
+    """As-of join: for each left row, attach the nearest right row in
+    the same key group — ``direction='backward'`` (default) takes the
+    greatest ``right_ts`` <= ``left_ts``, ``direction='forward'`` the
+    smallest ``right_ts`` >= ``left_ts`` (both inclusive on equality,
+    like DuckDB/kdb/pandas ``merge_asof``).
+
+    ``tolerance_minutes`` — if set, a match farther than this from
+    ``left_ts`` is discarded (payload columns come out NULL), matching
+    pandas ``merge_asof(tolerance=...)``. Applied as a post-fill
+    predicate, so it costs one comparison, not a different plan.
 
     ``payload`` — right-side columns to carry (default: all non-key
     columns). They appear on the output as ``{prefix}{col}``; the right
@@ -58,6 +67,8 @@ def as_of_join(
     NULL rather than being back-filled from an older right row (which
     would fabricate a row that never existed).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     keys = list(on)
     if payload is None:
         payload = [c for c in right.columns if c not in keys and c != right_ts]
@@ -91,15 +102,29 @@ def as_of_join(
     )
     unioned = left_tagged.unionByName(right_tagged)
 
-    # Right rows sort before left rows at equal event time => inclusive.
+    # Backward: ascending scan, right rows sort before left rows at
+    # equal event time => inclusive; running last() = latest right at
+    # or before. Forward is the mirror: DESCENDING scan, so the running
+    # last() is the EARLIEST right at or after each left row.
+    ts_order = (
+        F.col("__evt_ts").asc() if direction == "backward" else F.col("__evt_ts").desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__evt_ts").asc(), F.col("__is_left").asc())
+        .orderBy(ts_order, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn(
         "__asof_payload", F.last("__asof_payload", ignorenulls=True).over(w)
     )
+    matched_ts = F.col(f"__asof_payload.`{right_ts}`")
+    if tolerance_minutes is not None:
+        tol_us = int(tolerance_minutes * 60_000_000)
+        gap_us = F.abs(F.timestamp_diff("MICROSECOND", matched_ts, F.col("__evt_ts")))
+        keep = matched_ts.isNotNull() & (gap_us <= F.lit(tol_us))
+        filled = filled.withColumn(
+            "__asof_payload", F.when(keep, F.col("__asof_payload"))
+        )
     return (
         filled.filter(F.col("__is_left") == 1)
         .select(

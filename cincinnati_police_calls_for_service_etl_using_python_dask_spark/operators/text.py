@@ -47,6 +47,21 @@ def token_count(col: Column | str) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, TOKEN_SPLIT)))
 
 
+# BPE-style pre-tokenizer classes: a run of letters, a run of digits,
+# or ONE other non-space character — the GPT-2 pre-tokenization shape
+# restricted to syntax Java regex and RE2 agree on.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_like_token_count(col: Column | str) -> Column:
+    """Subword-style token count: letter runs + digit runs + individual
+    punctuation marks (each its own token). Approximates a BPE
+    pre-tokenizer's sequence length — the standard budget unit for
+    sequence packing — without needing a vocab. 'don't stop' → 4
+    tokens (don, ', t, stop); whitespace never counts."""
+    return F.regexp_count(_c(col), F.lit(BPE_TOKEN_PATTERN))
+
+
 def punct_count(col: Column | str) -> Column:
     """Number of punctuation characters (PUNCT_CLASS matches)."""
     c = _c(col)

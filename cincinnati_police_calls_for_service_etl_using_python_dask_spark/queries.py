@@ -78,5 +78,6 @@ def _load_all() -> None:
     from . import queries_llm  # noqa: F401
     from . import queries_advanced  # noqa: F401
     from . import queries_sql  # noqa: F401
+    from . import queries_extra  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,371 @@
+"""Round-2 coverage batch: subquery shapes (EXISTS / scalar correlated),
+value-range window frames, ntile quantiles, token analytics over the
+explode path, forward+tolerance as-of, and an exhaustive-probe IVF tier
+that gives the ANN index a hash-checked oracle.
+
+Each query follows the registry conventions (queries.py): identical
+aliases on both engines, money through DECIMAL, int casts pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.scalar import dec2
+from .functions.temporal import minutes_between
+from .operators import asof as ao
+from .operators import multimodal as mm
+from .operators import similarity as sim
+from .operators import text as tx
+from .queries import register
+from .sources.files import read_testdata
+
+
+# ---------------------------------------------------------------------------
+# EXISTS subquery (TPC-H Q4 shape): orders having at least one lineitem
+# shipped more than 60 days after the order date. Catalyst rewrites the
+# EXISTS into a left-semi hash join — same plan our semi_join operator
+# produces — so the subquery surface costs nothing over the operator
+# surface.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exists_late_shipments",
+    """
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_exists_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    li = read_testdata(spark, sf_dir, "lineitem")
+    orders.createOrReplaceTempView("__q4_orders")
+    li.createOrReplaceTempView("__q4_lineitem")
+    # SQL spelling on purpose: exercises Catalyst's RewritePredicateSubquery
+    # (EXISTS -> LeftSemi join) rather than hand-building the semi join.
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS LONG) AS n_orders
+        FROM __q4_orders
+        WHERE EXISTS (
+          SELECT 1 FROM __q4_lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape): revenue from lineitems
+# ordering less than half their part's average quantity. The DataFrame
+# spelling materializes the per-part average ONCE as an aggregate and
+# joins it back — exactly the de-correlated plan Catalyst derives from
+# the subquery form, spelled explicitly so the re-aggregation join
+# strategy (shuffle on l_partkey, AQE-skew-splittable) is visible.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_subquery_small_qty_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS small_qty_revenue,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem l1
+    WHERE l_quantity < (
+      SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey
+    )
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("__half_avg")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__half_avg"))
+        .agg(
+            F.round(F.sum(dec2("l_extendedprice")), 2)
+            .cast("double")
+            .alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Value-range window frame: trailing-7-day revenue per customer. RANGE
+# frames bound by VALUE distance (here: integer day number), not row
+# count — peers at the same day aggregate identically on both engines,
+# so no tie-break is needed (contrast ROWS frames).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_7day_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS revenue_7d
+    FROM orders
+    """,
+)
+def q_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_testdata(spark, sf_dir, "orders")
+    day_no = F.unix_date(F.col("o_orderdate").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_no)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec2("o_totalprice")).over(w), 2)
+        .cast("double")
+        .alias("revenue_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE quantile bucketing. A global NTILE needs a total order (single
+# sort partition) — fine for dimension-sized tables; at fact scale use
+# percentile cutoffs + a bucket join instead (aggregates.percentiles_*).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ntile_customers_by_balance",
+    """
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+             AS balance_quartile
+    FROM customer
+    """,
+)
+def q_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_testdata(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey", F.ntile(4).over(w).cast("long").alias("balance_quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus term frequencies through the explode path: the scale-correct
+# spelling of "top terms" — explode is map-side, the count is a partial
+# agg (map-side combine shrinks the token stream to distinct terms per
+# task), and top-k is TakeOrdered, never a full sort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_tokens_docs",
+    r"""
+    SELECT token, COUNT(*)::BIGINT AS n
+    FROM (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tx.tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (whitespace tokens live in text_stats; this is
+# the subword-budget variant used for sequence packing).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_count_bpe",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.bpe_like_token_count("text").cast("long").alias("n_bpe_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of with tolerance: each purchase matched to the user's
+# NEXT click within 30 minutes (operators/asof.py direction='forward').
+# The oracle uses DuckDB's native forward ASOF (l.ts <= r.ts) with the
+# tolerance applied as a post-join predicate — identical to the
+# operator's post-fill null-out.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_next_click_30min",
+    """
+    WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT * FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT l.event_id, l.user_id, l.ts AS lts,
+                  r.event_id AS rid, r.ts AS rts
+           FROM l ASOF LEFT JOIN r
+             ON l.user_id = r.user_id AND l.ts <= r.ts
+         )
+    SELECT event_id, user_id,
+           CASE WHEN rts IS NOT NULL
+                 AND date_diff('microsecond', lts, rts) <= 1800000000
+                THEN rid END AS asof_event_id,
+           CASE WHEN rts IS NOT NULL
+                 AND date_diff('microsecond', lts, rts) <= 1800000000
+                THEN CAST(((date_diff('microsecond', lts, rts) + 300000)
+                           // 600000) AS DOUBLE) / 100 END AS wait_minutes
+    FROM j
+    """,
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = ao.as_of_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        payload=["event_id"],
+        direction="forward",
+        tolerance_minutes=30.0,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id"),
+        minutes_between("asof_ts", "ts").alias("wait_minutes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize + frame-sample plumbing (operators/multimodal.py):
+# the geometry/fan-out logic is real and oracle-checked; only the pixel
+# kernels are stubbed (no codecs in this container). The oracle mirrors
+# the deterministic stub arithmetic in SQL — same IEEE double ops, so
+# the hash check is exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_resize_stub",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 640 + 1 AS w,
+             octet_length(encode(text)) % 480 + 1 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS src_width,
+           CAST(h AS INT) AS src_height,
+           CAST(GREATEST(1, FLOOR(w * LEAST(1.0, 224.0 / w, 224.0 / h))) AS INT)
+             AS out_width,
+           CAST(GREATEST(1, FLOOR(h * LEAST(1.0, 224.0 / w, 224.0 / h))) AS INT)
+             AS out_height
+    FROM m
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return mm.resize_metadata(mm.attach_binary_payload(docs), max_w=224, max_h=224)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             LEAST(12, octet_length(encode(text)) // 250 + 1) AS n
+      FROM documents
+    ), f AS (
+      SELECT doc_id, unnest(range(n)) AS idx FROM m
+    )
+    SELECT doc_id,
+           CAST(idx AS INT) AS frame_idx,
+           CAST(idx * 250 AS INT) AS frame_ts_ms
+    FROM f
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return mm.frame_sample(mm.attach_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# IVF with every list probed: exhaustive coverage makes the result
+# EXACT, so the same brute-force SQL is a valid oracle — this pins the
+# whole IVF pipeline (train -> assign -> probe-join -> rerank) with a
+# hash check, complementing the recall-gated approximate tier.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivf_full_probe",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(
+                          list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) DESC,
+                        e.vec_id ASC
+             ) AS rank
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, rank FROM scored WHERE rank <= 10
+    """,
+)
+def q_ann_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.ivf_ann_topk(
+        emb,
+        queries,
+        k=10,
+        n_lists=8,
+        n_probe=8,  # probe every list => exhaustive => exact
+        index_cache_key=sf_dir,
+    )

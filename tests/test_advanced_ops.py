@@ -77,6 +77,46 @@ def test_asof_join_null_payload_row_is_atomic(spark):
     assert row["asof_rid"] is None  # not back-filled to "R1"
 
 
+def test_asof_join_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "L1"), (1, _ts(100), "L2"), (2, _ts(0), "L3")],
+        "k long, ts timestamp_ntz, lid string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), "R0"), (1, _ts(50), "R1"), (1, _ts(5), "R2")],
+        "k long, ts timestamp_ntz, rid string",
+    )
+    out = {
+        r["lid"]: r["asof_rid"]
+        for r in ao.as_of_join(
+            left, right, on=["k"], payload=["rid"], direction="forward"
+        ).collect()
+    }
+    # L1: equal ts matches (inclusive); L2: no future right; L3: no key-2 rows
+    assert out == {"L1": "R0", "L2": None, "L3": None}
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(100), "L1"), (1, _ts(200), "L2")],
+        "k long, ts timestamp_ntz, lid string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(95), "R1"), (1, _ts(120), "R2")],
+        "k long, ts timestamp_ntz, rid string",
+    )
+    # backward with 10-minute tolerance: L1 matches R1 (5m gap);
+    # L2's nearest prior right is R2 (80m gap) -> dropped to NULL.
+    out = {
+        r["lid"]: (r["asof_rid"], r["asof_ts"])
+        for r in ao.as_of_join(
+            left, right, on=["k"], payload=["rid"], tolerance_minutes=10.0
+        ).collect()
+    }
+    assert out["L1"] == ("R1", _ts(95))
+    assert out["L2"] == (None, None)
+
+
 def test_sessionize_gap_boundary(spark):
     # gaps: 30m exactly (same session), 30m+1s (new session)
     df = spark.createDataFrame(

@@ -131,6 +131,61 @@ def test_multimodal_decode_stub_contract(spark):
         assert r["status"] == "stub-decoded"
 
 
+def test_multimodal_resize_never_upscales_and_fits(spark):
+    docs = read_testdata(spark, SF_SMOKE, "documents").limit(50)
+    out = mm.resize_metadata(mm.attach_binary_payload(docs), max_w=224, max_h=224)
+    for r in out.collect():
+        assert 1 <= r["out_width"] <= min(224, r["src_width"])
+        assert 1 <= r["out_height"] <= min(224, r["src_height"])
+        # the binding dimension lands on the box edge, minus at most one
+        # pixel of float-floor loss (floor(w * (224/w)) can be 223)
+        if r["src_width"] > 224 or r["src_height"] > 224:
+            assert 223 <= max(r["out_width"], r["out_height"]) <= 224
+
+
+def test_multimodal_frame_sample_fanout(spark):
+    docs = read_testdata(spark, SF_SMOKE, "documents").limit(30)
+    payloads = mm.attach_binary_payload(docs)
+    out = mm.frame_sample(payloads)
+    per_doc = {}
+    for r in out.collect():
+        per_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], r["frame_ts_ms"]))
+    sizes = {r["doc_id"]: len(bytes(r["payload"])) for r in payloads.collect()}
+    assert set(per_doc) == set(sizes)
+    for doc_id, frames in per_doc.items():
+        expected = min(12, sizes[doc_id] // 250 + 1)
+        assert sorted(frames) == [(i, i * 250) for i in range(expected)]
+
+
+def test_multimodal_extract_features_shape(spark):
+    docs = read_testdata(spark, SF_SMOKE, "documents").limit(10)
+    out = mm.extract_features(mm.attach_binary_payload(docs)).collect()
+    assert len(out) == 10
+    for r in out:
+        assert len(r["features"]) == mm.FEATURE_DIM
+        assert all(0.0 <= f < 1.0 for f in r["features"])
+    # deterministic: same input -> identical vectors on rerun
+    again = mm.extract_features(mm.attach_binary_payload(docs)).collect()
+    assert {r["doc_id"]: r["features"] for r in out} == {
+        r["doc_id"]: r["features"] for r in again
+    }
+
+
+def test_bpe_like_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "don't stop"), (2, ""), (3, "a1b2"), (4, "hello, world! 42")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", tx.bpe_like_token_count("text").alias("n")
+        ).collect()
+    }
+    # don|'|t|stop ; "" ; a|1|b|2 ; hello|,|world|!|42
+    assert out == {1: 4, 2: 0, 3: 4, 4: 5}
+
+
 def test_text_stats_edge_cases(spark):
     df = spark.createDataFrame(
         [(1, ""), (2, "   "), (3, "one"), (4, "a b  c\td"), (5, "hi, world!")],

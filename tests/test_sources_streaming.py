@@ -294,6 +294,118 @@ def test_stateful_running_counts_across_microbatches(spark, tmp_path):
     assert got.agg(F.max("n_batches")).first()[0] >= 2
 
 
+def test_stateful_running_stats_across_microbatches(spark, tmp_path):
+    """running_user_stats (NoTimeout drain): per-batch updated
+    (count, sum) rows; state accumulates across micro-batches and the
+    largest emission per user equals the batch aggregate."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    src = str(tmp_path / "stats_src")
+    events = read_testdata(spark, SF_SMOKE, "events").select("user_id", "value")
+    events.repartition(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    result = running_user_stats(stream, idle_timeout_ms=None)
+    ckpt = str(tmp_path / "stats_ckpt")
+    # update-mode output needs an update-capable sink (parquet is
+    # append-only): drain to a memory table.
+    q = (
+        result.writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .format("memory")
+        .queryName("stats_mem")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("stats_mem")
+    # the largest non-finalized emission per user carries the full totals
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        got.filter(~F.col("finalized"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n_events", "total_value")
+    )
+    want = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    joined = final.alias("a").join(want.alias("b"), "user_id")
+    assert joined.filter(F.col("a.n_events") != F.col("b.n_events")).count() == 0
+    assert (
+        joined.filter(
+            F.abs(F.col("a.total_value") - F.col("b.total_value")) > 1e-6
+        ).count()
+        == 0
+    )
+    assert final.count() == want.count()
+
+
+def test_stateful_timeout_branch_finalizes_and_evicts():
+    """The ProcessingTimeTimeout transition, driven deterministically
+    against a stub GroupState (a live timeout under AvailableNow keeps
+    scheduling batches — see streaming/stateful.py)."""
+    import pandas as pd
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.stateful import (
+        make_stats_update,
+    )
+
+    class StubState:
+        def __init__(self, value=None, timed_out=False):
+            self._v = value
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.timeout_set = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self.removed = True
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    update = make_stats_update(idle_timeout_ms=5000)
+
+    # batch 1: fresh key accumulates and arms the timeout
+    st = StubState()
+    [out1] = list(update((7,), iter([pd.DataFrame({"value": [1.5, 2.5]})]), st))
+    assert out1.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 2, "total_value": 4.0, "finalized": False,
+    }
+    assert st.get == (2, 4.0) and st.timeout_set == 5000 and not st.removed
+
+    # batch 2: same key, more rows — state carries forward
+    [out2] = list(update((7,), iter([pd.DataFrame({"value": [6.0]})]), st))
+    assert out2.iloc[0]["n_events"] == 3 and out2.iloc[0]["total_value"] == 10.0
+
+    # timeout fires: finalized row emitted, state evicted
+    st.hasTimedOut = True
+    [fin] = list(update((7,), iter([]), st))
+    assert bool(fin.iloc[0]["finalized"]) is True
+    assert fin.iloc[0]["n_events"] == 3 and fin.iloc[0]["total_value"] == 10.0
+    assert st.removed
+
+
 def test_streaming_watermark_dedup(spark, tmp_path):
     src = str(tmp_path / "dedup_src")
     events = read_testdata(spark, SF_SMOKE, "events").limit(200)
