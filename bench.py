@@ -59,6 +59,9 @@ HEADLINE = [
     "rolling_7day_revenue",
     "top_tokens_docs",
     "asof_next_click_30min",
+    "ngram_contamination_check",
+    "corpus_curation_pipeline",
+    "merge_upsert_events",
 ]
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import P31, affine_minhash, hash56
-from .text import tokens
+from .text import tokens, word_shingles
 
 
 def latest_per_key(
@@ -122,6 +122,53 @@ def ngram_jaccard_pairs(
     return (
         joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_alias: str = "bench_id",
+) -> DataFrame:
+    """Benchmark contamination check: for each (corpus doc, benchmark
+    doc) pair, the number and fraction of the benchmark's distinct word
+    ``shingle_n``-grams that appear in the corpus doc — the standard
+    train/eval decontamination measure for LLM corpora.
+
+    Output: (``id_col``, ``bench_id_alias``, n_shared, contamination)
+    for pairs sharing at least one shingle; ``contamination`` =
+    n_shared / |benchmark shingles|, rounded to 6 places (integer set
+    sizes, so cross-engine exact).
+
+    Scale: the benchmark side is tiny by construction (eval sets are
+    thousands of rows, the corpus is billions) — its exploded shingles
+    are BROADCAST, so the corpus is one map-side pass: explode its
+    shingles, hash-probe the benchmark set, partial-agg the matches.
+    No corpus-sized shuffle; never a cross product.
+    """
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__sh")
+    )
+    bench_sh = benchmark.select(
+        F.col(id_col).alias(bench_id_alias),
+        F.explode(word_shingles(text_col, shingle_n)).alias("__sh"),
+    )
+    bench_sizes = bench_sh.groupBy(bench_id_alias).agg(
+        F.count(F.lit(1)).alias("__n_bench")
+    )
+    shared = (
+        corpus_sh.join(F.broadcast(bench_sh), "__sh")
+        .groupBy(id_col, bench_id_alias)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return shared.join(F.broadcast(bench_sizes), bench_id_alias).select(
+        id_col,
+        bench_id_alias,
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.round(F.col("n_shared") / F.col("__n_bench"), 6).alias("contamination"),
     )
 
 

@@ -211,6 +211,33 @@ def union_all(dfs: Iterable[DataFrame], allow_missing_columns: bool = True) -> D
     )
 
 
+def merge_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: Sequence[str] | str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """SCD-1 merge (MERGE INTO semantics as pure DataFrames): apply a
+    change set onto a base table — a change row replaces the base row
+    with its key (insert-or-update), and rows marked ``delete_op`` in
+    ``op_col`` are removed. ``changes`` must be unique per key (dedup a
+    CDC stream with latest_per_key first).
+
+    Plan: one anti join (base keys minus change keys) + a union — the
+    standard incremental-refresh shape, contrast the reference's
+    drop-everything-and-reload (app.py:957-968). Scale: the anti join
+    shuffles on the key unless the change set is broadcast-small (the
+    common case for daily deltas — Spark auto-broadcasts under the
+    threshold); on a lakehouse table format the same semantics push
+    down to MERGE INTO, this operator is the format-free equivalent.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    surviving = base.join(changes.select(*keys), keys, "left_anti")
+    applied = changes.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+    return surviving.unionByName(applied)
+
+
 def top_k(df: DataFrame, k: int, by: Sequence[str], ascending: bool = False) -> DataFrame:
     """O3 — global top-k. ``orderBy().limit()`` compiles to
     TakeOrderedAndProject: each partition keeps k rows, the driver merges

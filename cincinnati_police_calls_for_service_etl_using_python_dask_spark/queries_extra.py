@@ -17,6 +17,7 @@ from .functions.scalar import dec2
 from .functions.temporal import minutes_between
 from .operators import asof as ao
 from .operators import multimodal as mm
+from .operators import relational as rel
 from .operators import similarity as sim
 from .operators import text as tx
 from .queries import register
@@ -272,6 +273,45 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_event_id"),
         minutes_between("asof_ts", "ts").alias("wait_minutes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-1 merge (MERGE INTO semantics, format-free): a derived CDC change
+# set — updates for event_id % 100 = 0 (+1000 value), deletes for
+# event_id % 100 = 7 — applied onto events via one anti join + union
+# (operators/relational.py:merge_changes). Contrast the reference's
+# full drop-and-reload refresh (app.py:957-968).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_events",
+    """
+    WITH changes AS (
+      SELECT event_id, user_id, event_type, value + 1000 AS value, 'U' AS op
+      FROM events WHERE event_id % 100 = 0
+      UNION ALL
+      SELECT event_id, user_id, event_type, value, 'D' AS op
+      FROM events WHERE event_id % 100 = 7
+    )
+    SELECT e.event_id, e.user_id, e.event_type, e.value
+    FROM events e LEFT JOIN changes c USING (event_id)
+    WHERE c.event_id IS NULL
+    UNION ALL
+    SELECT event_id, user_id, event_type, value
+    FROM changes WHERE op <> 'D'
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    updates = ev.filter(F.col("event_id") % 100 == 0).withColumn(
+        "value", F.col("value") + 1000
+    ).withColumn("op", F.lit("U"))
+    deletes = ev.filter(F.col("event_id") % 100 == 7).withColumn("op", F.lit("D"))
+    changes = updates.unionByName(deletes)
+    return rel.merge_changes(ev, changes, key="event_id")
 
 
 # ---------------------------------------------------------------------------

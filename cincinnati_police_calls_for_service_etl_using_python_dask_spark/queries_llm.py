@@ -59,9 +59,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality_lang",
-    f"""
+def _duckdb_quality_sql(source: str = "documents") -> str:
+    """doc_id + quality + lang_guess over ``source`` — the SQL mirror of
+    operators/text.py:quality_score/lang_id, reused by every oracle that
+    filters on quality."""
+    return f"""
     WITH s AS (
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN 0
@@ -71,7 +73,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                                        AS n_punct,
              len(list_filter({_D_TOKS}, t -> list_contains({_D_STOPWORDS}, t)))
                                                                        AS n_sw
-      FROM documents
+      FROM {source}
     )
     SELECT doc_id,
            CAST(( (least(n_tok, 64) * 4000) // 64
@@ -87,8 +89,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ELSE 0.0 END) >= 0.05
                 THEN 'en' ELSE 'und' END                               AS lang_guess
     FROM s
-    """,
-)
+    """
+
+
+@register("text_quality_lang", _duckdb_quality_sql())
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     return docs.select(
@@ -232,6 +236,105 @@ def _duckdb_simhash_sql() -> str:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     return dd.simhash32(docs)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination: distinct word-shingle overlap between the
+# corpus (doc_id >= 5) and a pretend eval set (doc_id < 5). The eval
+# side is broadcast; the corpus is one map-side pass
+# (operators/dedup.py:ngram_contamination).
+# ---------------------------------------------------------------------------
+
+
+def _duckdb_shingle_cte(n: int = 3) -> str:
+    hi = n - 1
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {_D_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {n}
+                  THEN list_distinct(list_transform(range(1, len(t) - {hi - 1}),
+                                                    i -> array_to_string(t[i:i+{hi}], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS shingles
+      FROM tk
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS sh FROM sh
+    )
+    """
+
+
+@register(
+    "ngram_contamination_check",
+    _duckdb_shingle_cte(3)
+    + """
+    , bench AS (SELECT doc_id AS bench_id, sh FROM ex WHERE doc_id < 5),
+      corp  AS (SELECT doc_id, sh FROM ex WHERE doc_id >= 5),
+      sizes AS (SELECT bench_id, COUNT(*) AS n_bench FROM bench GROUP BY 1),
+      shared AS (
+        SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+        FROM corp c JOIN bench b USING (sh)
+        GROUP BY 1, 2
+      )
+    SELECT s.doc_id, s.bench_id,
+           s.n_shared::BIGINT AS n_shared,
+           ROUND(s.n_shared / CAST(z.n_bench AS DOUBLE), 6) AS contamination
+    FROM shared s JOIN sizes z USING (bench_id)
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    benchmark = docs.filter(F.col("doc_id") < 5)
+    return dd.ngram_contamination(corpus, benchmark, shingle_n=3)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: exact dedup -> quality floor -> language
+# filter -> deterministic hash sample. Every stage is an operator from
+# this package; the composition is the point — one dedup shuffle, all
+# other stages map-side, so curating 100 TB is one shuffle + one scan.
+# ---------------------------------------------------------------------------
+
+_CURATE_MIN_QUALITY = 0.55
+_CURATE_RATE = 0.5
+_CURATE_SEED = 11
+
+
+def _curation_oracle() -> str:
+    from .operators.sampling import _threshold, duckdb_key_sql
+
+    h = duckdb_key_sql(["doc_id"], _CURATE_SEED)
+    return f"""
+    WITH q AS ({_duckdb_quality_sql()}),
+         keep AS (
+           SELECT MIN(doc_id) AS doc_id FROM documents
+           GROUP BY md5(lower(trim(text)))
+         )
+    SELECT q.doc_id, q.quality, q.lang_guess
+    FROM q JOIN keep USING (doc_id)
+    WHERE q.quality >= {_CURATE_MIN_QUALITY}
+      AND q.lang_guess = 'en'
+      AND {h} < {_threshold(_CURATE_RATE)}
+    """
+
+
+@register("corpus_curation_pipeline", _curation_oracle())
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sampling as sp
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    keep = dd.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keep, "doc_id")
+    scored = kept.select(
+        "doc_id",
+        tx.quality_score("text").alias("quality"),
+        tx.lang_id("text").alias("lang_guess"),
+    )
+    filtered = scored.filter(
+        (F.col("quality") >= _CURATE_MIN_QUALITY) & (F.col("lang_guess") == "en")
+    )
+    return sp.hash_sample(filtered, ["doc_id"], _CURATE_RATE, seed=_CURATE_SEED)
 
 
 # ---------------------------------------------------------------------------

@@ -131,6 +131,47 @@ def test_multimodal_decode_stub_contract(spark):
         assert r["status"] == "stub-decoded"
 
 
+def test_ngram_contamination_counts_shared_shingles(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        dedup as dd,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps high"),  # shares 3 of 3 shingles
+            (11, "quick brown fox somewhere"),       # shares 1 ("quick brown fox")
+            (12, "nothing in common here"),          # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_shared"], r["contamination"])
+        for r in dd.ngram_contamination(corpus, bench, shingle_n=3).collect()
+    }
+    # bench has 3 distinct 3-gram shingles
+    assert out[10] == (3, 1.0)
+    assert out[11] == (1, round(1 / 3, 6))
+    assert 12 not in out
+
+
+def test_merge_changes_scd1(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        relational as rel,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (4, "d", "I")], "k long, v string, op string"
+    )
+    out = {r["k"]: r["v"] for r in rel.merge_changes(base, changes, key="k").collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}  # 2 updated, 3 deleted, 4 inserted
+
+
 def test_multimodal_resize_never_upscales_and_fits(spark):
     docs = read_testdata(spark, SF_SMOKE, "documents").limit(50)
     out = mm.resize_metadata(mm.attach_binary_payload(docs), max_w=224, max_h=224)
