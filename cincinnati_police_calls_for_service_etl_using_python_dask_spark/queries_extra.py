@@ -276,6 +276,74 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distribution-rank window functions: percent_rank / cume_dist per
+# priority. Both are count ratios with identical SQL-standard tie
+# semantics; the operands are identical integers on both engines, so
+# the double divisions are bit-identical.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percent_rank_orders",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6)    AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_testdata(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional window values: first / last / 2nd order price in each
+# customer's full history. last_value and nth_value need the
+# whole-partition frame (the default frame stops at CURRENT ROW — the
+# classic silent-wrong-answer; pinned here on both engines).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "first_last_nth_order_price",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def q_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_testdata(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD-1 merge (MERGE INTO semantics, format-free): a derived CDC change
 # set — updates for event_id % 100 = 0 (+1000 value), deletes for
 # event_id % 100 = 7 — applied onto events via one anti join + union
