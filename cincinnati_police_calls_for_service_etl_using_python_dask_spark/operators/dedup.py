@@ -145,12 +145,31 @@ def ngram_contamination(
 
     Scale: the benchmark side is tiny by construction (eval sets are
     thousands of rows, the corpus is billions) — its exploded shingles
-    are BROADCAST, so the corpus is one map-side pass: explode its
-    shingles, hash-probe the benchmark set, partial-agg the matches.
-    No corpus-sized shuffle; never a cross product.
+    are BROADCAST, so the corpus is one map-side pass. Corpus shingles
+    are generated POSITIONALLY (explode(sequence) + slice, whole-stage
+    codegen — the interpreted `transform` spelling measured ~6× slower,
+    same lesson as minhash_signatures), probed against the broadcast
+    set FIRST, and only the surviving matches are de-duplicated — the
+    distinct shuffle carries matched (doc, bench, shingle) triples,
+    never the corpus's shingle stream. No corpus-sized shuffle; never a
+    cross product.
     """
-    corpus_sh = corpus.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__sh")
+    toks = tokens(text_col)
+    base = corpus.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        F.greatest(F.size(toks) - F.lit(shingle_n - 1), F.lit(1)).alias("__m"),
+    )
+    # one row per shingle START POSITION; repeats collapse after the
+    # probe (dropDuplicates below), so distinct-set semantics hold
+    positions = base.select(
+        id_col,
+        "__t",
+        F.explode(F.sequence(F.lit(1), F.col("__m"))).alias("__i"),
+    )
+    corpus_sh = positions.select(
+        id_col,
+        F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), shingle_n)).alias("__sh"),
     )
     bench_sh = benchmark.select(
         F.col(id_col).alias(bench_id_alias),
@@ -161,6 +180,7 @@ def ngram_contamination(
     )
     shared = (
         corpus_sh.join(F.broadcast(bench_sh), "__sh")
+        .dropDuplicates([id_col, bench_id_alias, "__sh"])
         .groupBy(id_col, bench_id_alias)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
