@@ -324,17 +324,23 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import sampling as sp
 
     docs = read_testdata(spark, sf_dir, "documents")
+    # keep-set over ALL docs (dedup semantics must see everything) …
     keep = dd.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-    kept = docs.join(keep, "doc_id")
+    # … but the hash-sample predicate is a pure function of doc_id, so
+    # it commutes with the join and the quality/lang filters — apply it
+    # FIRST, on the probe side, so only sampled survivors pay the join
+    # and the regex scoring (cheapest filter first; ~1/rate less work,
+    # measured 0.93s → 0.57s at sf0.1).
+    sampled = sp.hash_sample(docs, ["doc_id"], _CURATE_RATE, seed=_CURATE_SEED)
+    kept = sampled.join(keep, "doc_id")
     scored = kept.select(
         "doc_id",
         tx.quality_score("text").alias("quality"),
         tx.lang_id("text").alias("lang_guess"),
     )
-    filtered = scored.filter(
+    return scored.filter(
         (F.col("quality") >= _CURATE_MIN_QUALITY) & (F.col("lang_guess") == "en")
     )
-    return sp.hash_sample(filtered, ["doc_id"], _CURATE_RATE, seed=_CURATE_SEED)
 
 
 # ---------------------------------------------------------------------------
