@@ -151,6 +151,54 @@ def main() -> None:
             "probe lists ship to executors; the corpus never shuffles "
             "before candidate generation",
         ),
+        (
+            "exists_late_shipments",
+            "EXISTS rewritten to a semi join",
+            lambda p: re.search(r"(LeftSemi|Semi)", p),
+            "Catalyst's RewritePredicateSubquery: the subquery surface "
+            "costs the same plan as the hand-built semi join",
+        ),
+        (
+            "ngram_contamination_check",
+            "bench shingles broadcast; corpus probe map-side",
+            lambda p: "BroadcastHashJoin" in p,
+            "the corpus's shingle stream is never shuffled — only "
+            "matched triples reach an exchange",
+        ),
+        (
+            "ngram_contamination_check",
+            "corpus shingles outside Python/interpreted path",
+            lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+            "explode(sequence)+slice shingling runs in codegen "
+            "(interpreted transform measured 6× slower)",
+        ),
+        (
+            "merge_upsert_events",
+            "merge anti-join + union, single scan family",
+            lambda p: re.search(r"(LeftAnti|Anti)", p),
+            "MERGE INTO semantics as anti join + union — incremental "
+            "refresh, not drop-and-reload",
+        ),
+        (
+            "rolling_7day_revenue",
+            "single exchange for the RANGE frame",
+            lambda p: count_exchanges(p) == 1,
+            "value-range frame reuses the window partitioning",
+        ),
+        (
+            "top_tokens_docs",
+            "explode path ends in TakeOrdered",
+            lambda p: "TakeOrderedAndProject" in p,
+            "top-k over exploded tokens never globally sorts the "
+            "term dictionary",
+        ),
+        (
+            "corpus_curation_pipeline",
+            "single exchange beyond the dedup shuffle",
+            lambda p: count_exchanges(p) <= 2,
+            "dedup is the only wide stage; sample/score/filter are "
+            "map-side on the scan",
+        ),
     ]
 
     lines = [
