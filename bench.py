@@ -62,6 +62,7 @@ HEADLINE = [
     "ngram_contamination_check",
     "corpus_curation_pipeline",
     "merge_upsert_events",
+    "dedup_clusters_lsh",
 ]
 
 

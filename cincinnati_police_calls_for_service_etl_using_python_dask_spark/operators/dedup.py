@@ -125,6 +125,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    node_col: str = "node",
+    comp_col: str = "component",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation — the step that
+    turns near-duplicate PAIRS (MinHash-LSH / SimHash / cosine tiers)
+    into duplicate CLUSTERS, so "keep one per cluster" is a groupBy.
+
+    Every node's label converges to the smallest node id in its
+    component. Each round is: propagate labels across edges (both
+    directions), take the min of self + neighbors. Rounds needed =
+    graph diameter — near-dup graphs are unions of small cliques, so
+    2-3 rounds in practice; ``max_iter`` bounds adversarial chains.
+
+    Scale posture: the per-round work is one join + one groupBy on the
+    edge list (shuffle keyed by node id) — the standard Pregel-style
+    CC-over-joins; no driver-side graph. Convergence is detected with a
+    count of changed labels (one tiny action per round). localCheckpoint
+    truncates the growing lineage each round — without it, iteration k
+    re-plans k joins deep and planning time quadratically swamps the
+    work at any scale.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    )
+    labels = (
+        sym.select(F.col("u").alias(node_col))
+        .distinct()
+        .withColumn("comp", F.col(node_col))
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor = (
+            sym.join(labels, sym["v"] == labels[node_col])
+            .groupBy(sym["u"].alias(node_col))
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        updated = (
+            labels.join(neighbor, node_col, "left")
+            .select(
+                F.col(node_col),
+                F.least(F.col("comp"), F.coalesce("n_comp", F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.coalesce("n_comp", F.col("comp")) < F.col("comp")).alias(
+                    "__changed"
+                ),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(F.col(node_col), F.col("comp").alias(comp_col))
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -208,6 +208,44 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clusters: min-label-propagation connected components over
+# the LSH candidate-pair graph (operators/dedup.py) — the iterative
+# algorithm tier, still hash-gated via DuckDB's recursive CTE.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_clusters_lsh",
+    f"""
+    WITH RECURSIVE sigs AS ({_duckdb_minhash_cte()}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE (a.sig_0 = b.sig_0 AND a.sig_1 = b.sig_1)
+         OR (a.sig_2 = b.sig_2 AND a.sig_3 = b.sig_3)
+    ),
+    e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    walk(u, c) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.u, walk.c FROM e JOIN walk ON e.v = walk.u
+    )
+    SELECT u AS doc_id, MIN(c)::BIGINT AS component
+    FROM walk GROUP BY u
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, num_hashes=_MINHASH_K, shingle_n=3)
+    pairs = dd.lsh_candidate_pairs(sigs, num_hashes=_MINHASH_K, band_size=2)
+    return dd.connected_components(pairs, node_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
 # SimHash — 32-bit, oracle-checked bit-for-bit.
 # ---------------------------------------------------------------------------
 

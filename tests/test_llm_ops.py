@@ -157,6 +157,30 @@ def test_ngram_contamination_counts_shared_shingles(spark):
     assert 12 not in out
 
 
+def test_connected_components_chain_and_clique(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        dedup as dd,
+    )
+
+    # chain 10-11-12-13-14 (diameter 4 forces several propagation
+    # rounds), clique {20,21,22}, isolated pair (30,31)
+    edges = spark.createDataFrame(
+        [
+            (11, 10), (11, 12), (13, 12), (13, 14),
+            (20, 21), (21, 22), (20, 22),
+            (30, 31),
+        ],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in dd.connected_components(edges).collect()
+    }
+    assert {k: v for k, v in out.items() if k < 20} == {i: 10 for i in range(10, 15)}
+    assert {k: v for k, v in out.items() if 20 <= k < 30} == {i: 20 for i in (20, 21, 22)}
+    assert out[30] == 30 and out[31] == 30
+
+
 def test_merge_changes_scd1(spark):
     from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
         relational as rel,
