@@ -156,6 +156,11 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
     )
+    # The edge list is re-joined EVERY round: materialize it once, or
+    # each iteration recomputes the upstream pair-generation pipeline
+    # (for LSH candidates, the whole MinHash chain — measured 16 s vs
+    # 2 s at sf0.1).
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias(node_col))
         .distinct()
