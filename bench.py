@@ -62,6 +62,9 @@ HEADLINE = [
     "ngram_contamination_check",
     "corpus_curation_pipeline",
     "merge_upsert_events",
+    "sql_shipping_priority_q3",
+    "sql_forecast_revenue_q6",
+    "month_spine_fill",
 ]
 
 # dedup_clusters_lsh is deliberately NOT a headline query: its iterative

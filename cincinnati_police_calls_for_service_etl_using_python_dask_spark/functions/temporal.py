@@ -110,3 +110,34 @@ def month_windows(
             break
         cur = win_end + dt.timedelta(days=1)  # +1-day shift (app.py:110-131)
     return windows
+
+
+def fill_month_gaps(
+    months_df: DataFrame,
+    month_col: str,
+    fill: "dict[str, Column]",
+) -> DataFrame:
+    """Densify a per-month aggregate: emit one row for EVERY calendar
+    month between the observed min and max, taking ``fill``'s value
+    expressions for months with no row (gap months). The month spine is
+    generated from the AGGREGATED frame (sequence + explode over a
+    1-row bounds aggregate), so the base table is scanned exactly once
+    no matter how sparse the series — the resample/gap-fill primitive
+    every time-series ETL needs and the reference's fixed monthly
+    windows (app.py:101-134) assumed implicitly.
+    """
+    out_cols = [c for c in months_df.columns if c != month_col]
+    bounds = months_df.agg(
+        F.min(month_col).alias("__lo"), F.max(month_col).alias("__hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr("interval 1 month"))
+        ).alias(month_col)
+    )
+    filled = spine.join(months_df, month_col, "left")
+    return filled.select(
+        F.col(month_col),
+        *[F.coalesce(F.col(c), fill[c]).alias(c) if c in fill else F.col(c)
+          for c in out_cols],
+    )

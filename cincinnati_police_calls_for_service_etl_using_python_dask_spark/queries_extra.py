@@ -344,6 +344,52 @@ def q_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series gap fill: monthly counts of high-value orders, densified
+# so months with NO qualifying order appear with n=0
+# (functions/temporal.py:fill_month_gaps — sequence+explode spine from
+# a 1-row bounds agg; the base table is scanned once).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "month_spine_fill",
+    """
+    WITH months AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             COUNT(*) FILTER (WHERE o_totalprice > 450000) AS n
+      FROM orders GROUP BY 1
+    ), bounds AS (
+      SELECT MIN(m) AS lo, MAX(m) AS hi FROM months
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE)
+               AS month
+      FROM bounds
+    )
+    SELECT CAST(s.month AS VARCHAR) AS month,
+           COALESCE(m.n, 0)::BIGINT AS n_big_orders
+    FROM spine s LEFT JOIN months m ON m.m = s.month
+    """,
+)
+def q_month_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.temporal import fill_month_gaps
+
+    o = read_testdata(spark, sf_dir, "orders")
+    months = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count_if(F.col("o_totalprice") > 450000)
+        .cast("long")
+        .alias("n_big_orders")
+    )
+    filled = fill_month_gaps(
+        months, "month", fill={"n_big_orders": F.lit(0).cast("long")}
+    )
+    return filled.select(
+        F.col("month").cast("string").alias("month"), "n_big_orders"
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD-1 merge (MERGE INTO semantics, format-free): a derived CDC change
 # set — updates for event_id % 100 = 0 (+1000 value), deletes for
 # event_id % 100 = 7 — applied onto events via one anti join + union

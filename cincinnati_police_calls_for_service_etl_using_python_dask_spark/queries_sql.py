@@ -66,6 +66,88 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_shipping_priority_q3",
+    """
+    SELECT l.l_orderkey,
+           CAST(ROUND(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+                      / 1000000.0, 2) AS DOUBLE)           AS revenue,
+           CAST(o.o_orderdate AS DATE)::VARCHAR            AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1996-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape (shipping priority): selective dim filter ->
+    # two joins -> agg -> top-10. The revenue sum runs in exact integer
+    # micro-dollars (functions/scalar.py:revenue_micros contract) so the
+    # ORDER BY key is cross-engine deterministic; the LIMIT compiles to
+    # TakeOrderedAndProject, never a global sort.
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               CAST(ROUND(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                              * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+                          / 1000000.0, 2) AS DOUBLE)       AS revenue,
+               CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS order_date,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1996-01-01'
+          AND l.l_shipdate  > TIMESTAMP '1996-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@register(
+    "sql_forecast_revenue_q6",
+    """
+    SELECT CAST(ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round(l_discount * 10000) AS BIGINT))
+                      / 1000000.0, 2) AS DOUBLE) AS promo_revenue,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 shape: every predicate reaches the parquet scan
+    # (PushedFilters), the agg is a partial/final pair over an
+    # already-pruned row stream — the pure-pushdown benchmark.
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT CAST(ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * CAST(round(l_discount * 10000) AS BIGINT))
+                          / 1000000.0, 2) AS DOUBLE) AS promo_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@register(
     "sql_top_revenue_nations",
     """
     SELECT n.n_name,
