@@ -344,6 +344,45 @@ def q_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Python UDTF (SURVEY §2.10 D5): sentence splitting as a LATERAL table
+# function. Capability pin for imperative one-to-many extensions; the
+# oracle mirrors the split/trim/filter semantics with list functions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udtf_split_sentences",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                        x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+                         x -> x <> '') AS arr
+      FROM documents
+      WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(unnest(range(len(arr))) AS INT) AS sentence_idx,
+           unnest(arr) AS sentence
+    FROM s
+    WHERE len(arr) > 0
+    """,
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = read_testdata(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence
+        FROM __udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-series gap fill: monthly counts of high-value orders, densified
 # so months with NO qualifying order appear with n=0
 # (functions/temporal.py:fill_month_gaps — sequence+explode spine from

@@ -157,6 +157,28 @@ def test_ngram_contamination_counts_shared_shingles(spark):
     assert 12 not in out
 
 
+def test_udtf_split_sentences(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.udtfs import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "One. Two! Three?"), (2, "  no breaks  "), (3, "..."), (4, None)],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("__udtf_t")
+    rows = spark.sql(
+        "SELECT doc_id, s.sentence_idx, s.sentence "
+        "FROM __udtf_t, LATERAL split_sentences(text) s"
+    ).collect()
+    got = {(r["doc_id"], r["sentence_idx"]): r["sentence"] for r in rows}
+    assert got == {
+        (1, 0): "One", (1, 1): "Two", (1, 2): "Three",
+        (2, 0): "no breaks",
+    }  # doc 3 is all breaks -> no rows; NULL text -> no rows
+
+
 def test_connected_components_chain_and_clique(spark):
     from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
         dedup as dd,
