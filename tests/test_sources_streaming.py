@@ -406,6 +406,51 @@ def test_stateful_timeout_branch_finalizes_and_evicts():
     assert st.removed
 
 
+def test_stream_stream_interval_join_batch_parity(spark, tmp_path):
+    """Two watermarked parquet streams joined within a 30-min bound must
+    produce exactly the rows the identical batch join produces."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.joins import (
+        interval_join,
+    )
+
+    events = read_testdata(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p_src, c_src = str(tmp_path / "p"), str(tmp_path / "c")
+    purchases.write.parquet(p_src)
+    clicks.write.parquet(c_src)
+
+    p_stream = spark.readStream.schema(purchases.schema).parquet(p_src)
+    c_stream = (
+        spark.readStream.schema(clicks.schema)
+        .parquet(c_src)
+        .withColumnRenamed("c_user", "user_id")
+    )
+    joined = interval_join(
+        p_stream, c_stream, on="user_id", left_ts="p_ts", right_ts="c_ts",
+        max_lag_minutes=30.0,
+    ).select("user_id", "p_id", "c_id")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_available_now(joined, ckpt, out)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    want = {
+        tuple(r)
+        for r in interval_join(
+            purchases, clicks.withColumnRenamed("c_user", "user_id"),
+            on="user_id", left_ts="p_ts", right_ts="c_ts", max_lag_minutes=30.0,
+        ).select("user_id", "p_id", "c_id").collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_streaming_watermark_dedup(spark, tmp_path):
     src = str(tmp_path / "dedup_src")
     events = read_testdata(spark, SF_SMOKE, "events").limit(200)
