@@ -54,6 +54,35 @@ def read_csv_with_schema(
     return spark.read.schema(schema).option("header", header).csv(path)
 
 
+def read_json_with_schema(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """Typed JSON-lines scan — the live-API row shape (app.py:171-177)
+    as a file source. The explicit schema skips inference (a full extra
+    scan) AND pins types the way the reference's dtype map did for CSV;
+    malformed records go to NULL columns (PERMISSIVE), matching the
+    reference's coerce-don't-crash posture (F6)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format for the document sink's
+    row shape (each line is exactly a doc of S5's insert_many)."""
+    df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning story as parquet (predicate →
+    stripe-level row-index pruning), for lakes standardized on ORC."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one driver-generated table (TESTDATA.md).
 

@@ -110,6 +110,36 @@ def test_http_window_query_half_open_upper_bound():
     assert "<=" not in q
 
 
+def test_json_and_orc_roundtrip_with_schema(spark, tmp_path):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.files import (
+        read_json_with_schema,
+        read_orc,
+        write_json,
+        write_orc,
+    )
+
+    src = (
+        read_testdata(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(500)
+    )
+    want = sorted(map(tuple, src.collect()))
+
+    jpath = str(tmp_path / "orders_json")
+    write_json(src, jpath)
+    back_j = read_json_with_schema(spark, jpath, src.schema)
+    assert back_j.schema == src.schema
+    assert sorted(map(tuple, back_j.collect())) == want
+
+    opath = str(tmp_path / "orders_orc")
+    write_orc(src, opath)
+    back_o = read_orc(spark, opath)
+    assert sorted(map(tuple, back_o.collect())) == want
+    # ORC pushes filters to the scan like parquet
+    plan = back_o.filter(F.col("o_orderkey") > 100)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,100)]" in plan
+
+
 def test_document_sink_distributed_write_and_refresh(spark, tmp_path):
     root = str(tmp_path / "docstore")
     df = read_testdata(spark, SF_SMOKE, "events").select("event_id", "event_type").limit(100)
