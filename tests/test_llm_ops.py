@@ -203,6 +203,32 @@ def test_connected_components_chain_and_clique(spark):
     assert out[30] == 30 and out[31] == 30
 
 
+def test_connected_components_empty_edges(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        dedup as dd,
+    )
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert dd.connected_components(edges).count() == 0
+
+
+def test_merge_changes_empty_sides(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        relational as rel,
+    )
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    none = spark.createDataFrame([], "k long, v string, op string")
+    assert [tuple(r) for r in rel.merge_changes(base, none, key="k").collect()] == [
+        (1, "a")
+    ]
+    empty_base = spark.createDataFrame([], "k long, v string")
+    only_insert = spark.createDataFrame([(9, "z", "I")], "k long, v string, op string")
+    assert [
+        tuple(r) for r in rel.merge_changes(empty_base, only_insert, key="k").collect()
+    ] == [(9, "z")]
+
+
 def test_merge_changes_scd1(spark):
     from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
         relational as rel,

@@ -109,3 +109,75 @@ def test_latest_per_key_invariants(spark, rows):
     for k, o, t in rows:
         want[k] = max(want.get(k, (-1, -1)), (o, t))
     assert {r["k"]: (r["o"], r["t"]) for r in out} == want
+
+
+# ---------------------------------------------------------------------------
+# as_of_join vs pandas merge_asof: an independent reference
+# implementation for both directions and the tolerance rule. Right
+# frames are generated with UNIQUE (key, ts) — the operator's
+# documented determinism contract.
+# ---------------------------------------------------------------------------
+
+_asof_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1_000)), min_size=1, max_size=25
+)
+
+
+@given(left_rows=_asof_rows, right_rows=_asof_rows,
+       direction=st.sampled_from(["backward", "forward"]),
+       tol=st.sampled_from([None, 0.5, 2.0]))
+@_SETTINGS
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows, direction, tol):
+    import datetime as dt
+
+    import pandas as pd
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.asof import (
+        as_of_join,
+    )
+
+    t0 = dt.datetime(2020, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    # unique (key, ts) on BOTH sides: pandas merge_asof resolves
+    # duplicate left rows positionally, Spark's window by sort order —
+    # dedup keeps the comparison on the documented contract
+    left_rows = list({(k, m): None for k, m in left_rows})
+    right_rows = list({(k, m): None for k, m in right_rows})
+    left = spark.createDataFrame(
+        [(k, ts(m), i) for i, (k, m) in enumerate(left_rows)],
+        "k long, ts timestamp_ntz, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(m), 100 + i) for i, (k, m) in enumerate(right_rows)],
+        "k long, ts timestamp_ntz, rid long",
+    )
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in as_of_join(
+            left, right, on=["k"], payload=["rid"],
+            direction=direction, tolerance_minutes=tol,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        {"k": [k for k, _ in left_rows],
+         "ts": [ts(m) for _, m in left_rows],
+         "lid": range(len(left_rows))}
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        {"k": [k for k, _ in right_rows],
+         "ts": [ts(m) for _, m in right_rows],
+         "rid": [100 + i for i in range(len(right_rows))]}
+    ).sort_values("ts", kind="stable")
+    kwargs = {"tolerance": pd.Timedelta(minutes=tol)} if tol is not None else {}
+    want_df = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction=direction, **kwargs
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in want_df.itertuples()
+    }
+    assert got == want
