@@ -149,6 +149,12 @@ def write_documents(
     :class:`MongoDatabaseAdapter`) the observable result is
     exactly-once. Set ``deterministic_ids=False`` only for stores
     without unique keys, and dedup downstream on a fingerprint column.
+
+    Caveat: two rows with IDENTICAL content get the same ``_id`` and
+    collapse to one document. That is the right behavior for keyed or
+    deduplicated data (the flagship pipeline dedups first); if exact
+    duplicate rows must be preserved, include a distinguishing column
+    (event id, offset) before writing.
     """
     columns = df.columns
 
