@@ -16,6 +16,7 @@ Two families:
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -84,22 +85,33 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     block_col: str | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by exact token-set Jaccard similarity.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥
     threshold. ``block_col`` restricts comparisons to equal-valued
-    blocks (e.g. ``source``) — the classic blocking trick.
+    blocks (e.g. ``source``, or an LSH bucket id) — the classic
+    blocking trick.
 
     Scale posture: this is the EXACT quadratic operator; it exists as
     the ground-truth oracle for the sub-quadratic paths (MinHash-LSH in
     :func:`minhash_signatures`/:func:`lsh_candidate_pairs`). At 100 TB
     you run it only within LSH candidate buckets, never globally —
-    which is exactly how lsh_candidate_pairs composes with it.
+    :func:`jaccard_on_pairs` is that composition. To prevent an
+    accidental O(n²) nested-loop join on a whole corpus, calling
+    without ``block_col`` requires an explicit ``allow_quadratic=True``.
 
     Jaccard is computed as |A∩B| / |A∪B| over DISTINCT token sets with
     integer set sizes — no float accumulation, so cross-engine exact.
     """
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_col is O(n²) over the whole "
+            "corpus (BroadcastNestedLoopJoin). Pass block_col (e.g. an LSH "
+            "bucket) or allow_quadratic=True for oracle-tier use, or use "
+            "jaccard_on_pairs over lsh_candidate_pairs output."
+        )
     toks = F.array_distinct(tokens(text_col))
     a = df.select(
         F.col(id_col).alias("id_a"),
@@ -125,6 +137,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_on_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over an explicit candidate-pair list —
+    the scale spelling of near-dup verification: LSH proposes
+    (:func:`lsh_candidate_pairs`), this verifies.
+
+    ``pairs`` must have columns (id_a, id_b). Two hash equi-joins
+    attach each side's token set, so the cost is O(|pairs|) — the
+    candidate volume LSH already bounded — never O(n²) over the corpus.
+    Token sets ride the shuffle only for ids that appear in a pair
+    (semi-join pruning via the equi-join itself).
+    """
+    toks = F.array_distinct(tokens(text_col))
+    sides = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    j = (
+        pairs.select("id_a", "id_b")
+        .join(sides.select(F.col("__id").alias("id_a"), F.col("__toks").alias("toks_a")), "id_a")
+        .join(sides.select(F.col("__id").alias("id_b"), F.col("__toks").alias("toks_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jac = inter.cast("double") / union
+    return (
+        j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
@@ -132,6 +177,7 @@ def connected_components(
     node_col: str = "node",
     comp_col: str = "component",
     max_iter: int = 25,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components by min-label propagation — the step that
     turns near-duplicate PAIRS (MinHash-LSH / SimHash / cosine tiers)
@@ -150,7 +196,16 @@ def connected_components(
     truncates the growing lineage each round — without it, iteration k
     re-plans k joins deep and planning time quadratically swamps the
     work at any scale.
+
+    Non-convergence is never silent: if ``max_iter`` rounds end with
+    labels still changing (a component chain longer than ~max_iter
+    hops), the partial labels would SPLIT real components — by default
+    this raises; ``on_nonconverged='warn'`` downgrades to a warning
+    for callers that accept over-segmentation (it never merges
+    distinct components, only splits long chains).
     """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverged must be 'raise' or 'warn', got {on_nonconverged!r}")
     sym = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).unionByName(
@@ -190,6 +245,15 @@ def connected_components(
         labels = updated.drop("__changed")
         if changed == 0:
             break
+    else:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): output would split long "
+            "chains into multiple components. Raise max_iter."
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col(node_col), F.col("comp").alias(comp_col))
 
 

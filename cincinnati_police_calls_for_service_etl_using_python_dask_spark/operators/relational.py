@@ -231,10 +231,19 @@ def merge_changes(
     common case for daily deltas — Spark auto-broadcasts under the
     threshold); on a lakehouse table format the same semantics push
     down to MERGE INTO, this operator is the format-free equivalent.
+
+    NULL-op contract: a change row with NULL in ``op_col`` is treated
+    as an upsert ('U'), NOT a delete — a malformed CDC row must never
+    silently destroy data. (Without the coalesce, the anti join would
+    remove the key from base while ``op != delete_op`` evaluates NULL
+    and drops the change row too: net deletion.) Callers that want
+    strict validation should assert ``op_col`` non-null upstream.
     """
     keys = [key] if isinstance(key, str) else list(key)
     surviving = base.join(changes.select(*keys), keys, "left_anti")
-    applied = changes.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+    applied = changes.filter(
+        F.coalesce(F.col(op_col), F.lit("U")) != F.lit(delete_op)
+    ).drop(op_col)
     return surviving.unionByName(applied)
 
 

@@ -10,6 +10,8 @@ patterns are restricted to syntax shared by Java regex (Spark) and RE2
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -81,8 +83,12 @@ def stopword_count(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS)
     whitespace plus a lookahead trailing boundary means adjacent
     stopwords ("the a the") all match. Token-set parity with the
     list_filter oracle is pinned by the duckdb hash gate.
+
+    Custom stopwords are regex-escaped, so literals like ``c++`` or
+    ``a.b`` count exactly (the default EN_STOPWORDS are plain letters
+    — escaping them is a no-op, the codegen plan is unchanged).
     """
-    pat = r"(?:^|\s)(?:" + "|".join(stopwords) + r")(?=\s|$)"
+    pat = r"(?:^|\s)(?:" + "|".join(re.escape(s) for s in stopwords) + r")(?=\s|$)"
     return F.regexp_count(F.lower(F.trim(_c(col))), F.lit(pat))
 
 

@@ -143,7 +143,8 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, threshold=0.9)
+    # oracle tier: the whole-corpus quadratic spelling is the point here
+    return dd.ngram_jaccard_pairs(docs, threshold=0.9, allow_quadratic=True)
 
 
 # ---------------------------------------------------------------------------

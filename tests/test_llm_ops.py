@@ -70,7 +70,8 @@ def test_simhash_identical_equal_and_near_dup_close(spark):
 
 def test_ngram_jaccard_finds_near_dup(spark):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
-             for r in dd.ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+             for r in dd.ngram_jaccard_pairs(
+                 _docs(spark), threshold=0.5, allow_quadratic=True).collect()}
     assert pairs[(1, 2)] == 1.0
     assert (1, 3) in pairs and pairs[(1, 3)] >= 0.7
 
@@ -418,3 +419,101 @@ def test_pack_sequences_budget_and_totality(spark):
     assert {(r["doc_id"], r["shard"], r["pack_id"]) for r in out} == {
         (r["doc_id"], r["shard"], r["pack_id"]) for r in out2
     }
+
+
+def test_merge_changes_null_op_is_upsert(spark):
+    # ADVICE r2: a change row with NULL op must upsert, never silently
+    # delete the base row.
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        relational as rel,
+    )
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "A", None), (2, None, "D")], "k long, v string, op string"
+    )
+    out = {r["k"]: r["v"] for r in rel.merge_changes(base, changes, key="k").collect()}
+    assert out == {1: "A"}  # NULL op -> upsert applied; 'D' -> deleted
+
+
+def test_connected_components_nonconverged_raises_or_warns(spark):
+    # ADVICE r2: exhausting max_iter with labels still changing must
+    # never emit silently-split components.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(chain, max_iter=2)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = dd.connected_components(chain, max_iter=2, on_nonconverged="warn")
+        assert out.count() == 11  # partial labels still cover every node
+    # converged runs stay silent and correct
+    out = {r["node"]: r["component"]
+           for r in dd.connected_components(chain, max_iter=25).collect()}
+    assert set(out.values()) == {0}
+
+
+def test_stopword_count_escapes_regex_metachars(spark):
+    # ADVICE r2: custom stopwords with regex metacharacters count as
+    # literals ('a.b' must not match 'axb').
+    df = spark.createDataFrame(
+        [(1, "c++ and a.b beat axb c1b"), (2, "plain words only")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id",
+            tx.stopword_count("text", stopwords=("c++", "a.b")).alias("n"),
+        ).collect()
+    }
+    assert out == {1: 2, 2: 0}
+    # default list unaffected
+    base = df.select(tx.stopword_count("text").alias("n")).collect()
+    assert [r["n"] for r in sorted(base, key=lambda r: r["n"])] == [0, 1]
+
+
+def test_ngram_jaccard_requires_blocking_or_optin(spark):
+    # VERDICT r2 #4: bare-corpus quadratic call must be an explicit
+    # decision, never an accident.
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        dd.ngram_jaccard_pairs(_docs(spark), threshold=0.9)
+
+
+def test_jaccard_on_pairs_matches_quadratic_on_candidates(spark):
+    # the scale spelling (LSH propose -> exact verify) returns exactly
+    # the quadratic tier's scores for every proposed pair
+    docs = _docs(spark)
+    sigs = dd.minhash_signatures(docs, num_hashes=4)
+    cands = dd.lsh_candidate_pairs(sigs, num_hashes=4, band_size=2)
+    via_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.jaccard_on_pairs(cands, docs, threshold=0.5).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(
+            docs, threshold=0.5, allow_quadratic=True
+        ).collect()
+    }
+    cand_set = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert via_pairs == {p: j for p, j in full.items() if p in cand_set}
+    assert (1, 2) in via_pairs and via_pairs[(1, 2)] == 1.0
+
+
+def test_hyperplane_matrix_vectorized_scale():
+    # VERDICT r2 #5: plane derivation must stay cheap at 10^3+ planes.
+    import time
+
+    sim.hyperplane_matrix.cache_clear()
+    t0 = time.monotonic()
+    m = sim.hyperplane_matrix(1024, 1024)
+    elapsed = time.monotonic() - t0
+    assert m.shape == (1024, 1024)
+    assert float(m.min()) >= -2.0 and float(m.max()) < 2.0
+    # distinct planes, deterministic across calls (lru_cache cleared)
+    sim.hyperplane_matrix.cache_clear()
+    m2 = sim.hyperplane_matrix(1024, 1024)
+    assert (m == m2).all()
+    assert (m[0] != m[1]).any()
+    assert elapsed < 2.0, f"hyperplane_matrix too slow: {elapsed:.2f}s"
