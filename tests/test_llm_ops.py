@@ -517,3 +517,49 @@ def test_hyperplane_matrix_vectorized_scale():
     assert (m == m2).all()
     assert (m[0] != m[1]).any()
     assert elapsed < 2.0, f"hyperplane_matrix too slow: {elapsed:.2f}s"
+
+
+def test_png_codec_roundtrip_all_filters():
+    # encode cycles filters 0..4; decode must reconstruct exact pixels
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for w, h in [(1, 1), (5, 3), (16, 12), (7, 11)]:
+        px = rng.randint(0, 256, w * h, dtype=np.uint8).tobytes()
+        blob = mm.encode_png(w, h, px)
+        ww, hh, mode, out = mm.decode_png(blob)
+        assert (ww, hh, mode) == (w, h, "L")
+        assert out == px
+
+
+def test_png_codec_rejects_corruption():
+    import pytest as _pytest
+
+    blob = bytearray(mm.encode_png(4, 4, bytes(range(16))))
+    blob[40] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+    with _pytest.raises(ValueError):
+        mm.decode_png(bytes(blob))
+    with _pytest.raises(ValueError):
+        mm.decode_png(b"not a png at all")
+
+
+def test_decode_image_metadata_real_bytes(spark):
+    # real bytes -> (width, height, mode) through the mapInPandas path;
+    # a poisoned row degrades to status='error', never kills the batch
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "x" * 100)], "doc_id long, text string"
+    )
+    with_png = mm.attach_png_payload(docs)
+    poisoned = with_png.union(
+        spark.createDataFrame([(99, "zz")], "doc_id long, text string").withColumn(
+            "payload", F.encode(F.col("text"), "UTF-8")
+        )
+    )
+    out = {r["doc_id"]: r for r in mm.decode_image_metadata(poisoned).collect()}
+    for doc_id, text in [(1, "hello world"), (2, ""), (3, "x" * 100)]:
+        n = len(text.encode())
+        assert out[doc_id]["status"] == "png-decoded"
+        assert out[doc_id]["width"] == n % 16 + 1
+        assert out[doc_id]["height"] == n % 12 + 1
+        assert out[doc_id]["mode"] == "L"
+    assert out[99]["status"] == "error" and out[99]["width"] is None
