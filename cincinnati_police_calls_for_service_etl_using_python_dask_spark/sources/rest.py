@@ -161,8 +161,10 @@ class SocrataReader(DataSourceReader):
             for i in range(batch.num_rows):
                 yield tuple(cols[n][i] for n in names)
 
-    def _window_query(self, partition: _WindowPartition) -> str:
-        """Compile the window into the source query string.
+    def _window_query(
+        self, partition: _WindowPartition, limit: int, offset: int
+    ) -> str:
+        """Compile the window + page into the source query string.
 
         The upper bound is ``ts < end + 1 day`` — NOT ``ts <= end``:
         window boundaries are day-granularity dates while ``ts`` values
@@ -170,29 +172,71 @@ class SocrataReader(DataSourceReader):
         would silently drop every row with a nonzero time-of-day on the
         window's last day (ADVICE r1, medium). This mirrors the fixture
         transport's ``[start, end + 1 day)`` semantics exactly.
+
+        Paging orders by the id column so ``$offset`` is stable across
+        pages (Socrata result order is undefined without ``$order``).
         """
         hi = (_parse_date(partition.end) + dt.timedelta(days=1)).isoformat()
+        order_col = self.options.get("order_column", self.schema.fields[0].name)
         return (
             f"$where={self.ts_column}>='{partition.start}' "
-            f"AND {self.ts_column}<'{hi}'&$limit=1000000000000"
+            f"AND {self.ts_column}<'{hi}'"
+            f"&$order={order_col}&$limit={limit}&$offset={offset}"
         )
 
-    def _read_http(self, partition: _WindowPartition):
-        """Live transport — the reference's GET with the window compiled
-        into $where (app.py:133-134, 168-186), now per-executor."""
+    def _requests(self):
+        """Transport module seam: tests inject a fake via the
+        ``requests_module`` attribute (see tests/test_sources_streaming)."""
+        injected = getattr(self, "requests_module", None)
+        if injected is not None:
+            return injected
         try:
             import requests  # noqa: PLC0415
         except ImportError as exc:  # pragma: no cover
             raise RuntimeError(
                 "http mode requires the 'requests' package; use mode=fixture"
             ) from exc
+        return requests
+
+    def _read_http(self, partition: _WindowPartition):
+        """Live transport — the reference's GET with the window compiled
+        into $where (app.py:133-134, 168-186), now per-executor, with
+        real paging and bounded retry (the reference's single giant
+        ``$limit=10^12`` GET dies on any transient fault and on any
+        response-size cap).
+
+        Delivery: a page is yielded only after its fetch fully
+        succeeds, so an in-page retry never double-yields. A Spark task
+        retry re-reads the whole partition — at-least-once at the task
+        level — which the document sink's deterministic ids collapse to
+        exactly-once (sources/docsink.py:write_documents).
+        """
+        import time as _time  # noqa: PLC0415
+
+        requests = self._requests()
         url = self.options["url"]
-        query = self._window_query(partition)
-        resp = requests.get(url, params=query, timeout=120)
-        resp.raise_for_status()
+        page_size = int(self.options.get("page_size", 50_000))
+        max_retries = int(self.options.get("max_retries", 5))
+        backoff_s = float(self.options.get("retry_backoff_s", 1.0))
         names = [f.name for f in self.schema.fields]
-        for rec in json.loads(resp.text):
-            yield tuple(rec.get(n) for n in names)
+        offset = 0
+        while True:
+            query = self._window_query(partition, limit=page_size, offset=offset)
+            for attempt in range(max_retries + 1):
+                try:
+                    resp = requests.get(url, params=query, timeout=120)
+                    resp.raise_for_status()
+                    recs = json.loads(resp.text)
+                    break
+                except Exception:
+                    if attempt == max_retries:
+                        raise
+                    _time.sleep(backoff_s * (2**attempt))
+            for rec in recs:
+                yield tuple(rec.get(n) for n in names)
+            if len(recs) < page_size:
+                return
+            offset += page_size
 
 
 class SocrataSource(DataSource):

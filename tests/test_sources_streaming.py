@@ -6,7 +6,9 @@ from __future__ import annotations
 
 import datetime as dt
 import glob
+import json
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -104,10 +106,113 @@ def test_http_window_query_half_open_upper_bound():
     )
 
     reader = SocrataReader(DEFAULT_SCHEMA, {"ts_column": "ts", "mode": "http"})
-    q = reader._window_query(_WindowPartition("2024-01-01", "2024-01-31"))
+    q = reader._window_query(_WindowPartition("2024-01-01", "2024-01-31"), limit=1000, offset=0)
     assert "ts>='2024-01-01'" in q
     assert "ts<'2024-02-01'" in q
     assert "<=" not in q
+    # stable paging: explicit order + limit/offset in every page query
+    assert "$order=event_id" in q and "$limit=1000" in q and "$offset=0" in q
+
+
+class _FakeHttpResponse:
+    def __init__(self, payload, status=200):
+        self.text = json.dumps(payload)
+        self.status = status
+
+    def raise_for_status(self):
+        if self.status >= 400:
+            raise RuntimeError(f"HTTP {self.status}")
+
+
+class _ScriptedRequests:
+    """Fake ``requests`` module: serves records page-by-page from
+    $limit/$offset, failing on scripted call indexes (1-based)."""
+
+    def __init__(self, records, fail_calls=(), fail_with="conn"):
+        self.records = records
+        self.fail_calls = set(fail_calls)
+        self.fail_with = fail_with
+        self.calls = []
+
+    def get(self, url, params, timeout):
+        self.calls.append(params)
+        if len(self.calls) in self.fail_calls:
+            if self.fail_with == "conn":
+                raise ConnectionError("scripted transport failure")
+            return _FakeHttpResponse([], status=503)
+        limit = int(re.search(r"\$limit=(\d+)", params).group(1))
+        offset = int(re.search(r"\$offset=(\d+)", params).group(1))
+        return _FakeHttpResponse(self.records[offset : offset + limit])
+
+
+def _http_reader(fake, page_size=10, max_retries=3):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.rest import (
+        DEFAULT_SCHEMA,
+        SocrataReader,
+    )
+
+    reader = SocrataReader(
+        DEFAULT_SCHEMA,
+        {
+            "ts_column": "ts",
+            "mode": "http",
+            "url": "http://example.invalid/cfs.json",
+            "page_size": str(page_size),
+            "max_retries": str(max_retries),
+            "retry_backoff_s": "0",
+        },
+    )
+    reader.requests_module = fake
+    return reader
+
+
+def _records(n):
+    return [
+        {"event_id": i, "ts": f"2024-01-{i % 28 + 1:02d}T01:02:03.000000",
+         "user_id": i * 10, "event_type": "click", "value": 1.5, "props": "{}"}
+        for i in range(n)
+    ]
+
+
+def test_http_transport_pages_through_whole_window():
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.rest import (
+        _WindowPartition,
+    )
+
+    fake = _ScriptedRequests(_records(25))
+    reader = _http_reader(fake, page_size=10)
+    rows = list(reader._read_http(_WindowPartition("2024-01-01", "2024-01-31")))
+    assert len(rows) == 25
+    assert [r[0] for r in rows] == list(range(25))  # ordered, no dupes/gaps
+    assert len(fake.calls) == 3  # pages of 10, 10, 5
+    assert "$offset=20" in fake.calls[-1]
+
+
+def test_http_transport_retries_transient_failures_exactly_once():
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.rest import (
+        _WindowPartition,
+    )
+
+    # page 2's first two attempts fail (calls 2 and 3): retry must
+    # re-fetch ONLY that page — page 1 rows are never re-yielded.
+    fake = _ScriptedRequests(_records(25), fail_calls={2, 3})
+    reader = _http_reader(fake, page_size=10, max_retries=3)
+    rows = list(reader._read_http(_WindowPartition("2024-01-01", "2024-01-31")))
+    assert [r[0] for r in rows] == list(range(25))
+    assert len(fake.calls) == 5  # p1 ok, p2 fail, p2 fail, p2 ok, p3 ok
+    assert sum("$offset=10" in c for c in fake.calls) == 3
+
+
+def test_http_transport_http_error_status_retries_then_raises():
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.rest import (
+        _WindowPartition,
+    )
+
+    fake = _ScriptedRequests(_records(5), fail_calls={1, 2, 3}, fail_with="status")
+    reader = _http_reader(fake, page_size=10, max_retries=2)
+    with pytest.raises(RuntimeError, match="HTTP 503"):
+        list(reader._read_http(_WindowPartition("2024-01-01", "2024-01-31")))
+    assert len(fake.calls) == 3  # initial + 2 retries, then surfaced
 
 
 def test_json_and_orc_roundtrip_with_schema(spark, tmp_path):
@@ -248,6 +353,107 @@ def test_write_documents_deterministic_ids_dedup_on_retry(spark, tmp_path):
     # content_id is stable and key-order independent
     assert content_id({"k": 1, "v": "a"}) == content_id({"v": "a", "k": 1})
     assert df.count() == 2  # df unused beyond sanity; keeps fixture warm
+
+
+class _FlakyKeyedStoreClient:
+    """Unique-key store (one file per ``_id``, like Mongo's _id index)
+    whose FIRST insert_many call per store writes half the batch then
+    dies mid-batch — the failure VERDICT r2 #6 asked to inject.
+    Re-inserting an existing key counts as a duplicate-key no-op."""
+
+    def __init__(self, root):
+        self.root = root
+
+    def insert_many(self, collection: str, docs: list[dict]) -> int:
+        cdir = os.path.join(self.root, collection)
+        os.makedirs(cdir, exist_ok=True)
+        marker = os.path.join(self.root, "crashed-once")
+        crash_at = None if os.path.exists(marker) else max(1, len(docs) // 2)
+        written = 0
+        for i, d in enumerate(docs):
+            if crash_at is not None and i >= crash_at:
+                with open(marker, "w", encoding="utf-8") as fh:
+                    fh.write("1")
+                raise ConnectionError("store died mid-batch")
+            path = os.path.join(cdir, f"{d['_id']}.json")
+            if os.path.exists(path):
+                continue  # duplicate key -> no-op (swallowed like 11000)
+            with open(path, "w", encoding="utf-8") as fh:
+                fh.write(json.dumps(d, default=str))
+            written += 1
+        return written
+
+    def drop_collection(self, collection: str) -> None:
+        cdir = os.path.join(self.root, collection)
+        if os.path.isdir(cdir):
+            for name in os.listdir(cdir):
+                os.unlink(os.path.join(cdir, name))
+
+
+def test_write_documents_mid_batch_crash_retry_exactly_once(spark, tmp_path):
+    # End-to-end through foreachPartition (real executor processes):
+    # the store crashes mid-batch on the first attempt; the sink's
+    # retry re-sends the whole batch; deterministic _ids collapse the
+    # half that was already written. Net effect: exactly one document
+    # per row.
+    root = str(tmp_path / "flakystore")
+    df = (
+        read_testdata(spark, SF_SMOKE, "events")
+        .select("event_id", "event_type")
+        .limit(40)
+        .coalesce(1)  # one partition -> one scripted crash
+    )
+    write_documents(
+        df, "calls", lambda: _FlakyKeyedStoreClient(root), retry_sleep_s=0.0
+    )
+    files = os.listdir(os.path.join(root, "calls"))
+    assert len(files) == 40  # every row exactly once, despite the crash
+    assert os.path.exists(os.path.join(root, "crashed-once"))
+
+
+def test_mongo_adapter_mid_batch_dup_and_transient_mix():
+    # pymongo surface: first call inserts a prefix then raises a
+    # TRANSIENT error; the sink-level retry re-sends everything and the
+    # adapter swallows the resulting duplicate-key writeErrors — ids
+    # stay unique, non-dup errors still raise.
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.docsink import (
+        MongoDatabaseAdapter,
+    )
+
+    class _FlakyCollection(_FakeCollection):
+        def __init__(self):
+            super().__init__()
+            self.crashed = False
+
+        def insert_many(self, docs, ordered=True):
+            if not self.crashed:
+                for d in docs[: len(docs) // 2]:
+                    self.docs[d["_id"]] = d
+                self.crashed = True
+                raise ConnectionError("socket reset mid-batch")
+            return super().insert_many(docs, ordered=ordered)
+
+    db = _FakeDatabase()
+    db.collections["calls"] = _FlakyCollection()
+    adapter = MongoDatabaseAdapter(db)
+    docs = [{"_id": f"id{i}", "v": i} for i in range(6)]
+
+    with pytest.raises(ConnectionError):
+        adapter.insert_many("calls", docs)  # transient errors surface
+    assert adapter.insert_many("calls", docs) == 3  # retry: dups swallowed
+    assert len(db.collections["calls"].docs) == 6
+
+    # a non-duplicate write error must NOT be swallowed
+    class _PoisonError(Exception):
+        details = {"writeErrors": [{"index": 0, "code": 121}]}  # validation
+
+    class _PoisonCollection(_FakeCollection):
+        def insert_many(self, docs, ordered=True):
+            raise _PoisonError()
+
+    db.collections["poison"] = _PoisonCollection()
+    with pytest.raises(_PoisonError):
+        adapter.insert_many("poison", docs)
 
 
 def test_streaming_windowed_counts_available_now(spark, tmp_path):
