@@ -57,16 +57,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            RANK() OVER w1 AS rnk,
            DENSE_RANK() OVER w1 AS drnk,
            LAG(o_orderkey) OVER w1 AS prev_orderkey,
-           ROUND(percent_rank() OVER w2, 6) AS pct_rank,
-           ROUND(cume_dist() OVER w2, 6)    AS cume,
-           CAST(NTILE(4) OVER w3 AS BIGINT) AS price_quartile,
            first_value(o_totalprice) OVER w4  AS first_price,
            last_value(o_totalprice)  OVER w4  AS last_price,
-           nth_value(o_totalprice, 2) OVER w4 AS second_price
+           nth_value(o_totalprice, 2) OVER w4 AS second_price,
+           ROUND(percent_rank() OVER w2, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w2, 6)    AS cume,
+           CAST(NTILE(4) OVER w3 AS BIGINT) AS price_quartile
     FROM orders
     WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC),
            w2 AS (PARTITION BY o_orderpriority ORDER BY o_totalprice),
-           w3 AS (ORDER BY o_totalprice DESC, o_orderkey ASC),
+           w3 AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC),
            w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
@@ -75,11 +75,16 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     w1 = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     w2 = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-    # w3 is a GLOBAL ntile: a single total order is inherent to global
-    # quantile assignment (one sort partition). Fine for ≤dimension-size
-    # inputs; at fact scale use percentile cutoffs + a bucket join
-    # (operators/aggregates.percentiles_cents) instead.
-    w3 = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    # ntile is PARTITIONED (quartile within priority), deliberately not
+    # global: one global window in a multi-window query poisons the
+    # WHOLE plan into SinglePartition — the planner satisfies every
+    # later clustering requirement with the single-partition exchange,
+    # so all four windows would run on one task (observed before this
+    # fix). The global-quantile spelling lives in
+    # ntile_customers_by_balance (tail) with its scale caveat.
+    w3 = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
     w4 = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -89,16 +94,20 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderpriority",
+        # column order groups same-partitioning windows (w1+w4 custkey,
+        # then w2+w3 priority): the planner splits Window operators in
+        # expression order, so interleaving partitionings would shuffle
+        # on custkey twice (3 exchanges instead of 2).
         F.row_number().over(w1).cast("long").alias("rn"),
         F.rank().over(w1).cast("long").alias("rnk"),
         F.dense_rank().over(w1).cast("long").alias("drnk"),
         F.lag("o_orderkey").over(w1).alias("prev_orderkey"),
-        F.round(F.percent_rank().over(w2), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w2), 6).alias("cume"),
-        F.ntile(4).over(w3).cast("long").alias("price_quartile"),
         F.first("o_totalprice").over(w4).alias("first_price"),
         F.last("o_totalprice").over(w4).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w4).alias("second_price"),
+        F.round(F.percent_rank().over(w2), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w2), 6).alias("cume"),
+        F.ntile(4).over(w3).cast("long").alias("price_quartile"),
     )
 
 

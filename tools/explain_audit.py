@@ -199,6 +199,77 @@ def main() -> None:
             "dedup is the only wide stage; sample/score/filter are "
             "map-side on the scan",
         ),
+        (
+            "window_functions_suite",
+            "4 windows, 2 exchanges, never SinglePartition",
+            lambda p: count_exchanges(p) == 2 and "SinglePartition" not in p,
+            "same-partitioning windows share one shuffle (expression "
+            "order groups them); a global window here would poison the "
+            "whole plan into one task — the planner satisfies every "
+            "clustering requirement with a SinglePartition exchange",
+        ),
+        (
+            "rolling_windows_suite",
+            "RANGE + ROWS frames share one exchange",
+            lambda p: count_exchanges(p) == 1,
+            "both frames partition on o_custkey; the second window "
+            "re-sorts in place, no re-shuffle",
+        ),
+        (
+            "events_enrich",
+            "one exchange, zero Python",
+            lambda p: count_exchanges(p) == 1
+            and "BatchEvalPython" not in p
+            and "ArrowEvalPython" not in p,
+            "five scalar-function families + lag over ONE scan and one "
+            "window shuffle, all codegen",
+        ),
+        (
+            "text_profile_docs",
+            "pure map-side scan (zero exchanges, zero Python)",
+            lambda p: count_exchanges(p) == 0
+            and "BatchEvalPython" not in p
+            and "ArrowEvalPython" not in p,
+            "stats+quality+lang are one codegen stage over the scan — "
+            "profiling 100 TB is a single pass with no shuffle",
+        ),
+        (
+            "sample_split_docs",
+            "sampling/split map-side; only the final agg shuffles",
+            lambda p: count_exchanges(p) == 1
+            and "BatchEvalPython" not in p
+            and "ArrowEvalPython" not in p,
+            "hash-sampling is a filtered scan at any scale; the "
+            "(lang, split) agg is the only wide stage",
+        ),
+        (
+            "jaccard_within_lsh_buckets",
+            "verify joins are equi-hash, never nested-loop",
+            lambda p: "BroadcastNestedLoopJoin" not in p
+            and "CartesianProduct" not in p,
+            "LSH proposes, exact Jaccard verifies only proposed pairs — "
+            "cost O(|candidates|), not O(n²) over the corpus",
+        ),
+        (
+            "semi_anti_customers",
+            "membership via LeftSemi + LeftAnti joins",
+            lambda p: re.search(r"(LeftSemi|Semi)", p) and re.search(r"(LeftAnti|Anti)", p),
+            "IN / NOT IN as distributed joins, no driver value list",
+        ),
+        (
+            "multimodal_decode_real",
+            "decode is Arrow-batched, not row-at-a-time Python",
+            lambda p: "BatchEvalPython" not in p,
+            "the codec kernel crosses the JVM-Python boundary once per "
+            "Arrow batch (mapInPandas), never per row",
+        ),
+        (
+            "salted_count_distinct_orders",
+            "salted distinct = cascaded HashAggregates",
+            lambda p: len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2,
+            "hot keys split across salt buckets before the final "
+            "combine — no single-reducer distinct",
+        ),
     ]
 
     lines = [
