@@ -61,7 +61,15 @@ _CONTINUITY = [
     "rolling_7day_revenue",
 ]
 
-HEADLINE = [q for q in GATE_PRIORITY if q not in _UNBENCHABLE] + _CONTINUITY
+# Round-3 additions (tail-registered, still headline-benched).
+_NEW_R3 = [
+    "gopher_repetition_docs",
+    "pii_redact_docs",
+    "winnow_fingerprint_docs",
+    "mixture_upsample_docs",
+]
+
+HEADLINE = [q for q in GATE_PRIORITY if q not in _UNBENCHABLE] + _CONTINUITY + _NEW_R3
 
 
 def main() -> None:

@@ -470,3 +470,52 @@ def simhash32(
     return votes.select(
         F.col(id_col), F.expr(packed_sql).cast("long").alias("simhash")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Document fingerprinting by winnowing (the MOSS scheme,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): hash every char ``k``-gram of
+    the whitespace-normalized text, slide a ``window``-wide frame over
+    the hash sequence, and keep the minimum of each frame. The selected
+    set is position-robust — any shared substring of length
+    ``k + window - 1`` between two documents is guaranteed to produce a
+    shared fingerprint — which is what makes it the standard
+    partial-overlap / plagiarism detector (vs whole-doc md5, which only
+    catches identical content, text.fingerprint).
+
+    Output: distinct ``(id_col, fp)`` pairs, fp in [0, 2³²) — directly
+    joinable fp-to-fp to find overlapping documents (shared-substring
+    candidates), same probe shape as LSH bucket joins.
+
+    Scale shape: the position explode (one row per character) happens
+    map-side and is immediately reduced to (id, pos, hash) before the
+    ONLY exchange — the per-doc window shuffle carries 20 bytes/char,
+    never the text. The rolling-min window and the closing distinct
+    both cluster on the id, so the planner reuses one hash partition
+    (one exchange total). Per-task work is O(len·k) hashing — the same
+    work a single-node MOSS pays, spread across the cluster; the
+    longest document bounds skew.
+
+    Hash: the cross-engine 56-bit md5 family reduced mod 2³² —
+    bit-identical in the DuckDB oracle (functions/hashing.py).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    n_pos = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    exploded = df.select(
+        F.col(id_col), norm.alias("__t"), F.explode(F.sequence(F.lit(1), n_pos)).alias("__pos")
+    ).select(
+        F.col(id_col),
+        F.col("__pos"),
+        (hash56(F.substring(F.col("__t"), F.col("__pos"), k)) % F.lit(1 << 32)).alias("__h"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(-(window - 1), 0)
+    return (
+        exploded.select(F.col(id_col), F.min("__h").over(w).alias("fp"))
+        .distinct()
+    )

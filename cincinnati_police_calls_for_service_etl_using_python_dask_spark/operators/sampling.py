@@ -121,6 +121,75 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def repeat_upsample(
+    df: DataFrame,
+    strata_col: str,
+    multipliers: Mapping[str, float],
+    key_cols: Sequence[str],
+    seed: int = 0,
+    copy_col: str = "copy_idx",
+    default_multiplier: float = 1.0,
+) -> DataFrame:
+    """Deterministic mixture resampling: each row appears
+    ``floor(m)`` times, plus one more iff ``hash(key) < frac(m)·2⁵⁶``
+    — so a stratum with multiplier 2.3 is exactly duplicated twice and
+    a content-chosen ~30% of it a third time. This is the standard
+    data-mixing move (epochs per domain/language, incl. fractional
+    epochs and downsampling with m < 1), made reproducible the same
+    way hash_sample is: the copy count is a pure function of the row.
+
+    Scale shape: the copy count and the exploded ``sequence`` are
+    map-side codegen — upsampling 100 TB is a flat-mapped scan, no
+    shuffle, no state, stable under retries/AQE. ``copy_col`` (1-based)
+    distinguishes the copies downstream (e.g. for shuffling packed
+    epochs apart). Rows whose stratum resolves to multiplier 0 vanish
+    (explode of an empty array), matching hash_sample(rate=0).
+
+    NOTE ``F.sequence(1, n)`` with n ≤ 0 yields a DESCENDING sequence
+    in Spark, not an empty one — the ``copies >= 1`` guard below is
+    load-bearing.
+    """
+    for m in multipliers.values():
+        if m < 0:
+            raise ValueError(f"multipliers must be >= 0, got {m}")
+    base: Column = F.lit(int(default_multiplier))
+    thr: Column = F.lit(_threshold(default_multiplier - int(default_multiplier)))
+    for value, m in multipliers.items():
+        is_v = F.col(strata_col) == F.lit(value)
+        base = F.when(is_v, F.lit(int(m))).otherwise(base)
+        thr = F.when(is_v, F.lit(_threshold(m - int(m)))).otherwise(thr)
+    copies = base + F.when(_key_expr(key_cols, seed) < thr, 1).otherwise(0)
+    seq = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(copy_col, F.explode(seq))
+
+
+def duckdb_upsample_sql(
+    strata_col: str,
+    multipliers: Mapping[str, float],
+    key_cols: Sequence[str],
+    seed: int = 0,
+    default_multiplier: float = 1.0,
+) -> str:
+    """DuckDB expression for the same copy count as
+    :func:`repeat_upsample` (wrap in ``unnest(generate_series(1, …))``
+    — generate_series(1, 0) is empty in DuckDB, so no guard needed)."""
+    h = duckdb_key_sql(key_cols, seed)
+    base_whens = " ".join(
+        f"WHEN '{v}' THEN {int(m)}" for v, m in multipliers.items()
+    )
+    thr_whens = " ".join(
+        f"WHEN '{v}' THEN {_threshold(m - int(m))}" for v, m in multipliers.items()
+    )
+    base = f"CASE {strata_col} {base_whens} ELSE {int(default_multiplier)} END"
+    thr = (
+        f"CASE {strata_col} {thr_whens} "
+        f"ELSE {_threshold(default_multiplier - int(default_multiplier))} END"
+    )
+    return f"({base} + CASE WHEN {h} < {thr} THEN 1 ELSE 0 END)"
+
+
 def duckdb_split_case_sql(
     key_cols: Sequence[str],
     splits: Mapping[str, float],

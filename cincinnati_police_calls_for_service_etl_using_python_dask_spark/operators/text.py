@@ -151,6 +151,229 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.when(k >= n, grams).otherwise(whole))
 
 
+# ---------------------------------------------------------------------------
+# Repetition / Gopher-style quality signals (round 3). All scalar
+# metrics are single-scan codegen expressions; ratios use integer
+# floor-division at 1e-6 resolution so Spark and DuckDB produce
+# bit-identical doubles (float division of a ratio can round a
+# half-ulp differently per engine; floor((num·10⁶) div den)/10⁶ is
+# exact integer arithmetic as long as num·10⁶ < 2⁵³, which holds for
+# every metric here — num is a char/line/token count ≤ ~10⁶).
+# ---------------------------------------------------------------------------
+
+# Lines that *start* with a bullet marker / *end* with an ellipsis —
+# the Gopher doc-format signals. (?m) multiline anchors are supported
+# by both Java regex and RE2.
+BULLET_LINE = r"(?m)^[-*] "
+ELLIPSIS_LINE = r"(?m)\.\.\.$"
+# The Gopher "symbol" set: hash marks and ellipses.
+SYMBOL_PATTERN = r"#|\.\.\."
+
+
+def _micro(num: Column, den: Column) -> Column:
+    """floor(num·10⁶ / den) as a long; 0 when den = 0. The shared
+    integer core of every ratio metric — threshold comparisons happen
+    on THIS value so engine float rounding can never flip a flag."""
+    return (
+        F.when(den > 0, F.floor(num * F.lit(1_000_000) / den)).otherwise(F.lit(0)).cast("long")
+    )
+
+
+def int_ratio6(num: Column, den: Column) -> Column:
+    """num/den floored at 1e-6, as double; 0.0 when den = 0. Exact and
+    engine-portable (see section comment). DuckDB mirror:
+    ``CASE WHEN den > 0 THEN ((num*1000000) // den) / 1000000.0 ELSE 0.0 END``."""
+    return (_micro(num, den) / F.lit(1_000_000.0)).cast("double")
+
+
+def reline(col: Column | str, tokens_per_line: int = 5) -> Column:
+    """Deterministically break single-line text into lines of
+    ``tokens_per_line`` single-space-separated tokens — gives corpora
+    with no newlines (like the synthetic testdata) a line structure the
+    line-level metrics can exercise, identically in both engines.
+    DuckDB mirror: ``regexp_replace(text, pat, '\\1' || chr(10), 'g')``
+    (RE2 replacement syntax; Spark's is ``$1``)."""
+    pat = r"((?:\S+ ){%d}\S+) " % (tokens_per_line - 1)
+    return F.regexp_replace(_c(col), pat, "$1\n")
+
+
+def line_count(col: Column | str) -> Column:
+    """Number of newline-delimited lines (1 for no-newline text)."""
+    return F.size(F.split(_c(col), "\n"))
+
+
+def dup_line_fraction(col: Column | str) -> Column:
+    """Fraction of lines that are exact duplicates of an earlier line
+    (Gopher repetition signal). array_distinct is a non-lambda
+    collection function — stays in codegen, unlike higher-order
+    filter/transform."""
+    lines = F.split(_c(col), "\n")
+    return int_ratio6(F.size(lines) - F.size(F.array_distinct(lines)), F.size(lines))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    """Mean token length = non-whitespace chars / tokens, floored at
+    1e-6 (Gopher bounds: reject < 3 or > 10)."""
+    c = _c(col)
+    non_ws = F.length(F.regexp_replace(c, r"\s", ""))
+    return int_ratio6(non_ws, token_count(col))
+
+
+def symbol_word_ratio(col: Column | str) -> Column:
+    """(# marks + ellipses) per token (Gopher: reject > 0.1)."""
+    return int_ratio6(F.regexp_count(_c(col), F.lit(SYMBOL_PATTERN)), token_count(col))
+
+
+def bullet_line_fraction(col: Column | str) -> Column:
+    """Fraction of lines starting with '- ' or '* ' (Gopher: reject > 0.9)."""
+    return int_ratio6(F.regexp_count(_c(col), F.lit(BULLET_LINE)), line_count(col))
+
+
+def ellipsis_line_fraction(col: Column | str) -> Column:
+    """Fraction of lines ending with '...' (Gopher: reject > 0.3)."""
+    return int_ratio6(F.regexp_count(_c(col), F.lit(ELLIPSIS_LINE)), line_count(col))
+
+
+def alpha_word_fraction(col: Column | str) -> Column:
+    """Fraction of tokens containing at least one ASCII letter
+    (Gopher: reject < 0.8). Spark side counts via one anchored regex
+    (lookahead is fine in Java regex); the oracle spells it with
+    list_filter since RE2 has no lookahead."""
+    pat = r"(?:^|\s)\S*[a-z]\S*(?=\s|$)"
+    n_alpha = F.regexp_count(F.lower(F.trim(_c(col))), F.lit(pat))
+    return int_ratio6(n_alpha, token_count(col))
+
+
+def gopher_pass(
+    col: Column | str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+) -> Column:
+    """1 when the document passes the Gopher quality rules (word-count
+    bounds, mean word length 3–10, symbol ratio ≤ 0.1, duplicate-line
+    fraction ≤ 0.3, bullet ≤ 0.9, ellipsis ≤ 0.3, alpha-word ≥ 0.8),
+    else 0 — the standard cheap pre-filter before dedup. Comparisons
+    run on the integer micro-ratios, never on derived doubles."""
+    c = _c(col)
+    n_tok = token_count(col)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    checks = (
+        (n_tok >= min_tokens)
+        & (n_tok <= max_tokens)
+        & _micro(F.length(F.regexp_replace(c, r"\s", "")), n_tok).between(3_000_000, 10_000_000)
+        & (_micro(F.regexp_count(c, F.lit(SYMBOL_PATTERN)), n_tok) <= 100_000)
+        & (_micro(n_lines - F.size(F.array_distinct(lines)), n_lines) <= 300_000)
+        & (_micro(F.regexp_count(c, F.lit(BULLET_LINE)), n_lines) <= 900_000)
+        & (_micro(F.regexp_count(c, F.lit(ELLIPSIS_LINE)), n_lines) <= 300_000)
+        & (
+            _micro(
+                F.regexp_count(
+                    F.lower(F.trim(c)), F.lit(r"(?:^|\s)\S*[a-z]\S*(?=\s|$)")
+                ),
+                n_tok,
+            )
+            >= 800_000
+        )
+    )
+    return F.when(checks, 1).otherwise(0).cast("long")
+
+
+def top_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document most-frequent word n-gram and the fraction of the
+    document's characters it covers (count·len(gram)/chars — the Gopher
+    top-n-gram repetition signal). Only documents with ≥ n tokens
+    appear (no grams otherwise).
+
+    Distributed shape: one interpreted ``transform`` projection builds
+    the gram array (with repeats — this is NOT shingling, order and
+    multiplicity matter), then explode → groupBy(id, gram) →
+    per-id window top-1. The groupBy and the window share the id-key
+    clustering, so the whole op costs two exchanges regardless of
+    corpus size; per-doc gram counts are bounded by doc length, so no
+    skew beyond the longest document.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    k = F.size(toks)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        id_col, F.length(c).alias("_n_chars"), F.explode(grams).alias("gram")
+    )
+    counted = exploded.groupBy(id_col, "_n_chars", "gram").agg(
+        F.count(F.lit(1)).alias("gram_count")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("gram_count"), F.asc("gram"))
+    return (
+        counted.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col("gram").alias("top_gram"),
+            F.col("gram_count").cast("long").alias("gram_count"),
+            int_ratio6(
+                F.col("gram_count") * F.length("gram"), F.col("_n_chars")
+            ).alias("top_gram_char_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (round 3): the standard pre-training
+# scrub pass. Patterns are restricted to the Java-regex ∩ RE2 subset
+# (no lookaround, no backreferences) so both engines match the exact
+# same spans; redaction is sequential regexp_replace — pure codegen,
+# a 100 TB scrub is a mapped scan.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{7,15}\b"
+
+# Redaction order matters: emails first (their local/domain parts can
+# contain digit runs an IP/phone pattern would then mangle).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_IPV4, "<IP>"),
+    (PII_PHONE, "<PHONE>"),
+)
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Match counts per PII class (email / ipv4 / phone). DuckDB
+    mirror: ``len(regexp_extract_all(text, pat))`` — both engines count
+    non-overlapping matches left to right."""
+    c = _c(col)
+    return {
+        "n_emails": F.regexp_count(c, F.lit(PII_EMAIL)).cast("long"),
+        "n_ips": F.regexp_count(c, F.lit(PII_IPV4)).cast("long"),
+        "n_phones": F.regexp_count(c, F.lit(PII_PHONE)).cast("long"),
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII span with its class token, in PII_PATTERNS
+    order. Spark regexp_replace is global by default; the DuckDB
+    mirror needs the explicit 'g' option."""
+    c = _c(col)
+    for pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard per-document stat columns in one projection
     (single scan; all codegen)."""

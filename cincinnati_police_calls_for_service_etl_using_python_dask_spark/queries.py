@@ -153,5 +153,6 @@ def _load_all() -> None:
     from . import queries_sql  # noqa: F401
     from . import queries_extra  # noqa: F401
     from . import queries_suites  # noqa: F401
+    from . import queries_curation  # noqa: F401
 
     _LOADED = True

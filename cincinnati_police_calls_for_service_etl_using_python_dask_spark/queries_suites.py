@@ -266,16 +266,38 @@ def q_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Text analysis in ONE scan: raw counts (tokens/chars/punct/stopwords)
-# + derived quality score + language ID. Merges text_stats +
-# text_quality_lang; every expression is shared via CSE-friendly
-# codegen (no higher-order functions — see operators/text.py).
+# + derived quality score + language ID + the round-3 Gopher-style
+# repetition/format metrics (duplicate-line fraction, mean word
+# length, symbol ratio, bullet/ellipsis line fractions, alpha-word
+# fraction, composite gopher_ok flag). Line metrics run on a
+# deterministically RE-LINED copy (reline(), 5 tokens/line) because
+# the synthetic corpus has no newlines — both engines apply the same
+# relining, so the metrics are exercised, not degenerate. Merges
+# text_stats + text_quality_lang; every expression is a CSE-friendly
+# codegen chain (no higher-order functions — see operators/text.py);
+# ratios are integer micro-ratios so the doubles are bit-identical.
 # ---------------------------------------------------------------------------
 
+_RELINE_SQL = r"regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g')"
+_MICRO_SQL = "CASE WHEN ({den}) > 0 THEN (({num}) * 1000000) // ({den}) ELSE 0 END"
 
-@register(
-    "text_profile_docs",
-    f"""
-    WITH s AS (
+
+def _micro_sql(num: str, den: str) -> str:
+    return _MICRO_SQL.format(num=num, den=den)
+
+
+def _text_profile_oracle() -> str:
+    dup = _micro_sql("len(lines) - len(list_distinct(lines))", "len(lines)")
+    mwl = _micro_sql("n_nonws", "n_tokens")
+    sym = _micro_sql("n_sym", "n_tokens")
+    bullet = _micro_sql("n_bullet", "len(lines)")
+    ellip = _micro_sql("n_ellip", "len(lines)")
+    alpha = _micro_sql("n_alpha", "n_tokens")
+    return f"""
+    WITH b AS (
+      SELECT doc_id, text, {_RELINE_SQL} AS rl FROM documents
+    ),
+    s AS (
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len({_D_TOKS_NOCASE}) END                        AS n_tokens,
@@ -283,8 +305,15 @@ def q_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
              length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
                                                                         AS n_punct,
              len(list_filter({_D_TOKS}, t -> list_contains({_D_STOPWORDS}, t)))
-                                                                        AS n_stopwords
-      FROM documents
+                                                                        AS n_stopwords,
+             str_split(rl, chr(10))                                     AS lines,
+             length(regexp_replace(text, '\\s', '', 'g'))               AS n_nonws,
+             len(regexp_extract_all(text, '#|\\.\\.\\.'))               AS n_sym,
+             len(list_filter({_D_TOKS}, t -> regexp_matches(t, '[a-z]')))
+                                                                        AS n_alpha,
+             len(regexp_extract_all(rl, '(?m)^[-*] '))                  AS n_bullet,
+             len(regexp_extract_all(rl, '(?m)\\.\\.\\.$'))              AS n_ellip
+      FROM b
     )
     SELECT doc_id, n_tokens, n_chars_measured, n_punct, n_stopwords,
            CAST(( (least(n_tokens, 64) * 4000) // 64
@@ -298,12 +327,30 @@ def q_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN (CASE WHEN n_tokens > 0
                            THEN n_stopwords / CAST(n_tokens AS DOUBLE)
                            ELSE 0.0 END) >= 0.05
-                THEN 'en' ELSE 'und' END                                AS lang_guess
+                THEN 'en' ELSE 'und' END                                AS lang_guess,
+           CAST(len(lines) AS BIGINT)                                   AS n_lines,
+           CAST(({dup}) / 1000000.0 AS DOUBLE)                          AS dup_line_frac,
+           CAST(({mwl}) / 1000000.0 AS DOUBLE)                          AS mean_word_len,
+           CAST(({sym}) / 1000000.0 AS DOUBLE)                          AS symbol_ratio,
+           CAST(({bullet}) / 1000000.0 AS DOUBLE)                       AS bullet_line_frac,
+           CAST(({ellip}) / 1000000.0 AS DOUBLE)                        AS ellipsis_line_frac,
+           CAST(({alpha}) / 1000000.0 AS DOUBLE)                        AS alpha_word_frac,
+           CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000
+                      AND ({mwl}) BETWEEN 3000000 AND 10000000
+                      AND ({sym}) <= 100000
+                      AND ({dup}) <= 300000
+                      AND ({bullet}) <= 900000
+                      AND ({ellip}) <= 300000
+                      AND ({alpha}) >= 800000
+                THEN 1 ELSE 0 END AS BIGINT)                            AS gopher_ok
     FROM s
-    """,
-)
+    """
+
+
+@register("text_profile_docs", _text_profile_oracle())
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    relined = tx.reline("text", tokens_per_line=5)
     return docs.select(
         "doc_id",
         tx.token_count("text").cast("long").alias("n_tokens"),
@@ -312,6 +359,14 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.stopword_count("text").cast("long").alias("n_stopwords"),
         tx.quality_score("text").alias("quality"),
         tx.lang_id("text").alias("lang_guess"),
+        tx.line_count(relined).cast("long").alias("n_lines"),
+        tx.dup_line_fraction(relined).alias("dup_line_frac"),
+        tx.mean_word_length("text").alias("mean_word_len"),
+        tx.symbol_word_ratio("text").alias("symbol_ratio"),
+        tx.bullet_line_fraction(relined).alias("bullet_line_frac"),
+        tx.ellipsis_line_fraction(relined).alias("ellipsis_line_frac"),
+        tx.alpha_word_fraction("text").alias("alpha_word_frac"),
+        tx.gopher_pass(relined).alias("gopher_ok"),
     )
 
 

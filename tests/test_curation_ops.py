@@ -1,0 +1,225 @@
+"""Unit tests for the round-3 curation operators: Gopher repetition /
+quality metrics, PII redaction, winnowing fingerprints, mixture
+upsampling. Crafted inputs exercise the branches the synthetic corpus
+can't (bullets, ellipses, duplicate lines, real-looking PII, overlap
+guarantees, fractional multipliers)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+    dedup as dd,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+    sampling as sp,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+    text as tx,
+)
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "text string").select(col.alias("v")).first()["v"]
+
+
+# ---------------------------------------------------------------------------
+# Gopher metrics
+# ---------------------------------------------------------------------------
+
+
+def test_dup_line_fraction_counts_repeats(spark):
+    t = "aaa\nbbb\naaa\nccc\naaa"  # 5 lines, 3 distinct -> 2/5
+    assert _one(spark, t, tx.dup_line_fraction(F.col("text"))) == pytest.approx(0.4)
+    assert _one(spark, "x\ny", tx.dup_line_fraction(F.col("text"))) == 0.0
+
+
+def test_bullet_and_ellipsis_line_fractions(spark):
+    t = "- first bullet\n* second bullet\nplain line\nto be continued...\nend"
+    assert _one(spark, t, tx.bullet_line_fraction(F.col("text"))) == pytest.approx(0.4)
+    assert _one(spark, t, tx.ellipsis_line_fraction(F.col("text"))) == pytest.approx(0.2)
+
+
+def test_mean_word_length_and_symbol_ratio(spark):
+    t = "ab cdef"  # 6 non-ws chars / 2 tokens = 3.0
+    assert _one(spark, t, tx.mean_word_length(F.col("text"))) == pytest.approx(3.0)
+    t2 = "see # and # more ..."  # 2 hashes + 1 ellipsis over 6 tokens
+    assert _one(spark, t2, tx.symbol_word_ratio(F.col("text"))) == pytest.approx(0.5, abs=1e-6)
+
+
+def test_alpha_word_fraction_ignores_numeric_tokens(spark):
+    t = "abc 123 d4 ... 99"  # alpha-bearing: abc, d4 -> 2/5
+    assert _one(spark, t, tx.alpha_word_fraction(F.col("text"))) == pytest.approx(0.4)
+
+
+def test_gopher_pass_word_count_and_symbol_gates(spark):
+    good = " ".join(f"word{i % 7}x" for i in range(80))
+    assert _one(spark, good, tx.gopher_pass(F.col("text"))) == 1
+    # too short
+    assert _one(spark, "only three words", tx.gopher_pass(F.col("text"))) == 0
+    # symbol-heavy: every other token is '#'
+    noisy = " ".join("word #".split() * 60)
+    assert _one(spark, " ".join(["word", "#"] * 60), tx.gopher_pass(F.col("text"))) == 0
+    del noisy
+
+
+def test_gopher_pass_rejects_duplicate_lines(spark):
+    line = "some repeated line of text here"
+    t = "\n".join([line] * 9 + ["a unique closing line of text"])  # 80% dup lines
+    assert _one(spark, t, tx.gopher_pass(F.col("text"), min_tokens=10)) == 0
+
+
+def test_reline_preserves_tokens_and_makes_lines(spark):
+    t = " ".join(f"t{i}" for i in range(12))
+    relined = _one(spark, t, tx.reline(F.col("text"), tokens_per_line=5))
+    assert relined.count("\n") == 2
+    assert relined.replace("\n", " ") == t
+
+
+def test_top_ngram_stats_finds_dominant_bigram(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark rocks spark rocks spark rocks indeed"),
+            (2, "one two"),
+            (3, "solo"),  # < 2 tokens -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tx.top_ngram_stats(df).collect()}
+    assert rows[1]["top_gram"] == "spark rocks"
+    assert rows[1]["gram_count"] == 3
+    # 3 * len("spark rocks")=11 -> 33 chars of 42
+    assert rows[1]["top_gram_char_frac"] == pytest.approx(33 / 42, abs=1e-6)
+    assert rows[2]["top_gram"] == "one two" and rows[2]["gram_count"] == 1
+    assert 3 not in rows
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redaction_replaces_all_classes(spark):
+    t = "mail a.b+c@ex.co and 10.1.2.3 or call +4915112345678 done"
+    red = _one(spark, t, tx.redact_pii(F.col("text")))
+    assert red == "mail <EMAIL> and <IP> or call <PHONE> done"
+    counts = tx.pii_counts(F.col("text"))
+    df = spark.createDataFrame([(t,)], "text string").select(
+        *[c.alias(n) for n, c in counts.items()]
+    )
+    r = df.first()
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (1, 1, 1)
+
+
+def test_pii_email_redacted_before_ip_and_phone(spark):
+    # the email's digit runs must not be re-matched as IP/phone
+    t = "x 1.2.3.4me@d1.example.org y"
+    red = _one(spark, t, tx.redact_pii(F.col("text")))
+    assert red == "x <EMAIL> y"
+
+
+def test_pii_clean_text_untouched(spark):
+    t = "no pii here, just 1.2 version numbers and + signs"
+    assert _one(spark, t, tx.redact_pii(F.col("text"))) == t
+
+
+# ---------------------------------------------------------------------------
+# Winnowing
+# ---------------------------------------------------------------------------
+
+
+def _winnow_set(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "doc_id long, text string")
+    out = {}
+    for r in dd.winnow_fingerprints(df, **kw).collect():
+        out.setdefault(r["doc_id"], set()).add(r["fp"])
+    return out
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # winnowing guarantees: any shared substring of length k+window-1
+    # (= 11 here) yields at least one shared fingerprint.
+    shared = "abcdefghijklmnop"  # 16 chars >> 11
+    fps = _winnow_set(
+        spark,
+        [(1, f"xx {shared} yy"), (2, f"completely other prefix {shared}")],
+        k=8, window=4,
+    )
+    assert fps[1] & fps[2], "no shared fingerprint for a shared substring"
+
+
+def test_winnow_disjoint_texts_disjoint_fps(spark):
+    fps = _winnow_set(
+        spark,
+        [(1, "aaaaaaaaaaaaaaaaaaaaaaaa"), (2, "zzzzzzzzzzzzzzzzzzzzzzzz")],
+        k=8, window=4,
+    )
+    assert not (fps[1] & fps[2])
+
+
+def test_winnow_whitespace_normalization(spark):
+    fps = _winnow_set(
+        spark,
+        [(1, "The  quick   brown fox jumps"), (2, "the quick brown fox jumps")],
+        k=8, window=4,
+    )
+    assert fps[1] == fps[2]
+
+
+def test_winnow_short_text_single_gram(spark):
+    fps = _winnow_set(spark, [(1, "abc")], k=8, window=4)
+    assert len(fps[1]) == 1
+
+
+# ---------------------------------------------------------------------------
+# Mixture upsampling
+# ---------------------------------------------------------------------------
+
+
+def _mix_df(spark):
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_repeat_upsample_integer_multipliers(spark):
+    out = sp.repeat_upsample(
+        _mix_df(spark), "lang", {"en": 2.0, "zh": 3.0}, key_cols=["doc_id"]
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 200, "zh": 300}
+
+
+def test_repeat_upsample_fractional_and_zero(spark):
+    out = sp.repeat_upsample(
+        _mix_df(spark), "lang", {"en": 2.5, "zh": 0.0}, key_cols=["doc_id"], seed=5
+    )
+    rows = out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    counts = {r["lang"]: r["n"] for r in rows}
+    assert "zh" not in counts  # multiplier 0 -> rows vanish
+    assert 200 <= counts["en"] <= 300  # 100 docs x (2 or 3 copies)
+    # deterministic: same seed, same result
+    again = sp.repeat_upsample(
+        _mix_df(spark).repartition(7), "lang", {"en": 2.5, "zh": 0.0},
+        key_cols=["doc_id"], seed=5,
+    )
+    assert again.count() == counts["en"]
+
+
+def test_repeat_upsample_copy_idx_contiguous(spark):
+    out = sp.repeat_upsample(
+        _mix_df(spark).limit(10), "lang", {"en": 3.0, "zh": 1.0}, key_cols=["doc_id"]
+    )
+    per_doc = (
+        out.groupBy("doc_id")
+        .agg(F.min("copy_idx").alias("lo"), F.max("copy_idx").alias("hi"),
+             F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per_doc:
+        assert r["lo"] == 1 and r["hi"] == r["n"]
+
+
+def test_repeat_upsample_rejects_negative(spark):
+    with pytest.raises(ValueError):
+        sp.repeat_upsample(_mix_df(spark), "lang", {"en": -1.0}, key_cols=["doc_id"])
