@@ -270,6 +270,41 @@ def main() -> None:
             "hot keys split across salt buckets before the final "
             "combine — no single-reducer distinct",
         ),
+        (
+            "pii_redact_docs",
+            "PII scrub is a zero-exchange codegen scan",
+            lambda p: count_exchanges(p) == 0
+            and "BatchEvalPython" not in p
+            and "ArrowEvalPython" not in p,
+            "detect+redact stay in one map stage — scrubbing 100 TB "
+            "is a filtered read-rewrite pass, no shuffle, no Python",
+        ),
+        (
+            "winnow_fingerprint_docs",
+            "winnowing costs ONE exchange (window+distinct+agg share doc_id clustering)",
+            lambda p: count_exchanges(p) == 1,
+            "the per-char explode is map-side and reduced to (id,pos,hash) "
+            "before the only shuffle; rolling-min window, distinct and the "
+            "final agg all reuse the same doc_id hash partitioning",
+        ),
+        (
+            "mixture_upsample_docs",
+            "upsample explode is map-side; only the report's distinct-cascade shuffles",
+            lambda p: count_exchanges(p) == 2
+            and "BatchEvalPython" not in p
+            and re.search(r"Generate[^\n]*\n\s*\+- Scan parquet", p),  # explode sits on the scan
+            "fractional-epoch replication of 100 TB is a flat-mapped "
+            "scan (copy counts are pure row functions, no state); the two "
+            "exchanges belong to the report's exact count-distinct cascade, "
+            "not the operator",
+        ),
+        (
+            "gopher_repetition_docs",
+            "top-n-gram shuffles only id-clustered aggregates (no text movement)",
+            lambda p: count_exchanges(p) <= 2,
+            "explode→count→window top-1: both wide stages cluster on "
+            "doc_id and carry (id, gram, count) — never the document",
+        ),
     ]
 
     lines = [
