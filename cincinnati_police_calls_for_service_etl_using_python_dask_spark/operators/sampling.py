@@ -149,6 +149,25 @@ def repeat_upsample(
     in Spark, not an empty one — the ``copies >= 1`` guard below is
     load-bearing.
     """
+    copies = upsample_copies(
+        strata_col, multipliers, key_cols, seed, default_multiplier
+    )
+    seq = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(copy_col, F.explode(seq))
+
+
+def upsample_copies(
+    strata_col: str,
+    multipliers: Mapping[str, float],
+    key_cols: Sequence[str],
+    seed: int = 0,
+    default_multiplier: float = 1.0,
+) -> Column:
+    """Per-row copy count used by :func:`repeat_upsample` (map-side
+    codegen, no shuffle) — exposed so callers can report or audit the
+    mixture without exploding."""
     for m in multipliers.values():
         if m < 0:
             raise ValueError(f"multipliers must be >= 0, got {m}")
@@ -158,11 +177,7 @@ def repeat_upsample(
         is_v = F.col(strata_col) == F.lit(value)
         base = F.when(is_v, F.lit(int(m))).otherwise(base)
         thr = F.when(is_v, F.lit(_threshold(m - int(m)))).otherwise(thr)
-    copies = base + F.when(_key_expr(key_cols, seed) < thr, 1).otherwise(0)
-    seq = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return df.withColumn(copy_col, F.explode(seq))
+    return base + F.when(_key_expr(key_cols, seed) < thr, 1).otherwise(0)
 
 
 def duckdb_upsample_sql(

@@ -86,13 +86,16 @@ GATE_PRIORITY: tuple[str, ...] = (
     "token_count_bpe",
     "top_tokens_docs",
     "ann_ivf_full_probe",
-    "multimodal_resize_stub",
-    "multimodal_frame_sample",
     "window_functions_suite",
     "rolling_windows_suite",
-    # — new this round —
+    # — round 3 —
     "jaccard_within_lsh_buckets",
     "multimodal_decode_real",
+    # — round 4: resize+frame merged into one slot; curation family
+    #   (gopher repetition / PII / winnowing / mixture) gated in the
+    #   freed slot —
+    "multimodal_geometry_suite",
+    "curation_suite",
     # — retained gates (sole coverage of their §2 / LLM-table rows) —
     "flagship_cfs_pipeline",
     "groupby_multi_agg",

@@ -11,7 +11,7 @@ tests/test_oracle_parity.py like every other registry entry.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.hashing import duckdb_hash56_sql
@@ -77,15 +77,31 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Deterministic synthetic PII (same bytes in both engines) — shared
+# with the gated curation_suite (queries_suites.py).
+PII_SYNTH_SQL = (
+    "text || ' contact u' || doc_id || '@ex-' || (doc_id % 7) || '.org ip 10.'"
+    " || (doc_id % 256) || '.0.' || ((doc_id * 3) % 256) || ' tel +1'"
+    " || lpad(CAST((doc_id * 37) % 1000000000 AS VARCHAR), 9, '0')"
+)
+
+
+def pii_synth_col() -> Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact u"), d.cast("string"),
+        F.lit("@ex-"), (d % 7).cast("string"), F.lit(".org ip 10."),
+        (d % 256).cast("string"), F.lit(".0."), ((d * 3) % 256).cast("string"),
+        F.lit(" tel +1"),
+        F.lpad(((d * 37) % 1_000_000_000).cast("string"), 9, "0"),
+    )
+
+
 def _pii_oracle() -> str:
     email, ip, phone = tx.PII_EMAIL, tx.PII_IPV4, tx.PII_PHONE
-    synth = (
-        "text || ' contact u' || doc_id || '@ex-' || (doc_id % 7) || '.org ip 10.'"
-        " || (doc_id % 256) || '.0.' || ((doc_id * 3) % 256) || ' tel +1'"
-        " || lpad(CAST((doc_id * 37) % 1000000000 AS VARCHAR), 9, '0')"
-    )
     return f"""
-    WITH s AS (SELECT doc_id, {synth} AS t FROM documents)
+    WITH s AS (SELECT doc_id, {PII_SYNTH_SQL} AS t FROM documents)
     SELECT doc_id,
            CAST(len(regexp_extract_all(t, '{email}')) AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(t, '{ip}'))    AS BIGINT) AS n_ips,
@@ -101,15 +117,7 @@ def _pii_oracle() -> str:
 @register("pii_redact_docs", _pii_oracle())
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
-    d = F.col("doc_id")
-    synth = F.concat(
-        F.col("text"),
-        F.lit(" contact u"), d.cast("string"),
-        F.lit("@ex-"), (d % 7).cast("string"), F.lit(".org ip 10."),
-        (d % 256).cast("string"), F.lit(".0."), ((d * 3) % 256).cast("string"),
-        F.lit(" tel +1"),
-        F.lpad(((d * 37) % 1_000_000_000).cast("string"), 9, "0"),
-    )
+    synth = pii_synth_col()
     counts = tx.pii_counts(synth)
     return docs.select(
         "doc_id",

@@ -472,3 +472,194 @@ def q_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return mm.decode_image_metadata(mm.attach_png_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal geometry suite (round 4): resize planning × frame
+# sampling in ONE gated slot — per (doc, frame) row carrying the
+# source/output geometry next to the sampled frame timeline. Merges
+# the formerly separate multimodal_resize_stub + multimodal_frame_sample
+# gates (both stay registered granularly at the registry tail).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_geometry_suite",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 640 + 1 AS w,
+             octet_length(encode(text)) % 480 + 1 AS h,
+             LEAST(12, octet_length(encode(text)) // 250 + 1) AS n
+      FROM documents
+    ), f AS (
+      SELECT doc_id, w, h, unnest(range(n)) AS idx FROM m
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS src_width,
+           CAST(h AS INT) AS src_height,
+           CAST(GREATEST(1, FLOOR(w * LEAST(1.0, 224.0 / w, 224.0 / h))) AS INT)
+             AS out_width,
+           CAST(GREATEST(1, FLOOR(h * LEAST(1.0, 224.0 / w, 224.0 / h))) AS INT)
+             AS out_height,
+           CAST(idx AS INT) AS frame_idx,
+           CAST(idx * 250 AS INT) AS frame_ts_ms
+    FROM f
+    """,
+)
+def q_multimodal_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    payload = mm.attach_binary_payload(docs)
+    resized = mm.resize_metadata(payload, max_w=224, max_h=224)
+    frames = mm.frame_sample(payload)
+    return resized.join(frames, "doc_id").select(
+        "doc_id", "src_width", "src_height", "out_width", "out_height",
+        "frame_idx", "frame_ts_ms",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation suite (round 4): the four round-3 curation operators in ONE
+# gated slot — per doc: Gopher top-2-gram repetition signal, PII
+# detector counts + redacted length (on the deterministic synthetic
+# PII text), winnowing fingerprint count/checksum, and the mixture
+# copy count. Granular spellings stay tail-registered
+# (queries_curation.py) and locally oracle-gated.
+#
+# Scale shape: topgram and winnow each shuffle on doc_id; the final
+# 3-way join is co-partitioned on the same key, and the PII/mixture
+# columns are map-side codegen on the probe side — one key, three
+# aligned exchanges, no payload amplification.
+# ---------------------------------------------------------------------------
+
+_CUR_MIX = {"en": 0.3, "zh": 2.5, "es": 1.0, "de": 1.5, "fr": 0.0}
+_CUR_SEED = 11
+
+
+def _curation_suite_oracle() -> str:
+    from .functions.hashing import duckdb_hash56_sql
+    from .queries_curation import PII_SYNTH_SQL
+
+    winnow_hash = duckdb_hash56_sql("substr(t, CAST(pos AS INT), 8)")
+    copies = sp.duckdb_upsample_sql(
+        "lang", _CUR_MIX, key_cols=["doc_id"], seed=_CUR_SEED, default_multiplier=1.0
+    )
+    micro = _micro_sql("gram_count * length(gram)", "n_chars")
+    email, ip, phone = tx.PII_EMAIL, tx.PII_IPV4, tx.PII_PHONE
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, length(text) AS n_chars, {_D_TOKS} AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, n_chars,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS gram
+      FROM toks WHERE len(tk) >= 2
+    ),
+    gc AS (
+      SELECT doc_id, n_chars, gram, COUNT(*) AS gram_count
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    topg AS (
+      SELECT doc_id, gram, gram_count, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY gram_count DESC, gram ASC) AS rn
+      FROM gc
+    ),
+    wn AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    wp AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(length(t) - 7, 1))) AS pos
+      FROM wn
+    ),
+    wh AS (
+      SELECT doc_id, pos, ({winnow_hash}) % 4294967296 AS hv FROM wp
+    ),
+    wm AS (
+      SELECT doc_id,
+             MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM wh
+    ),
+    wd AS (SELECT DISTINCT doc_id, fp FROM wm),
+    wagg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+             CAST(SUM(fp) AS BIGINT) AS fp_sum
+      FROM wd GROUP BY doc_id
+    ),
+    pii AS (
+      SELECT doc_id, {PII_SYNTH_SQL} AS t, lang FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '{email}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(t, '{ip}'))    AS BIGINT) AS n_ips,
+             CAST(len(regexp_extract_all(t, '{phone}')) AS BIGINT) AS n_phones,
+             CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+                 '{email}', '<EMAIL>', 'g'),
+                 '{ip}', '<IP>', 'g'),
+                 '{phone}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len,
+             CAST({copies} AS BIGINT) AS mix_copies
+      FROM pii
+    )
+    SELECT b.doc_id,
+           COALESCE(tg.gram, '') AS top_gram,
+           CAST(COALESCE(tg.gram_count, 0) AS BIGINT) AS gram_count,
+           CAST(COALESCE(({micro}) / 1000000.0, 0.0) AS DOUBLE)
+             AS top_gram_char_frac,
+           b.n_emails, b.n_ips, b.n_phones, b.redacted_len,
+           w.n_fps, w.fp_sum, b.mix_copies
+    FROM base b
+    LEFT JOIN (SELECT * FROM topg WHERE rn = 1) tg ON tg.doc_id = b.doc_id
+    JOIN wagg w ON w.doc_id = b.doc_id
+    """
+
+
+@register("curation_suite", _curation_suite_oracle())
+def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_curation import pii_synth_col
+
+    docs = _t(spark, sf_dir, "documents")
+    topg = tx.top_ngram_stats(docs, text_col="text", id_col="doc_id", n=2)
+    wagg = (
+        dd.winnow_fingerprints(docs, text_col="text", id_col="doc_id", k=8, window=4)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fps"), F.sum("fp").alias("fp_sum"))
+    )
+    synth = pii_synth_col()
+    counts = tx.pii_counts(synth)
+    base = docs.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+        F.length(tx.redact_pii(synth)).cast("long").alias("redacted_len"),
+        sp.upsample_copies(
+            "lang", _CUR_MIX, key_cols=["doc_id"], seed=_CUR_SEED,
+            default_multiplier=1.0,
+        ).cast("long").alias("mix_copies"),
+    )
+    return (
+        base.join(
+            topg.select(
+                "doc_id",
+                F.col("top_gram"),
+                F.col("gram_count"),
+                F.col("top_gram_char_frac"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(wagg, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("top_gram", F.lit("")).alias("top_gram"),
+            F.coalesce("gram_count", F.lit(0)).cast("long").alias("gram_count"),
+            F.coalesce("top_gram_char_frac", F.lit(0.0)).alias("top_gram_char_frac"),
+            "n_emails", "n_ips", "n_phones", "redacted_len",
+            "n_fps", "fp_sum", "mix_copies",
+        )
+    )
