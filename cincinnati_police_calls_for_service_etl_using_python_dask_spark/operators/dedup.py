@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import P31, affine_minhash, hash56
-from .text import tokens, word_shingles
+from .text import int_ratio6, tokens, word_shingles
 
 
 def latest_per_key(
@@ -519,3 +519,340 @@ def winnow_fingerprints(
         exploded.select(F.col(id_col), F.min("__h").over(w).alias("fp"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup (round 5): the CCNet move — drop the
+# paragraphs that repeat across the corpus (boilerplate, navigation,
+# license headers) while keeping each document's unique prose. The
+# reference has no analog (app.py is ingestion-only); this extends the
+# SURVEY.md §2 LLM table alongside exact/MinHash/SimHash document
+# dedup, which operate at whole-doc granularity.
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_freq: int = 5,
+    tokens_per_line: int | None = 5,
+    paragraph_split: str = "\n",
+) -> DataFrame:
+    """Remove paragraphs whose corpus-wide occurrence count is
+    >= ``min_freq``; reassemble the survivors in document order.
+
+    Output: (id_col, n_paras, n_kept, cleaned_text, cleaned_chars).
+    A fully-boilerplate document comes back with cleaned_text = ''
+    (kept in the output — downstream length filters decide its fate).
+
+    ``tokens_per_line``: the synthetic corpus has no newlines, so by
+    default the text is deterministically relined (5 tokens/line, the
+    same reline() used by the Gopher line metrics) and a "paragraph"
+    is one such line. Real corpora pass ``tokens_per_line=None`` to
+    split on their own newlines. Frequency counts OCCURRENCES (a
+    paragraph repeated within one doc counts each time) — the CCNet
+    contract.
+
+    Scale shape (100 TB): two shuffles, both narrow. (1) the frequency
+    aggregate's map side emits only (hash56(paragraph), partial count)
+    — never paragraph text; (2) reassembly shuffles (doc_id, pos,
+    paragraph) once. The frequent set (count >= min_freq) is BROADCAST
+    back — its size is bounded by |corpus| / min_freq and in practice
+    by how much boilerplate exists; raise ``min_freq`` (or swap the
+    broadcast for a shuffle join) if a pathological corpus overflows
+    the broadcast threshold. Spark's broadcast join falls back to
+    shuffle automatically past spark.sql.autoBroadcastJoinThreshold
+    when AQE is on, so the operator degrades gracefully rather than
+    OOMing.
+    """
+    from .text import reline
+
+    src = reline(text_col, tokens_per_line) if tokens_per_line else F.col(text_col)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(src, paragraph_split)).alias("__pos", "__para"),
+    ).withColumn("__h", hash56(F.lower(F.trim(F.col("__para")))))
+    freq = lines.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
+    frequent = freq.filter(F.col("__cnt") >= min_freq).select(
+        "__h", F.lit(True).alias("__boiler")
+    )
+    marked = lines.join(F.broadcast(frequent), "__h", "left")
+    kept_struct = F.when(
+        F.col("__boiler").isNull(), F.struct(F.col("__pos"), F.col("__para"))
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.count(F.col("__boiler")).cast("long").alias("__n_dropped"),
+            F.concat_ws(
+                paragraph_split,
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["__para"],
+                ),
+            ).alias("cleaned_text"),
+        )
+        .select(
+            id_col,
+            "n_paras",
+            (F.col("n_paras") - F.col("__n_dropped")).cast("long").alias("n_kept"),
+            "cleaned_text",
+            F.length("cleaned_text").cast("long").alias("cleaned_chars"),
+        )
+    )
+
+
+def duckdb_paragraph_dedup_sql(
+    min_freq: int = 5,
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL computing exactly :func:`paragraph_dedup` with the
+    default 5-token reline."""
+    from ..functions.hashing import duckdb_hash56_sql
+
+    reline_sql = (
+        r"regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g')"
+    )
+    h = duckdb_hash56_sql("lower(trim(para))")
+    return f"""
+    WITH b AS (SELECT doc_id, str_split({reline_sql}, chr(10)) AS ls FROM {table}),
+    l AS (
+      SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos, ls
+      FROM b
+    ),
+    p AS (SELECT doc_id, pos, ls[pos] AS para, ({h}) AS h FROM l),
+    f AS (SELECT h, COUNT(*) AS cnt FROM p GROUP BY 1),
+    m AS (
+      SELECT p.doc_id, p.pos, p.para,
+             (f.cnt >= {min_freq}) AS boiler
+      FROM p JOIN f USING (h)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(COUNT(*) FILTER (WHERE NOT boiler) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(para, chr(10) ORDER BY pos)
+                      FILTER (WHERE NOT boiler), '') AS cleaned_text,
+           CAST(length(COALESCE(string_agg(para, chr(10) ORDER BY pos)
+                                  FILTER (WHERE NOT boiler), '')) AS BIGINT)
+             AS cleaned_chars
+    FROM m GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (round 5): the COMPACT spelling of the
+# benchmark-contamination probe. ngram_contamination broadcasts the
+# benchmark's shingle SET (bytes ~ |bench shingles| x shingle length);
+# at a few million eval shingles that's tens of MB per executor. The
+# Bloom variant compresses the broadcast to a fixed-size bitmap (e.g.
+# 256 words = 8 KB for ~16% FP at 1k shingles; size it by the standard
+# m/n economics) at the cost of a deterministic, seed-stable false
+# positive rate — the right trade when the probe feeds a cheap
+# second-stage exact check or a recall-oriented quarantine.
+#
+# Everything is exact integer arithmetic on a shared hash family, so
+# the whole pipeline INCLUDING the false positives is bit-reproducible
+# and oracle-checkable in DuckDB.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS_PER_WORD = 32  # 1 << bit stays within signed-32 range in BOTH engines
+
+
+def _pow2(bits):
+    """2**bits as an exact long for bits <= 31 (pow is exact on dyadic
+    integers well past 2^31; shiftleft can't take a Column bit count)."""
+    return F.pow(F.lit(2.0), bits).cast("long")
+
+
+def bloom_bitmap(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_words: int = 256,
+    k: int = 3,
+    seed: int = 97,
+) -> DataFrame:
+    """Build the Bloom bitmap of the benchmark's word shingles as a
+    ONE-ROW DataFrame [bitmap: array<long>] of ``n_words`` 32-bit
+    words (m = n_words*32 bits, ``k`` seeded hash56 functions).
+
+    Fully distributed — no collect: shingles explode to k bit
+    positions, a bit_or aggregate packs words, a range left-join
+    densifies absent words to 0, and a final array_sort(collect_list)
+    lays the words out in index order. The result is a single row of
+    n_words longs (8*n_words bytes) that the probe side cross-joins as
+    a broadcast.
+    """
+    m = n_words * _BLOOM_BITS_PER_WORD
+    spark = benchmark.sparkSession
+    sh = benchmark.select(F.explode(word_shingles(text_col, shingle_n)).alias("__sh"))
+    pos = sh.select(
+        F.explode(
+            F.array(*[(hash56(F.col("__sh"), seed=seed + j) % m) for j in range(k)])
+        ).alias("__p")
+    )
+    packed = (
+        pos.select(
+            F.floor(F.col("__p") / _BLOOM_BITS_PER_WORD).cast("long").alias("__w"),
+            (F.col("__p") % _BLOOM_BITS_PER_WORD).cast("int").alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or(_pow2(F.col("__b"))).alias("__word"))
+    )
+    dense = (
+        spark.range(n_words)
+        .join(packed, F.col("id") == F.col("__w"), "left")
+        .select(F.col("id"), F.coalesce("__word", F.lit(0)).cast("long").alias("__word"))
+    )
+    return dense.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("id", "__word"))),
+            lambda x: x["__word"],
+        ).alias("bitmap")
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    n_words: int = 256,
+    k: int = 3,
+    seed: int = 97,
+) -> DataFrame:
+    """Flag corpus docs whose shingles hit the benchmark Bloom filter.
+
+    Output: (id_col, n_shingles, n_flagged, flagged_frac, contaminated)
+    where ``n_shingles`` counts shingle POSITIONS (not distinct
+    shingles — so the probe needs no corpus-side distinct and stays a
+    pure map pass), ``n_flagged`` counts positions whose shingle tests
+    positive in the filter, flagged_frac = floor-6 ratio, and
+    ``contaminated`` = n_flagged > 0. False positives are possible
+    (that's the Bloom trade) but deterministic for a given
+    (n_words, k, seed) — the oracle reproduces them bit-for-bit; no
+    false negatives ever.
+
+    Scale shape: the bitmap build touches only the (small) benchmark;
+    the corpus side is ONE map pass — positional shingles (codegen
+    explode+slice), k md5 probes against the broadcast single-row
+    bitmap via element_at (no join, no lambda), then a per-doc
+    aggregate whose shuffle carries (doc_id, two partial counts).
+    """
+    bm = bloom_bitmap(
+        benchmark, text_col=text_col, shingle_n=shingle_n,
+        n_words=n_words, k=k, seed=seed,
+    )
+    m = n_words * _BLOOM_BITS_PER_WORD
+    toks = tokens(text_col)
+    base = corpus.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        F.greatest(F.size(toks) - F.lit(shingle_n - 1), F.lit(1)).alias("__m"),
+    )
+    positions = base.select(
+        id_col,
+        "__t",
+        F.explode(F.sequence(F.lit(1), F.col("__m"))).alias("__i"),
+    )
+    shingled = positions.select(
+        id_col,
+        F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), shingle_n)).alias("__sh"),
+    )
+    probed = shingled.crossJoin(F.broadcast(bm))
+    hit = F.lit(True)
+    for j in range(k):
+        p = hash56(F.col("__sh"), seed=seed + j) % m
+        word = F.element_at(
+            F.col("bitmap"), (F.floor(p / _BLOOM_BITS_PER_WORD) + 1).cast("int")
+        )
+        mask = _pow2((p % _BLOOM_BITS_PER_WORD).cast("int"))
+        hit = hit & (word.bitwiseAND(mask) != 0)
+    return (
+        probed.select(id_col, hit.alias("__hit"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.col("__hit").cast("long")).cast("long").alias("n_flagged"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_flagged",
+            int_ratio6(F.col("n_flagged"), F.col("n_shingles")).alias("flagged_frac"),
+            (F.col("n_flagged") > 0).alias("contaminated"),
+        )
+    )
+
+
+def duckdb_bloom_sql(
+    bench_pred: str,
+    corpus_pred: str,
+    shingle_n: int = 3,
+    n_words: int = 256,
+    k: int = 3,
+    seed: int = 97,
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL computing exactly :func:`bloom_decontaminate` —
+    builds the same bitmap (same hash family, same word packing) and
+    reproduces every deterministic false positive bit-for-bit.
+    ``bench_pred`` / ``corpus_pred`` select the two sides of ``table``.
+    """
+    from ..functions.hashing import duckdb_hash56_sql
+
+    m = n_words * _BLOOM_BITS_PER_WORD
+    hi = shingle_n - 1
+    toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+    bench_hashes = ", ".join(
+        f"({duckdb_hash56_sql('sh', seed=seed + j)}) % {m}" for j in range(k)
+    )
+    probe_tests = " AND ".join(
+        f"(bitmap[(({duckdb_hash56_sql('sh', seed=seed + j)}) % {m}) // {_BLOOM_BITS_PER_WORD} + 1]"
+        f" & (1::BIGINT << ((({duckdb_hash56_sql('sh', seed=seed + j)}) % {m})"
+        f" % {_BLOOM_BITS_PER_WORD}))) <> 0"
+        for j in range(k)
+    )
+    return f"""
+    WITH btk AS (
+      SELECT doc_id, {toks} AS t FROM {table} WHERE {bench_pred}
+    ), bsh AS (
+      SELECT unnest(CASE WHEN len(t) >= {shingle_n}
+                    THEN list_distinct(list_transform(range(1, len(t) - {hi - 1}),
+                                                      i -> array_to_string(t[i:i+{hi}], ' ')))
+                    ELSE [array_to_string(t, ' ')] END) AS sh
+      FROM btk
+    ), pos AS (
+      SELECT unnest([{bench_hashes}]) AS p FROM bsh
+    ), packed AS (
+      SELECT p // {_BLOOM_BITS_PER_WORD} AS w,
+             bit_or(1::BIGINT << CAST(p % {_BLOOM_BITS_PER_WORD} AS INT)) AS word
+      FROM pos GROUP BY 1
+    ), dense AS (
+      SELECT r.i AS w, COALESCE(packed.word, 0) AS word
+      FROM range(0, {n_words}) r(i) LEFT JOIN packed ON packed.w = r.i
+    ), bm AS (
+      SELECT list(word ORDER BY w) AS bitmap FROM dense
+    ), ctk AS (
+      SELECT doc_id, {toks} AS t FROM {table} WHERE {corpus_pred}
+    ), cpos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(len(t) - {hi}, 1))) AS i,
+             t
+      FROM ctk
+    ), csh AS (
+      SELECT doc_id, array_to_string(t[i:i+{hi}], ' ') AS sh FROM cpos
+    ), hits AS (
+      SELECT doc_id, ({probe_tests}) AS hit FROM csh, bm
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE hit) AS BIGINT) AS n_flagged,
+           ((COUNT(*) FILTER (WHERE hit)) * 1000000 // COUNT(*)) / 1000000.0
+             AS flagged_frac,
+           (COUNT(*) FILTER (WHERE hit)) > 0 AS contaminated
+    FROM hits GROUP BY doc_id
+    """

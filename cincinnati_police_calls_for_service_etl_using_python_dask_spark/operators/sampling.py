@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import TWO_POW_56, duckdb_hash56_sql, hash56
@@ -219,3 +219,80 @@ def duckdb_split_case_sql(
         acc += splits[name]
         whens.append(f"WHEN {h} < {_threshold(acc)} THEN '{name}'")
     return f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (round 5): the A-ES /
+# Efraimidis–Spirakis exponential-keys method, made DETERMINISTIC by
+# deriving each row's uniform from the content hash instead of an RNG.
+# Selecting k rows with probability proportional to a weight column is
+# the curation move behind "sample 1M docs, longer docs more likely" /
+# quality-weighted subset draws. key(row) = ln(u) / w with
+# u = (hash56(key)+1) / (2^56+1) ∈ (0, 1); the k LARGEST keys are the
+# sample — provably a weighted draw without replacement (Efraimidis &
+# Spirakis 2006, using u^(1/w) in log space).
+#
+# Scale: the key is a map-side codegen expression; global top-k
+# compiles to TakeOrderedAndProject (per-partition heaps + driver
+# merge of k·n_partitions rows) — no global sort, no full shuffle.
+# Deterministic across retries/partitioning like every sampler here.
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample_key(
+    weight_col: Column | str,
+    key_cols: Sequence[str],
+    seed: int = 0,
+) -> Column:
+    """The A-ES selection key ln(u)/w (double, negative; larger =
+    more likely selected). Requires weight > 0 — rows with w <= 0 get
+    NULL key and must be filtered by the caller (weighted_sample_topk
+    does)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (_key_expr(key_cols, seed) + F.lit(1)).cast("double") / F.lit(
+        float(TWO_POW_56 + 1)
+    )
+    return F.when(w > 0, F.log(u) / w.cast("double"))
+
+
+def duckdb_weighted_key_sql(
+    weight_expr: str, key_cols: Sequence[str], seed: int = 0
+) -> str:
+    """DuckDB SQL mirror of :func:`weighted_sample_key`."""
+    h = duckdb_key_sql(key_cols, seed)
+    u = f"CAST(({h}) + 1 AS DOUBLE) / {float(TWO_POW_56 + 1)!r}"
+    return (
+        f"CASE WHEN ({weight_expr}) > 0 "
+        f"THEN ln({u}) / CAST({weight_expr} AS DOUBLE) END"
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_cols: Sequence[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Draw ``k`` rows without replacement, selection probability
+    proportional to ``weight_col`` (rows with weight <= 0 are never
+    selected). Deterministic for a given seed; ties (identical keys,
+    measure-zero for distinct key_cols) break on ``key_cols`` asc.
+
+    Output: input columns + ``samp_rank`` (1-based selection order by
+    descending key). The float key itself is NOT emitted — ln() may
+    differ in the last ulp across engines, which is harmless for
+    ordering (distinct rows' keys differ by far more) but would fail a
+    bit-exact column hash.
+    """
+    keyed = df.withColumn("__aes", weighted_sample_key(weight_col, key_cols, seed))
+    picked = (
+        keyed.filter(F.col("__aes").isNotNull())
+        .orderBy(F.desc("__aes"), *[F.asc(c) for c in key_cols])
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("__aes"), *[F.asc(c) for c in key_cols])
+    return (
+        picked.withColumn("samp_rank", F.row_number().over(w).cast("long"))
+        .drop("__aes")
+    )

@@ -387,3 +387,112 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(text_col),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed n-gram quality classifier (round 5). The fasttext
+# architecture — hashed-ngram features x a linear layer — with the
+# learned weights replaced by a deterministic hash-derived weight
+# table, so the full scoring path (feature hashing, embedding lookup,
+# sum, threshold) is exercised and oracle-checkable without shipping a
+# model artifact. Swapping in real weights = replacing ONE expression
+# (the weight lookup) with a broadcast map join; the plan shape is
+# identical. Mirrors the classifier stage of public curation stacks
+# (CCNet / RedPajama quality filters); the reference has no classifier
+# (app.py is ingestion-only) so this extends SURVEY.md §2's LLM table.
+#
+# Everything is integer arithmetic: w(g) = H56(seed:g) % 2001 − 1000
+# ∈ [−1000, 1000], score = Σ w over bigram OCCURRENCES (bag semantics,
+# like fasttext's mean — the sum is kept unnormalized so it stays an
+# exact BIGINT; the decision threshold 0 is scale-free). Cross-engine
+# bit-exact, no floats anywhere.
+#
+# Scale: bigram generation is explode(sequence)+slice whole-stage
+# codegen (the interpreted `transform` spelling measured ~6x slower on
+# this corpus — same lesson as minhash_signatures); the only shuffle
+# carries (doc_id, partial sums) after map-side combine, so 100 TB of
+# text reduces to one row per doc per map task on the wire.
+# ---------------------------------------------------------------------------
+
+CLASSIFIER_SEED = 41
+_CLS_BUCKETS = 2001  # weights in [-1000, 1000]
+
+
+def _bigram_weight(gram: Column, seed: int) -> Column:
+    from ..functions.hashing import hash56
+
+    return hash56(gram, seed=seed) % F.lit(_CLS_BUCKETS) - F.lit(_CLS_BUCKETS // 2)
+
+
+def hashed_ngram_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = CLASSIFIER_SEED,
+) -> DataFrame:
+    """Score every document with the hashed-bigram linear classifier.
+
+    Output: (id_col, n_bigrams, score_sum, label) — label = 'keep'
+    when score_sum > 0 else 'drop'. Documents with < 2 tokens get
+    n_bigrams = 0, score_sum = 0, label = 'drop' (explode_outer keeps
+    them; a plain explode would silently drop short docs).
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        (F.size(toks) - F.lit(1)).alias("__m"),
+    )
+    pos = base.select(
+        id_col,
+        "__t",
+        F.explode_outer(
+            F.when(F.col("__m") >= 1, F.sequence(F.lit(1), F.col("__m")))
+        ).alias("__i"),
+    )
+    gram = F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), 2))
+    w = F.when(F.col("__i").isNotNull(), _bigram_weight(gram, seed))
+    return (
+        pos.select(id_col, F.col("__i"), w.alias("__w"))
+        .groupBy(id_col)
+        .agg(
+            F.count("__i").cast("long").alias("n_bigrams"),
+            F.coalesce(F.sum("__w"), F.lit(0)).cast("long").alias("score_sum"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "score_sum",
+            F.when(F.col("score_sum") > 0, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("label"),
+        )
+    )
+
+
+def duckdb_ngram_classifier_sql(seed: int = CLASSIFIER_SEED, table: str = "documents") -> str:
+    """DuckDB SQL computing exactly :func:`hashed_ngram_classifier`."""
+    from ..functions.hashing import duckdb_hash56_sql
+
+    toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+    wt = duckdb_hash56_sql("tk[i] || ' ' || tk[i + 1]", seed=seed)
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS tk FROM {table}),
+    g AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(tk) - 1)) AS i,
+             tk
+      FROM tk WHERE len(tk) >= 2
+    ),
+    a AS (
+      SELECT doc_id,
+             COUNT(*) AS n_bigrams,
+             SUM(({wt}) % {_CLS_BUCKETS} - {_CLS_BUCKETS // 2}) AS score_sum
+      FROM g GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(a.score_sum, 0) AS BIGINT) AS score_sum,
+           CASE WHEN COALESCE(a.score_sum, 0) > 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM {table} d LEFT JOIN a USING (doc_id)
+    """
