@@ -69,7 +69,20 @@ _NEW_R3 = [
     "mixture_upsample_docs",
 ]
 
-HEADLINE = [q for q in GATE_PRIORITY if q not in _UNBENCHABLE] + _CONTINUITY + _NEW_R3
+# Round-5 additions: granular curation2 spellings (the suite itself is
+# gate-benched via GATE_PRIORITY) + SemDeDup tiers.
+_NEW_R5 = [
+    "paragraph_dedup_docs",
+    "quality_classifier_docs",
+    "bloom_decontaminate_docs",
+    "weighted_sample_docs",
+    "semdedup_exact",
+    "semdedup_clusters",
+]
+
+HEADLINE = (
+    [q for q in GATE_PRIORITY if q not in _UNBENCHABLE] + _CONTINUITY + _NEW_R3 + _NEW_R5
+)
 
 
 def main() -> None:

@@ -423,3 +423,126 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (round 5): semantic deduplication — cluster the embedding
+# space with the IVF coarse quantizer, then drop within-cluster
+# near-duplicates (Abbas et al. 2023, "SemDeDup: Data-efficient
+# learning at web-scale through semantic deduplication"). The
+# embedding-space counterpart of MinHash dedup: catches paraphrases
+# and re-renderings that share no n-grams.
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 100_000,
+    n_iter: int = 8,
+    seed: int = 7,
+    index_cache_key: str | None = None,
+) -> DataFrame:
+    """Keep/drop labels for semantic dedup.
+
+    Contract (deterministic, order-free): within its comparison scope a
+    vector is DROPPED iff some other vector with a SMALLER id sits at
+    cosine >= ``threshold``. The survivor set is therefore exactly the
+    greedy min-id-first sweep, independent of partitioning.
+
+    - ``n_clusters=None`` — exact tier: the scope is the whole corpus;
+      pairs come from the blocked triangle join
+      (:func:`cosine_near_dup_pairs`). Quadratic WORK (it is the
+      ground-truth/oracle spelling — run it on samples, not corpora).
+    - ``n_clusters=k`` — SemDeDup proper: the scope is the vector's
+      k-means cluster. Assignment is one map-side Arrow-batched matmul
+      against the (tiny, driver-trained — see ivf_ann_topk's
+      train_sample rationale) centroid matrix; pairs are one dense
+      Gram per cluster via applyInPandas, so each vector ships ONCE
+      and the work is sum of squared CLUSTER sizes, not corpus size
+      squared. Cross-cluster near-dups are missed — SemDeDup's
+      documented recall trade; raise k for smaller clusters/faster,
+      lower k for higher recall.
+
+    Output: (id_col, cluster_id, status∈{'keep','drop'}), cluster_id
+    = -1 in the exact tier. Rows-only at the driver gate for the
+    clustered tier (k-means isn't SQL-expressible); the exact tier has
+    a full DuckDB oracle, and tests assert the clustered tier equals
+    the exact tier when n_clusters=1.
+    """
+    if n_clusters is None:
+        pairs = cosine_near_dup_pairs(
+            vectors, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+            "__dropped", F.lit(True)
+        )
+        return (
+            vectors.select(id_col)
+            .join(F.broadcast(dropped), id_col, "left")
+            .select(
+                id_col,
+                F.lit(-1).cast("long").alias("cluster_id"),
+                F.when(F.col("__dropped"), F.lit("drop"))
+                .otherwise(F.lit("keep"))
+                .alias("status"),
+            )
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    cache_key = (
+        (index_cache_key, n_clusters, train_sample, n_iter, seed)
+        if index_cache_key is not None
+        else None
+    )
+    centroids = _ivf_cache_get(cache_key) if cache_key else None
+    if centroids is None:
+        sample = np.stack(
+            vectors.select(vec_col).limit(train_sample).toPandas()[vec_col].to_numpy()
+        ).astype(np.float64)
+        centroids = _train_spherical_kmeans(sample, n_clusters, n_iter, seed)
+        if cache_key:
+            _ivf_cache_put(cache_key, centroids)
+
+    @pandas_udf("int")
+    def assign_cluster(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mat @ centroids.T, axis=1).astype(np.int32))
+
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = vectors.select(
+        F.col(id_col).alias("__id"),
+        vd.alias("_v"),
+        l2_norm(vd).alias("_n"),
+        assign_cluster(F.col(vec_col)).alias("_cluster"),
+    )
+
+    def _cluster_labels(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf["__id"].to_numpy().argsort()
+        ids = pdf["__id"].to_numpy()[order]
+        mat = np.stack(pdf["_v"].to_numpy()[order]).astype(np.float64)
+        unit = mat / pdf["_n"].to_numpy()[order][:, None]
+        gram = unit @ unit.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        has_smaller_near = np.zeros(len(ids), dtype=bool)
+        hit = gram[ia, ib] >= threshold
+        has_smaller_near[np.unique(ib[hit])] = True
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": np.full(len(ids), int(key[0]), dtype=np.int64),
+                "status": np.where(has_smaller_near, "drop", "keep"),
+            }
+        )
+
+    out = assigned.groupBy("_cluster").applyInPandas(
+        _cluster_labels, schema="vec_id long, cluster_id long, status string"
+    )
+    if id_col != "vec_id":
+        out = out.withColumnRenamed("vec_id", id_col)
+    return out

@@ -96,6 +96,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     #   freed slot —
     "multimodal_geometry_suite",
     "curation_suite",
+    # — round 5: setops+union merged into one slot (freeing one);
+    #   paragraph dedup / classifier / bloom / weighted sample gated
+    #   in the freed slot; SemDeDup exact tier anchors the semantic
+    #   dedup ladder at the registry tail (tests gate the k-means
+    #   tier's equivalence + subset properties) —
+    "curation2_suite",
     # — retained gates (sole coverage of their §2 / LLM-table rows) —
     "flagship_cfs_pipeline",
     "groupby_multi_agg",
@@ -105,8 +111,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "multiway_join_agg",
     "null_profile_events",
     "pivot_orders_priority_year",
-    "union_monthly_slices",
-    "setops_custkeys",
+    "setops_union_suite",
     "events_enrich",
     "text_profile_docs",
     "dedup_exact_fingerprint",
@@ -157,5 +162,6 @@ def _load_all() -> None:
     from . import queries_extra  # noqa: F401
     from . import queries_suites  # noqa: F401
     from . import queries_curation  # noqa: F401
+    from . import queries_curation2  # noqa: F401
 
     _LOADED = True

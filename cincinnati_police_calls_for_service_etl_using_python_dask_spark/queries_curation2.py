@@ -1,0 +1,229 @@
+"""Round-5 curation-surface queries: paragraph-level dedup (CCNet),
+hashed-ngram quality classification, Bloom-filter decontamination,
+weighted sampling without replacement, and SemDeDup semantic dedup.
+
+Hard-gate coverage for the family is the ``curation2_suite`` entry
+(inside the driver's 50-query window — see queries.GATE_PRIORITY); the
+granular spellings here are tail-registered, benchmarked, and locally
+oracle-gated by tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as dd
+from .operators import sampling as sp
+from .operators import similarity as sim
+from .operators import text as tx
+from .queries import register
+from .sources.files import read_testdata
+
+# Shared parameters, embedded identically in the Spark plans and the
+# DuckDB oracles.
+_PD_MIN_FREQ = 5
+_BLOOM_WORDS = 256
+_BLOOM_K = 3
+_BLOOM_SEED = 97
+_WS_K = 25
+_WS_SEED = 5
+_SEM_THRESHOLD = 0.4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_testdata(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Paragraph dedup — granular spelling (full cleaned_text in the gate).
+# ---------------------------------------------------------------------------
+
+
+@register("paragraph_dedup_docs", dd.duckdb_paragraph_dedup_sql(min_freq=_PD_MIN_FREQ))
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.paragraph_dedup(_docs(spark, sf_dir), min_freq=_PD_MIN_FREQ)
+
+
+# ---------------------------------------------------------------------------
+# Hashed-bigram linear quality classifier.
+# ---------------------------------------------------------------------------
+
+
+@register("quality_classifier_docs", tx.duckdb_ngram_classifier_sql())
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.hashed_ngram_classifier(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Bloom decontamination: bench = doc_id < 5 (the same split the exact
+# ngram_contamination_check gates), corpus = the rest. The oracle
+# reproduces the deterministic false positives bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_decontaminate_docs",
+    dd.duckdb_bloom_sql(
+        "doc_id < 5",
+        "doc_id >= 5",
+        n_words=_BLOOM_WORDS,
+        k=_BLOOM_K,
+        seed=_BLOOM_SEED,
+    ),
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return dd.bloom_decontaminate(
+        docs.filter(F.col("doc_id") >= 5),
+        docs.filter(F.col("doc_id") < 5),
+        n_words=_BLOOM_WORDS,
+        k=_BLOOM_K,
+        seed=_BLOOM_SEED,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES), weight = n_chars.
+# ---------------------------------------------------------------------------
+
+
+def _weighted_sample_oracle() -> str:
+    ksql = sp.duckdb_weighted_key_sql("n_chars", ["doc_id"], seed=_WS_SEED)
+    return f"""
+    SELECT doc_id, lang, n_chars,
+           CAST(row_number() OVER (ORDER BY ({ksql}) DESC, doc_id ASC) AS BIGINT)
+             AS samp_rank
+    FROM (
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE ({ksql}) IS NOT NULL
+      ORDER BY ({ksql}) DESC, doc_id ASC LIMIT {_WS_K}
+    )
+    """
+
+
+@register("weighted_sample_docs", _weighted_sample_oracle())
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return sp.weighted_sample_topk(
+        docs, "n_chars", _WS_K, key_cols=["doc_id"], seed=_WS_SEED
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: exact tier (oracle-anchored — the blocked triangle join
+# against the whole corpus) + clustered tier (rows-only; k-means isn't
+# SQL-expressible. tests/test_curation_ops.py asserts n_clusters=1 ≡
+# exact and that clustered drops are a subset of exact drops).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semdedup_exact",
+    f"""
+    WITH vd AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id FROM vd a JOIN vd b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= {_SEM_THRESHOLD}
+    )
+    SELECT v.vec_id, CAST(-1 AS BIGINT) AS cluster_id,
+           CASE WHEN d.vec_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS status
+    FROM vd v LEFT JOIN dropped d USING (vec_id)
+    """,
+)
+def q_semdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return sim.semdedup(emb, threshold=_SEM_THRESHOLD)
+
+
+@register("semdedup_clusters", None)  # rows-only: k-means tier
+def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return sim.semdedup(
+        emb,
+        threshold=_SEM_THRESHOLD,
+        n_clusters=8,
+        index_cache_key=f"{sf_dir}/embeddings",
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation2_suite — the four document-table operators in ONE gated
+# slot, joined on doc_id: paragraph dedup (full cleaned_text), the
+# quality classifier, Bloom decontamination (bench docs carry -1
+# sentinels — they are the filter's source, not its subject), and the
+# weighted-sample rank (0 = not selected).
+#
+# Scale shape: every branch aggregates to one row per doc_id, so the
+# final joins are co-partitioned on the same key; the classifier and
+# bloom branches are map-side until their single doc_id aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _curation2_oracle() -> str:
+    pd_sql = dd.duckdb_paragraph_dedup_sql(min_freq=_PD_MIN_FREQ)
+    qc_sql = tx.duckdb_ngram_classifier_sql()
+    bl_sql = dd.duckdb_bloom_sql(
+        "doc_id < 5",
+        "doc_id >= 5",
+        n_words=_BLOOM_WORDS,
+        k=_BLOOM_K,
+        seed=_BLOOM_SEED,
+    )
+    ws_sql = _weighted_sample_oracle()
+    return f"""
+    SELECT p.doc_id,
+           p.n_paras, p.n_kept, p.cleaned_text, p.cleaned_chars,
+           q.n_bigrams, q.score_sum, q.label,
+           COALESCE(b.n_shingles, -1) AS n_shingles,
+           COALESCE(b.n_flagged, -1)  AS n_flagged,
+           COALESCE(b.contaminated, FALSE) AS contaminated,
+           COALESCE(w.samp_rank, 0) AS samp_rank
+    FROM ({pd_sql}) p
+    JOIN ({qc_sql}) q USING (doc_id)
+    LEFT JOIN ({bl_sql}) b USING (doc_id)
+    LEFT JOIN ({ws_sql}) w USING (doc_id)
+    """
+
+
+@register("curation2_suite", _curation2_oracle())
+def q_curation2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    para = dd.paragraph_dedup(docs, min_freq=_PD_MIN_FREQ)
+    cls = tx.hashed_ngram_classifier(docs)
+    bloom = dd.bloom_decontaminate(
+        docs.filter(F.col("doc_id") >= 5),
+        docs.filter(F.col("doc_id") < 5),
+        n_words=_BLOOM_WORDS,
+        k=_BLOOM_K,
+        seed=_BLOOM_SEED,
+    ).select("doc_id", "n_shingles", "n_flagged", "contaminated")
+    ws = sp.weighted_sample_topk(
+        docs.select("doc_id", "lang", "n_chars"),
+        "n_chars",
+        _WS_K,
+        key_cols=["doc_id"],
+        seed=_WS_SEED,
+    ).select("doc_id", "samp_rank")
+    return (
+        para.join(cls, "doc_id")
+        .join(bloom, "doc_id", "left")
+        .join(ws, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_kept",
+            "cleaned_text",
+            "cleaned_chars",
+            "n_bigrams",
+            "score_sum",
+            "label",
+            F.coalesce("n_shingles", F.lit(-1)).cast("long").alias("n_shingles"),
+            F.coalesce("n_flagged", F.lit(-1)).cast("long").alias("n_flagged"),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+            F.coalesce("samp_rank", F.lit(0)).cast("long").alias("samp_rank"),
+        )
+    )

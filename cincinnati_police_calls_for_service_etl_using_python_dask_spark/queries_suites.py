@@ -663,3 +663,78 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_fps", "fp_sum", "mix_copies",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-operator surface in ONE gated slot (round 5): U1 ragged
+# UNION ALL (monthly slices, tagged), INTERSECT and EXCEPT over
+# distinct-projected year slices. Merges the former setops_custkeys +
+# union_monthly_slices gates (both stay registered granularly) to free
+# a 50-query-window slot for curation2_suite. Heterogeneous shapes are
+# aligned on (part, k1, k2, qty): set-op rows carry NULL k2/qty, slice
+# rows carry (orderkey, linenumber, quantity).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setops_union_suite",
+    """
+    SELECT 'both' AS part, o_custkey AS k1,
+           CAST(NULL AS BIGINT) AS k2, CAST(NULL AS DOUBLE) AS qty
+    FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+    )
+    UNION ALL
+    SELECT 'only_1995' AS part, o_custkey AS k1,
+           CAST(NULL AS BIGINT) AS k2, CAST(NULL AS DOUBLE) AS qty
+    FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+    )
+    UNION ALL
+    SELECT 'jan' AS part, l_orderkey AS k1,
+           CAST(l_linenumber AS BIGINT) AS k2, l_quantity AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+    UNION ALL
+    SELECT 'feb' AS part, l_orderkey AS k1,
+           CAST(l_linenumber AS BIGINT) AS k2, l_quantity AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-02-01' AND l_shipdate < TIMESTAMP '1996-03-01'
+    """,
+)
+def q_setops_union_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    y95 = distinct_values(orders.filter(F.year("o_orderdate") == 1995), ["o_custkey"])
+    y96 = distinct_values(orders.filter(F.year("o_orderdate") == 1996), ["o_custkey"])
+    both = y95.intersect(y96).withColumn("part", F.lit("both"))
+    only95 = y95.exceptAll(y96).withColumn("part", F.lit("only_1995"))
+    setop_rows = rel.union_all([both, only95]).select(
+        "part",
+        F.col("o_custkey").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.lit(None).cast("double").alias("qty"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
+    )
+    jan = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    ).withColumn("part", F.lit("jan"))
+    feb = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-02-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01").cast("timestamp"))
+    ).withColumn("part", F.lit("feb"))
+    # U1: the ragged-union operator — slices unioned by NAME with the
+    # k2/qty columns absent on the set-op side (allowMissingColumns).
+    slice_rows = rel.union_all([jan, feb]).select(
+        "part",
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").cast("long").alias("k2"),
+        F.col("l_quantity").alias("qty"),
+    )
+    return setop_rows.unionByName(slice_rows)

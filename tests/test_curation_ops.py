@@ -223,3 +223,166 @@ def test_repeat_upsample_copy_idx_contiguous(spark):
 def test_repeat_upsample_rejects_negative(spark):
     with pytest.raises(ValueError):
         sp.repeat_upsample(_mix_df(spark), "lang", {"en": -1.0}, key_cols=["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators: paragraph dedup, hashed-ngram classifier, Bloom
+# decontamination, weighted A-ES sampling, SemDeDup.
+# ---------------------------------------------------------------------------
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_dedup_drops_only_frequent(spark):
+    # "x y" appears 3 times (across docs), unique lines once each.
+    rows = [
+        (1, "x y\nunique one"),
+        (2, "x y\nunique two"),
+        (3, "x y\nunique three"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dd.paragraph_dedup(
+            _docs_df(spark, rows), min_freq=3, tokens_per_line=None
+        ).collect()
+    }
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["cleaned_text"] == "unique one"
+    assert out[2]["cleaned_text"] == "unique two"
+
+
+def test_paragraph_dedup_all_boilerplate_doc_survives_empty(spark):
+    rows = [(i, "same line") for i in range(1, 6)]
+    out = dd.paragraph_dedup(
+        _docs_df(spark, rows), min_freq=5, tokens_per_line=None
+    ).collect()
+    assert len(out) == 5
+    assert all(r["cleaned_text"] == "" and r["cleaned_chars"] == 0 for r in out)
+    assert all(r["n_kept"] == 0 for r in out)
+
+
+def test_paragraph_dedup_within_doc_repeats_count_occurrences(spark):
+    # The same line 3x inside ONE doc reaches min_freq=3 alone.
+    rows = [(1, "rep\nrep\nrep\nkeep me")]
+    r = dd.paragraph_dedup(
+        _docs_df(spark, rows), min_freq=3, tokens_per_line=None
+    ).collect()[0]
+    assert r["n_paras"] == 4 and r["n_kept"] == 1
+    assert r["cleaned_text"] == "keep me"
+
+
+def test_classifier_short_docs_get_drop_label(spark):
+    rows = [(1, "single"), (2, ""), (3, "two tokens here and more words now")]
+    out = {r["doc_id"]: r for r in tx.hashed_ngram_classifier(_docs_df(spark, rows)).collect()}
+    assert out[1]["n_bigrams"] == 0 and out[1]["score_sum"] == 0
+    assert out[1]["label"] == "drop"
+    assert out[2]["n_bigrams"] == 0
+    assert out[3]["n_bigrams"] == 6
+
+
+def test_classifier_deterministic_and_seed_sensitive(spark):
+    rows = [(i, f"alpha beta gamma delta {i}") for i in range(20)]
+    df = _docs_df(spark, rows)
+    a = {r["doc_id"]: r["score_sum"] for r in tx.hashed_ngram_classifier(df, seed=41).collect()}
+    b = {r["doc_id"]: r["score_sum"] for r in tx.hashed_ngram_classifier(df, seed=41).collect()}
+    c = {r["doc_id"]: r["score_sum"] for r in tx.hashed_ngram_classifier(df, seed=42).collect()}
+    assert a == b
+    assert a != c
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every doc the EXACT contamination check flags must be bloom-
+    flagged (Bloom filters never produce false negatives)."""
+    from .conftest import SF_SMOKE
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.files import (
+        read_testdata,
+    )
+
+    docs = read_testdata(spark, SF_SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    exact = {
+        r["doc_id"]
+        for r in dd.ngram_contamination(corpus, bench, shingle_n=3).collect()
+    }
+    bloom_flagged = {
+        r["doc_id"]
+        for r in dd.bloom_decontaminate(corpus, bench, n_words=256)
+        .filter(F.col("contaminated"))
+        .collect()
+    }
+    assert exact <= bloom_flagged
+
+
+def test_bloom_fp_rate_drops_with_bitmap_size(spark):
+    """More words -> fewer (deterministic) false positives; and a
+    comfortably-sized bitmap keeps the FP count sane on the smoke SF."""
+    from .conftest import SF_SMOKE
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.files import (
+        read_testdata,
+    )
+
+    docs = read_testdata(spark, SF_SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+
+    def n_flagged(words):
+        return (
+            dd.bloom_decontaminate(corpus, bench, n_words=words)
+            .filter(F.col("contaminated"))
+            .count()
+        )
+
+    small, large = n_flagged(64), n_flagged(1024)
+    assert large <= small
+
+
+def test_weighted_sample_contract(spark):
+    rows = [(i, "t", (i % 7) + 1) for i in range(1, 101)] + [(999, "t", 0)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w long")
+    out = sp.weighted_sample_topk(df, "w", 10, key_cols=["doc_id"], seed=3).collect()
+    assert len(out) == 10
+    assert sorted(r["samp_rank"] for r in out) == list(range(1, 11))
+    assert all(r["doc_id"] != 999 for r in out)  # zero weight never selected
+    again = sp.weighted_sample_topk(df, "w", 10, key_cols=["doc_id"], seed=3).collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in again}
+    other = sp.weighted_sample_topk(df, "w", 10, key_cols=["doc_id"], seed=4).collect()
+    assert {r["doc_id"] for r in out} != {r["doc_id"] for r in other}
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """Statistical sanity: with weights 1000:1 the heavy rows dominate
+    the sample (deterministic given the seed, so no flake)."""
+    rows = [(i, "t", 1000) for i in range(50)] + [(i, "t", 1) for i in range(50, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w long")
+    out = sp.weighted_sample_topk(df, "w", 20, key_cols=["doc_id"], seed=11).collect()
+    heavy = sum(1 for r in out if r["doc_id"] < 50)
+    assert heavy >= 16
+
+
+def test_semdedup_cluster1_equals_exact(spark):
+    from .conftest import SF_SMOKE
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        similarity as sim,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.files import (
+        read_testdata,
+    )
+
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    exact = {r["vec_id"]: r["status"] for r in sim.semdedup(emb, threshold=0.4).collect()}
+    one = {
+        r["vec_id"]: r["status"]
+        for r in sim.semdedup(emb, threshold=0.4, n_clusters=1).collect()
+    }
+    assert exact == one
+    clustered_drops = {
+        r["vec_id"]
+        for r in sim.semdedup(emb, threshold=0.4, n_clusters=8).collect()
+        if r["status"] == "drop"
+    }
+    exact_drops = {k for k, v in exact.items() if v == "drop"}
+    assert clustered_drops <= exact_drops
+    assert len(clustered_drops) > 0
