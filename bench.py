@@ -35,7 +35,12 @@ from cincinnati_police_calls_for_service_etl_using_python_dask_spark.queries imp
 # - streaming_daily_counts: the availableNow drain happens at
 #   construction; the returned frame is a static batch result.
 # Both stay in the correctness registry.
-_UNBENCHABLE = {"dedup_clusters_lsh", "streaming_daily_counts"}
+# - streaming_watermark_dedup: same availableNow-at-construction shape.
+_UNBENCHABLE = {
+    "dedup_clusters_lsh",
+    "streaming_daily_counts",
+    "streaming_watermark_dedup",
+}
 
 # Round-over-round continuity: granular queries benched since r1/r2
 # whose timings anchor regression tracking even though their gate

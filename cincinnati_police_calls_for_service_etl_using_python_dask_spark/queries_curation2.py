@@ -227,3 +227,25 @@ def q_curation2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("samp_rank", F.lit(0)).cast("long").alias("samp_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — streaming dedup parity: the snapshot duplicated into the
+# stream source, drained via dropDuplicatesWithinWatermark +
+# Trigger.AvailableNow; must equal the distinct snapshot (events are
+# unique by event_id, so the oracle is the plain projection).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_watermark_dedup",
+    "SELECT event_id, event_type, value FROM events",
+)
+def q_streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .streaming.ingest import batch_equivalent_watermark_dedup
+
+    ev = read_testdata(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="cfs_stream_dd_")
+    return batch_equivalent_watermark_dedup(spark, ev, scratch)

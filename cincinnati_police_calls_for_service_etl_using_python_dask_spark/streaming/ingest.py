@@ -120,3 +120,54 @@ def run_available_now(result: DataFrame, checkpoint: str, out_path: str) -> None
         .start()
     )
     q.awaitTermination()
+
+
+def batch_equivalent_watermark_dedup(
+    spark: SparkSession,
+    events: DataFrame,
+    scratch_dir: str,
+    key: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "36500 days",
+) -> DataFrame:
+    """Streaming dedup parity, oracle-checkable: the snapshot is
+    written TWICE into the stream source — every record arrives as its
+    own duplicate, the re-fetch shape of the reference's daily full
+    re-ingest (app.py:50, 463-480) — then drained through
+    ``dropDuplicatesWithinWatermark`` with Trigger.AvailableNow. The
+    result must equal the DISTINCT snapshot exactly.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``)
+    is the state-store-disciplined spelling: a key's state is evicted
+    once the watermark passes its event time, so state is bounded by
+    the dedup horizon instead of the stream's lifetime. The horizon
+    here is set far past the fixture's time span so the parity check
+    is exact; production callers pass their real late-data bound.
+    """
+    import uuid
+
+    src = f"{scratch_dir}/src"
+    events.write.mode("overwrite").parquet(src)
+    events.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    # Watermarks require TIMESTAMP (LTZ); the snapshot carries NTZ for
+    # cross-engine parity. The cast interprets in session timezone —
+    # harmless here because the output projection is tz-free and the
+    # dedup horizon dwarfs any DST wobble.
+    deduped = (
+        stream.withColumn("__wm_ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("__wm_ts", watermark)
+        .dropDuplicatesWithinWatermark([key])
+        .drop("__wm_ts")
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{scratch_dir}/ckpt_{name}")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("event_id", "event_type", "value")
