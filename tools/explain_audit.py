@@ -299,6 +299,62 @@ def main() -> None:
             "not the operator",
         ),
         (
+            "quality_classifier_docs",
+            "classifier = codegen explode + ONE map-combined exchange",
+            lambda p: count_exchanges(p) == 1
+            and "BatchEvalPython" not in p
+            and "ArrowEvalPython" not in p
+            and len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2,
+            "hashed-bigram scoring is pure JVM expression work; the only "
+            "shuffle carries (doc_id, partial sum) after map-side combine "
+            "— classifying 100 TB is one scan plus a per-doc reduce",
+        ),
+        (
+            "paragraph_dedup_docs",
+            "frequent-paragraph set BROADCAST back; 2 narrow exchanges",
+            lambda p: "BroadcastHashJoin" in p and count_exchanges(p) == 2,
+            "the frequency exchange carries (hash, count) and the "
+            "reassembly exchange (doc_id, pos, para) — paragraph text "
+            "never rides the frequency shuffle; the boilerplate set is "
+            "bounded by |corpus|/min_freq and ships as a broadcast",
+        ),
+        (
+            "bloom_decontaminate_docs",
+            "bitmap ships as a single-row broadcast; probe is zero-Python",
+            lambda p: "BroadcastNestedLoopJoin" in p
+            and "BatchEvalPython" not in p
+            and "ArrowEvalPython" not in p,
+            "the BNLJ here is the RIGHT plan: one broadcast row (the "
+            "8 KB bitmap array) against the corpus — a constant-size "
+            "ship, and every k-hash probe is codegen element_at/bit math",
+        ),
+        (
+            "weighted_sample_docs",
+            "weighted top-k = TakeOrderedAndProject, zero exchanges",
+            lambda p: "TakeOrderedAndProject" in p and count_exchanges(p) == 0,
+            "A-ES keys are map-side; per-partition heaps + driver merge "
+            "of k rows replace any global sort — the 100 TB draw is a "
+            "scan",
+        ),
+        (
+            "semdedup_exact",
+            "no cartesian/nested-loop pair blowup; Arrow-batched Gram",
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p
+            and "FlatMapGroupsInPandas" in p,
+            "the exact tier is the blocked triangle join: vectors ship "
+            "B times into dense BLAS matmuls, never the O(n²) row-pair "
+            "stream a naive self-join materializes",
+        ),
+        (
+            "curation2_suite",
+            "four curation branches co-partitioned on doc_id, no row-Python",
+            lambda p: "BatchEvalPython" not in p,
+            "paragraph dedup, classifier, bloom and the sample rank all "
+            "reduce to one row per doc_id before their joins — the suite "
+            "adds joins, not new wide stages over text",
+        ),
+        (
             "gopher_repetition_docs",
             "top-n-gram shuffles only id-clustered aggregates (no text movement)",
             lambda p: count_exchanges(p) <= 2,
