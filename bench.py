@@ -83,6 +83,9 @@ _NEW_R5 = [
     "weighted_sample_docs",
     "semdedup_exact",
     "semdedup_clusters",
+    "sql_pricing_summary_q1",
+    "chunk_documents_docs",
+    "validate_constraints_orders",
 ]
 
 HEADLINE = (

@@ -496,3 +496,84 @@ def duckdb_ngram_classifier_sql(seed: int = CLASSIFIER_SEED, table: str = "docum
            CASE WHEN COALESCE(a.score_sum, 0) > 0 THEN 'keep' ELSE 'drop' END AS label
     FROM {table} d LEFT JOIN a USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (round 5): sliding token windows — the prep step
+# for embedding / retrieval pipelines (one chunk = one embedding input
+# row). Pure codegen explode(sequence)+slice, map-side only: chunking
+# 100 TB is a flat-mapped scan with zero shuffles, and the chunk
+# stream is immediately partition-parallel for the downstream
+# embedding UDF.
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into case-preserving whitespace-token
+    windows of ``chunk_tokens`` with ``overlap`` tokens shared between
+    consecutive chunks (stride = chunk_tokens − overlap).
+
+    Output: (id_col, chunk_idx 0-based, chunk_text, n_tokens) — the
+    final chunk may be short; a document shorter than one window
+    yields exactly one chunk. n_chunks = ceil((n − overlap) / stride)
+    floored at 1, so every token lands in ≥ 1 chunk and consecutive
+    chunks share exactly ``overlap`` tokens.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap} / {chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col, lowercase=False)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    base = df.select(F.col(id_col), toks.alias("__t"), n_chunks.alias("__nc"))
+    pos = base.select(
+        id_col,
+        "__t",
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("__t"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return pos.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def duckdb_chunk_sql(
+    chunk_tokens: int = 64, overlap: int = 16, table: str = "documents"
+) -> str:
+    """DuckDB SQL computing exactly :func:`chunk_documents`."""
+    stride = chunk_tokens - overlap
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {toks} AS t FROM {table}
+    ), nc AS (
+      SELECT doc_id, t,
+             greatest(CAST(floor((len(t) - {overlap} + {stride - 1}) / {stride})
+                           AS INT), 1) AS n_chunks
+      FROM tk
+    ), ex AS (
+      SELECT doc_id, t, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM nc
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           array_to_string(t[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {chunk_tokens}], ' ')
+             AS chunk_text,
+           CAST(len(t[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {chunk_tokens}])
+             AS BIGINT) AS n_tokens
+    FROM ex
+    """

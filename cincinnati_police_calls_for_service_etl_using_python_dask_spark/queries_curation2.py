@@ -249,3 +249,70 @@ def q_streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_testdata(spark, sf_dir, "events")
     scratch = tempfile.mkdtemp(prefix="cfs_stream_dd_")
     return batch_equivalent_watermark_dedup(spark, ev, scratch)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: sliding token windows for embedding/RAG prep —
+# map-side flat-map, zero shuffles (PLANS.md property).
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+
+
+@register(
+    "chunk_documents_docs",
+    tx.duckdb_chunk_sql(chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )
+
+
+# ---------------------------------------------------------------------------
+# Constraint validation over orders: row rules (non-null FK, positive
+# price, date range, a deliberately-violated business bound so the
+# gate sees non-zero counters) + key uniqueness — all in one scan +
+# one count-distinct aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "validate_constraints_orders",
+    """
+    SELECT 'o_custkey_not_null' AS rule,
+           SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END)::BIGINT
+             AS n_violations FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_positive',
+           SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)::BIGINT FROM orders
+    UNION ALL
+    SELECT 'o_orderdate_in_range',
+           SUM(CASE WHEN o_orderdate BETWEEN TIMESTAMP '1992-01-01'
+                         AND TIMESTAMP '1998-12-31' THEN 0 ELSE 1 END)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_under_200k',
+           SUM(CASE WHEN o_totalprice < 200000 THEN 0 ELSE 1 END)::BIGINT FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_unique',
+           (COUNT(*) - COUNT(DISTINCT o_orderkey))::BIGINT FROM orders
+    """,
+)
+def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.checks import validate_constraints
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    return validate_constraints(
+        orders,
+        row_rules={
+            "o_custkey_not_null": F.col("o_custkey").isNotNull(),
+            "o_totalprice_positive": F.col("o_totalprice") > 0,
+            "o_orderdate_in_range": F.col("o_orderdate").between(
+                "1992-01-01", "1998-12-31"
+            ),
+            "o_totalprice_under_200k": F.col("o_totalprice") < 200000,
+        },
+        unique_keys={"o_orderkey_unique": ["o_orderkey"]},
+    )

@@ -180,3 +180,46 @@ def q_sql_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 (pricing summary report) — the canonical scan-heavy
+# aggregate: one pass over lineitem, tiny group cardinality, every
+# money aggregate in exact integer/decimal arithmetic so the doubles
+# in the report are bit-identical cross-engine. The charge product
+# (cents × basis-point discount × basis-point tax) peaks near 10^15
+# per row, so sums run as DECIMAL(38,0) — both engines' decimal sums
+# are exact; a BIGINT sum would overflow at corpus scale. Averages are
+# integer-sum / count rounded at scale 4 (the dec2 avg convention).
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE)                              AS sum_qty,
+       CAST(ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+            AS DOUBLE)                                              AS sum_base_price,
+       CAST(ROUND(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+                           AS DECIMAL(38,0))) / 1000000.0, 2) AS DOUBLE)
+                                                                    AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+                           * (10000 + CAST(round(l_tax * 10000) AS BIGINT))
+                           AS DECIMAL(38,0))) / 10000000000.0, 2) AS DOUBLE)
+                                                                    AS sum_charge,
+       CAST(ROUND(SUM(l_quantity) / COUNT(*), 4) AS DOUBLE)         AS avg_qty,
+       CAST(ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / COUNT(*)
+                  / 100.0, 4) AS DOUBLE)                            AS avg_price,
+       CAST(ROUND(SUM(CAST(round(l_discount * 10000) AS BIGINT)) / COUNT(*)
+                  / 10000.0, 4) AS DOUBLE)                          AS avg_disc,
+       COUNT(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_pricing_summary_q1", _Q1_SQL)
+def q_sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q1_SQL)

@@ -386,3 +386,58 @@ def test_semdedup_cluster1_equals_exact(spark):
     exact_drops = {k for k, v in exact.items() if v == "drop"}
     assert clustered_drops <= exact_drops
     assert len(clustered_drops) > 0
+
+
+def test_chunk_documents_overlap_invariants(spark):
+    text = " ".join(f"w{i}" for i in range(100))
+    df = _docs_df(spark, [(1, text)])
+    out = sorted(
+        tx.chunk_documents(df, chunk_tokens=32, overlap=8).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # ceil((100-8)/24) = 4 chunks
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3]
+    toks = [r["chunk_text"].split(" ") for r in out]
+    assert all(len(t) == 32 for t in toks[:-1])
+    # consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(toks, toks[1:]):
+        assert a[-8:] == b[:8]
+    # every token covered, case preserved
+    assert toks[0][0] == "w0" and toks[-1][-1] == "w99"
+    assert out[-1]["n_tokens"] == 100 - 3 * 24
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = _docs_df(spark, [(1, "only three tokens")])
+    out = tx.chunk_documents(df, chunk_tokens=32, overlap=8).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_text"] == "only three tokens"
+    assert out[0]["n_tokens"] == 3
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = _docs_df(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        tx.chunk_documents(df, chunk_tokens=16, overlap=16)
+
+
+def test_validate_constraints_null_is_violation(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.checks import (
+        validate_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0), (1, 7.0)],
+        "k long, v double",
+    )
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in validate_constraints(
+            df,
+            row_rules={"v_positive": F.col("v") > 0},
+            unique_keys={"k_unique": ["k"]},
+        ).collect()
+    }
+    # NULL predicate = violation (three-valued logic), plus the -5 row.
+    assert out["v_positive"] == 2
+    assert out["k_unique"] == 1
