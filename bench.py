@@ -86,6 +86,8 @@ _NEW_R5 = [
     "sql_pricing_summary_q1",
     "chunk_documents_docs",
     "validate_constraints_orders",
+    "bpe_pair_counts_docs",
+    "check_foreign_keys",
 ]
 
 HEADLINE = (

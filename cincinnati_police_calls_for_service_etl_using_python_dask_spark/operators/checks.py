@@ -72,3 +72,31 @@ def validate_constraints(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def check_foreign_key(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    rule_name: str,
+) -> DataFrame:
+    """Referential-integrity violations: child rows whose (non-null)
+    key has no match in the parent. NULL FKs are not violations (SQL
+    FK semantics); add a not-null row rule if they should be.
+
+    Scale: a LEFT ANTI join on the key — when the parent's key set is
+    small it broadcasts; otherwise it is one co-partitioned shuffle of
+    (key) pairs, never full rows — then a count."""
+    orphans = (
+        child.select(F.col(child_key))
+        .filter(F.col(child_key).isNotNull())
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        )
+    )
+    return orphans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_violations")
+    ).select(F.lit(rule_name).alias("rule"), "n_violations")

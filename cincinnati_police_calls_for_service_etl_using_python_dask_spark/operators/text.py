@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Whitespace tokenizer — identical semantics in Java regex and RE2.
@@ -576,4 +576,61 @@ def duckdb_chunk_sql(
            CAST(len(t[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {chunk_tokens}])
              AS BIGINT) AS n_tokens
     FROM ex
+    """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (round 5): the inner loop of tokenizer
+# TRAINING as a distributed op — count corpus-wide frequencies of
+# adjacent token pairs and return the top merge candidates. One BPE
+# training iteration over 100 TB is: this op (explode pairs map-side →
+# map-combined count → TakeOrdered top-k), apply the merge, repeat.
+# The pair stream never materializes globally: partial aggregation
+# collapses each map task to its distinct local pairs.
+# ---------------------------------------------------------------------------
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Top ``top_k`` adjacent-token pairs by corpus frequency —
+    deterministic tie-break on the pair string. Output: (pair,
+    pair_count, rank 1-based)."""
+    toks = tokens(text_col)
+    base = df.select(toks.alias("__t"), (F.size(toks) - F.lit(1)).alias("__m"))
+    pos = base.filter(F.col("__m") >= 1).select(
+        "__t", F.explode(F.sequence(F.lit(1), F.col("__m"))).alias("__i")
+    )
+    pair = F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), 2))
+    counted = (
+        pos.select(pair.alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return counted.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def duckdb_bpe_pairs_sql(top_k: int = 50, table: str = "documents") -> str:
+    """DuckDB SQL computing exactly :func:`bpe_pair_counts`."""
+    toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+    return f"""
+    WITH tk AS (SELECT {toks} AS t FROM {table}),
+    g AS (
+      SELECT t[i] || ' ' || t[i + 1] AS pair
+      FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    c AS (
+      SELECT pair, COUNT(*)::BIGINT AS pair_count FROM g GROUP BY 1
+      ORDER BY pair_count DESC, pair ASC LIMIT {top_k}
+    )
+    SELECT pair, pair_count,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS BIGINT)
+             AS rank
+    FROM c
     """

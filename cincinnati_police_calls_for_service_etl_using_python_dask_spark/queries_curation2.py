@@ -316,3 +316,53 @@ def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         unique_keys={"o_orderkey_unique": ["o_orderkey"]},
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting — one tokenizer-training iteration's
+# pair statistics (top-k merges) as a distributed pass.
+# ---------------------------------------------------------------------------
+
+_BPE_TOP_K = 50
+
+
+@register("bpe_pair_counts_docs", tx.duckdb_bpe_pairs_sql(top_k=_BPE_TOP_K))
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.bpe_pair_counts(_docs(spark, sf_dir), top_k=_BPE_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Referential integrity: orders.o_custkey -> customer.c_custkey (anti
+# join count) unioned with lineitem.l_orderkey -> orders.o_orderkey.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "check_foreign_keys",
+    """
+    SELECT 'orders_custkey_fk' AS rule,
+           COUNT(*)::BIGINT AS n_violations
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           COUNT(*)::BIGINT
+    FROM lineitem l
+    WHERE l.l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def q_check_foreign_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.checks import check_foreign_key
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    customer = read_testdata(spark, sf_dir, "customer")
+    lineitem = read_testdata(spark, sf_dir, "lineitem")
+    return check_foreign_key(
+        orders, customer, "o_custkey", "c_custkey", "orders_custkey_fk"
+    ).unionByName(
+        check_foreign_key(
+            lineitem, orders, "l_orderkey", "o_orderkey", "lineitem_orderkey_fk"
+        )
+    )

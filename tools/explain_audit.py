@@ -355,6 +355,32 @@ def main() -> None:
             "adds joins, not new wide stages over text",
         ),
         (
+            "chunk_documents_docs",
+            "chunking = zero-exchange codegen flat-map",
+            lambda p: count_exchanges(p) == 0
+            and "BatchEvalPython" not in p
+            and "ArrowEvalPython" not in p,
+            "sliding token windows are explode(sequence)+slice on the "
+            "scan — chunking 100 TB for embedding prep is one mapped "
+            "pass, already partition-parallel for the downstream UDF",
+        ),
+        (
+            "bpe_pair_counts_docs",
+            "pair counting ends in TakeOrdered after map-combine",
+            lambda p: "TakeOrderedAndProject" in p
+            and len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2,
+            "one BPE training iteration = partial-agg'd pair counts + "
+            "top-k heaps; the global pair dictionary never sorts",
+        ),
+        (
+            "check_foreign_keys",
+            "FK checks are anti joins, zero Python",
+            lambda p: re.search(r"(LeftAnti|Anti)", p)
+            and "BatchEvalPython" not in p,
+            "referential integrity over 100 TB is key-only anti joins "
+            "plus counters — full rows never move",
+        ),
+        (
             "gopher_repetition_docs",
             "top-n-gram shuffles only id-clustered aggregates (no text movement)",
             lambda p: count_exchanges(p) <= 2,
