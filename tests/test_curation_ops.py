@@ -441,3 +441,46 @@ def test_validate_constraints_null_is_violation(spark):
     # NULL predicate = violation (three-valued logic), plus the -5 row.
     assert out["v_positive"] == 2
     assert out["k_unique"] == 1
+
+
+def test_binaryfile_source_roundtrip_decode(spark, tmp_path):
+    """Multimodal INGESTION path: PNG payloads written as individual
+    files, read back through Spark's built-in binaryFile source, and
+    decoded — geometry must match the direct in-memory decode. This is
+    how real image corpora enter the engine (a directory of blobs),
+    so the source -> binary column -> mapInPandas decode chain is
+    exercised end to end."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        multimodal as mm,
+    )
+
+    docs = _docs_df(
+        spark,
+        [(i, f"text payload number {i} with some length {'x' * i}") for i in range(1, 9)],
+    )
+    with_png = mm.attach_png_payload(docs)
+    rows = with_png.select("doc_id", "payload").collect()
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for r in rows:
+        (img_dir / f"{r['doc_id']}.png").write_bytes(bytes(r["payload"]))
+
+    binf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(str(img_dir))
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.png$", 1).cast("long").alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    via_files = {
+        r["doc_id"]: (r["width"], r["height"], r["mode"])
+        for r in mm.decode_image_metadata(binf).collect()
+    }
+    direct = {
+        r["doc_id"]: (r["width"], r["height"], r["mode"])
+        for r in mm.decode_image_metadata(with_png).collect()
+    }
+    assert via_files == direct
+    assert len(via_files) == 8
