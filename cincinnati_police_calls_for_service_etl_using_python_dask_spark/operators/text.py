@@ -290,26 +290,36 @@ def top_ngram_stats(
     top-n-gram repetition signal). Only documents with ≥ n tokens
     appear (no grams otherwise).
 
-    Distributed shape: one interpreted ``transform`` projection builds
-    the gram array (with repeats — this is NOT shingling, order and
-    multiplicity matter), then explode → groupBy(id, gram) →
-    per-id window top-1. The groupBy and the window share the id-key
-    clustering, so the whole op costs two exchanges regardless of
-    corpus size; per-doc gram counts are bounded by doc length, so no
-    skew beyond the longest document.
+    Distributed shape: ONE exchange — a pre-explode repartition of the
+    raw documents on the id (shuffling text bytes, not exploded grams,
+    and unlocking full-core parallelism for the gram explode: the scan
+    of a small parquet yields a handful of byte-bound splits while the
+    explode is work-bound). Grams are generated positionally
+    (explode(sequence)+slice, whole-stage codegen — the interpreted
+    ``transform`` spelling measured ~2× slower; repeats kept, this is
+    NOT shingling). The groupBy(id, gram) and the per-id window top-1
+    are both satisfied by the id hash partitioning (subset rule), so
+    no further exchange; per-doc gram counts are bounded by doc
+    length, so no skew beyond the longest document.
     """
     c = F.col(text_col)
     toks = tokens(c)
-    k = F.size(toks)
-    grams = F.when(
-        k >= n,
-        F.transform(
-            F.sequence(F.lit(1), k - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(
-        id_col, F.length(c).alias("_n_chars"), F.explode(grams).alias("gram")
+    base = df.repartition(F.col(id_col)).select(
+        id_col,
+        F.length(c).alias("_n_chars"),
+        toks.alias("__t"),
+        (F.size(toks) - F.lit(n - 1)).alias("__m"),
+    )
+    pos = base.filter(F.col("__m") >= 1).select(
+        id_col,
+        "_n_chars",
+        "__t",
+        F.explode(F.sequence(F.lit(1), F.col("__m"))).alias("__i"),
+    )
+    exploded = pos.select(
+        id_col,
+        "_n_chars",
+        F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), n)).alias("gram"),
     )
     counted = exploded.groupBy(id_col, "_n_chars", "gram").agg(
         F.count(F.lit(1)).alias("gram_count")

@@ -484,3 +484,16 @@ def test_binaryfile_source_roundtrip_decode(spark, tmp_path):
     }
     assert via_files == direct
     assert len(via_files) == 8
+
+
+def test_round5_ops_survive_null_text(spark):
+    """NULL text must degrade to the empty document, never silently
+    drop rows (the r2-ADVICE class of bug: a malformed row causing
+    data loss instead of a defined degradation)."""
+    df = spark.createDataFrame([(1, None), (2, "real text here")], "doc_id long, text string")
+    pd_out = {r["doc_id"]: r for r in dd.paragraph_dedup(df, min_freq=99).collect()}
+    assert set(pd_out) == {1, 2}
+    assert pd_out[1]["n_paras"] == 1 and pd_out[1]["cleaned_text"] == ""
+    cls_out = {r["doc_id"]: r for r in tx.hashed_ngram_classifier(df).collect()}
+    assert set(cls_out) == {1, 2}
+    assert cls_out[1]["n_bigrams"] == 0 and cls_out[1]["label"] == "drop"
