@@ -557,17 +557,21 @@ def paragraph_dedup(
     paragraph repeated within one doc counts each time) — the CCNet
     contract.
 
-    Scale shape (100 TB): two shuffles, both narrow. (1) the frequency
-    aggregate's map side emits only (hash56(paragraph), partial count)
-    — never paragraph text; (2) reassembly shuffles (doc_id, pos,
-    paragraph) once. The frequent set (count >= min_freq) is BROADCAST
-    back — its size is bounded by |corpus| / min_freq and in practice
-    by how much boilerplate exists; raise ``min_freq`` (or swap the
-    broadcast for a shuffle join) if a pathological corpus overflows
-    the broadcast threshold. Spark's broadcast join falls back to
-    shuffle automatically past spark.sql.autoBroadcastJoinThreshold
-    when AQE is on, so the operator degrades gracefully rather than
-    OOMing.
+    Scale shape (100 TB): two shuffles. (1) A pre-explode repartition
+    of the RAW documents on the id — the cheapest place to ship bytes
+    (raw text, not exploded per-line rows), it unlocks full-core
+    parallelism for the line explode/hashing (a small parquet scans as
+    a handful of byte-bound splits while this op is work-bound), and
+    it pre-satisfies the per-doc reassembly clustering so the planner
+    adds no exchange there. (2) The frequency aggregate's exchange
+    carries only (hash56(paragraph), partial count) — never text. The
+    frequent set (count >= min_freq) is BROADCAST back — its size is
+    bounded by |corpus| / min_freq and in practice by how much
+    boilerplate exists; raise ``min_freq`` (or swap the broadcast for
+    a shuffle join) if a pathological corpus overflows the broadcast
+    threshold. Spark's broadcast join falls back to shuffle
+    automatically past spark.sql.autoBroadcastJoinThreshold when AQE
+    is on, so the operator degrades gracefully rather than OOMing.
     """
     from .text import reline
 
@@ -576,7 +580,7 @@ def paragraph_dedup(
     # paragraph, same as DuckDB's str_split behavior on ''.
     base_text = F.coalesce(F.col(text_col), F.lit(""))
     src = reline(base_text, tokens_per_line) if tokens_per_line else base_text
-    lines = df.select(
+    lines = df.repartition(F.col(id_col)).select(
         F.col(id_col),
         F.posexplode(F.split(src, paragraph_split)).alias("__pos", "__para"),
     ).withColumn("__h", hash56(F.lower(F.trim(F.col("__para")))))
@@ -667,6 +671,17 @@ def duckdb_paragraph_dedup_sql(
 _BLOOM_BITS_PER_WORD = 32  # 1 << bit stays within signed-32 range in BOTH engines
 
 
+def _bloom_pos(h, j: int, m: int):
+    """Kirsch-Mitzenmacher double hashing: pos_j = (h1 + j*h2) mod m
+    from ONE base hash — h1 = h mod m, h2 = 2*(h >> 28 mod 2^28) + 1
+    (odd, so it cycles the power-of-two bit space). Preserves Bloom FP
+    asymptotics with a single md5 per element instead of k (measured
+    ~3x on the probe side: md5+conv dominates this operator)."""
+    h1 = h % F.lit(m)
+    h2 = (F.floor(h / F.lit(1 << 28)) % F.lit(1 << 28)) * 2 + 1
+    return (h1 + F.lit(j) * h2) % F.lit(m)
+
+
 def _pow2(bits):
     """2**bits as an exact long for bits <= 31 (pow is exact on dyadic
     integers well past 2^31; shiftleft can't take a Column bit count)."""
@@ -695,10 +710,9 @@ def bloom_bitmap(
     m = n_words * _BLOOM_BITS_PER_WORD
     spark = benchmark.sparkSession
     sh = benchmark.select(F.explode(word_shingles(text_col, shingle_n)).alias("__sh"))
+    h = hash56(F.col("__sh"), seed=seed)
     pos = sh.select(
-        F.explode(
-            F.array(*[(hash56(F.col("__sh"), seed=seed + j) % m) for j in range(k)])
-        ).alias("__p")
+        F.explode(F.array(*[_bloom_pos(h, j, m) for j in range(k)])).alias("__p")
     )
     packed = (
         pos.select(
@@ -771,8 +785,9 @@ def bloom_decontaminate(
     )
     probed = shingled.crossJoin(F.broadcast(bm))
     hit = F.lit(True)
+    hbase = hash56(F.col("__sh"), seed=seed)
     for j in range(k):
-        p = hash56(F.col("__sh"), seed=seed + j) % m
+        p = _bloom_pos(hbase, j, m)
         word = F.element_at(
             F.col("bitmap"), (F.floor(p / _BLOOM_BITS_PER_WORD) + 1).cast("int")
         )
@@ -814,13 +829,17 @@ def duckdb_bloom_sql(
     m = n_words * _BLOOM_BITS_PER_WORD
     hi = shingle_n - 1
     toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
-    bench_hashes = ", ".join(
-        f"({duckdb_hash56_sql('sh', seed=seed + j)}) % {m}" for j in range(k)
-    )
+    hb = duckdb_hash56_sql("sh", seed=seed)
+    # Kirsch-Mitzenmacher double hashing, mirror of _bloom_pos; the
+    # base hash is computed ONCE per shingle in an h column, then each
+    # position derives from (h1, h2) arithmetically.
+    def dpos(j: int) -> str:
+        return f"((h % {m}) + {j} * ((h // {1 << 28}) % {1 << 28} * 2 + 1)) % {m}"
+
+    bench_hashes = ", ".join(dpos(j) for j in range(k))
     probe_tests = " AND ".join(
-        f"(bitmap[(({duckdb_hash56_sql('sh', seed=seed + j)}) % {m}) // {_BLOOM_BITS_PER_WORD} + 1]"
-        f" & (1::BIGINT << ((({duckdb_hash56_sql('sh', seed=seed + j)}) % {m})"
-        f" % {_BLOOM_BITS_PER_WORD}))) <> 0"
+        f"(bitmap[({dpos(j)}) // {_BLOOM_BITS_PER_WORD} + 1]"
+        f" & (1::BIGINT << CAST(({dpos(j)}) % {_BLOOM_BITS_PER_WORD} AS INT))) <> 0"
         for j in range(k)
     )
     return f"""
@@ -832,8 +851,10 @@ def duckdb_bloom_sql(
                                                       i -> array_to_string(t[i:i+{hi}], ' ')))
                     ELSE [array_to_string(t, ' ')] END) AS sh
       FROM btk
+    ), bsh2 AS (
+      SELECT sh, ({hb}) AS h FROM bsh
     ), pos AS (
-      SELECT unnest([{bench_hashes}]) AS p FROM bsh
+      SELECT unnest([{bench_hashes}]) AS p FROM bsh2
     ), packed AS (
       SELECT p // {_BLOOM_BITS_PER_WORD} AS w,
              bit_or(1::BIGINT << CAST(p % {_BLOOM_BITS_PER_WORD} AS INT)) AS word
@@ -852,8 +873,10 @@ def duckdb_bloom_sql(
       FROM ctk
     ), csh AS (
       SELECT doc_id, array_to_string(t[i:i+{hi}], ' ') AS sh FROM cpos
+    ), csh2 AS (
+      SELECT doc_id, ({hb}) AS h FROM csh
     ), hits AS (
-      SELECT doc_id, ({probe_tests}) AS hit FROM csh, bm
+      SELECT doc_id, ({probe_tests}) AS hit FROM csh2, bm
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_shingles,
