@@ -580,14 +580,23 @@ def paragraph_dedup(
     # paragraph, same as DuckDB's str_split behavior on ''.
     base_text = F.coalesce(F.col(text_col), F.lit(""))
     src = reline(base_text, tokens_per_line) if tokens_per_line else base_text
-    lines = df.repartition(F.col(id_col)).select(
-        F.col(id_col),
-        F.posexplode(F.split(src, paragraph_split)).alias("__pos", "__para"),
-    ).withColumn("__h", hash56(F.lower(F.trim(F.col("__para")))))
-    freq = lines.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
+
+    def _lines(source: DataFrame) -> DataFrame:
+        return source.select(
+            F.col(id_col),
+            F.posexplode(F.split(src, paragraph_split)).alias("__pos", "__para"),
+        ).withColumn("__h", hash56(F.lower(F.trim(F.col("__para")))))
+
+    # The frequency branch stays on the raw scan (its exchange carries
+    # only (hash, partial count)); the reassembly branch pre-shuffles
+    # the RAW documents on the id so the heavy explode+join+collect
+    # runs at full shuffle parallelism and the per-doc aggregate needs
+    # no further exchange.
+    freq = _lines(df).groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
     frequent = freq.filter(F.col("__cnt") >= min_freq).select(
         "__h", F.lit(True).alias("__boiler")
     )
+    lines = _lines(df.repartition(F.col(id_col)))
     marked = lines.join(F.broadcast(frequent), "__h", "left")
     kept_struct = F.when(
         F.col("__boiler").isNull(), F.struct(F.col("__pos"), F.col("__para"))

@@ -283,9 +283,11 @@ def main() -> None:
             "winnow_fingerprint_docs",
             "winnowing costs ONE exchange (window+distinct+agg share doc_id clustering)",
             lambda p: count_exchanges(p) == 1,
-            "the per-char explode is map-side and reduced to (id,pos,hash) "
-            "before the only shuffle; rolling-min window, distinct and the "
-            "final agg all reuse the same doc_id hash partitioning",
+            "the only exchange is a pre-explode repartition of the RAW "
+            "documents (bytes of text, not 20 B/char of hashes) that also "
+            "unlocks full-core parallelism for the work-bound per-char "
+            "hashing; rolling-min window, distinct and agg reuse its "
+            "doc_id partitioning",
         ),
         (
             "mixture_upsample_docs",
