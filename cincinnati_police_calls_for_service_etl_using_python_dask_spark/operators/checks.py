@@ -36,7 +36,11 @@ def check_rows(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
     if not rules:
         raise ValueError("need at least one rule")
     aggs = [
-        F.sum(F.when(cond, 0).otherwise(1)).cast("long").alias(name)
+        # coalesce: SUM over zero rows is NULL, but an empty relation
+        # has zero violations — callers compare == 0, not IS NULL.
+        F.coalesce(F.sum(F.when(cond, 0).otherwise(1)), F.lit(0))
+        .cast("long")
+        .alias(name)
         for name, cond in rules.items()
     ]
     wide = df.agg(*aggs)
@@ -48,7 +52,10 @@ def check_unique(df: DataFrame, key_cols: Sequence[str], rule_name: str) -> Data
     beyond the first per duplicated key). One exact count-distinct
     aggregate on the key columns."""
     out = df.agg(
-        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in key_cols]))
+        F.coalesce(
+            F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in key_cols]),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_violations")
     )

@@ -632,8 +632,12 @@ def duckdb_paragraph_dedup_sql(
     default 5-token reline."""
     from ..functions.hashing import duckdb_hash56_sql
 
+    # COALESCE mirrors the Spark side's coalesce-to-empty-doc contract
+    # (paragraph_dedup base_text): NULL text must degrade to one empty
+    # paragraph, not drop the row (str_split of NULL unnests to zero).
     reline_sql = (
-        r"regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g')"
+        r"regexp_replace(COALESCE(text, ''),"
+        r" '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g')"
     )
     h = duckdb_hash56_sql("lower(trim(para))")
     return f"""
@@ -685,9 +689,14 @@ def _bloom_pos(h, j: int, m: int):
     from ONE base hash — h1 = h mod m, h2 = 2*(h >> 28 mod 2^28) + 1
     (odd, so it cycles the power-of-two bit space). Preserves Bloom FP
     asymptotics with a single md5 per element instead of k (measured
-    ~3x on the probe side: md5+conv dominates this operator)."""
+    ~3x on the probe side: md5+conv dominates this operator).
+
+    h2 uses ``shiftright`` (exact integer op) rather than floored
+    double division: hash56 exceeds the 2^53 double mantissa, so
+    ``floor(h / 2^28)`` can land one off DuckDB's exact ``h // 2^28``
+    near word boundaries, silently desyncing the cross-engine bitmap."""
     h1 = h % F.lit(m)
-    h2 = (F.floor(h / F.lit(1 << 28)) % F.lit(1 << 28)) * 2 + 1
+    h2 = (F.shiftright(h, 28) % F.lit(1 << 28)) * 2 + 1
     return (h1 + F.lit(j) * h2) % F.lit(m)
 
 
@@ -837,7 +846,10 @@ def duckdb_bloom_sql(
 
     m = n_words * _BLOOM_BITS_PER_WORD
     hi = shingle_n - 1
-    toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+    # COALESCE mirrors Spark: greatest() skips NULLs there, so a NULL
+    # doc probes one '' shingle; without it the oracle would emit NULL
+    # shingles (NULL hash, NULL hit) instead.
+    toks = r"regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\s+')"
     hb = duckdb_hash56_sql("sh", seed=seed)
     # Kirsch-Mitzenmacher double hashing, mirror of _bloom_pos; the
     # base hash is computed ONCE per shingle in an h column, then each

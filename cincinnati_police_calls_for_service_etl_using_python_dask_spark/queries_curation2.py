@@ -242,13 +242,19 @@ def q_curation2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT event_id, event_type, value FROM events",
 )
 def q_streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from .streaming.ingest import batch_equivalent_watermark_dedup
 
     ev = read_testdata(spark, sf_dir, "events")
     scratch = tempfile.mkdtemp(prefix="cfs_stream_dd_")
-    return batch_equivalent_watermark_dedup(spark, ev, scratch)
+    try:
+        # The drain runs eagerly (awaitTermination inside); the memory
+        # sink holds the result, so the source copy + checkpoint can go.
+        return batch_equivalent_watermark_dedup(spark, ev, scratch)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

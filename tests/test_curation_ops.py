@@ -497,3 +497,100 @@ def test_round5_ops_survive_null_text(spark):
     cls_out = {r["doc_id"]: r for r in tx.hashed_ngram_classifier(df).collect()}
     assert set(cls_out) == {1, 2}
     assert cls_out[1]["n_bigrams"] == 0 and cls_out[1]["label"] == "drop"
+
+
+# ---------------------------------------------------------------------------
+# Round-4 ADVICE regressions: exact Bloom h2 arithmetic, NULL-text
+# oracle parity, empty-relation constraint checks.
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_pos_exact_above_double_mantissa(spark):
+    """_bloom_pos must use exact integer arithmetic: hash56 exceeds the
+    2^53 double mantissa, so floor(h / 2^28) can land one off the exact
+    h // 2^28 near quotient boundaries. Probe hashes straddling those
+    boundaries and compare every position against Python's exact ints."""
+    m = 256 * 32
+    k = 3
+    hs = []
+    for q in (2**27 + 12345, 2**28 - 7, 2**27 + 1):
+        for d in (-2, -1, 0, 1, 2):
+            h = q * (1 << 28) + d
+            if 0 <= h < (1 << 56):
+                hs.append(h)
+    df = spark.createDataFrame([(h,) for h in hs], "h long")
+    got = df.select(
+        "h", *[dd._bloom_pos(F.col("h"), j, m).alias(f"p{j}") for j in range(k)]
+    ).collect()
+    for r in got:
+        h = r["h"]
+        h2 = ((h >> 28) % (1 << 28)) * 2 + 1
+        for j in range(k):
+            assert r[f"p{j}"] == ((h % m) + j * h2) % m, hex(h)
+
+
+def test_null_text_oracle_parity_paragraph_and_bloom(spark):
+    """The DuckDB oracles must keep NULL-text docs as empty documents,
+    exactly like the Spark operators (coalesce-to-empty contract)."""
+    import duckdb
+
+    rows = [
+        (1, None),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs_null (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs_null VALUES (?, ?)", rows)
+
+    spark_pd = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["cleaned_text"], r["cleaned_chars"])
+        for r in dd.paragraph_dedup(df, min_freq=2).collect()
+    }
+    duck_pd = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            dd.duckdb_paragraph_dedup_sql(min_freq=2, table="docs_null")
+        ).fetchall()
+    }
+    assert spark_pd == duck_pd
+    assert set(spark_pd) == {1, 2, 3, 4}
+
+    bench = df.filter(F.col("doc_id") == 2)
+    corpus = df.filter(F.col("doc_id") != 2)
+    spark_bl = {
+        r["doc_id"]: (r["n_shingles"], r["n_flagged"], r["contaminated"])
+        for r in dd.bloom_decontaminate(corpus, bench).collect()
+    }
+    duck_bl = {
+        r[0]: (r[1], r[2], r[4])
+        for r in con.execute(
+            dd.duckdb_bloom_sql(
+                "doc_id = 2", "doc_id <> 2", table="docs_null"
+            )
+        ).fetchall()
+    }
+    con.close()
+    assert spark_bl == duck_bl
+    assert set(spark_bl) == {1, 3, 4}
+
+
+def test_checks_empty_relation_reports_zero_violations(spark):
+    """An empty relation has zero violations, not NULL (SUM over zero
+    rows is NULL without the coalesce)."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        checks as ck,
+    )
+
+    empty = spark.createDataFrame([], "k long, v string")
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in ck.validate_constraints(
+            empty,
+            row_rules={"v_not_null": F.col("v").isNotNull()},
+            unique_keys={"k_unique": ["k"]},
+        ).collect()
+    }
+    assert out == {"v_not_null": 0, "k_unique": 0}
