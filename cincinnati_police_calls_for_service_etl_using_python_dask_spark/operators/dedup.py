@@ -478,6 +478,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     window: int = 4,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Document fingerprinting by winnowing (the MOSS scheme,
     Schleimer/Wilkerson/Aiken SIGMOD'03): hash every char ``k``-gram of
@@ -505,12 +506,24 @@ def winnow_fingerprints(
     the planner inserts no further exchange. The longest document
     bounds skew.
 
+    The repartition count is EXPLICIT (default: the cluster's
+    defaultParallelism, i.e. total cores): this stage is work-bound
+    (one md5 per character), so byte-based sizing — conf'd shuffle
+    partitions scaled to input bytes, or AQE coalescing, both of which
+    see only a few MB of text — undershoots the needed parallelism by
+    the ~20× positions-per-byte blowup. Measured at sf0.1/32 cores:
+    4.9 s at the byte-sized 4 partitions → 1.3 s at 32. An explicit
+    count also opts the exchange out of AQE coalescing (by design for
+    REPARTITION_BY_NUM), which would otherwise re-merge it.
+
     Hash: the cross-engine 56-bit md5 family reduced mod 2³² —
     bit-identical in the DuckDB oracle (functions/hashing.py).
     """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     n_pos = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    exploded = df.repartition(F.col(id_col)).select(
+    exploded = df.repartition(num_partitions, F.col(id_col)).select(
         F.col(id_col), norm.alias("__t"), F.explode(F.sequence(F.lit(1), n_pos)).alias("__pos")
     ).select(
         F.col(id_col),
