@@ -40,6 +40,9 @@ _UNBENCHABLE = {
     "dedup_clusters_lsh",
     "streaming_daily_counts",
     "streaming_watermark_dedup",
+    # Round 4: the gated streaming family has the same
+    # drain-at-construction shape as its members.
+    "streaming_suite",
 }
 
 # Round-over-round continuity: granular queries benched since r1/r2
@@ -90,8 +93,22 @@ _NEW_R5 = [
     "check_foreign_keys",
 ]
 
+# Round-4 continuity: granular queries whose gate slot merged into a
+# round-4 suite (tokenization/checks/sql_tpch/embedding_dedup) — keep
+# their standalone timings comparable across rounds.
+_CONTINUITY_R4 = [
+    "token_count_bpe",
+    "top_tokens_docs",
+    "sql_forecast_revenue_q6",
+    "dedup_embedding_cosine",
+]
+
 HEADLINE = (
-    [q for q in GATE_PRIORITY if q not in _UNBENCHABLE] + _CONTINUITY + _NEW_R3 + _NEW_R5
+    [q for q in GATE_PRIORITY if q not in _UNBENCHABLE]
+    + _CONTINUITY
+    + _NEW_R3
+    + _NEW_R5
+    + _CONTINUITY_R4
 )
 
 
