@@ -101,6 +101,9 @@ _CONTINUITY_R4 = [
     "top_tokens_docs",
     "sql_forecast_revenue_q6",
     "dedup_embedding_cosine",
+    # New r4: the pure-window twin of applyinpandas_event_gaps, benched
+    # side-by-side so the Arrow-boundary cost is a visible choice.
+    "event_gaps_native",
 ]
 
 HEADLINE = (

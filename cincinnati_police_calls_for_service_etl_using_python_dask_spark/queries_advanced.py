@@ -391,6 +391,24 @@ def q_applyinpandas_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pe.user_event_gaps(ev)
 
 
+@register(
+    "event_gaps_native",
+    """
+    SELECT event_id, user_id,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_us
+    FROM events
+    """,
+)
+def q_event_gaps_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The pure-window twin of applyinpandas_event_gaps: same oracle,
+    # same frame, no Arrow boundary — benched side-by-side so the D1
+    # escape hatch's ~10× cost is visibly a choice (VERDICT r3 #7).
+    ev = read_testdata(spark, sf_dir, "events")
+    return pe.user_event_gaps_native(ev)
+
+
 # ---------------------------------------------------------------------------
 # §2.9 — Structured Streaming drained via Trigger.AvailableNow, equal to
 # the batch aggregate (streaming/ingest.py:batch_equivalent_daily_counts).

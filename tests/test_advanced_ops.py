@@ -201,6 +201,24 @@ def test_user_event_gaps_first_is_null(spark):
     assert out == {10: None, 11: 120_000_000, 20: None}
 
 
+def test_user_event_gaps_native_parity(spark):
+    """The pure-window spelling must equal the applyInPandas one
+    row-for-row (same columns, dtypes, values) on real event data —
+    the D1 escape hatch's Arrow cost is a choice, not a semantic
+    difference (VERDICT r3 #7)."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        pandas_ext as pe,
+    )
+
+    ev = read_testdata(spark, SF_SMOKE, "events")
+    arrow = pe.user_event_gaps(ev)
+    native = pe.user_event_gaps_native(ev)
+    assert arrow.schema == native.schema
+    a = sorted(arrow.collect(), key=lambda r: (r["user_id"], r["event_id"]))
+    b = sorted(native.collect(), key=lambda r: (r["user_id"], r["event_id"]))
+    assert a == b
+
+
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
     """M6 — event-time-partitioned parquet layout gives partition
     pruning on read (the physical analog of the reference's event-time
