@@ -494,17 +494,60 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), f AS (
       SELECT doc_id, w, h, unnest(range(n)) AS idx FROM m
+    ),
+    -- REAL pixel-resample branch: the Spark side decodes the actual
+    -- PNG (attach_png_payload) and nearest-neighbor-resamples real
+    -- pixels; the fixture's pixels cycle the (all-ASCII) text bytes,
+    -- so the oracle replays the SAME integer index arithmetic
+    -- (sy = (2j+1)*ph // (2*oh)) straight off the text and must land
+    -- on identical checksums. px_wsum pins pixel ORDER.
+    rg AS (
+      SELECT doc_id, length(text) AS nb,
+             length(text) % 16 + 1 AS pw,
+             length(text) % 12 + 1 AS ph
+      FROM documents
+    ), geo AS (
+      SELECT doc_id, nb, pw, ph,
+             CAST(GREATEST(1, FLOOR(pw * LEAST(1.0, 8.0 / pw, 8.0 / ph)))
+                  AS BIGINT) AS ow,
+             CAST(GREATEST(1, FLOOR(ph * LEAST(1.0, 8.0 / pw, 8.0 / ph)))
+                  AS BIGINT) AS oh
+      FROM rg
+    ), grid AS (
+      SELECT g.doc_id, g.nb, g.pw, g.ow, g.oh,
+             j.j * g.ow + i.i AS li,
+             ((2 * j.j + 1) * g.ph) // (2 * g.oh) AS sy,
+             ((2 * i.i + 1) * g.pw) // (2 * g.ow) AS sx
+      FROM geo g,
+           unnest(generate_series(0, g.oh - 1)) AS j(j),
+           unnest(generate_series(0, g.ow - 1)) AS i(i)
+    ), pxv AS (
+      SELECT grid.doc_id, grid.ow, grid.oh, grid.li,
+             CASE WHEN grid.nb = 0 THEN 0
+                  ELSE ord(substr(d.text,
+                                  CAST((grid.sy * grid.pw + grid.sx) % grid.nb
+                                       AS INT) + 1, 1)) END AS pv
+      FROM grid JOIN documents d USING (doc_id)
+    ), rs AS (
+      SELECT doc_id,
+             CAST(MAX(ow) AS INT) AS rs_out_w,
+             CAST(MAX(oh) AS INT) AS rs_out_h,
+             CAST(COUNT(*) AS BIGINT) AS px_count,
+             CAST(SUM(pv) AS BIGINT) AS px_sum,
+             CAST(SUM((li + 1) * pv) AS BIGINT) AS px_wsum
+      FROM pxv GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(w AS INT) AS src_width,
-           CAST(h AS INT) AS src_height,
-           CAST(GREATEST(1, FLOOR(w * LEAST(1.0, 224.0 / w, 224.0 / h))) AS INT)
-             AS out_width,
-           CAST(GREATEST(1, FLOOR(h * LEAST(1.0, 224.0 / w, 224.0 / h))) AS INT)
-             AS out_height,
-           CAST(idx AS INT) AS frame_idx,
-           CAST(idx * 250 AS INT) AS frame_ts_ms
-    FROM f
+    SELECT f.doc_id,
+           CAST(f.w AS INT) AS src_width,
+           CAST(f.h AS INT) AS src_height,
+           CAST(GREATEST(1, FLOOR(f.w * LEAST(1.0, 224.0 / f.w, 224.0 / f.h)))
+                AS INT) AS out_width,
+           CAST(GREATEST(1, FLOOR(f.h * LEAST(1.0, 224.0 / f.w, 224.0 / f.h)))
+                AS INT) AS out_height,
+           CAST(f.idx AS INT) AS frame_idx,
+           CAST(f.idx * 250 AS INT) AS frame_ts_ms,
+           rs.rs_out_w, rs.rs_out_h, rs.px_count, rs.px_sum, rs.px_wsum
+    FROM f JOIN rs ON f.doc_id = rs.doc_id
     """,
 )
 def q_multimodal_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,9 +555,24 @@ def q_multimodal_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = mm.attach_binary_payload(docs)
     resized = mm.resize_metadata(payload, max_w=224, max_h=224)
     frames = mm.frame_sample(payload)
-    return resized.join(frames, "doc_id").select(
-        "doc_id", "src_width", "src_height", "out_width", "out_height",
-        "frame_idx", "frame_ts_ms",
+    pixels = mm.resize_image(
+        mm.attach_png_payload(docs), max_w=8, max_h=8, method="nearest"
+    ).select(
+        "doc_id",
+        F.col("out_width").alias("rs_out_w"),
+        F.col("out_height").alias("rs_out_h"),
+        "px_count",
+        "px_sum",
+        "px_wsum",
+    )
+    return (
+        resized.join(frames, "doc_id")
+        .join(pixels, "doc_id")
+        .select(
+            "doc_id", "src_width", "src_height", "out_width", "out_height",
+            "frame_idx", "frame_ts_ms",
+            "rs_out_w", "rs_out_h", "px_count", "px_sum", "px_wsum",
+        )
     )
 
 

@@ -594,3 +594,113 @@ def test_checks_empty_relation_reports_zero_violations(spark):
         ).collect()
     }
     assert out == {"v_not_null": 0, "k_unique": 0}
+
+
+# ---------------------------------------------------------------------------
+# Round-4: real pixel resampling (resize_image). Goldens come from an
+# INDEPENDENT pure-Python reimplementation (per-pixel loops, no numpy)
+# so a kernel bug can't validate itself.
+# ---------------------------------------------------------------------------
+
+
+def _reference_resample(px, w, h, ch, max_w, max_h, method):
+    scale = min(1.0, max_w / w, max_h / h)
+    ow = max(1, int(w * scale))
+    oh = max(1, int(h * scale))
+    out = []
+    if method == "nearest":
+        for j in range(oh):
+            sy = ((2 * j + 1) * h) // (2 * oh)
+            for i in range(ow):
+                sx = ((2 * i + 1) * w) // (2 * ow)
+                for c in range(ch):
+                    out.append(px[(sy * w + sx) * ch + c])
+    else:  # box
+        for j in range(oh):
+            y0, y1 = (j * h) // oh, max(((j + 1) * h) // oh, (j * h) // oh + 1)
+            for i in range(ow):
+                x0, x1 = (i * w) // ow, max(((i + 1) * w) // ow, (i * w) // ow + 1)
+                for c in range(ch):
+                    s = sum(
+                        px[(y * w + x) * ch + c]
+                        for y in range(y0, y1)
+                        for x in range(x0, x1)
+                    )
+                    out.append(s // (y1 - y0) // (x1 - x0))
+    return ow, oh, out
+
+
+@pytest.mark.parametrize("method", ["nearest", "box"])
+def test_resize_image_matches_reference_impl(spark, method):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        multimodal as mm,
+    )
+
+    rows = [(i, f"pixel text payload number {i} " * (i + 1)) for i in range(12)]
+    rows.append((98, ""))  # empty text -> 1x1 zero image
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in mm.resize_image(
+            mm.attach_png_payload(df), max_w=5, max_h=5, method=method
+        ).collect()
+    }
+    assert all(r["status"] == "resized" for r in got.values())
+    for doc_id, text in rows:
+        data = text.encode()
+        w, h = len(data) % 16 + 1, len(data) % 12 + 1
+        px = bytes(data[k % len(data)] if data else 0 for k in range(w * h))
+        ow, oh, out = _reference_resample(px, w, h, 1, 5, 5, method)
+        r = got[doc_id]
+        assert (r["src_width"], r["src_height"]) == (w, h)
+        assert (r["out_width"], r["out_height"]) == (ow, oh)
+        assert r["px_count"] == len(out)
+        assert r["px_sum"] == sum(out)
+        assert r["px_wsum"] == sum((k + 1) * v for k, v in enumerate(out))
+
+
+def test_resize_image_identity_when_fits(spark):
+    """No upscaling: a target box >= source must return the original
+    pixels verbatim (both methods degenerate to identity)."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        multimodal as mm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "identity test payload"), (2, "x")], "doc_id long, text string"
+    )
+    for method in ("nearest", "box"):
+        for r in mm.resize_image(
+            mm.attach_png_payload(df), max_w=64, max_h=64, method=method
+        ).collect():
+            assert (r["out_width"], r["out_height"]) == (
+                r["src_width"],
+                r["src_height"],
+            ), method
+            # identity => checksum equals the raw pixel checksum
+            text = {1: "identity test payload", 2: "x"}[r["doc_id"]]
+            data = text.encode()
+            w, h = len(data) % 16 + 1, len(data) % 12 + 1
+            px = [data[k % len(data)] for k in range(w * h)]
+            assert r["px_sum"] == sum(px), method
+            assert r["px_wsum"] == sum((k + 1) * v for k, v in enumerate(px)), method
+
+
+def test_resize_image_poisoned_payload_is_error_row(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        multimodal as mm,
+    )
+
+    good = mm.attach_png_payload(
+        spark.createDataFrame([(1, "ok")], "doc_id long, text string")
+    )
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"not a png at all"))], "doc_id long, payload binary"
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in mm.resize_image(
+            good.select("doc_id", "payload").unionByName(bad), max_w=4, max_h=4
+        ).collect()
+    }
+    assert out == {1: "resized", 2: "error"}
