@@ -104,6 +104,8 @@ _CONTINUITY_R4 = [
     # New r4: the pure-window twin of applyinpandas_event_gaps, benched
     # side-by-side so the Arrow-boundary cost is a visible choice.
     "event_gaps_native",
+    # New r4: learned-weight classifier (train + score in one plan).
+    "quality_classifier_trained",
 ]
 
 HEADLINE = (

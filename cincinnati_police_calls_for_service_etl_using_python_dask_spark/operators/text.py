@@ -644,3 +644,247 @@ def duckdb_bpe_pairs_sql(top_k: int = 50, table: str = "documents") -> str:
              AS rank
     FROM c
     """
+
+
+# ---------------------------------------------------------------------------
+# TRAINED hashed-ngram quality classifier (round 4 — drops the
+# "placeholder weights" label). Same fasttext-style architecture as
+# hashed_ngram_classifier (hashed bigram features x a linear layer),
+# but the weights are LEARNED from data: a one-pass frequency-contrast
+# fit (multinomial Naive Bayes with equal priors, the classic
+# high-bias/low-variance text baseline) over a deterministic hash
+# split of the corpus, with weak labels derived from the text itself —
+# stopword density >= 1/16, the Gopher-style fluency proxy. (The
+# corpus's lang column is NOT usable as a label: the synthetic
+# generator draws every language from the same 31-word vocabulary, so
+# lang is statistically independent of text — measured at the 0.5
+# chance ceiling for every learner tried.)
+#
+#     w_b = x⁺_b·N⁻ − x⁻_b·N⁺
+#
+# (x±_b = bigram occurrences of bucket b in the positive/negative
+# class, N± = class totals; the cross-multiplication is the integer-
+# exact spelling of the frequency difference x⁺/N⁺ − x⁻/N⁻.) Every
+# number is an exact BIGINT, so the ENTIRE fit — split, labels,
+# counts, weights, scores — re-derives bit-identically in the DuckDB
+# oracle; no model artifact is shipped or trusted. Measured on the
+# held-out split at sf0.01: 0.77 accuracy vs 0.43 for the placeholder
+# (tests/test_curation_ops.py pins the lift).
+#
+# An epoch-style batch perceptron was prototyped and rejected: with
+# lr=1 it oscillates (test acc swings 0.4↔0.6 per epoch) unless
+# averaged, and unrolling epochs as pure dataflow doubles the Spark
+# plan tree per epoch (w_k references w_{k-1} twice) — exponential
+# analysis cost that only a mid-plan materialization would fix,
+# which would break the oracle's stateless re-derivation.
+#
+# Scale: the fit is ONE explode+hash+groupBy pass over the train
+# split (map-combined, <= n_buckets rows on the wire) plus a 1-row
+# class-totals broadcast; scoring is the same feature pass joined to
+# the broadcast weight table. At petabyte scale the cross-products
+# x·N approach 2^63 — swap the weight expression to DECIMAL(38,0)
+# there; the plan shape is unchanged.
+# ---------------------------------------------------------------------------
+
+TCLS_BUCKETS = 4096
+TCLS_SPLIT_SEED = 23
+TCLS_TRAIN_RATE = 0.8
+TCLS_STOPWORDS = ("the", "a")
+TCLS_STOP_DENSITY = 16  # label +1 iff n_stop * 16 >= n_tokens
+
+
+def _bucket_feats(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int, seed: int
+) -> DataFrame:
+    """(id, bucket, x): per-doc occurrence counts of hashed bigrams.
+
+    Work-bound stage (one md5 per bigram): the pre-explode repartition
+    is sized by CORES, not bytes — same lesson as winnow_fingerprints;
+    byte-based sizing sees a few MB of text and starves the explode.
+    The groupBy(id, bucket) is satisfied by the id partitioning
+    (subset rule), so hashing and the count aggregate are one stage.
+    """
+    from ..functions.hashing import hash56
+
+    toks = tokens(text_col)
+    base = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
+        F.col(id_col), toks.alias("__t"), (F.size(toks) - F.lit(1)).alias("__m")
+    )
+    pos = base.filter(F.col("__m") >= 1).select(
+        id_col,
+        "__t",
+        F.explode(F.sequence(F.lit(1), F.col("__m"))).alias("__i"),
+    )
+    gram = F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), 2))
+    return (
+        pos.select(
+            F.col(id_col), (hash56(gram, seed=seed) % F.lit(n_buckets)).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+
+
+def _contrast_weights(feats: DataFrame, labels: DataFrame, id_col: str) -> DataFrame:
+    """w_b = x⁺_b·N⁻ − x⁻_b·N⁺ from (id, bucket, x) ⋈ (id, y)."""
+    j = feats.join(labels, id_col)
+    per_bucket = j.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__y") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("__xp"),
+        F.sum(F.when(F.col("__y") == -1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("__xn"),
+    )
+    totals = per_bucket.groupBy().agg(
+        F.sum("__xp").cast("long").alias("__np"),
+        F.sum("__xn").cast("long").alias("__nn"),
+    )
+    return per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (F.col("__xp") * F.col("__nn") - F.col("__xn") * F.col("__np"))
+        .cast("long")
+        .alias("w"),
+    )
+
+
+def train_ngram_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "y",
+    n_buckets: int = TCLS_BUCKETS,
+    seed: int = CLASSIFIER_SEED,
+) -> DataFrame:
+    """One-pass frequency-contrast fit; returns the learned weight
+    table (bucket, w). ``labeled`` needs ``label_col`` in {+1, -1}.
+    Deterministic: the fit is a set aggregate — row order,
+    partitioning, and retries cannot change it."""
+    feats = _bucket_feats(labeled, text_col, id_col, n_buckets, seed)
+    labels = labeled.select(
+        F.col(id_col), F.col(label_col).cast("long").alias("__y")
+    )
+    return _contrast_weights(feats, labels, id_col)
+
+
+def _stop_labels(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Weak labels from the text: +1 iff stopword density >= 1/16."""
+    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    return toked.groupBy(id_col).agg(
+        F.when(
+            F.lit(TCLS_STOP_DENSITY)
+            * F.sum(F.col("__tok").isin(*TCLS_STOPWORDS).cast("long"))
+            >= F.count(F.lit(1)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("y")
+    )
+
+
+def trained_quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = TCLS_BUCKETS,
+    seed: int = CLASSIFIER_SEED,
+    split_seed: int = TCLS_SPLIT_SEED,
+    train_rate: float = TCLS_TRAIN_RATE,
+) -> DataFrame:
+    """Score every document with weights learned on the deterministic
+    train split (hash56(id) < rate·2^56). Output (id, n_bigrams,
+    score_sum, label) — the same frame contract as
+    :func:`hashed_ngram_classifier`, with score_sum now a LEARNED
+    margin instead of hash noise."""
+    from ..operators.sampling import _key_expr, _threshold
+
+    # ONE feature pass feeds both the fit and the scoring: the fit
+    # filters the shared frame to the train split ABOVE the heavy
+    # explode+md5 exchange, keeping the subtrees identical so Spark's
+    # ReuseExchange computes the features once (measured 2.4 s → 1.2 s
+    # at sf0.1 vs the recompute spelling).
+    feats = _bucket_feats(df, text_col, id_col, n_buckets, seed)
+    in_train = _key_expr([id_col], split_seed) < F.lit(_threshold(train_rate))
+    train_docs = df.filter(in_train).select(id_col, text_col)
+    labels = _stop_labels(train_docs, text_col, id_col).select(
+        F.col(id_col), F.col("y").cast("long").alias("__y")
+    )
+    w = _contrast_weights(feats.filter(in_train), labels, id_col)
+    sc = (
+        feats.join(F.broadcast(w), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("x").cast("long").alias("n_bigrams"),
+            F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0)))
+            .cast("long")
+            .alias("score_sum"),
+        )
+    )
+    return df.select(id_col).join(sc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("score_sum", F.lit(0)).cast("long").alias("score_sum"),
+        F.when(F.coalesce("score_sum", F.lit(0)) > 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )
+
+
+def duckdb_trained_classifier_sql(
+    table: str = "documents",
+    n_buckets: int = TCLS_BUCKETS,
+    seed: int = CLASSIFIER_SEED,
+    split_seed: int = TCLS_SPLIT_SEED,
+    train_rate: float = TCLS_TRAIN_RATE,
+) -> str:
+    """DuckDB SQL computing exactly :func:`trained_quality_classifier`
+    — the oracle re-derives the learned weights from scratch (split,
+    labels, counts, contrast) rather than trusting an artifact."""
+    from ..functions.hashing import duckdb_hash56_sql
+    from ..operators.sampling import _threshold, duckdb_key_sql
+
+    toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+    bucket = f"({duckdb_hash56_sql('gram', seed=seed)}) % {n_buckets}"
+    key = duckdb_key_sql(["doc_id"], split_seed)
+    stop_list = ", ".join(f"'{s}'" for s in TCLS_STOPWORDS)
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS tk FROM {table}),
+    f AS (
+      SELECT doc_id, {bucket} AS bucket, COUNT(*)::BIGINT AS x
+      FROM (
+        SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS gram
+        FROM (SELECT doc_id, unnest(generate_series(1, len(tk) - 1)) AS i, tk
+              FROM tk WHERE len(tk) >= 2)
+      ) GROUP BY 1, 2
+    ),
+    y AS (
+      SELECT doc_id,
+             CASE WHEN {TCLS_STOP_DENSITY} * len(list_filter(tk, t -> t IN ({stop_list})))
+                       >= len(tk)
+                  THEN 1 ELSE -1 END AS y
+      FROM tk WHERE ({key}) < {_threshold(train_rate)}
+    ),
+    pb AS (
+      SELECT f.bucket,
+             SUM(CASE WHEN y.y = 1 THEN f.x ELSE 0 END)::BIGINT AS xp,
+             SUM(CASE WHEN y.y = -1 THEN f.x ELSE 0 END)::BIGINT AS xn
+      FROM f JOIN y USING (doc_id) GROUP BY 1
+    ),
+    tot AS (SELECT SUM(xp)::BIGINT AS np, SUM(xn)::BIGINT AS nn FROM pb),
+    w AS (SELECT bucket, (xp * tot.nn - xn * tot.np)::BIGINT AS w FROM pb, tot),
+    sc AS (
+      SELECT f.doc_id, SUM(f.x)::BIGINT AS n_bigrams,
+             COALESCE(SUM(f.x * w.w), 0)::BIGINT AS score_sum
+      FROM f LEFT JOIN w USING (bucket) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+           COALESCE(sc.score_sum, 0)::BIGINT AS score_sum,
+           CASE WHEN COALESCE(sc.score_sum, 0) > 0 THEN 'keep' ELSE 'drop' END
+             AS label
+    FROM {table} d LEFT JOIN sc USING (doc_id)
+    """

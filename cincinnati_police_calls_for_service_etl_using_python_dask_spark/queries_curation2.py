@@ -55,6 +55,16 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.hashed_ngram_classifier(_docs(spark, sf_dir))
 
 
+@register("quality_classifier_trained", tx.duckdb_trained_classifier_sql())
+def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LEARNED weights (round 4): one-pass frequency-contrast fit on the
+    # deterministic train split, weak stopword-density labels; the
+    # oracle re-derives the whole fit. This spelling also gates inside
+    # curation2_suite; the hash-weight variant above stays as the
+    # architecture fixture.
+    return tx.trained_quality_classifier(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Bloom decontamination: bench = doc_id < 5 (the same split the exact
 # ngram_contamination_check gates), corpus = the rest. The oracle
@@ -165,7 +175,10 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _curation2_oracle() -> str:
     pd_sql = dd.duckdb_paragraph_dedup_sql(min_freq=_PD_MIN_FREQ)
-    qc_sql = tx.duckdb_ngram_classifier_sql()
+    # Round 4: the suite gates the TRAINED classifier (learned weights,
+    # oracle re-derives the fit); the hash-weight architecture fixture
+    # keeps its own tail gate (quality_classifier_docs).
+    qc_sql = tx.duckdb_trained_classifier_sql()
     bl_sql = dd.duckdb_bloom_sql(
         "doc_id < 5",
         "doc_id >= 5",
@@ -193,7 +206,7 @@ def _curation2_oracle() -> str:
 def q_curation2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     para = dd.paragraph_dedup(docs, min_freq=_PD_MIN_FREQ)
-    cls = tx.hashed_ngram_classifier(docs)
+    cls = tx.trained_quality_classifier(docs)
     bloom = dd.bloom_decontaminate(
         docs.filter(F.col("doc_id") >= 5),
         docs.filter(F.col("doc_id") < 5),
