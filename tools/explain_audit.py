@@ -389,6 +389,61 @@ def main() -> None:
             "explode→count→window top-1: both wide stages cluster on "
             "doc_id and carry (id, gram, count) — never the document",
         ),
+        # — round 4 —
+        (
+            "quality_classifier_trained",
+            "fit+score are zero-Python; weights broadcast; work-bound repartitions",
+            lambda p: "BatchEvalPython" not in p
+            and "ArrowEvalPython" not in p
+            and "BroadcastHashJoin" in p
+            and p.count("REPARTITION_BY_NUM") >= 2,
+            "the whole LEARNED fit is JVM codegen — contrast weights are "
+            "one map-combined aggregate, the <=4096-row weight table "
+            "broadcasts into scoring, and every explode+md5 pass sits on "
+            "an explicit core-count repartition (byte-based sizing "
+            "starves work-bound stages)",
+        ),
+        (
+            "event_gaps_native",
+            "native gaps = ONE exchange, zero Python (the D1 twin's fast path)",
+            lambda p: count_exchanges(p) == 1
+            and "FlatMapGroupsInPandas" not in p
+            and "ArrowEvalPython" not in p,
+            "identical output to applyinpandas_event_gaps through one "
+            "user_id shuffle + codegen lag/timestamp_diff — the Arrow "
+            "group-map boundary is a per-call choice, not a tax on the "
+            "operator family",
+        ),
+        (
+            "checks_suite",
+            "constraint+FK suite: anti joins and counters, zero Python",
+            lambda p: len(re.findall(r"LeftAnti", p)) >= 2
+            and "BatchEvalPython" not in p,
+            "row rules fold into one map-combined counter row; each FK "
+            "rule is a key-only anti join — validating 100 TB moves "
+            "keys and counters, never rows",
+        ),
+        (
+            "tokenization_suite",
+            "token family union adds no extra wide stages",
+            lambda p: count_exchanges(p) <= 2
+            and "BatchEvalPython" not in p
+            and "ArrowEvalPython" not in p,
+            "token counting and chunking stay map-side; only the "
+            "top-tokens and BPE-pair aggregates shuffle (map-combined), "
+            "so the 4-operator suite costs what its two aggregating "
+            "members cost",
+        ),
+        (
+            "multimodal_geometry_suite",
+            "pixel resample is Arrow-batched; joins broadcast; no row-Python",
+            lambda p: p.count("MapInPandas") >= 3
+            and "BatchEvalPython" not in p,
+            "the REAL resample kernel (PNG decode + integer resample) "
+            "crosses the JVM boundary once per Arrow batch — same "
+            "contract as decode; geometry/frame/pixel branches join on "
+            "doc_id with broadcast-sized sides",
+        ),
     ]
 
     lines = [
