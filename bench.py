@@ -206,8 +206,10 @@ def main() -> None:
             json.dump(full, f, indent=1, sort_keys=True)
     except OSError:
         pass
-    print(json.dumps(full, separators=(",", ":")))
 
+    # stdout carries ONLY the compact line: a second (full-map) line
+    # would land truncated inside the tail window and could confuse a
+    # parser that scans for the first JSON-looking fragment.
     budget = 1800  # headroom under the 2000-char tail capture
     compact_q = {k: round(v, 2) for k, v in times.items()}
     by_cost = sorted(compact_q, key=lambda k: (compact_q[k], k))
