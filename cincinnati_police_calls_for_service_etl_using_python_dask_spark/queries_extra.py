@@ -561,4 +561,5 @@ def q_ann_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lists=8,
         n_probe=8,  # probe every list => exhaustive => exact
         index_cache_key=sf_dir,
+        dim=64,
     )

@@ -413,7 +413,7 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return sim.brute_force_topk(emb, queries, k=10)
+    return sim.brute_force_topk(emb, queries, k=10, dim=64)
 
 
 @register("ann_lsh_topk", None)  # approximate: rows-only; recall tested in pytest
@@ -434,7 +434,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return sim.ivf_ann_topk(
-        emb, queries, k=10, n_lists=16, n_probe=4, index_cache_key=sf_dir
+        emb, queries, k=10, n_lists=16, n_probe=4, index_cache_key=sf_dir, dim=64
     )
 
 
