@@ -736,3 +736,85 @@ def test_available_now_checkpoint_resumes_incrementally(spark, tmp_path):
     assert got.count() == first.count() + second.count()
     # exactly-once: no event_id appears twice across the two drains
     assert got.select("event_id").distinct().count() == got.count()
+
+
+# ---------------------------------------------------------------------------
+# Round-4: scheduled-cadence runner (the reference's daily driver,
+# app.py:50/991-995). Fake clock — no wall-clock sleeps.
+# ---------------------------------------------------------------------------
+
+
+class _FakeClock:
+    def __init__(self, t0=0.0):
+        self.t = t0
+
+    def __call__(self):
+        return self.t
+
+    def sleep(self, dt):
+        assert dt > 0
+        self.t += dt
+
+
+def test_cadence_runner_fires_daily_at_anchor():
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.runner import (
+        CadenceRunner,
+        seconds_into_day,
+    )
+
+    fired = []
+    clk = _FakeClock(t0=1_000.0)  # before 01:30 of epoch day 0
+    r = CadenceRunner.daily_at(
+        fired.append, at="01:30", clock=clk, sleep=clk.sleep
+    )
+    r.run(max_cycles=3)
+    anchor = seconds_into_day("01:30")
+    assert fired == [anchor + 86_400 * k for k in (0, 1, 2)]
+    assert r.cycles_run == 3 and r.failures == 0
+    # starting AFTER today's anchor fires tomorrow, not today
+    clk2 = _FakeClock(t0=10_000.0)
+    fired2 = []
+    r2 = CadenceRunner.daily_at(fired2.append, at="01:30", clock=clk2, sleep=clk2.sleep)
+    r2.run(max_cycles=1)
+    assert fired2 == [anchor + 86_400]
+
+
+def test_cadence_runner_failed_cycle_retries_next_cadence():
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.runner import (
+        CadenceRunner,
+    )
+
+    calls = []
+
+    def flaky(ts):
+        calls.append(ts)
+        if len(calls) == 1:
+            raise RuntimeError("socrata 503")  # reference's API hiccup
+
+    clk = _FakeClock(t0=0.0)
+    r = CadenceRunner(flaky, interval_s=100.0, anchor_s=0.0, clock=clk, sleep=clk.sleep)
+    r.run(max_cycles=3)
+    # first cycle failed but the loop kept cadence: fires at 100, 200, 300
+    assert calls == [100.0, 200.0, 300.0]
+    assert r.failures == 1 and r.cycles_run == 3
+
+
+def test_cadence_runner_catch_up_runs_once_immediately():
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.runner import (
+        CadenceRunner,
+    )
+
+    fired = []
+    # process was down across 5 fire times; full-refresh semantics
+    # mean ONE catch-up cycle heals the backlog
+    clk = _FakeClock(t0=550.0)
+    r = CadenceRunner(fired.append, interval_s=100.0, anchor_s=0.0, clock=clk, sleep=clk.sleep)
+    r.run(max_cycles=2, started_after=0.0)
+    assert fired[0] == 550.0  # immediate catch-up at start time
+    assert fired[1] == 600.0  # then back on cadence
+    # and no catch-up when nothing was missed
+    fired2 = []
+    clk2 = _FakeClock(t0=550.0)
+    r2 = CadenceRunner(fired2.append, interval_s=100.0, anchor_s=0.0, clock=clk2, sleep=clk2.sleep)
+    r2.run(max_cycles=1, started_after=500.0)
+    assert fired2 == [600.0]
