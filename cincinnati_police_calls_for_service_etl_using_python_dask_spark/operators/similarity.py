@@ -393,6 +393,12 @@ def ivf_ann_topk(
         if cache_key:
             _ivf_cache_put(cache_key, centroids)
 
+    # Centroid assignment stays an Arrow-batched pandas UDF by design:
+    # one BLAS matmul per batch is the right kernel at any corpus size,
+    # and an unrolled-literal codegen spelling (n_lists × dim literal
+    # terms per row) was tried and rejected — the generated method blew
+    # JIT scalar-replacement memory at 8×64 already. Python crosses the
+    # boundary once per batch, not per row.
     @pandas_udf("int")
     def assign_list(v: pd.Series) -> pd.Series:
         mat = np.stack(v.to_numpy()).astype(np.float64)
