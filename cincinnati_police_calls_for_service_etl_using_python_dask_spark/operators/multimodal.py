@@ -38,9 +38,12 @@ DECODE_SCHEMA = T.StructType(
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Test harness: derive a deterministic binary payload column from
-    text (UTF-8 bytes). In production this column comes from the lake
-    (parquet BINARY / object-store pointers)."""
-    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+    text (UTF-8 bytes; NULL text → empty payload, matching the PNG
+    fixture's None→"" convention). In production this column comes from
+    the lake (parquet BINARY / object-store pointers)."""
+    return df.withColumn(
+        "payload", F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
+    )
 
 
 def _decode_batch(pdf):
@@ -175,6 +178,62 @@ def frame_sample(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
 
 
+GEOMETRY_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.IntegerType()),
+    ]
+)
+
+
+def geometry_frames(df: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Fused stub spelling of
+    ``resize_metadata(df) ⋈ frame_sample(df)`` on doc_id — one Arrow
+    crossing and no join, row-identical to the composed pair (pinned by
+    test). Each Python stage pays a fixed runner handshake, so a suite
+    combining both per-doc geometries fuses them; the granular
+    operators remain the composable production spellings."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_bytes = pdf["payload"].map(len).to_numpy().astype("int64")
+            w = n_bytes % 640 + 1
+            h = n_bytes % 480 + 1
+            scale = np.minimum(1.0, np.minimum(max_w / w, max_h / h))
+            ow = np.maximum(1, np.floor(w * scale)).astype("int64")
+            oh = np.maximum(1, np.floor(h * scale)).astype("int64")
+            n = np.minimum(n_bytes // FRAME_INTERVAL_MS + 1, MAX_FRAMES)
+            rep = np.repeat(np.arange(len(n)), n)
+            idx = (
+                np.concatenate([np.arange(k) for k in n])
+                if len(n)
+                else np.array([], dtype="int64")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[rep],
+                    "src_width": w[rep].astype("int32"),
+                    "src_height": h[rep].astype("int32"),
+                    "out_width": ow[rep].astype("int32"),
+                    "out_height": oh[rep].astype("int32"),
+                    "frame_idx": idx.astype("int32"),
+                    "frame_ts_ms": (idx * FRAME_INTERVAL_MS).astype("int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, GEOMETRY_FRAMES_SCHEMA)
+
+
 FEATURE_DIM = 8
 
 FEATURE_SCHEMA = T.StructType(
@@ -287,15 +346,12 @@ def encode_png(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> tuple[int, int, str, bytes]:
-    """Real PNG decode: returns (width, height, mode, pixel_bytes).
-
-    Walks the chunk stream validating every CRC, reads IHDR geometry,
-    inflates the IDAT stream, and reconstructs scanlines through the
-    five standard filters. 8-bit non-interlaced images only (the format
-    subset the test harness and our encoder produce); anything else —
-    or any corruption — raises ValueError. Pillow, when importable,
-    replaces this whole function (see _decode_real_batch)."""
+def _png_parse(data: bytes) -> tuple[int, int, int, bytes]:
+    """Container walk: validate signature + every chunk CRC, read IHDR
+    geometry, inflate the IDAT stream, and length-check the filtered
+    scanline buffer. Returns (width, height, color_type, raw_filtered)
+    — pixel reconstruction (unfiltering) is a separate step so the
+    batched kernel can vectorize it across many images at once."""
     import struct
     import zlib
 
@@ -326,44 +382,288 @@ def decode_png(data: bytes) -> tuple[int, int, str, bytes]:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT")
-    bpp = _PNG_CHANNELS[color_type]
-    stride = width * bpp
+    stride = width * _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
         raise ValueError("bad decompressed length")
-    out = bytearray()
-    prev = bytes(stride)
+    return width, height, color_type, raw
+
+
+def _unfilter_single(raw: bytes, width: int, height: int, bpp: int) -> bytes:
+    """Per-image scanline reconstruction (the big-image fallback).
+
+    Filters None/Sub/Up run as whole-scanline numpy ops (Sub is a
+    running sum, i.e. cumsum mod 256 per channel lane); Average/Paeth
+    carry a nonlinear in-row recurrence, so those rows keep the byte
+    loop. The batched kernel (:func:`_unfilter_batch`) replaces this
+    entirely for thumbnail-scale images."""
+    import numpy as np
+
+    stride = width * bpp
+    r = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    fts = r[:, 0]
+    if fts.max(initial=0) > 4:
+        raise ValueError(f"unknown filter {int(fts.max())}")
+    out = np.empty((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
     for y in range(height):
-        ft = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        if ft == 1:
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        ft = fts[y]
+        cur = r[y, 1:].astype(np.int64)
+        if ft == 0:
+            line = cur
+        elif ft == 1:
+            line = np.cumsum(cur.reshape(-1, bpp), axis=0).reshape(-1) & 0xFF
         elif ft == 2:
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
-        elif ft == 3:
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif ft == 4:
+            line = (cur + prev) & 0xFF
+        else:
+            line = cur
             for x in range(stride):
                 a = line[x - bpp] if x >= bpp else 0
                 b, c = prev[x], (prev[x - bpp] if x >= bpp else 0)
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                if ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 line[x] = (line[x] + pred) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"unknown filter {ft}")
-        out += line
-        prev = bytes(line)
-    return width, height, _PNG_MODE[color_type], bytes(out)
+        out[y] = line
+        prev = line
+    return out.astype(np.uint8).tobytes()
+
+
+def decode_png(data: bytes) -> tuple[int, int, str, bytes]:
+    """Real PNG decode: returns (width, height, mode, pixel_bytes).
+
+    Walks the chunk stream validating every CRC, reads IHDR geometry,
+    inflates the IDAT stream, and reconstructs scanlines through the
+    five standard filters. 8-bit non-interlaced images only (the format
+    subset the test harness and our encoder produce); anything else —
+    or any corruption — raises ValueError. Pillow, when importable,
+    replaces this whole function (see _decode_real_batch)."""
+    width, height, color_type, raw = _png_parse(data)
+    px = _unfilter_single(raw, width, height, _PNG_CHANNELS[color_type])
+    return width, height, _PNG_MODE[color_type], px
+
+
+# Batched unfilter applies only when every image in the group fits this
+# bounding box: the Average/Paeth recurrence costs one numpy op-chain
+# per byte COLUMN, so the x-loop must stay short. Beyond it, the
+# per-image scanline path above takes over (real corpora at that size
+# would use Pillow anyway, see REAL_CODECS_AVAILABLE).
+_BATCH_MAX_H = 64
+_BATCH_MAX_STRIDE = 64
+# Memory bound for one padded block: g * H * S int16 elements.
+_BLOCK_ELEM_BUDGET = 16_000_000
+
+
+def _unfilter_batch(raws: list, hs, strides, bpp: int):
+    """Vectorized scanline reconstruction across a GROUP of images
+    (uniform bpp), padded into one (g, H, S) block. The recurrence runs
+    along y only; per y-step, filters None/Up apply as one masked
+    vector op, Sub as a channel-lane cumsum, and only rows carrying
+    Average/Paeth enter the short x-loop — each iteration a vector op
+    over all such images at once, never per-byte Python.
+
+    Returns (block int16 (g, H, S), bad bool (g,)) — `bad` marks images
+    with an out-of-range filter byte (caller emits status='error')."""
+    import numpy as np
+
+    g = len(raws)
+    H = int(max(hs))
+    S = int(max(strides))
+    fts = np.zeros((g, H), dtype=np.uint8)
+    data = np.zeros((g, H, S), dtype=np.int16)
+    for i, raw in enumerate(raws):
+        h_i, s_i = int(hs[i]), int(strides[i])
+        r = np.frombuffer(raw, dtype=np.uint8).reshape(h_i, s_i + 1)
+        fts[i, :h_i] = r[:, 0]
+        data[i, :h_i, :s_i] = r[:, 1:]
+    bad = (fts > 4).any(axis=1)
+    # Sub's cumsum runs over channel lanes; pad S up to a bpp multiple.
+    Sp = S if S % bpp == 0 else S + bpp - S % bpp
+    prev = np.zeros((g, Sp), dtype=np.int64)
+    out = np.empty((g, H, S), dtype=np.int16)
+    for y in range(H):
+        ft = fts[:, y]
+        cur = np.zeros((g, Sp), dtype=np.int64)
+        cur[:, :S] = data[:, y, :]
+        m1 = ft == 1
+        m2 = ft == 2
+        m34 = ft >= 3
+        if m2.any():
+            cur[m2] = (cur[m2] + prev[m2]) & 0xFF
+        if m1.any():
+            sub = cur[m1].reshape(-1, Sp // bpp, bpp)
+            cur[m1] = np.cumsum(sub, axis=1).reshape(-1, Sp) & 0xFF
+        if m34.any():
+            r34 = cur[m34]
+            p34 = prev[m34]
+            mavg = ft[m34] == 3
+            zero = np.zeros(len(r34), dtype=np.int64)
+            for x in range(S):
+                a = r34[:, x - bpp] if x >= bpp else zero
+                b = p34[:, x]
+                c = p34[:, x - bpp] if x >= bpp else zero
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                paeth = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                pred = np.where(mavg, (a + b) >> 1, paeth)
+                r34[:, x] = (r34[:, x] + pred) & 0xFF
+            cur[m34] = r34
+        out[:, y, :] = cur[:, :S]
+        prev = cur
+    return out, bad
+
+
+def _decode_payloads(payloads, want_pixels: bool = True):
+    """Shared decode front-end for the Arrow-batch kernels.
+
+    Parses every payload (CRC walk + inflate — C-speed per image), then
+    groups decodable images by channel count and reconstructs pixels
+    via :func:`_unfilter_batch` in memory-bounded chunks (per-image
+    scanline fallback beyond the thumbnail box). Returns
+
+        (ws, hs, cts  — int64 arrays, -1 ct on parse error,
+         chunks — list of (row_idx int64 (g,), block int16 (g,H,S), ch))
+
+    so the resample/checksum stage can stay fully vectorized per chunk.
+    """
+    import numpy as np
+
+    n = len(payloads)
+    ws = np.zeros(n, dtype=np.int64)
+    hs = np.zeros(n, dtype=np.int64)
+    cts = np.full(n, -1, dtype=np.int64)
+    raws: list = [None] * n
+    for i, b in enumerate(payloads):
+        try:
+            w, h, ct, raw = _png_parse(bytes(b))
+        except Exception:
+            continue
+        ws[i], hs[i], cts[i], raws[i] = w, h, ct, raw
+    chunks = []
+    if not want_pixels:
+        return ws, hs, cts, chunks
+    for ct in np.unique(cts[cts >= 0]):
+        bpp = _PNG_CHANNELS[int(ct)]
+        idx = np.flatnonzero(cts == ct)
+        small = (hs[idx] <= _BATCH_MAX_H) & (ws[idx] * bpp <= _BATCH_MAX_STRIDE)
+        for sel, batched in ((idx[small], True), (idx[~small], False)):
+            if not len(sel):
+                continue
+            if not batched:
+                # Big images: per-image scanline kernel, one chunk each.
+                for i in sel:
+                    try:
+                        px = _unfilter_single(raws[i], int(ws[i]), int(hs[i]), bpp)
+                    except ValueError:
+                        cts[i] = -1
+                        continue
+                    block = np.frombuffer(px, dtype=np.uint8).astype(np.int16)
+                    chunks.append(
+                        (np.array([i]), block.reshape(1, int(hs[i]), -1), bpp)
+                    )
+                continue
+            per_img = int(hs[sel].max()) * int((ws[sel] * bpp).max())
+            step = max(1, _BLOCK_ELEM_BUDGET // max(per_img, 1))
+            for lo in range(0, len(sel), step):
+                part = sel[lo : lo + step]
+                block, bad = _unfilter_batch(
+                    [raws[i] for i in part], hs[part], ws[part] * bpp, bpp
+                )
+                if bad.any():
+                    cts[part[bad]] = -1
+                    block, part = block[~bad], part[~bad]
+                if len(part):
+                    chunks.append((part, block, bpp))
+    return ws, hs, cts, chunks
 
 
 # True when a real codec library (Pillow) is importable; the built-in
 # PNG codec above works either way.
 REAL_CODECS_AVAILABLE = _PIL_Image is not None
+
+
+def _encode_png_batch(datas: list) -> list:
+    """Batched fixture encoder: byte-identical output to
+    ``encode_png(w, h, px)`` per image (w = n%16+1, h = n%12+1, pixels
+    cycling the data), but all five scanline filters are computed with
+    whole-batch numpy — forward filtering reads only ORIGINAL pixels,
+    so unlike decode it has no recurrence at all — and only chunk
+    assembly + zlib.compress (C-speed) run per image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    n = len(datas)
+    if not n:
+        return []
+    lens = np.array([len(d) for d in datas], dtype=np.int64)
+    ws = lens % 16 + 1
+    hs = lens % 12 + 1
+    H, W = int(hs.max()), int(ws.max())
+    # Vectorized pixel fill: P[i, y, x] = data_i[(y*w_i + x) % len_i],
+    # gathered from one concatenated buffer (empty texts stay zero).
+    buf = np.frombuffer(b"".join(datas), dtype=np.uint8).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    Y = np.arange(H, dtype=np.int64)[None, :, None]
+    X = np.arange(W, dtype=np.int64)[None, None, :]
+    flat = (Y * ws[:, None, None] + X) % np.maximum(lens, 1)[:, None, None]
+    if len(buf):
+        P = buf[np.minimum(offs[:, None, None] + flat, len(buf) - 1)]
+    else:
+        P = np.zeros((n, H, W), dtype=np.int64)
+    P[lens == 0] = 0
+    a = np.zeros_like(P)
+    a[:, :, 1:] = P[:, :, :-1]
+    b = np.zeros_like(P)
+    b[:, 1:, :] = P[:, :-1, :]
+    c = np.zeros_like(P)
+    c[:, 1:, 1:] = P[:, :-1, :-1]
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    paeth = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    variants = (
+        P,
+        (P - a) & 0xFF,
+        (P - b) & 0xFF,
+        (P - ((a + b) >> 1)) & 0xFF,
+        (P - paeth) & 0xFF,
+    )
+    # Pack scanlines vectorized: column 0 is the filter byte (y % 5),
+    # then the chosen filter's output; per-image work below is only a
+    # contiguous slice-copy + zlib.compress + CRC.
+    rows_all = np.empty((n, H, W + 1), dtype=np.uint8)
+    rows_all[:, :, 0] = (np.arange(H) % 5)[None, :]
+    for k in range(5):
+        rows_all[:, k::5, 1:] = variants[k][:, k::5, :]
+
+    def chunk(tag: bytes, data_: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data_))
+            + tag
+            + data_
+            + struct.pack(">I", zlib.crc32(tag + data_) & 0xFFFFFFFF)
+        )
+
+    # Only 16*12 distinct geometries — cache the constant header bytes.
+    heads: dict = {}
+    tail = chunk(b"IEND", b"")
+    out = []
+    for i in range(n):
+        w, h = int(ws[i]), int(hs[i])
+        head = heads.get((w, h))
+        if head is None:
+            head = _PNG_SIG + chunk(
+                b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            )
+            heads[(w, h)] = head
+        out.append(
+            head + chunk(b"IDAT", zlib.compress(rows_all[i, :h, : w + 1].tobytes())) + tail
+        )
+    return out
 
 
 def attach_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -376,54 +676,65 @@ def attach_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     @pandas_udf("binary")
     def make_png(texts):
-        import numpy as np
         import pandas as pd
 
-        out = []
-        for t in texts:
-            data = ("" if t is None else t).encode("utf-8")
-            w, h = len(data) % 16 + 1, len(data) % 12 + 1
-            px = np.resize(np.frombuffer(data, dtype=np.uint8), w * h) if data else np.zeros(
-                w * h, dtype=np.uint8
-            )
-            out.append(encode_png(w, h, px.tobytes()))
-        return pd.Series(out)
+        return pd.Series(
+            _encode_png_batch(
+                [("" if t is None else t).encode("utf-8") for t in texts]
+            ),
+            dtype=object,
+        )
 
     return df.withColumn("payload", make_png(F.col(text_col)))
 
 
 def _decode_real_batch(pdf):
     """Real decode kernel over one Arrow batch: Pillow when available,
-    else the pure-Python PNG parser. Bad payloads yield status='error'
-    with NULL geometry — a poisoned row must never kill the batch."""
+    else the built-in PNG codec — batch front-end (:func:`_decode_payloads`)
+    so scanline reconstruction vectorizes across the whole batch instead
+    of per-byte Python per row. Bad payloads yield status='error' with
+    NULL geometry — a poisoned row must never kill the batch."""
     import io
 
     import pandas as pd
 
-    widths, heights, modes, statuses = [], [], [], []
-    for b in pdf["payload"]:
-        try:
-            if _PIL_Image is not None:
+    if _PIL_Image is not None:  # pragma: no cover - Pillow absent here
+        widths, heights, modes, statuses = [], [], [], []
+        for b in pdf["payload"]:
+            try:
                 with _PIL_Image.open(io.BytesIO(bytes(b))) as im:
                     w, h, mode = im.width, im.height, im.mode
-            else:
-                w, h, mode, _px = decode_png(bytes(b))
-            widths.append(w)
-            heights.append(h)
-            modes.append(mode)
-            statuses.append("png-decoded")
-        except Exception:
-            widths.append(None)
-            heights.append(None)
-            modes.append(None)
-            statuses.append("error")
+                widths.append(w)
+                heights.append(h)
+                modes.append(mode)
+                statuses.append("png-decoded")
+            except Exception:
+                widths.append(None)
+                heights.append(None)
+                modes.append(None)
+                statuses.append("error")
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(widths, dtype="Int32"),
+                "height": pd.array(heights, dtype="Int32"),
+                "mode": modes,
+                "status": statuses,
+            }
+        )
+    ws, hs, cts, _chunks = _decode_payloads(pdf["payload"].tolist(), want_pixels=True)
+    ok = cts >= 0
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
-            "width": pd.array(widths, dtype="Int32"),
-            "height": pd.array(heights, dtype="Int32"),
-            "mode": modes,
-            "status": statuses,
+            "width": pd.array(
+                [int(w) if o else None for w, o in zip(ws, ok)], dtype="Int32"
+            ),
+            "height": pd.array(
+                [int(h) if o else None for h, o in zip(hs, ok)], dtype="Int32"
+            ),
+            "mode": [_PNG_MODE[int(c)] if o else None for c, o in zip(cts, ok)],
+            "status": ["png-decoded" if o else "error" for o in ok],
         }
     )
 
@@ -488,59 +799,95 @@ def _nearest_indices(src: int, out: int):
 
 
 def _resize_kernel(pdf, max_w: int, max_h: int, method: str):
+    """Batch-vectorized resample over one Arrow batch (round 5 — the
+    r4 per-row loop decoded each PNG in pure Python; this version
+    decodes/unfilters the whole batch through :func:`_decode_payloads`
+    and resamples every image of a chunk in one fancy-indexed gather).
+
+    ``nearest``: integer center-sampling, sy = ((2j+1)·h) div (2·oh).
+    ``box``: area average via a per-image summed-area table —
+    cell = SAT[y1,x1] − SAT[y0,x1] − SAT[y1,x0] + SAT[y0,x0], then the
+    same two floor-divisions (rows, then cols) as the per-pixel
+    reference, so results are bit-identical to the r4 kernel. Never
+    upscales, so the (g, OH, OW, ch) gather is always ≤ the decoded
+    block's footprint."""
     import numpy as np
     import pandas as pd
 
-    cols = {k: [] for k in ("sw", "sh", "ow", "oh", "cnt", "s", "ws", "st")}
-    for b in pdf["payload"]:
-        try:
-            w, h, _mode, px = decode_png(bytes(b))
-            ch = len(px) // (w * h)
-            arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
-            scale = min(1.0, max_w / w, max_h / h)
-            ow = max(1, int(np.floor(w * scale)))
-            oh = max(1, int(np.floor(h * scale)))
-            if method == "nearest":
-                out = arr[_nearest_indices(h, oh)][:, _nearest_indices(w, ow), :]
-            elif method == "box":
-                # Integer box/area average: mean of the source cell
-                # [floor(i*src/out), floor((i+1)*src/out)) per axis,
-                # floor-divided — exact integer arithmetic end-to-end.
-                ys = (np.arange(oh + 1, dtype=np.int64) * h) // oh
-                xs = (np.arange(ow + 1, dtype=np.int64) * w) // ow
-                acc = arr.astype(np.int64)
-                out = np.empty((oh, ow, ch), dtype=np.int64)
-                for j in range(oh):
-                    band = acc[ys[j] : max(ys[j + 1], ys[j] + 1)]
-                    for i in range(ow):
-                        cell = band[:, xs[i] : max(xs[i + 1], xs[i] + 1), :]
-                        out[j, i] = cell.sum(axis=(0, 1)) // cell.shape[0] // cell.shape[1]
-            else:
-                raise ValueError(f"unknown method {method!r}")
-            flat = out.reshape(-1).astype(np.int64)
-            cols["sw"].append(w)
-            cols["sh"].append(h)
-            cols["ow"].append(ow)
-            cols["oh"].append(oh)
-            cols["cnt"].append(flat.size)
-            cols["s"].append(int(flat.sum()))
-            cols["ws"].append(int(((np.arange(flat.size, dtype=np.int64) + 1) * flat).sum()))
-            cols["st"].append("resized")
-        except Exception:
-            for k in ("sw", "sh", "ow", "oh", "cnt", "s", "ws"):
-                cols[k].append(None)
-            cols["st"].append("error")
+    if method not in ("nearest", "box"):
+        raise ValueError(f"unknown method {method!r}")
+    payloads = pdf["payload"].tolist()
+    n = len(payloads)
+    ws, hs, cts, chunks = _decode_payloads(payloads, want_pixels=True)
+    res_cols = {
+        k: np.zeros(n, dtype=np.int64) for k in ("sw", "sh", "ow", "oh", "cnt", "s", "ws")
+    }
+    ok = np.zeros(n, dtype=bool)
+    for idx, block, ch in chunks:
+        g, H, S = block.shape
+        w, h = ws[idx], hs[idx]
+        scale = np.minimum(1.0, np.minimum(max_w / w, max_h / h))
+        ow = np.maximum(1, (w * scale).astype(np.int64))
+        oh = np.maximum(1, (h * scale).astype(np.int64))
+        Wmax = S // ch
+        px4 = block.reshape(g, H, Wmax, ch)
+        OH, OW = int(oh.max()), int(ow.max())
+        J = np.arange(OH, dtype=np.int64)[None, :]
+        K = np.arange(OW, dtype=np.int64)[None, :]
+        gi = np.arange(g)[:, None, None, None]
+        cidx = np.arange(ch, dtype=np.int64)[None, None, None, :]
+        if method == "nearest":
+            sy = np.minimum(((2 * J + 1) * h[:, None]) // (2 * oh[:, None]), h[:, None] - 1)
+            sx = np.minimum(((2 * K + 1) * w[:, None]) // (2 * ow[:, None]), w[:, None] - 1)
+            res = px4[gi, sy[:, :, None, None], sx[:, None, :, None], cidx].astype(np.int64)
+        else:
+            sat = np.zeros((g, H + 1, Wmax + 1, ch), dtype=np.int64)
+            sat[:, 1:, 1:, :] = px4.astype(np.int64).cumsum(axis=1).cumsum(axis=2)
+            y0 = (J * h[:, None]) // oh[:, None]
+            y1 = np.maximum(((J + 1) * h[:, None]) // oh[:, None], y0 + 1)
+            x0 = (K * w[:, None]) // ow[:, None]
+            x1 = np.maximum(((K + 1) * w[:, None]) // ow[:, None], x0 + 1)
+            y0, y1 = np.minimum(y0, H), np.minimum(y1, H)
+            x0, x1 = np.minimum(x0, Wmax), np.minimum(x1, Wmax)
+            y0e, y1e = y0[:, :, None, None], y1[:, :, None, None]
+            x0e, x1e = x0[:, None, :, None], x1[:, None, :, None]
+            cell = (
+                sat[gi, y1e, x1e, cidx]
+                - sat[gi, y0e, x1e, cidx]
+                - sat[gi, y1e, x0e, cidx]
+                + sat[gi, y0e, x0e, cidx]
+            )
+            res = (
+                cell
+                // np.maximum(y1e - y0e, 1)
+                // np.maximum(x1e - x0e, 1)
+            )
+        valid = ((J < oh[:, None])[:, :, None] & (K < ow[:, None])[:, None, :])[..., None]
+        pxv = res * valid
+        li = ((J[:, :, None] * ow[:, None, None] + K[:, None, :])[..., None]) * ch + cidx
+        res_cols["sw"][idx] = w
+        res_cols["sh"][idx] = h
+        res_cols["ow"][idx] = ow
+        res_cols["oh"][idx] = oh
+        res_cols["cnt"][idx] = oh * ow * ch
+        res_cols["s"][idx] = pxv.sum(axis=(1, 2, 3))
+        res_cols["ws"][idx] = ((li + 1) * pxv).sum(axis=(1, 2, 3))
+        ok[idx] = True
+
+    def _masked(vals, dtype):
+        return pd.array([int(v) if o else None for v, o in zip(vals, ok)], dtype=dtype)
+
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
-            "src_width": pd.array(cols["sw"], dtype="Int32"),
-            "src_height": pd.array(cols["sh"], dtype="Int32"),
-            "out_width": pd.array(cols["ow"], dtype="Int32"),
-            "out_height": pd.array(cols["oh"], dtype="Int32"),
-            "px_count": pd.array(cols["cnt"], dtype="Int64"),
-            "px_sum": pd.array(cols["s"], dtype="Int64"),
-            "px_wsum": pd.array(cols["ws"], dtype="Int64"),
-            "status": cols["st"],
+            "src_width": _masked(res_cols["sw"], "Int32"),
+            "src_height": _masked(res_cols["sh"], "Int32"),
+            "out_width": _masked(res_cols["ow"], "Int32"),
+            "out_height": _masked(res_cols["oh"], "Int32"),
+            "px_count": _masked(res_cols["cnt"], "Int64"),
+            "px_sum": _masked(res_cols["s"], "Int64"),
+            "px_wsum": _masked(res_cols["ws"], "Int64"),
+            "status": ["resized" if o else "error" for o in ok],
         }
     )
 
@@ -567,3 +914,173 @@ def resize_image(
                 yield _resize_kernel(pdf, max_w, max_h, method)
 
     return df.select("doc_id", "payload").mapInPandas(run, RESIZE_IMAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Fused fixture spellings (round 5). Each Python stage costs a fixed
+# Arrow-runner handshake (~0.15-0.2 s at local[32] regardless of data
+# size — measured: an identity pandas_udf over the same scan is 0.21 s
+# vs 0.06 s native), so chaining attach_png_payload (pandas_udf) into
+# resize_image / decode_image_metadata (mapInPandas) pays it twice.
+# These run the IDENTICAL codec round trip — batch encode → CRC-walk
+# parse → inflate → batched unfilter → vectorized resample — in ONE
+# crossing; row-identity with the composed spellings is test-pinned.
+# In production (payloads already materialized in the lake) the
+# composed operators are the right shape; the fusion only removes the
+# fixture-synthesis stage boundary.
+# ---------------------------------------------------------------------------
+
+
+def _with_parallelism(df: DataFrame, parallelism: int | None) -> DataFrame:
+    """Optional explicit repartition ahead of a work-bound Python
+    stage. A small parquet table scans as one split, serializing the
+    kernel on one core; REPARTITION_BY_NUM (AQE-exempt) spreads it.
+    Measured at local[32]/sf0.1: width 16 is the sweet spot — 32
+    parallel runner handshakes contend and regress (0.22 s vs 0.33 s).
+    Callers with naturally partitioned payload tables pass None."""
+    if parallelism is None:
+        return df
+    return df.repartition(parallelism, F.col("doc_id"))
+
+
+def synth_resize_png(
+    df: DataFrame,
+    text_col: str = "text",
+    max_w: int = 224,
+    max_h: int = 224,
+    method: str = "nearest",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """One-crossing spelling of
+    ``resize_image(attach_png_payload(df), ...)``."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = _encode_png_batch(
+                [("" if t is None else t).encode("utf-8") for t in pdf[text_col]]
+            )
+            yield _resize_kernel(
+                pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads}),
+                max_w,
+                max_h,
+                method,
+            )
+
+    return _with_parallelism(df.select("doc_id", text_col), parallelism).mapInPandas(
+        run, RESIZE_IMAGE_SCHEMA
+    )
+
+
+MULTIMODAL_PIPELINE_SCHEMA = T.StructType(
+    GEOMETRY_FRAMES_SCHEMA.fields
+    + [
+        T.StructField("rs_out_w", T.IntegerType()),
+        T.StructField("rs_out_h", T.IntegerType()),
+        T.StructField("px_count", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_wsum", T.LongType()),
+    ]
+)
+
+
+def multimodal_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    max_w: int = 224,
+    max_h: int = 224,
+    px_max_w: int = 8,
+    px_max_h: int = 8,
+    method: str = "nearest",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """The whole multimodal suite in ONE Arrow crossing: stub resize
+    geometry × frame fanout × real-pixel resample checksums, emitted as
+    the already-joined per-(doc, frame) row. Row-identical to
+
+        geometry_frames(attach_binary_payload(df))
+          ⋈ synth_resize_png(df, px_max_w, px_max_h)   (on doc_id)
+
+    (test-pinned). The real codec round trip — batch PNG encode →
+    CRC-walk parse → inflate → batched unfilter → vectorized resample —
+    runs unchanged; fusion only removes two runner handshakes and a
+    join from the gate plan."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            datas = [
+                ("" if t is None else t).encode("utf-8") for t in pdf[text_col]
+            ]
+            payloads = _encode_png_batch(datas)
+            px = _resize_kernel(
+                pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads}),
+                px_max_w,
+                px_max_h,
+                method,
+            )
+            n_bytes = np.array([len(d) for d in datas], dtype=np.int64)
+            w = n_bytes % 640 + 1
+            h = n_bytes % 480 + 1
+            scale = np.minimum(1.0, np.minimum(max_w / w, max_h / h))
+            ow = np.maximum(1, np.floor(w * scale)).astype("int64")
+            oh = np.maximum(1, np.floor(h * scale)).astype("int64")
+            n = np.minimum(n_bytes // FRAME_INTERVAL_MS + 1, MAX_FRAMES)
+            rep = np.repeat(np.arange(len(n)), n)
+            idx = (
+                np.concatenate([np.arange(k) for k in n])
+                if len(n)
+                else np.array([], dtype="int64")
+            )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[rep],
+                    "src_width": w[rep].astype("int32"),
+                    "src_height": h[rep].astype("int32"),
+                    "out_width": ow[rep].astype("int32"),
+                    "out_height": oh[rep].astype("int32"),
+                    "frame_idx": idx.astype("int32"),
+                    "frame_ts_ms": (idx * FRAME_INTERVAL_MS).astype("int32"),
+                }
+            )
+            for col in ("rs_out_w", "rs_out_h"):
+                src = {"rs_out_w": "out_width", "rs_out_h": "out_height"}[col]
+                out[col] = px[src].to_numpy()[rep]
+            for col in ("px_count", "px_sum", "px_wsum"):
+                out[col] = px[col].to_numpy()[rep]
+            yield out
+
+    return _with_parallelism(df.select("doc_id", text_col), parallelism).mapInPandas(
+        run, MULTIMODAL_PIPELINE_SCHEMA
+    )
+
+
+def synth_decode_png(
+    df: DataFrame, text_col: str = "text", parallelism: int | None = None
+) -> DataFrame:
+    """One-crossing spelling of
+    ``decode_image_metadata(attach_png_payload(df))``."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = _encode_png_batch(
+                [("" if t is None else t).encode("utf-8") for t in pdf[text_col]]
+            )
+            yield _decode_real_batch(
+                pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+            )
+
+    return _with_parallelism(df.select("doc_id", text_col), parallelism).mapInPandas(
+        run, DECODE_REAL_SCHEMA
+    )

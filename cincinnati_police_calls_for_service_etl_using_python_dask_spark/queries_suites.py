@@ -470,8 +470,13 @@ def q_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fused one-crossing spelling (round 5) — row-identical to
+    # decode_image_metadata(attach_png_payload(docs)), pinned by
+    # tests/test_curation_ops.py::test_fused_spellings_match_composed.
     docs = _t(spark, sf_dir, "documents")
-    return mm.decode_image_metadata(mm.attach_png_payload(docs))
+    return mm.synth_decode_png(
+        docs, parallelism=min(16, spark.sparkContext.defaultParallelism)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -551,28 +556,22 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_multimodal_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 5: the whole suite is ONE Arrow crossing
+    # (mm.multimodal_pipeline) — stub geometry × frame fanout ×
+    # real-pixel resample checksums emitted pre-joined. Row-identical
+    # to the composed spelling geometry_frames ⋈ synth_resize_png ⋈ …
+    # (test-pinned); each extra Python stage costs a fixed runner
+    # handshake (~0.2 s at local[32]), which dominated this gate's r4
+    # wall-clock, so the gate uses the fused form.
     docs = _t(spark, sf_dir, "documents")
-    payload = mm.attach_binary_payload(docs)
-    resized = mm.resize_metadata(payload, max_w=224, max_h=224)
-    frames = mm.frame_sample(payload)
-    pixels = mm.resize_image(
-        mm.attach_png_payload(docs), max_w=8, max_h=8, method="nearest"
-    ).select(
-        "doc_id",
-        F.col("out_width").alias("rs_out_w"),
-        F.col("out_height").alias("rs_out_h"),
-        "px_count",
-        "px_sum",
-        "px_wsum",
-    )
-    return (
-        resized.join(frames, "doc_id")
-        .join(pixels, "doc_id")
-        .select(
-            "doc_id", "src_width", "src_height", "out_width", "out_height",
-            "frame_idx", "frame_ts_ms",
-            "rs_out_w", "rs_out_h", "px_count", "px_sum", "px_wsum",
-        )
+    return mm.multimodal_pipeline(
+        docs,
+        max_w=224,
+        max_h=224,
+        px_max_w=8,
+        px_max_h=8,
+        method="nearest",
+        parallelism=min(16, spark.sparkContext.defaultParallelism),
     )
 
 

@@ -707,6 +707,119 @@ def test_resize_image_poisoned_payload_is_error_row(spark):
 
 
 # ---------------------------------------------------------------------------
+# Round-5: batched numpy codec + fused one-crossing spellings. The
+# fused operators must be ROW-IDENTICAL to their composed counterparts,
+# and the batch encoder byte-identical to the per-image encoder.
+# ---------------------------------------------------------------------------
+
+
+def _mm_docs(spark, n=40):
+    rows = [(i, f"fused parity doc {i} " * (i % 7 + 1)) for i in range(n)]
+    rows += [(97, ""), (98, "x"), (99, None)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_encode_png_batch_byte_identity():
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        multimodal as mm,
+    )
+
+    datas = [f"batch id text {i} " * (i % 5 + 1) for i in range(30)]
+    datas = [d.encode() for d in datas] + [b"", b"q"]
+    got = mm._encode_png_batch(datas)
+    for i, d in enumerate(datas):
+        w, h = len(d) % 16 + 1, len(d) % 12 + 1
+        px = (
+            np.resize(np.frombuffer(d, dtype=np.uint8), w * h)
+            if d
+            else np.zeros(w * h, dtype=np.uint8)
+        )
+        assert got[i] == mm.encode_png(w, h, px.tobytes()), i
+
+
+def test_fused_spellings_match_composed(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        multimodal as mm,
+    )
+
+    docs = _mm_docs(spark)
+
+    def rows(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    composed_resize = mm.resize_image(
+        mm.attach_png_payload(docs), max_w=6, max_h=6, method="nearest"
+    )
+    assert rows(mm.synth_resize_png(docs, max_w=6, max_h=6)) == rows(composed_resize)
+
+    composed_decode = mm.decode_image_metadata(mm.attach_png_payload(docs))
+    assert rows(mm.synth_decode_png(docs)) == rows(composed_decode)
+
+    payload = mm.attach_binary_payload(docs)
+    composed_geo = (
+        mm.resize_metadata(payload, max_w=100, max_h=100)
+        .join(mm.frame_sample(payload), "doc_id")
+        .select(
+            "doc_id", "src_width", "src_height", "out_width", "out_height",
+            "frame_idx", "frame_ts_ms",
+        )
+    )
+    assert rows(mm.geometry_frames(payload, max_w=100, max_h=100)) == rows(composed_geo)
+
+    from pyspark.sql import functions as F
+
+    composed_pipeline = (
+        mm.geometry_frames(payload, max_w=100, max_h=100)
+        .join(
+            mm.synth_resize_png(docs, max_w=6, max_h=6).select(
+                "doc_id",
+                F.col("out_width").alias("rs_out_w"),
+                F.col("out_height").alias("rs_out_h"),
+                "px_count", "px_sum", "px_wsum",
+            ),
+            "doc_id",
+        )
+    )
+    fused = mm.multimodal_pipeline(
+        docs, max_w=100, max_h=100, px_max_w=6, px_max_h=6, parallelism=2
+    )
+    assert rows(fused) == rows(composed_pipeline)
+
+
+def test_batched_unfilter_matches_single_path():
+    """The padded batch unfilter must agree with the per-image scanline
+    decoder on every image, including one pushed to the per-image
+    fallback tier (stride > _BATCH_MAX_STRIDE)."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        multimodal as mm,
+    )
+
+    rng = np.random.RandomState(7)
+    payloads = []
+    for w, h in [(1, 1), (3, 12), (16, 5), (16, 12), (7, 7), (80, 3)]:
+        px = rng.randint(0, 256, w * h).astype(np.uint8)
+        payloads.append(mm.encode_png(w, h, px.tobytes()))
+    ws, hs, cts, chunks = mm._decode_payloads(payloads)
+    assert (cts >= 0).all()
+    got = {}
+    for idx, block, ch in chunks:
+        for j, i in enumerate(idx):
+            got[int(i)] = (
+                block[j, : int(hs[i]), : int(ws[i]) * ch].astype(np.uint8).tobytes()
+            )
+    for i, b in enumerate(payloads):
+        w, h, mode, px = mm.decode_png(b)
+        assert got[i] == px, i
+
+
+# ---------------------------------------------------------------------------
 # Round-4: trained quality classifier — learned weights must actually
 # generalize (accuracy lift over the hash-weight placeholder on the
 # held-out split), and the fit must be deterministic.

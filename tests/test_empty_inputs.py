@@ -75,6 +75,12 @@ _CASES = {
     "resize_image": lambda s: mm.resize_image(
         _docs(s).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     ),
+    "geometry_frames": lambda s: mm.geometry_frames(
+        _docs(s).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    ),
+    "synth_resize_png": lambda s: mm.synth_resize_png(_docs(s)),
+    "synth_decode_png": lambda s: mm.synth_decode_png(_docs(s)),
+    "multimodal_pipeline": lambda s: mm.multimodal_pipeline(_docs(s)),
     "brute_force_topk": lambda s: sim.brute_force_topk(
         _emb(s),
         _emb(s).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")),
