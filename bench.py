@@ -101,9 +101,11 @@ _CONTINUITY_R4 = [
     "top_tokens_docs",
     "sql_forecast_revenue_q6",
     "dedup_embedding_cosine",
-    # New r4: the pure-window twin of applyinpandas_event_gaps, benched
-    # side-by-side so the Arrow-boundary cost is a visible choice.
-    "event_gaps_native",
+    # r5: gate and continuity swapped — event_gaps_native is now the
+    # gated D1 spelling (in GATE_PRIORITY); the deliberate Arrow
+    # group-map twin stays benched here so its boundary cost remains a
+    # visible choice round-over-round.
+    "applyinpandas_event_gaps",
     # New r4: learned-weight classifier (train + score in one plan).
     "quality_classifier_trained",
 ]

@@ -405,6 +405,14 @@ def ivf_ann_topk(
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         return pd.Series(np.argmax(mat @ centroids.T, axis=1).astype(np.int32))
 
+    # Probe-side selection stays an Arrow-batched pandas UDF like the
+    # corpus side. A native literal-coefficient spelling (n_lists × dim
+    # terms in one projection) was TRIED in round 5 and REJECTED: the
+    # 512-node expression tree cost ~2.5 s of Catalyst analysis per
+    # plan construction while saving nothing at execution — the probe
+    # crossing fully overlaps the corpus-assignment crossing in the
+    # stage DAG (A/B-measured at sf0.1: 1.8 s vs 4.2 s per cold plan,
+    # identical warm execution).
     @pandas_udf("array<int>")
     def probe_lists(v: pd.Series) -> pd.Series:
         mat = np.stack(v.to_numpy()).astype(np.float64)
