@@ -50,7 +50,18 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     whole-stage codegen, measured ~3× slower on the ANN rerank path.
     The unrolled fold adds in the identical order, so results are
     bit-identical; dim=None keeps the generic spelling for callers
-    with unknown widths."""
+    with unknown widths.
+
+    FIXED-WIDTH CONTRACT (when ``dim`` is passed): arrays are expected
+    to have exactly ``dim`` elements. A shorter (malformed) array
+    scores NULL — ``try_element_at`` past the end is NULL in both ANSI
+    and legacy modes — so in a top-k that row sorts LAST instead of
+    poisoning the job (plain ``element_at`` would THROW under Spark 4's
+    default ANSI mode, killing the query on one bad row; the generic
+    dim=None path instead scores over the zipped prefix).
+    Degraded-not-poisoned is the intended behavior for a stray
+    malformed row; the contract is pinned by
+    tests/test_llm_ops.py::test_short_vector_scores_null_and_sorts_last."""
     if dim is None:
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y),
@@ -58,7 +69,8 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
             lambda acc, x: acc + x,
         )
     return _fold(
-        F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        F.try_element_at(a, F.lit(i)).cast("double")
+        * F.try_element_at(b, F.lit(i)).cast("double")
         for i in range(1, dim + 1)
     )
 
@@ -70,7 +82,8 @@ def l2_norm(a: Column, dim: int | None = None) -> Column:
         )
     return F.sqrt(
         _fold(
-            F.element_at(a, i).cast("double") * F.element_at(a, i).cast("double")
+            F.try_element_at(a, F.lit(i)).cast("double")
+            * F.try_element_at(a, F.lit(i)).cast("double")
             for i in range(1, dim + 1)
         )
     )

@@ -742,9 +742,30 @@ def _contrast_weights(feats: DataFrame, labels: DataFrame, id_col: str) -> DataF
         F.sum("__xp").cast("long").alias("__np"),
         F.sum("__xn").cast("long").alias("__nn"),
     )
+    # Overflow guard (ADVICE r4): |w| ≤ N⁺·N⁻, which exceeds int64 once
+    # the corpus carries ~6e9 bigrams. DuckDB BIGINT overflow raises,
+    # but Spark's legacy (non-ANSI) long arithmetic wraps silently —
+    # the engines would then desync silently instead of failing loudly.
+    # assert_true makes Spark as loud as DuckDB; the double-precision
+    # estimate of the bound uses a 2× margin (2^62) for rounding, and
+    # the coalesce(assert, 0) addend keeps the guard inside the same
+    # projection (assert_true yields NULL when the bound holds).
+    guard = F.assert_true(
+        F.col("__np").cast("double") * F.col("__nn").cast("double")
+        < F.lit(float(2**62)),
+        F.lit(
+            "contrast-weight overflow: class bigram totals exceed the "
+            "int64-safe bound (N+ * N- >= 2^62); shard the fit or switch "
+            "weights to DECIMAL(38,0)"
+        ),
+    )
     return per_bucket.crossJoin(F.broadcast(totals)).select(
         "bucket",
-        (F.col("__xp") * F.col("__nn") - F.col("__xn") * F.col("__np"))
+        (
+            F.col("__xp") * F.col("__nn")
+            - F.col("__xn") * F.col("__np")
+            + F.coalesce(guard.cast("long"), F.lit(0))
+        )
         .cast("long")
         .alias("w"),
     )

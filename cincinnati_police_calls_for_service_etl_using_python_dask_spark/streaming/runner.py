@@ -104,7 +104,13 @@ class CadenceRunner:
             and started_after is not None
             and self.next_fire(started_after) <= now
         ):
-            self._run_cycle(now)
+            # The catch-up cycle receives the MOST RECENT missed fire
+            # time — cadence-aligned, honoring the dataclass contract
+            # ("the cycle's scheduled fire timestamp"), so a pipeline
+            # using the argument as an exact watermark boundary fetches
+            # up to a real cadence point, not an arbitrary start time
+            # (ADVICE r4).
+            self._run_cycle(self.next_fire(now) - self.interval_s)
             if max_cycles is not None and self.cycles_run >= max_cycles:
                 return
         while True:

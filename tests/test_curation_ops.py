@@ -855,6 +855,27 @@ def test_trained_classifier_heldout_accuracy_lift(spark):
     assert acc_t >= 0.65, acc_t
 
 
+def test_contrast_weight_overflow_fails_loudly(spark):
+    """ADVICE r4: once class bigram totals could overflow w = x⁺·N⁻ −
+    x⁻·N⁺ in int64, Spark must RAISE (as DuckDB would) instead of
+    wrapping silently. Feed synthetic per-bucket counts of 2³¹ so
+    N⁺·N⁻ = 2⁶² trips the assert; a normal-sized fit is unaffected."""
+    import pytest
+
+    feats = spark.createDataFrame(
+        [(1, 0, 1 << 31), (2, 0, 1 << 31)], "doc_id long, bucket int, x long"
+    )
+    labels = spark.createDataFrame([(1, 1), (2, -1)], "doc_id long, __y long")
+    with pytest.raises(Exception, match="contrast-weight overflow"):
+        tx._contrast_weights(feats, labels, "doc_id").collect()
+
+    small = spark.createDataFrame(
+        [(1, 0, 5), (2, 0, 3)], "doc_id long, bucket int, x long"
+    )
+    got = tx._contrast_weights(small, labels, "doc_id").collect()
+    assert [(r["bucket"], r["w"]) for r in got] == [(0, 5 * 3 - 3 * 5)]
+
+
 def test_trained_classifier_deterministic(spark):
     rows = [
         (i, ("the quick brown fox " if i % 3 else "scan table merge join ") * (i % 5 + 2))

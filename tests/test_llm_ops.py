@@ -110,6 +110,32 @@ def test_ivf_ann_recall_against_brute_force(spark):
     assert recall >= 0.6, f"IVF recall degenerated: {recall}"
 
 
+def test_short_vector_scores_null_and_sorts_last(spark):
+    """ADVICE r4: pin the fixed-width contract of the unrolled
+    dot/l2_norm/cosine path — a malformed (shorter-than-dim) embedding
+    scores NULL (element_at past the end is NULL under non-ANSI mode)
+    and therefore sorts LAST in a top-k instead of erroring or winning;
+    the generic dim=None path scores over the zipped prefix instead."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [1.0, 0.0]),  # malformed: declared dim is 4
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    scored = emb.crossJoin(queries).select(
+        "vec_id", sim.cosine(F.col("embedding"), F.col("query_vec"), 4).alias("s")
+    )
+    got = {r["vec_id"]: r["s"] for r in scored.collect()}
+    assert got[0] == 1.0 and got[1] is not None
+    assert got[2] is None  # malformed row: NULL score, not an error
+    topk = sim.brute_force_topk(emb, queries, k=3, dim=4).collect()
+    ranks = {r["vec_id"]: r["rank"] for r in topk}
+    assert ranks[2] == max(ranks.values())  # NULL-scored row sorts last
+
+
 def test_ivf_ann_deterministic_across_runs(spark):
     emb = read_testdata(spark, SF_SMOKE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(

@@ -810,7 +810,10 @@ def test_cadence_runner_catch_up_runs_once_immediately():
     clk = _FakeClock(t0=550.0)
     r = CadenceRunner(fired.append, interval_s=100.0, anchor_s=0.0, clock=clk, sleep=clk.sleep)
     r.run(max_cycles=2, started_after=0.0)
-    assert fired[0] == 550.0  # immediate catch-up at start time
+    # the catch-up runs immediately but receives the MOST RECENT missed
+    # fire time (cadence-aligned watermark boundary, ADVICE r4) — not
+    # the arbitrary process start time
+    assert fired[0] == 500.0
     assert fired[1] == 600.0  # then back on cadence
     # and no catch-up when nothing was missed
     fired2 = []
