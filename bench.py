@@ -91,6 +91,8 @@ _NEW_R5 = [
     "validate_constraints_orders",
     "bpe_pair_counts_docs",
     "check_foreign_keys",
+    # r5: NULL-text robustness tier (augmented-corpus suite).
+    "nulltext_robustness_suite",
 ]
 
 # Round-4 continuity: granular queries whose gate slot merged into a
