@@ -461,21 +461,63 @@ def q_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_real",
     """
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS width,
-           CAST(octet_length(encode(text)) % 12 + 1 AS INT) AS height,
-           'L'           AS "mode",
-           'png-decoded' AS status
-    FROM documents
+    SELECT 'png' AS seg, * FROM (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS width,
+             CAST(octet_length(encode(text)) % 12 + 1 AS INT) AS height,
+             'L'           AS "mode",
+             'png-decoded' AS status
+      FROM documents
+    )
+    UNION ALL BY NAME
+    SELECT 'jpeg' AS seg, * FROM (
+      -- Flat-block JPEG fixture replay: block (x//8, y//8) carries
+      -- byte[((y//8)*bw + x//8) mod n] (128 for empty text); the REAL
+      -- baseline decoder (Huffman + dequant + IDCT) reconstructs those
+      -- values integer-exactly, so checksums over the w x h crop are
+      -- predictable from the text alone. px_wsum pins pixel ORDER.
+      WITH g AS (
+        SELECT doc_id, length(text) AS nb,
+               length(text) % 16 + 1 AS w,
+               length(text) % 12 + 1 AS h,
+               (length(text) % 16 + 1 + 7) // 8 AS bw
+        FROM documents
+      ), px AS (
+        SELECT g.doc_id, g.w, g.h,
+               y.y * g.w + x.x + 1 AS li,
+               CASE WHEN g.nb = 0 THEN 128
+                    ELSE ord(substr(d.text,
+                                    CAST(((y.y // 8) * g.bw + (x.x // 8)) % g.nb
+                                         AS INT) + 1, 1)) END AS pv
+        FROM g JOIN documents d USING (doc_id),
+             unnest(generate_series(0, g.h - 1)) AS y(y),
+             unnest(generate_series(0, g.w - 1)) AS x(x)
+      )
+      SELECT doc_id,
+             CAST(MAX(w) AS INT) AS width,
+             CAST(MAX(h) AS INT) AS height,
+             'L'            AS "mode",
+             'jpeg-decoded' AS status,
+             CAST(COUNT(*) AS BIGINT) AS px_count,
+             CAST(SUM(pv) AS BIGINT)  AS px_sum,
+             CAST(SUM(li * pv) AS BIGINT) AS px_wsum
+      FROM px GROUP BY doc_id
+    )
     """,
 )
 def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fused one-crossing spelling (round 5) — row-identical to
-    # decode_image_metadata(attach_png_payload(docs)), pinned by
+    # Fused one-crossing spellings (round 5) — each seg row-identical
+    # to its composed form (decode_image_metadata ∘ attach_png_payload,
+    # decode_jpeg_metadata ∘ attach_jpeg_payload), pinned by
     # tests/test_curation_ops.py::test_fused_spellings_match_composed.
+    # Round-5 #2: the JPEG seg runs the REAL baseline codec
+    # (operators/jpeg.py) with checksum-exact flat-block fixtures.
     docs = _t(spark, sf_dir, "documents")
-    return mm.synth_decode_png(
-        docs, parallelism=min(16, spark.sparkContext.defaultParallelism)
+    par = min(16, spark.sparkContext.defaultParallelism)
+    png = mm.synth_decode_png(docs, parallelism=par)
+    jpg = mm.synth_decode_jpeg(docs, parallelism=par)
+    return png.select(F.lit("png").alias("seg"), "*").unionByName(
+        jpg.select(F.lit("jpeg").alias("seg"), "*"), allowMissingColumns=True
     )
 
 

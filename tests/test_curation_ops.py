@@ -820,6 +820,108 @@ def test_batched_unfilter_matches_single_path():
 
 
 # ---------------------------------------------------------------------------
+# Round-5: baseline JPEG codec (operators/jpeg.py) — flat blocks
+# roundtrip integer-exactly (the oracle contract), arbitrary images
+# within DCT-rounding tolerance, long zero runs exercise ZRL, and
+# malformed payloads degrade to error rows.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_flat_blocks_roundtrip_exact():
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        jpeg as J,
+    )
+
+    for w, h, vals in [(16, 12, [7, 200, 33, 128]), (8, 8, [250]), (5, 3, [9])]:
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        px = np.empty((h, w), dtype=np.uint8)
+        for bj in range(bh):
+            for bi in range(bw):
+                px[bj * 8 : (bj + 1) * 8, bi * 8 : (bi + 1) * 8] = vals[
+                    (bj * bw + bi) % len(vals)
+                ]
+        ww, hh, out = J.decode_jpeg_gray(J.encode_jpeg_gray(w, h, px.tobytes()))
+        assert (ww, hh) == (w, h) and out == px.tobytes()
+
+
+def test_jpeg_random_roundtrip_tolerance_and_zrl():
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        jpeg as J,
+    )
+
+    rng = np.random.RandomState(3)
+    for w, h in [(16, 12), (24, 17), (7, 5)]:
+        px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        ww, hh, out = J.decode_jpeg_gray(J.encode_jpeg_gray(w, h, px.tobytes()))
+        got = np.frombuffer(out, dtype=np.uint8).reshape(h, w).astype(np.int64)
+        assert np.abs(got - px.astype(np.int64)).max() <= 3
+    # a lone high-frequency coefficient forces a >15 zero run (ZRL)
+    coef = np.zeros((8, 8))
+    coef[7, 7] = 40.0
+    block = J._A.T @ coef @ J._A + 128.0
+    px = np.clip(np.round(block), 0, 255).astype(np.uint8)
+    _, _, out = J.decode_jpeg_gray(J.encode_jpeg_gray(8, 8, px.tobytes()))
+    assert out == px.tobytes()
+
+
+def test_jpeg_malformed_raises_and_operator_isolates(spark):
+    import pytest as _pytest
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        jpeg as J,
+        multimodal as mm,
+    )
+
+    good_blob = J.encode_jpeg_gray(4, 4, bytes(range(16)))
+    for bad in (b"nope", good_blob[:-10], b"\xff\xd8\xff\xdb\x00\x04ab"):
+        with _pytest.raises(ValueError):
+            J.decode_jpeg_gray(bad)
+    df = spark.createDataFrame(
+        [(1, bytearray(good_blob)), (2, bytearray(b"not a jpeg"))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r["status"] for r in mm.decode_jpeg_metadata(df).collect()}
+    assert out == {1: "jpeg-decoded", 2: "error"}
+
+
+def test_jpeg_fused_matches_composed(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        multimodal as mm,
+    )
+
+    docs = _mm_docs(spark)
+
+    def rows(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    composed = mm.decode_jpeg_metadata(mm.attach_jpeg_payload(docs))
+    assert rows(mm.synth_decode_jpeg(docs)) == rows(composed)
+    got = {r["doc_id"]: r for r in composed.collect()}
+    # flat-block contract: checksums predictable straight from the text
+    for doc_id, text in [(0, "fused parity doc 0 "), (98, "x"), (97, "")]:
+        data = text.encode()
+        n = len(data)
+        w, h = n % 16 + 1, n % 12 + 1
+        bw = (w + 7) // 8
+        px = [
+            (data[((y // 8) * bw + (x // 8)) % n] if n else 128)
+            for y in range(h)
+            for x in range(w)
+        ]
+        r = got[doc_id]
+        assert (r["width"], r["height"], r["status"]) == (w, h, "jpeg-decoded")
+        assert r["px_count"] == len(px) and r["px_sum"] == sum(px)
+        assert r["px_wsum"] == sum((k + 1) * v for k, v in enumerate(px))
+
+
+# ---------------------------------------------------------------------------
 # Round-4: trained quality classifier — learned weights must actually
 # generalize (accuracy lift over the hash-weight placeholder on the
 # held-out split), and the fit must be deterministic.

@@ -80,6 +80,7 @@ _CASES = {
     ),
     "synth_resize_png": lambda s: mm.synth_resize_png(_docs(s)),
     "synth_decode_png": lambda s: mm.synth_decode_png(_docs(s)),
+    "synth_decode_jpeg": lambda s: mm.synth_decode_jpeg(_docs(s)),
     "multimodal_pipeline": lambda s: mm.multimodal_pipeline(_docs(s)),
     "brute_force_topk": lambda s: sim.brute_force_topk(
         _emb(s),
