@@ -93,6 +93,11 @@ _NEW_R5 = [
     "check_foreign_keys",
     # r5: NULL-text robustness tier (augmented-corpus suite).
     "nulltext_robustness_suite",
+    # r5: real container codecs — ISO-BMFF demux fan-out and RIFF/WAVE
+    # PCM decode (their per-doc metadata segs are gate-benched inside
+    # multimodal_decode_real).
+    "multimodal_video_frames",
+    "audio_decode_wav",
 ]
 
 # Round-4 continuity: granular queries whose gate slot merged into a

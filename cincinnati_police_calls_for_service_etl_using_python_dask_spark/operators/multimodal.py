@@ -12,9 +12,15 @@ Two decode tiers:
   else the built-in pure-Python PNG codec (:func:`decode_png`: chunk
   walk + CRC validation + inflate + filter reconstruction).
   :func:`resize_image` resamples REAL pixels (nearest/box, exact
-  integer arithmetic) on top of the same codec. Audio/video codecs
-  (ffmpeg) stay unavailable here; their operators (frame_sample,
-  extract_features) keep stub kernels with real Spark-side plumbing.
+  integer arithmetic) on top of the same codec.
+
+Video/audio (round 5): REAL container parsing lives in sibling
+modules — :mod:`.mp4` (ISO-BMFF box walk + stts/stsc/stsz/stco sample
+resolution feeding frame sampling) and :mod:`.audio` (RIFF/WAVE PCM
+decode). The byte-length stubs here (:func:`frame_sample`,
+:func:`extract_features`) remain as the codec-free fixture tier;
+LOSSY av codecs (H.264, AAC — ffmpeg-class work) are explicitly out
+of scope in this container.
 """
 
 from __future__ import annotations

@@ -1,0 +1,248 @@
+"""Container codec tests (round 5): the real ISO-BMFF demuxer
+(operators/mp4.py) and RIFF/WAVE reader (operators/audio.py) against
+layouts their fixture generator does NOT emit — the point is that the
+parsers implement the spec, not the writer's habits."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+    audio,
+    mp4,
+)
+
+# ---------------------------------------------------------------------------
+# MP4
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_roundtrip_multi_chunk_ragged():
+    frames = [bytes([i] * (i + 1)) for i in range(10)]
+    durs = [100] * 4 + [200] * 6  # two stts runs
+    data = mp4.encode_mp4(frames, durs, chunk_size=4, width=320, height=240)
+    info = mp4.parse_mp4(data)
+    assert (info["width"], info["height"]) == (320, 240)
+    assert info["duration"] == sum(durs)
+    assert [s[1] for s in info["samples"]] == [i + 1 for i in range(10)]
+    assert [s[2] for s in info["samples"]] == [0, 100, 200, 300, 400, 600, 800, 1000, 1200, 1400]
+    for i, (off, size, _) in enumerate(info["samples"]):
+        assert data[off : off + size] == frames[i]
+
+
+def test_mp4_co64_variant():
+    frames = [b"abc", b"defg", b"h"]
+    data = mp4.encode_mp4(frames, [40, 40, 40], use_co64=True, chunk_size=2)
+    info = mp4.parse_mp4(data)
+    assert [data[o : o + s] for o, s, _ in info["samples"]] == frames
+
+
+def test_mp4_moov_before_mdat():
+    """Faststart layout: the parser's box walk must be order-free.
+    Relocate the moov box in front of mdat and patch the chunk offsets
+    by the shift — a layout the writer never produces."""
+    frames = [b"xy", b"zw", b"q"]
+    data = mp4.encode_mp4(frames, [40, 40, 40], chunk_size=2)
+    # locate top-level boxes
+    boxes = []
+    pos = 0
+    while pos < len(data):
+        size = struct.unpack_from(">I", data, pos)[0]
+        boxes.append((data[pos + 4 : pos + 8], pos, size))
+        pos += size
+    order = {t: (p, s) for t, p, s in boxes}
+    moov_p, moov_s = order[b"moov"]
+    moov = data[moov_p : moov_p + moov_s]
+    pre = data[: order[b"mdat"][0]]
+    mdat = data[order[b"mdat"][0] : order[b"mdat"][0] + order[b"mdat"][1]]
+    shift = moov_s  # mdat moves right by len(moov)
+    # patch stco offsets inside the relocated moov
+    idx = moov.find(b"stco")
+    (n_chunks,) = struct.unpack_from(">I", moov, idx + 8)
+    patched = bytearray(moov)
+    for i in range(n_chunks):
+        off = struct.unpack_from(">I", moov, idx + 12 + 4 * i)[0]
+        struct.pack_into(">I", patched, idx + 12 + 4 * i, off + shift)
+    relaid = pre + bytes(patched) + mdat
+    info = mp4.parse_mp4(relaid)
+    assert [relaid[o : o + s] for o, s, _ in info["samples"]] == frames
+
+
+def test_mp4_largesize_and_size0_boxes():
+    """64-bit largesize mdat + size-0 (to-EOF) trailing moov."""
+    frames = [b"ab", b"cd"]
+    data = mp4.encode_mp4(frames, [40, 40], chunk_size=2)
+    # rewrite mdat header as largesize (+8 bytes), patch stco, and
+    # rewrite the trailing moov's size field to 0 (extends to EOF)
+    pos = 0
+    spans = {}
+    while pos < len(data):
+        size = struct.unpack_from(">I", data, pos)[0]
+        spans[data[pos + 4 : pos + 8]] = (pos, size)
+        pos += size
+    mp_, ms = spans[b"mdat"]
+    mdat_payload = data[mp_ + 8 : mp_ + ms]
+    big_mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(mdat_payload)) + mdat_payload
+    vp, vs = spans[b"moov"]
+    moov = bytearray(data[vp : vp + vs])
+    struct.pack_into(">I", moov, 0, 0)  # size 0: to end of file
+    idx = bytes(moov).find(b"stco")
+    (n_chunks,) = struct.unpack_from(">I", bytes(moov), idx + 8)
+    for i in range(n_chunks):
+        off = struct.unpack_from(">I", bytes(moov), idx + 12 + 4 * i)[0]
+        struct.pack_into(">I", moov, idx + 12 + 4 * i, off + 8)  # largesize header grew by 8
+    relaid = data[:mp_] + big_mdat + bytes(moov)
+    info = mp4.parse_mp4(relaid)
+    assert [relaid[o : o + s] for o, s, _ in info["samples"]] == frames
+
+
+def test_mp4_unknown_boxes_skipped_and_audio_trak_ignored():
+    """Insert an unknown top-level box and an audio ('soun') trak ahead
+    of the video trak: the parser must skip both."""
+    frames = [b"vid"]
+    data = mp4.encode_mp4(frames, [40])
+    pos = 0
+    spans = {}
+    while pos < len(data):
+        size = struct.unpack_from(">I", data, pos)[0]
+        spans[data[pos + 4 : pos + 8]] = (pos, size)
+        pos += size
+    vp, vs = spans[b"moov"]
+    # audio trak: hdlr 'soun', no stbl needed (parser must not pick it)
+    hdlr = mp4._full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"a\x00")
+    mdia = mp4._box(b"mdia", hdlr)
+    audio_trak = mp4._box(b"trak", mdia)
+    moov_payload = data[vp + 8 : vp + vs]
+    # splice the audio trak at the start of moov's payload (before mvhd)
+    new_moov = mp4._box(b"moov", audio_trak + moov_payload)
+    unknown = mp4._box(b"wide", b"\x00" * 4)
+    relaid = data[:vp] + unknown + new_moov
+    # mdat position unchanged (insertions are after it) — offsets valid
+    info = mp4.parse_mp4(relaid)
+    assert [relaid[o : o + s] for o, s, _ in info["samples"]] == frames
+
+
+@pytest.mark.parametrize("cut_at", ["header", "half", "tail"])
+def test_mp4_truncation_raises(cut_at):
+    data = mp4.encode_mp4([b"abcd", b"ef"], [40, 40])
+    cut = {"header": 10, "half": len(data) // 2, "tail": len(data) - 5}[cut_at]
+    with pytest.raises(ValueError):
+        mp4.parse_mp4(data[:cut])
+
+
+def test_mp4_table_cardinality_mismatch_raises():
+    data = bytearray(mp4.encode_mp4([b"ab", b"cd", b"ef"], [40, 40, 40]))
+    idx = bytes(data).find(b"stsz")
+    # claim 2 samples while stts still expands to 3
+    struct.pack_into(">I", data, idx + 12, 2)
+    with pytest.raises(ValueError):
+        mp4.parse_mp4(bytes(data))
+
+
+def test_mp4_ctts_rejected():
+    data = mp4.encode_mp4([b"ab"], [40])
+    # stbl payload starts at the stsd box header (size field precedes
+    # the 4-byte type tag found by find())
+    insert_at = data.find(b"stsd") - 4
+    ctts = mp4._full(b"ctts", 0, 0, struct.pack(">III", 1, 1, 10))
+    # splice a ctts into stbl: grow stbl/minf/mdia/trak/moov sizes
+    relaid = bytearray(data)
+    relaid[insert_at:insert_at] = ctts
+    for typ in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+        t = bytes(relaid).find(typ)
+        size = struct.unpack_from(">I", bytes(relaid), t - 4)[0]
+        struct.pack_into(">I", relaid, t - 4, size + len(ctts))
+    with pytest.raises(ValueError, match="ctts"):
+        mp4.parse_mp4(bytes(relaid))
+
+
+def test_mp4_fixture_model_matches_spec():
+    """The deterministic fixture contract the oracles replay."""
+    for text in (b"", b"a", b"some document text here", b"x" * 121):
+        nb = len(text)
+        data = mp4.fixture_mp4_bytes(text)
+        info = mp4.parse_mp4(data)
+        assert len(info["samples"]) == nb % 7 + 1
+        assert info["width"] == nb % 16 + 1 and info["height"] == nb % 12 + 1
+        dts = 0
+        for i, (off, size, d) in enumerate(info["samples"]):
+            assert size == (nb + i) % 9 + 1
+            assert d == dts
+            dts += ((nb + i) % 3 + 1) * 40
+            expect = (
+                bytes(text[(i * 3 + k) % nb] for k in range(size)) if nb else bytes([77]) * size
+            )
+            assert data[off : off + size] == expect
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_pad_bytes():
+    # odd-length ISFT payload inside encode_wav exercises pad handling;
+    # also roundtrip odd sample counts (odd data size / 2-byte samples
+    # keeps data even — craft an odd chunk explicitly below)
+    s = [100, -200, 300, -400, 5]
+    d = audio.decode_wav(audio.encode_wav(s, 16000))
+    assert d["samples"] == s and d["rate"] == 16000
+
+
+def test_wav_odd_chunk_before_data():
+    """An odd-sized unknown chunk before data: readers that forget the
+    RIFF pad byte misalign and fail here."""
+    s = [1, -1, 2]
+    base = audio.encode_wav(s, 8000)
+    # build manually: RIFF(WAVE fmt odd-junk data)
+    fmt_start = base.find(b"fmt ")
+    fmt_chunk = base[fmt_start : fmt_start + 8 + 16]
+    data_start = base.find(b"data")
+    data_chunk = base[data_start : data_start + 8 + len(s) * 2]
+    junk = b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd size + pad
+    body = b"WAVE" + fmt_chunk + junk + data_chunk
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert audio.decode_wav(raw)["samples"] == s
+
+
+def test_wav_multichannel_flat():
+    s = [1, 2, 3, 4]  # 2 frames x 2 channels
+    d = audio.decode_wav(audio.encode_wav(s, 44100, channels=2))
+    assert d["channels"] == 2 and d["samples"] == s
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b"RIFX" + b[4:],  # bad magic
+        lambda b: b[:18],  # truncated fmt
+        lambda b: b[: len(b) - 3],  # truncated data
+    ],
+)
+def test_wav_malformed_raises(mutate):
+    raw = audio.encode_wav([1, 2, 3], 8000)
+    with pytest.raises(ValueError):
+        audio.decode_wav(mutate(raw))
+
+
+def test_wav_non_pcm_rejected():
+    raw = bytearray(audio.encode_wav([1, 2], 8000))
+    idx = bytes(raw).find(b"fmt ")
+    struct.pack_into("<H", raw, idx + 8, 3)  # IEEE float tag
+    with pytest.raises(ValueError, match="format tag"):
+        audio.decode_wav(bytes(raw))
+
+
+def test_wav_fixture_model_matches_spec():
+    for text in (b"", b"a", b"hello corpus", b"y" * 87):
+        nb = len(text)
+        rate, n, dur, ssum, sabs, energy, zc = audio.audio_features(
+            audio.fixture_wav_bytes(text)
+        )
+        assert rate == 8000 * (nb % 3 + 1)
+        assert n == nb % 50 + 4
+        assert dur == n * 1_000_000 // rate
+        exp = [(text[k % nb] - 128) * 256 for k in range(n)] if nb else [42 * 256] * n
+        assert ssum == sum(exp) and energy == sum(x * x for x in exp)
