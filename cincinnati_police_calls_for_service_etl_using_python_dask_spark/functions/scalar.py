@@ -65,9 +65,16 @@ def revenue_micros(price_col: str, discount_col: str) -> Column:
     """Per-row price·(1−discount) in exact integer micro-dollars
     (cents × basis points): the associative building block of
     :func:`discounted_revenue_sum`, usable at any aggregation level
-    (partial sums re-sum exactly)."""
-    return F.round(F.col(price_col) * 100).cast("long") * (
-        F.lit(10_000) - F.round(F.col(discount_col) * 10_000).cast("long")
+    (partial sums re-sum exactly).
+
+    Spelled as ``cast(x + 0.5 as long)`` rather than ``F.round``:
+    Spark's Round on DoubleType allocates a BigDecimal PER ROW, and
+    this expression sits in per-row hot paths (measured r5 at sf0.1:
+    0.96 → 0.69 s on groupby_multi_agg, value-identical). The floor
+    spelling equals HALF_UP exactly for non-negative inputs below
+    2^52 — money columns — which parity tests pin cross-engine."""
+    return (F.col(price_col) * 100 + F.lit(0.5)).cast("long") * (
+        F.lit(10_000) - (F.col(discount_col) * 10_000 + F.lit(0.5)).cast("long")
     )
 
 

@@ -216,7 +216,9 @@ def percentiles_cents(
     builds the map once and reads all fractions off it — measured ~25%
     faster at 3 quantiles, and the gap grows with len(quantiles).
     """
-    cents = F.round(F.col(value_col) * 100).cast("long")
+    # floor(x+0.5) == HALF_UP for non-negative money values, without
+    # Round-on-double's per-row BigDecimal (see scalar.revenue_micros)
+    cents = (F.col(value_col) * 100 + F.lit(0.5)).cast("long")
     tagged = df.withColumn("__cents", cents)
     ps = F.percentile(
         "__cents", F.array(*[F.lit(q) for q in quantiles])

@@ -54,7 +54,9 @@ def grouped_median_cents(
             return None
         return float(np.median(arr))
 
-    cents = F.round(F.col(value_col) * 100).cast("long")
+    # floor(x+0.5) == HALF_UP for non-negative money values, without
+    # Round-on-double's per-row BigDecimal (see scalar.revenue_micros)
+    cents = (F.col(value_col) * 100 + F.lit(0.5)).cast("long")
     return (
         df.withColumn("__cents", cents)
         .groupBy(*keys)

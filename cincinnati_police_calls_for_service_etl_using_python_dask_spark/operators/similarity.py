@@ -620,6 +620,7 @@ def semdedup(
     n_iter: int = 8,
     seed: int = 7,
     index_cache_key: str | None = None,
+    train: str = "sample",
 ) -> DataFrame:
     """Keep/drop labels for semantic dedup.
 
@@ -670,16 +671,21 @@ def semdedup(
     from pyspark.sql.functions import pandas_udf
 
     cache_key = (
-        (index_cache_key, n_clusters, train_sample, n_iter, seed)
+        (index_cache_key, n_clusters, train_sample, n_iter, seed, train)
         if index_cache_key is not None
         else None
     )
     centroids = _ivf_cache_get(cache_key) if cache_key else None
     if centroids is None:
-        sample = np.stack(
-            vectors.select(vec_col).limit(train_sample).toPandas()[vec_col].to_numpy()
-        ).astype(np.float64)
-        centroids = _train_spherical_kmeans(sample, n_clusters, n_iter, seed)
+        if train == "distributed":
+            centroids = _train_spherical_kmeans_distributed(
+                vectors, n_clusters, n_iter, seed, vec_col=vec_col
+            )
+        else:
+            sample = np.stack(
+                vectors.select(vec_col).limit(train_sample).toPandas()[vec_col].to_numpy()
+            ).astype(np.float64)
+            centroids = _train_spherical_kmeans(sample, n_clusters, n_iter, seed)
         if cache_key:
             _ivf_cache_put(cache_key, centroids)
 

@@ -95,8 +95,8 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l.l_orderkey,
-               CAST(ROUND(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                              * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+               CAST(ROUND(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                              * (10000 - CAST(FLOOR(l.l_discount * 10000 + 0.5) AS BIGINT)))
                           / 1000000.0, 2) AS DOUBLE)       AS revenue,
                CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS order_date,
                o.o_orderpriority
@@ -134,8 +134,8 @@ def q_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(
         """
-        SELECT CAST(ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                              * CAST(round(l_discount * 10000) AS BIGINT))
+        SELECT CAST(ROUND(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                              * CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT))
                           / 1000000.0, 2) AS DOUBLE) AS promo_revenue,
                CAST(COUNT(*) AS BIGINT) AS n_lines
         FROM lineitem
@@ -219,7 +219,27 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# Spark-side spelling of the same query: per-row money quantization as
+# FLOOR(x + 0.5) instead of round() — Spark's Round on DoubleType
+# allocates a BigDecimal per row (the floor spelling measured ~35%
+# faster on this scan-bound query), while floor(x*100 + 0.5) ==
+# round(x*100) exactly for 2-decimal money columns (x*100 sits within
+# 1e-9 of an integer, never near a half boundary). The ORACLE string
+# keeps round(): DuckDB's round is cheap and the shared arithmetic
+# after quantization is identical.
+_Q1_SPARK = _Q1_SQL.replace(
+    "CAST(round(l_extendedprice * 100) AS BIGINT)",
+    "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)",
+).replace(
+    "CAST(round(l_discount * 10000) AS BIGINT)",
+    "CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)",
+).replace(
+    "CAST(round(l_tax * 10000) AS BIGINT)",
+    "CAST(FLOOR(l_tax * 10000 + 0.5) AS BIGINT)",
+)
+
+
 @register("sql_pricing_summary_q1", _Q1_SQL)
 def q_sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_Q1_SQL)
+    return spark.sql(_Q1_SPARK)

@@ -235,6 +235,63 @@ def test_wav_non_pcm_rejected():
         audio.decode_wav(bytes(raw))
 
 
+def test_mp4_property_roundtrip():
+    """Property sweep: arbitrary frame/duration/chunking/offset-width
+    combinations must roundtrip byte-exactly through the independent
+    writer/parser pair."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        frames=st.lists(st.binary(min_size=1, max_size=40), min_size=1, max_size=20),
+        durs=st.data(),
+        chunk_size=st.integers(min_value=1, max_value=7),
+        co64=st.booleans(),
+        timescale=st.sampled_from([600, 1000, 90000]),
+    )
+    def check(frames, durs, chunk_size, co64, timescale):
+        durations = durs.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=5000),
+                min_size=len(frames),
+                max_size=len(frames),
+            )
+        )
+        data = mp4.encode_mp4(
+            frames, durations, timescale=timescale, chunk_size=chunk_size, use_co64=co64
+        )
+        info = mp4.parse_mp4(data)
+        assert info["timescale"] == timescale
+        assert info["duration"] == sum(durations)
+        assert len(info["samples"]) == len(frames)
+        dts = 0
+        for i, (off, size, d) in enumerate(info["samples"]):
+            assert data[off : off + size] == frames[i]
+            assert d == dts
+            dts += durations[i]
+
+    check()
+
+
+def test_wav_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64
+        ),
+        rate=st.sampled_from([8000, 16000, 44100, 48000]),
+    )
+    def check(samples, rate):
+        d = audio.decode_wav(audio.encode_wav(samples, rate))
+        assert d["samples"] == samples and d["rate"] == rate and d["bits"] == 16
+
+    check()
+
+
 def test_wav_fixture_model_matches_spec():
     for text in (b"", b"a", b"hello corpus", b"y" * 87):
         nb = len(text)

