@@ -44,59 +44,54 @@ def _fold(terms) -> Column:
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Σ a_i·b_i in double precision, left-to-right (deterministic).
 
-    With ``dim`` (a compile-time-known vector width) the sum unrolls
-    into plain codegen arithmetic — higher-order array functions
-    (aggregate/zip_with/transform) run INTERPRETED, outside
-    whole-stage codegen, measured ~3× slower on the ANN rerank path.
-    The unrolled fold adds in the identical order, so results are
-    bit-identical; dim=None keeps the generic spelling for callers
-    with unknown widths.
-
     FIXED-WIDTH CONTRACT (when ``dim`` is passed): arrays are expected
     to have exactly ``dim`` elements. A shorter (malformed) array
-    scores NULL — ``try_element_at`` past the end is NULL in both ANSI
-    and legacy modes — so in a top-k that row sorts LAST instead of
-    poisoning the job (plain ``element_at`` would THROW under Spark 4's
-    default ANSI mode, killing the query on one bad row; the generic
-    dim=None path instead scores over the zipped prefix).
+    scores NULL — a ``size() == dim`` guard short-circuits the math —
+    so in a top-k that row sorts LAST instead of poisoning the job.
+    The dim=None path instead scores over the zipped prefix.
     Degraded-not-poisoned is the intended behavior for a stray
     malformed row; the contract is pinned by
-    tests/test_llm_ops.py::test_short_vector_scores_null_and_sorts_last."""
-    if dim is None:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    return _fold(
-        F.try_element_at(a, F.lit(i)).cast("double")
-        * F.try_element_at(b, F.lit(i)).cast("double")
-        for i in range(1, dim + 1)
+    tests/test_llm_ops.py::test_short_vector_scores_null_and_sorts_last.
+
+    Kernel history (r5): both dim spellings now share the zip_with/
+    aggregate fold. The r4 "unrolled into codegen" variant
+    (dim-many element_at terms) was RE-MEASURED at 3× SLOWER on the
+    64k-row rerank path — ~600 generated expressions per cosine blow
+    the JIT method limits, so the "codegen" path actually ran worse
+    than the interpreted higher-order fold (0.91 s vs 0.30 s, plain
+    element_at, guarded identically). HOF-interpretation being slow is
+    real for PER-SEED loops (see dedup.py MinHash) but not for one
+    fold over a 64-wide array. The folds add in the identical order,
+    so dim and dim=None results are bit-identical on well-formed rows."""
+    raw = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
+    if dim is None:
+        return raw
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), raw)
 
 
 def l2_norm(a: Column, dim: int | None = None) -> Column:
-    if dim is None:
-        return F.sqrt(
-            F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-        )
-    return F.sqrt(
-        _fold(
-            F.try_element_at(a, F.lit(i)).cast("double")
-            * F.try_element_at(a, F.lit(i)).cast("double")
-            for i in range(1, dim + 1)
-        )
+    raw = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
+    if dim is None:
+        return raw
+    return F.when(F.size(a) == dim, raw)
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity of two float-array columns, computed in
     double. Pass ``dim`` when the embedding width is known (it always
-    is for a real corpus) to stay inside whole-stage codegen."""
+    is for a real corpus) to get the malformed-row NULL contract (see
+    :func:`dot`)."""
+    ad, bd = _to_double(a), _to_double(b)
+    raw = dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
     if dim is None:
-        ad, bd = _to_double(a), _to_double(b)
-        return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
-    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
+        return raw
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), raw)
 
 
 def brute_force_topk(
