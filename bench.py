@@ -98,6 +98,7 @@ _NEW_R5 = [
     # multimodal_decode_real).
     "multimodal_video_frames",
     "audio_decode_wav",
+    "multimodal_decode_jpeg_color",
 ]
 
 # Round-4 continuity: granular queries whose gate slot merged into a

@@ -393,3 +393,382 @@ def decode_jpeg_gray(data: bytes) -> tuple:
         pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
     )
     return width, height, full[:height, :width].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Color (YCbCr) baseline — round-5 extension: 3-component interleaved
+# scans with 4:2:0 chroma subsampling (the layout virtually every real
+# photographic JPEG uses) or 4:4:4. Same entropy/DCT machinery as the
+# grayscale path; what's new is the MCU interleave (per ITU-T T.81
+# §A.2.3: within an MCU each component contributes h×v blocks in
+# raster order), per-component DC predictors, a second quant/Huffman
+# table pair (standard chroma tables, Annex K.3), and the color
+# transform.
+#
+# COLOR TRANSFORM CONTRACT: YCbCr↔RGB runs in 16.16 FIXED-POINT
+# INTEGER arithmetic (libjpeg's constants), not floats — so a DuckDB
+# oracle can replay the decoder's output bit-exactly with integer
+# `//` math. The bias-then-shift spelling keeps every intermediate
+# non-negative, so floor-shift == truncating division on both engines.
+# ---------------------------------------------------------------------------
+
+DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_VALUES_C = list(range(12))
+AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_VALUES_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+_DC_CODES_C = _canonical_codes(DC_BITS_C, DC_VALUES_C)
+_AC_CODES_C = _canonical_codes(AC_BITS_C, AC_VALUES_C)
+
+# 16.16 fixed-point color constants (libjpeg jdcolor.c / jccolor.c).
+_FIX_R_CR = 91881       # 1.40200
+_FIX_G_CB = 22554       # 0.34414
+_FIX_G_CR = 46802       # 0.71414
+_FIX_B_CB = 116130      # 1.77200
+_BIAS = 1 << 28         # multiple of 65536, dominates any negative term
+
+
+def ycbcr_to_rgb_int(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    """Integer 16.16 YCbCr→RGB (full-range JFIF). All intermediates are
+    biased non-negative so >>16 is plain division — a DuckDB oracle
+    replays this with `(x + 268435456) // 65536 - 4096`."""
+    y = y.astype(np.int64)
+    cbb = cb.astype(np.int64) - 128
+    crb = cr.astype(np.int64) - 128
+    half = 32768
+    r = ((y << 16) + _FIX_R_CR * crb + half + _BIAS >> 16) - 4096
+    g = ((y << 16) - _FIX_G_CB * cbb - _FIX_G_CR * crb + half + _BIAS >> 16) - 4096
+    b = ((y << 16) + _FIX_B_CB * cbb + half + _BIAS >> 16) - 4096
+    clip = lambda v: np.clip(v, 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(r), clip(g), clip(b)
+
+
+def rgb_to_ycbcr_int(r: np.ndarray, g: np.ndarray, b: np.ndarray):
+    """Integer 16.16 RGB→YCbCr. Luma weights sum to exactly 65536 so
+    white maps to Y=255 (the off-by-one every naive rounding hits)."""
+    r = r.astype(np.int64)
+    g = g.astype(np.int64)
+    b = b.astype(np.int64)
+    half = 32768
+    y = (19595 * r + 38470 * g + 7471 * b + half) >> 16
+    cb = ((-11059 * r - 21712 * g + 32768 * b + half + _BIAS) >> 16) - 4096 + 128
+    cr = ((32768 * r - 27439 * g - 5329 * b + half + _BIAS) >> 16) - 4096 + 128
+    clip = lambda v: np.clip(v, 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(y), clip(cb), clip(cr)
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate pad to multiples of (mh, mw)."""
+    h, w = plane.shape
+    ph, pw = -h % mh, -w % mw
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) uint8 plane (H, W multiples of 8) → (bh, bw, 64)
+    quantized int64 coefficients in row-major block order (the writer
+    applies the zigzag permutation)."""
+    h, w = plane.shape
+    bh, bw = h // 8, w // 8
+    blocks = plane.astype(np.float64).reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+    coefs = np.einsum("ux,ijxy,vy->ijuv", _A, blocks, _A)
+    return np.round(coefs / q).astype(np.int64).reshape(bh, bw, 64)
+
+
+def _write_block(w: _BitWriter, zz: np.ndarray, prev_dc: int, dc_codes, ac_codes) -> int:
+    """Entropy-encode one zigzag block; returns the new DC predictor."""
+    diff = int(zz[0]) - prev_dc
+    cat = _category(diff) if diff else 0
+    code, length = dc_codes[cat]
+    w.write(code, length)
+    if cat:
+        w.write(_value_bits(diff, cat), cat)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            w.write(code, length)
+            run -= 16
+        cat = _category(v)
+        code, length = ac_codes[(run << 4) | cat]
+        w.write(code, length)
+        w.write(_value_bits(v, cat), cat)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]
+        w.write(code, length)
+    return int(zz[0])
+
+
+def encode_jpeg_color(
+    width: int,
+    height: int,
+    y: bytes,
+    cb: bytes,
+    cr: bytes,
+    quant_y: np.ndarray | None = None,
+    quant_c: np.ndarray | None = None,
+    subsample: bool = True,
+) -> bytes:
+    """Baseline JFIF encode of full-resolution Y/Cb/Cr planes as a
+    3-component interleaved scan — 4:2:0 (``subsample=True``, chroma
+    box-averaged 2×2) or 4:4:4. Standard luma/chroma Huffman tables
+    (written into DHT), two quant tables (default all-ones: exactly
+    lossless for block-flat planes — the oracle-fixture contract shared
+    with the grayscale path)."""
+    if len(y) != width * height or len(cb) != width * height or len(cr) != width * height:
+        raise ValueError("need full-resolution planes for all 3 components")
+    qy = np.ones((8, 8), dtype=np.int64) if quant_y is None else np.asarray(quant_y, dtype=np.int64)
+    qc = np.ones((8, 8), dtype=np.int64) if quant_c is None else np.asarray(quant_c, dtype=np.int64)
+
+    yp = np.frombuffer(y, dtype=np.uint8).reshape(height, width)
+    cbp = np.frombuffer(cb, dtype=np.uint8).reshape(height, width)
+    crp = np.frombuffer(cr, dtype=np.uint8).reshape(height, width)
+
+    if subsample:
+        mcu_h = mcu_w = 16
+        samp_y, samp_c = 0x22, 0x11
+        yp = _pad_to(yp, 16, 16)
+        # 2x2 box average in integer (round-half-up), then pad to 8s
+        cpad = [_pad_to(p, 2, 2).astype(np.int64) for p in (cbp, crp)]
+        cbp, crp = (
+            _pad_to(
+                (
+                    (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2)
+                    // 4
+                ).astype(np.uint8),
+                8,
+                8,
+            )
+            for p in cpad
+        )
+    else:
+        mcu_h = mcu_w = 8
+        samp_y, samp_c = 0x11, 0x11
+        yp = _pad_to(yp, 8, 8)
+        cbp = _pad_to(cbp, 8, 8)
+        crp = _pad_to(crp, 8, 8)
+
+    zz_y = _fdct_quant(yp, qy)
+    zz_cb = _fdct_quant(cbp, qc)
+    zz_cr = _fdct_quant(crp, qc)
+
+    mcus_y = (height + mcu_h - 1) // mcu_h
+    mcus_x = (width + mcu_w - 1) // mcu_w
+
+    w = _BitWriter()
+    dc = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if subsample:
+                for vy in range(2):
+                    for vx in range(2):
+                        zz = zz_y[my * 2 + vy, mx * 2 + vx].reshape(64)[ZIGZAG]
+                        dc[0] = _write_block(w, zz, dc[0], _DC_CODES, _AC_CODES)
+            else:
+                zz = zz_y[my, mx].reshape(64)[ZIGZAG]
+                dc[0] = _write_block(w, zz, dc[0], _DC_CODES, _AC_CODES)
+            for ci, zz_c in ((1, zz_cb), (2, zz_cr)):
+                zz = zz_c[my, mx].reshape(64)[ZIGZAG]
+                dc[ci] = _write_block(w, zz, dc[ci], _DC_CODES_C, _AC_CODES_C)
+    scan = w.flush()
+
+    def qtab(tid: int, q: np.ndarray) -> bytes:
+        return bytes([tid]) + bytes(int(q.reshape(64)[ZIGZAG[k]]) for k in range(64))
+
+    out = bytearray(b"\xff\xd8")
+    out += _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _segment(0xFFDB, qtab(0, qy) + qtab(1, qc))
+    out += _segment(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, samp_y, 0])
+        + bytes([2, samp_c, 1])
+        + bytes([3, samp_c, 1]),
+    )
+    out += _segment(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALUES))
+    out += _segment(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALUES))
+    out += _segment(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALUES_C))
+    out += _segment(0xFFC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALUES_C))
+    out += _segment(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_color(data: bytes) -> tuple:
+    """Decode a baseline 3-component interleaved JPEG (4:2:0 or 4:4:4,
+    one scan, no restart markers) from any conformant encoder of the
+    profile. Returns ``(width, height, rgb_bytes)`` — interleaved RGB,
+    produced by the fixed-point integer transform
+    (:func:`ycbcr_to_rgb_int`), chroma upsampled by replication.
+    Tables come from the file's own DQT/DHT; per-component quant and
+    Huffman selectors from SOF0/SOS. Raises ValueError outside the
+    profile (progressive, 16-bit tables, restart intervals, component
+    counts other than 3)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    quant: dict = {}
+    huff: dict = {}
+    width = height = None
+    comps: list = []  # (comp_id, h, v, tq)
+    scan_sel: dict = {}
+    scan_pos = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = (data[pos] << 8) | data[pos + 1]
+        if marker == 0xFFD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xFFDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(body[p + 1 : p + 65], dtype=np.uint8).astype(np.int64)
+                if len(zz) != 64:
+                    raise ValueError("short DQT")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = zz
+                quant[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xFFC4:
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                values = list(body[p + 17 : p + 17 + n])
+                if len(values) != n:
+                    raise ValueError("short DHT")
+                huff[(tc, th)] = _decode_table(bits, values)
+                p += 17 + n
+        elif marker == 0xFFC0:
+            precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8 or ncomp != 3:
+                raise ValueError("decode_jpeg_color handles 8-bit 3-component only")
+            for c in range(3):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7):
+            raise ValueError("non-baseline frame type")
+        elif marker == 0xFFDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xFFDA:
+            if body[0] != 3:
+                raise ValueError("expected 3-component scan")
+            for c in range(3):
+                cid, sel = body[1 + 2 * c], body[2 + 2 * c]
+                scan_sel[cid] = (sel >> 4, sel & 0xF)
+            scan_pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if width is None or scan_pos is None or len(comps) != 3:
+        raise ValueError("missing SOF/SOS")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    supported = {(1, 1), (2, 2)}
+    if (hmax, vmax) not in supported or any(
+        (c[1], c[2]) not in ((hmax, vmax), (1, 1)) for c in comps
+    ):
+        raise ValueError("only 4:4:4 and 4:2:0 sampling supported")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+
+    grids = []  # per comp: (zz_blocks ndarray, bw, bh)
+    for cid, ch, cv, tq in comps:
+        bw, bh = mcus_x * ch, mcus_y * cv
+        grids.append(np.zeros((bh * bw, 64), dtype=np.int64))
+
+    r = _BitReader(data, scan_pos)
+    prev_dc = [0, 0, 0]
+
+    def read_block(ci: int, bidx: int) -> None:
+        cid = comps[ci][0]
+        dc_tbl = huff.get((0, scan_sel[cid][0]))
+        ac_tbl = huff.get((1, scan_sel[cid][1]))
+        if dc_tbl is None or ac_tbl is None:
+            raise ValueError("missing DHT")
+        blk = grids[ci][bidx]
+        cat = r.read_code(dc_tbl)
+        prev_dc[ci] += _extend(r.read_bits(cat), cat) if cat else 0
+        blk[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = r.read_code(ac_tbl)
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                k += 16
+                continue
+            run, cat = sym >> 4, sym & 0xF
+            k += run
+            if k > 63 or cat == 0:
+                raise ValueError("AC coefficient overruns block")
+            blk[k] = _extend(r.read_bits(cat), cat)
+            k += 1
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                bw = mcus_x * ch
+                for vy in range(cv):
+                    for vx in range(ch):
+                        bidx = (my * cv + vy) * bw + mx * ch + vx
+                        read_block(ci, bidx)
+
+    planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        q = quant.get(tq)
+        if q is None:
+            raise ValueError("missing DQT")
+        bw, bh = mcus_x * ch, mcus_y * cv
+        coefs = np.zeros((bh * bw, 64), dtype=np.float64)
+        coefs[:, ZIGZAG] = grids[ci]
+        coefs = coefs.reshape(-1, 8, 8) * q
+        pix = np.einsum("xu,buv,yv->bxy", _A.T, coefs, _A.T) + 128.0
+        pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        full = pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        # upsample to luma resolution by replication, crop to image
+        full = np.repeat(np.repeat(full, vmax // cv, axis=0), hmax // ch, axis=1)
+        planes.append(full[:height, :width])
+
+    r8, g8, b8 = ycbcr_to_rgb_int(*planes)
+    rgb = np.stack([r8, g8, b8], axis=-1)
+    return width, height, rgb.tobytes()

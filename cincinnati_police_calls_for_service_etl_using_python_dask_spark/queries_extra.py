@@ -623,6 +623,71 @@ def q_audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aud.synth_audio_metadata(docs, parallelism=par)
 
 
+@register(
+    "multimodal_decode_jpeg_color",
+    """
+    -- COLOR (4:2:0) JPEG replay: flat luma blocks / flat per-MCU
+    -- chroma reconstruct integer-exactly through the interleaved
+    -- Huffman/dequant/IDCT/upsample path, then the decoder's
+    -- FIXED-POINT YCbCr->RGB (jpeg.ycbcr_to_rgb_int) is replayed here
+    -- with integer // arithmetic (bias keeps numerators non-negative,
+    -- so floor == truncation on both engines).
+    WITH g AS (
+      SELECT doc_id, length(text) AS nb,
+             length(text) % 33 + 1 AS w,
+             length(text) % 20 + 1 AS h,
+             (length(text) % 33 + 1 + 7) // 8 AS bw,
+             (length(text) % 33 + 1 + 15) // 16 AS mw
+      FROM documents
+    ), px AS (
+      SELECT g.doc_id, g.w, g.h, y.y * g.w + x.x + 1 AS li,
+             CASE WHEN g.nb = 0 THEN 128
+                  ELSE ord(substr(d.text,
+                       CAST(((y.y // 8) * g.bw + x.x // 8) % g.nb AS INT) + 1, 1))
+             END AS yv,
+             CASE WHEN g.nb = 0 THEN 128
+                  ELSE ord(substr(d.text,
+                       CAST(((y.y // 16) * g.mw + x.x // 16 + 3) % g.nb AS INT) + 1, 1))
+             END AS cb,
+             CASE WHEN g.nb = 0 THEN 128
+                  ELSE ord(substr(d.text,
+                       CAST(((y.y // 16) * g.mw + x.x // 16 + 7) % g.nb AS INT) + 1, 1))
+             END AS cr
+      FROM g JOIN documents d USING (doc_id),
+           unnest(generate_series(0, g.h - 1)) AS y(y),
+           unnest(generate_series(0, g.w - 1)) AS x(x)
+    ), rgb AS (
+      SELECT doc_id, w, h, li,
+             LEAST(255, GREATEST(0,
+               (65536 * yv + 91881 * (cr - 128) + 32768 + 268435456) // 65536
+               - 4096)) AS r,
+             LEAST(255, GREATEST(0,
+               (65536 * yv - 22554 * (cb - 128) - 46802 * (cr - 128)
+                + 32768 + 268435456) // 65536 - 4096)) AS gg,
+             LEAST(255, GREATEST(0,
+               (65536 * yv + 116130 * (cb - 128) + 32768 + 268435456) // 65536
+               - 4096)) AS b
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INT) AS width,
+           CAST(MAX(h) AS INT) AS height,
+           'RGB'                 AS "mode",
+           'jpeg-color-decoded'  AS status,
+           CAST(COUNT(*) * 3 AS BIGINT) AS px_count,
+           CAST(SUM(r) AS BIGINT)  AS r_sum,
+           CAST(SUM(gg) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT)  AS b_sum,
+           CAST(SUM(li * (r * 65536 + gg * 256 + b)) AS BIGINT) AS rgb_wsum
+    FROM rgb GROUP BY doc_id
+    """,
+)
+def q_multimodal_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    par = min(16, spark.sparkContext.defaultParallelism)
+    return mm.synth_decode_jpeg_color(docs, parallelism=par)
+
+
 # ---------------------------------------------------------------------------
 # IVF with every list probed: exhaustive coverage makes the result
 # EXACT, so the same brute-force SQL is a valid oracle — this pins the

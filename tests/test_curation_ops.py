@@ -988,3 +988,135 @@ def test_trained_classifier_deterministic(spark):
     b = {r["doc_id"]: r["score_sum"] for r in tx.trained_quality_classifier(df).collect()}
     assert a == b
     assert any(v != 0 for v in a.values())
+
+
+# ---------------------------------------------------------------------------
+# Round-5: COLOR (YCbCr) baseline JPEG — interleaved 4:2:0/4:4:4 MCUs,
+# chroma tables, fixed-point color transform (operators/jpeg.py).
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_color_flat_blocks_exact_both_samplings():
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        jpeg as J,
+    )
+
+    w, h = 33, 20  # 3x2 MCUs at 4:2:0 — exercises the interleave
+    yv = np.fromfunction(
+        lambda y, x: ((x // 8) * 37 + (y // 8) * 11) % 256, (h, w)
+    ).astype(np.uint8)
+    cb = np.fromfunction(
+        lambda y, x: ((x // 16) * 53 + (y // 16) * 29 + 10) % 256, (h, w)
+    ).astype(np.uint8)
+    cr = np.fromfunction(
+        lambda y, x: ((x // 16) * 17 + (y // 16) * 71 + 40) % 256, (h, w)
+    ).astype(np.uint8)
+    exp = np.stack(J.ycbcr_to_rgb_int(yv, cb, cr), axis=-1)
+    for subsample in (True, False):
+        data = J.encode_jpeg_color(
+            w, h, yv.tobytes(), cb.tobytes(), cr.tobytes(), subsample=subsample
+        )
+        ww, hh, rgb = J.decode_jpeg_color(data)
+        assert (ww, hh) == (w, h)
+        assert np.array_equal(np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3), exp)
+
+
+def test_jpeg_color_random_tolerance_and_color_transform_identity():
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        jpeg as J,
+    )
+
+    rng = np.random.RandomState(11)
+    h, w = 19, 26
+    yp, cbp, crp = (rng.randint(0, 256, (h, w), dtype=np.uint8) for _ in range(3))
+    data = J.encode_jpeg_color(
+        w, h, yp.tobytes(), cbp.tobytes(), crp.tobytes(), subsample=False
+    )
+    _, _, rgb = J.decode_jpeg_color(data)
+    got = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.int64)
+    exp = np.stack(J.ycbcr_to_rgb_int(yp, cbp, crp), axis=-1).astype(np.int64)
+    assert np.abs(got - exp).max() <= 4  # all-ones quant: near-lossless
+    # fixed-point transform: primaries and white land where they must
+    r, g, b = J.rgb_to_ycbcr_int(
+        np.array([255, 255, 0, 0]), np.array([255, 0, 255, 0]), np.array([255, 0, 0, 0])
+    )
+    assert r[0] == 255 and r[3] == 0  # white -> Y=255, black -> Y=0
+    y2, cb2, cr2 = J.ycbcr_to_rgb_int(
+        np.array([255, 0]), np.array([128, 128]), np.array([128, 128])
+    )
+    assert y2[0] == 255 and y2[1] == 0  # neutral chroma: identity on Y
+
+
+def test_jpeg_color_profile_rejections():
+    import numpy as np
+    import pytest as _pytest
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        jpeg as J,
+    )
+
+    w, h = 8, 8
+    plane = bytes(64)
+    color = J.encode_jpeg_color(w, h, plane, plane, plane)
+    gray = J.encode_jpeg_gray(w, h, plane)
+    with _pytest.raises(ValueError):
+        J.decode_jpeg_color(gray)  # 1 component
+    with _pytest.raises(ValueError):
+        J.decode_jpeg_gray(color)  # 3 components
+    with _pytest.raises(ValueError):
+        J.decode_jpeg_color(color[: len(color) - 8])  # truncated scan
+    # progressive marker (SOF2) must be rejected, not misparsed
+    bad = bytearray(color)
+    idx = bytes(bad).find(b"\xff\xc0")
+    bad[idx + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        J.decode_jpeg_color(bytes(bad))
+
+
+def test_jpeg_color_operator_and_fixture_contract(spark):
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        jpeg as J,
+        multimodal as mm,
+    )
+
+    docs = _mm_docs(spark)
+    out = {r["doc_id"]: r for r in mm.synth_decode_jpeg_color(docs).collect()}
+    for doc_id, text in [(0, "fused parity doc 0 "), (98, "x"), (97, "")]:
+        data = text.encode()
+        n = len(data)
+        w, h = n % 33 + 1, n % 20 + 1
+        bw, mw = (w + 7) // 8, (w + 15) // 16
+        r = out[doc_id]
+        assert (r["width"], r["height"], r["status"]) == (w, h, "jpeg-color-decoded")
+        yv = np.array(
+            [
+                [data[((y // 8) * bw + x // 8) % n] if n else 128 for x in range(w)]
+                for y in range(h)
+            ],
+            dtype=np.uint8,
+        )
+        cb = np.array(
+            [
+                [data[((y // 16) * mw + x // 16 + 3) % n] if n else 128 for x in range(w)]
+                for y in range(h)
+            ],
+            dtype=np.uint8,
+        )
+        cr = np.array(
+            [
+                [data[((y // 16) * mw + x // 16 + 7) % n] if n else 128 for x in range(w)]
+                for y in range(h)
+            ],
+            dtype=np.uint8,
+        )
+        rr, gg, bb = J.ycbcr_to_rgb_int(yv, cb, cr)
+        assert r["px_count"] == 3 * w * h
+        assert r["r_sum"] == int(rr.astype(np.int64).sum())
+        assert r["g_sum"] == int(gg.astype(np.int64).sum())
+        assert r["b_sum"] == int(bb.astype(np.int64).sum())

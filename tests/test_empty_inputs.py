@@ -38,6 +38,18 @@ from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators i
 )
 
 
+def _mp4_mod():
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import mp4
+
+    return mp4
+
+
+def _audio_mod():
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import audio
+
+    return audio
+
+
 def _docs(spark):
     return spark.createDataFrame([], "doc_id long, text string, lang string, n_chars long")
 
@@ -81,6 +93,9 @@ _CASES = {
     "synth_resize_png": lambda s: mm.synth_resize_png(_docs(s)),
     "synth_decode_png": lambda s: mm.synth_decode_png(_docs(s)),
     "synth_decode_jpeg": lambda s: mm.synth_decode_jpeg(_docs(s)),
+    "synth_video_frames": lambda s: _mp4_mod().synth_video_frames(_docs(s)),
+    "synth_video_metadata": lambda s: _mp4_mod().synth_video_metadata(_docs(s)),
+    "synth_audio_metadata": lambda s: _audio_mod().synth_audio_metadata(_docs(s)),
     "multimodal_pipeline": lambda s: mm.multimodal_pipeline(_docs(s)),
     "brute_force_topk": lambda s: sim.brute_force_topk(
         _emb(s),
