@@ -294,6 +294,33 @@ def hyperplane_bits(
     return pandas_udf(_sig, "long")(vec)
 
 
+def hyperplane_bits_multi(
+    vec: Column, num_planes: int, dim: int, num_tables: int
+) -> Column:
+    """All ``num_tables`` table signatures in ONE Arrow crossing — an
+    ``array<long>`` of bucket keys, one per table, each from a disjoint
+    slice of the deterministic plane family. One matmul per batch
+    projects against every table's planes at once; the corpus is
+    scanned ONCE however many tables the index uses."""
+    from pyspark.sql.functions import pandas_udf
+
+    total = num_planes * num_tables
+    planes_t = hyperplane_matrix(total, dim).T  # (dim, total)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    def _sigs(v: pd.Series) -> pd.Series:
+        rows = v.to_numpy()
+        ok = np.array([r is not None for r in rows])
+        mat = np.zeros((len(rows), planes_t.shape[0]), dtype=np.float64)
+        if ok.any():
+            mat[ok] = np.stack(rows[ok]).astype(np.float64)
+        bits = (mat @ planes_t) > 0.0  # (n, total)
+        keys = bits.reshape(len(rows), num_tables, num_planes) @ weights
+        return pd.Series(list(keys.astype(np.int64)))
+
+    return pandas_udf(_sigs, "array<long>")(vec)
+
+
 def _train_spherical_kmeans(
     sample, n_lists: int, n_iter: int, seed: int
 ):
@@ -568,25 +595,43 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane
-    bucket, then exact cosine rerank inside the candidate set.
+    bucket in ANY of ``num_tables`` independent tables, then exact
+    cosine rerank inside the (deduplicated) candidate set.
 
-    Scale: the corpus is bucketed once (map-side signature), the join
-    is a hash join on bucket — at 1000 executors this is the IVF-style
-    probe pattern; increase num_planes for smaller buckets, add
-    multi-probe (flip one bit) for recall.
+    Scale: the corpus is bucketed once — even multi-table: ALL table
+    signatures come from one Arrow crossing
+    (:func:`hyperplane_bits_multi`) and fan out via posexplode, so the
+    candidate join is a hash join on (table, bucket) at any table
+    count. Recall/latency trades: more planes → smaller buckets
+    (precision), more tables → more independent chances to collide
+    (recall) — the standard L-tables LSH design; recall floor is
+    test-gated against the brute-force tier.
     """
-    bucketed = vectors.withColumn("_bucket", hyperplane_bits(F.col(vec_col), num_planes, dim))
-    q_bucketed = queries.withColumn(
-        "_bucket", hyperplane_bits(F.col(query_vec_col), num_planes, dim)
+    bucketed = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(
+            hyperplane_bits_multi(F.col(vec_col), num_planes, dim, num_tables)
+        ).alias("_tbl", "_bucket"),
     )
-    candidates = bucketed.join(F.broadcast(q_bucketed), on="_bucket", how="inner")
+    q_bucketed = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.posexplode(
+            hyperplane_bits_multi(F.col(query_vec_col), num_planes, dim, num_tables)
+        ).alias("_tbl", "_bucket"),
+    )
+    candidates = bucketed.join(
+        F.broadcast(q_bucketed), on=["_tbl", "_bucket"], how="inner"
+    )
     scored = candidates.select(
         F.col(query_id_col),
         F.col(id_col),
         cosine(F.col(vec_col), F.col(query_vec_col), dim).alias("_score"),
-    )
+    ).dropDuplicates([query_id_col, id_col])
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_score"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
