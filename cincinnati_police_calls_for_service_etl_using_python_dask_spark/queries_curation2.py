@@ -385,3 +385,75 @@ def q_check_foreign_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             lineitem, orders, "l_orderkey", "o_orderkey", "lineitem_orderkey_fk"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (round 5): query-relevance top-k over the corpus —
+# targeted training-data selection. The oracle recomputes N/avgdl/df
+# and the Lucene idf (DuckDB ln() is bit-identical to the CPython libm
+# the operator uses for its driver-side idf literals — measured; JVM
+# Math.log is NOT, which is exactly why the operator computes idf at
+# the driver); every other op is correctly-rounded IEEE on identical
+# inputs, and per-term contributions fold in literal term order, so
+# scores hash-match exactly.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["hash", "join", "vector", "stream", "window", "quantum"]  # last: df=0
+_BM25_K = 20
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    # Every float literal is ::DOUBLE — bare 2.2 parses as DECIMAL(2,1)
+    # in DuckDB, making tf*2.2 EXACT decimal arithmetic where the
+    # operator (and any IEEE engine) computes 3*double(2.2) =
+    # 6.6000000000000005; the resulting 1-ulp division drift was
+    # caught by the bit-exactness check below (test_curation_ops).
+    k1, b = _BM25_K1, _BM25_B
+    k1p1 = f"{(k1 + 1.0)!r}::DOUBLE"
+    one_minus_b = f"{(1.0 - b)!r}::DOUBLE"
+    k1s, bs = f"{k1!r}::DOUBLE", f"{b!r}::DOUBLE"
+    dfs = ",\n         ".join(
+        f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    tfs = ",\n            ".join(
+        f"len(list_filter(toks, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    score = "0.0"
+    for i in range(len(_BM25_TERMS)):
+        score += (
+            f"\n           + ln(1 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+            f" * (t.tf{i} * {k1p1})"
+            f" / (t.tf{i} + {k1s} * ({one_minus_b} + {bs} * t.dl / s.avgdl))"
+        )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+             END AS dl,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         {dfs}
+      FROM d
+    ), t AS (
+      SELECT doc_id, dl,
+            {tfs}
+      FROM d
+    )
+    SELECT t.doc_id, {score} AS score
+    FROM t CROSS JOIN s
+    ORDER BY score DESC, t.doc_id
+    LIMIT {_BM25_K}
+    """
+
+
+@register("bm25_topk_docs", _bm25_oracle())
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return tx.bm25_topk(docs, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)

@@ -1151,3 +1151,39 @@ def test_jpeg_color_operator_and_fixture_contract(spark):
         assert r["r_sum"] == int(rr.astype(np.int64).sum())
         assert r["g_sum"] == int(gg.astype(np.int64).sum())
         assert r["b_sum"] == int(bb.astype(np.int64).sum())
+
+
+def test_bm25_bit_exact_vs_oracle_and_semantics(spark, duck):
+    """BM25 (round 5): scores must be BIT-exact vs the DuckDB oracle —
+    the driver's hash compare tolerates zero float drift. This is the
+    test that caught DuckDB parsing bare float literals as DECIMAL
+    (exact 6.6 vs IEEE 3*2.2) and the JVM-vs-libm ln() divergence the
+    driver-side idf literals exist to avoid."""
+    import struct
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        text as tx,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.queries import (
+        oracle_sqls,
+        spark_queries,
+    )
+    from .conftest import SF_ORACLE
+
+    sdf = spark_queries()["bm25_topk_docs"](spark, SF_ORACLE).toPandas()
+    odf = duck.execute(oracle_sqls()["bm25_topk_docs"]).fetchdf()
+    assert list(sdf["doc_id"]) == list(odf["doc_id"])
+    bits = lambda v: struct.pack(">d", float(v))  # noqa: E731
+    assert all(bits(a) == bits(b) for a, b in zip(sdf["score"], odf["score"]))
+    # semantics: a doc stuffed with a query term outranks one without
+    docs = _docs_df(
+        spark,
+        [
+            (1, "hash hash hash hash table"),
+            (2, "completely unrelated words here"),
+            (3, "hash join"),
+        ],
+    )
+    out = tx.bm25_topk(docs, ["hash", "join"], k=3).collect()
+    assert out[0]["doc_id"] in (1, 3) and out[-1]["doc_id"] == 2
+    assert out[0]["score"] > out[-1]["score"]
