@@ -585,6 +585,127 @@ def ivf_ann_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Persistent IVF index (round 5): build once, probe many — across
+# SESSIONS, not just within the process-local centroid LRU. The true
+# at-scale property is in the STORAGE LAYOUT: postings are written
+# partitioned by list id, so a probe reads only the n_probe/n_lists
+# fraction of the index from disk (partition pruning), sub-linear I/O
+# the way a real IVF index (FAISS on object storage, Milvus segments)
+# behaves.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    train_sample: int = 100_000,
+    n_iter: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "sample",
+) -> None:
+    """Train the coarse quantizer and persist the index:
+
+    - ``{path}/centroids`` — (list_id, centroid array<double>), tiny;
+    - ``{path}/postings`` — the corpus with its ``_list`` assignment,
+      ``partitionBy("_list")`` so every list is its own directory.
+
+    Assignment is the same Arrow-batched BLAS kernel as the ad-hoc
+    tier (one matmul per batch, map-side); the corpus is scanned once
+    at build time and never again in full at query time."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = vectors.sparkSession
+    if train == "distributed":
+        centroids = _train_spherical_kmeans_distributed(
+            vectors, n_lists, n_iter, seed, vec_col=vec_col
+        )
+    else:
+        sample = np.stack(
+            vectors.select(vec_col).limit(train_sample).toPandas()[vec_col].to_numpy()
+        ).astype(np.float64)
+        centroids = _train_spherical_kmeans(sample, n_lists, n_iter, seed)
+
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @pandas_udf("int")
+    def assign_list(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mat @ centroids.T, axis=1).astype(np.int32))
+
+    (
+        vectors.withColumn("_list", assign_list(F.col(vec_col)))
+        .write.mode("overwrite")
+        .partitionBy("_list")
+        .parquet(f"{path}/postings")
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int | None = None,
+) -> DataFrame:
+    """Probe a :func:`build_ivf_index` index. Only the probed lists'
+    partitions are READ (`.where(_list IN ...)` prunes the
+    ``partitionBy`` directories — assert `PartitionFilters` in the
+    scan node); candidates are exactly cosine-reranked as in
+    :func:`ivf_ann_topk`. Centroids load from the tiny sidecar table,
+    probe selection is one driver-side matmul over the (small, already
+    driver-held) query set."""
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    centroids = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_mat = np.stack(
+        [np.asarray(r[query_vec_col], dtype=np.float64) for r in q_rows]
+    )
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
+    probed_lists = sorted({int(l) for row in probe for l in row})
+
+    probes = spark.createDataFrame(
+        [
+            (r[query_id_col], r[query_vec_col], int(l))
+            for r, row in zip(q_rows, probe)
+            for l in row
+        ],
+        f"{query_id_col} long, {query_vec_col} array<float>, _list int",
+    )
+    postings = spark.read.parquet(f"{path}/postings").where(
+        F.col("_list").isin(probed_lists)
+    )
+    candidates = postings.join(F.broadcast(probes), on="_list", how="inner")
+    scored = candidates.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col), dim).alias("_score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank")
+    )
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,

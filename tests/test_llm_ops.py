@@ -111,9 +111,9 @@ def test_ivf_ann_recall_against_brute_force(spark):
 
 
 def test_short_vector_scores_null_and_sorts_last(spark):
-    """ADVICE r4: pin the fixed-width contract of the unrolled
+    """ADVICE r4: pin the fixed-width contract of the dim-passing
     dot/l2_norm/cosine path — a malformed (shorter-than-dim) embedding
-    scores NULL (element_at past the end is NULL under non-ANSI mode)
+    scores NULL (r5: a size()==dim WHEN guard short-circuits the fold)
     and therefore sorts LAST in a top-k instead of erroring or winning;
     the generic dim=None path scores over the zipped prefix instead."""
     rows = [
@@ -648,3 +648,38 @@ def test_decode_image_metadata_real_bytes(spark):
         assert out[doc_id]["height"] == n % 12 + 1
         assert out[doc_id]["mode"] == "L"
     assert out[99]["status"] == "error" and out[99]["width"] is None
+
+
+def test_ivf_persistent_index_matches_adhoc_and_prunes(spark, tmp_path):
+    """build_ivf_index/ivf_index_topk (round 5): the persisted index
+    must return row-identical results to the ad-hoc tier with the same
+    hyperparameters, and the probe scan must carry a PartitionFilter on
+    _list — only the probed lists' directories are read (sub-linear
+    index I/O, the property that matters at 100 TB)."""
+    import io
+    from contextlib import redirect_stdout
+
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path, n_lists=8, n_iter=4, seed=7)
+    got = sorted(
+        map(tuple, sim.ivf_index_topk(spark, path, queries, k=5, n_probe=4).collect())
+    )
+    adhoc = sorted(
+        map(tuple, sim.ivf_ann_topk(emb, queries, k=5, n_lists=8, n_probe=4, n_iter=4, seed=7).collect())
+    )
+    assert got == adhoc
+    # partition pruning: the postings scan must filter on _list
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sim.ivf_index_topk(spark, path, queries, k=5, n_probe=2).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "_list" in plan
+    # distributed-trainer build path works end to end
+    path2 = str(tmp_path / "ivf2")
+    sim.build_ivf_index(emb, path2, n_lists=4, n_iter=2, train="distributed")
+    out = sim.ivf_index_topk(spark, path2, queries, k=5, n_probe=4).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in out} >= {(q, q) for q in range(5)}
