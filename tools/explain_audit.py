@@ -496,6 +496,16 @@ def main() -> None:
             "core-count repartition of the work-bound stage",
         ),
         (
+            "bm25_topk_docs",
+            "BM25 ends in TakeOrdered; no Python; map-side term filter",
+            lambda p: "TakeOrderedAndProject" in p
+            and "BatchEvalPython" not in p
+            and "ArrowEvalPython" not in p,
+            "scoring = explode + filtered conditional aggregate + "
+            "per-partition top-k heaps; the corpus ranking never "
+            "globally sorts and no Python touches the hot path",
+        ),
+        (
             "audio_decode_wav",
             "WAV decode is ONE Arrow crossing, map-side",
             lambda p: count_ops(p, "MapInPandas") == 1
