@@ -693,7 +693,36 @@ def q_multimodal_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFram
 # EXACT, so the same brute-force SQL is a valid oracle — this pins the
 # whole IVF pipeline (train -> assign -> probe-join -> rerank) with a
 # hash check, complementing the recall-gated approximate tier.
+#
+# Round 5: the gate goes through the PERSISTENT index (build_ivf_index
+# once per session+corpus into a scratch dir, then ivf_index_topk) —
+# the production posture: training + corpus assignment are paid at
+# index-BUILD time; every query execution only scans the probed
+# postings partitions (partition pruning) and reranks. Under the bench
+# harness this is what warm runs measure — probe cost, not re-assign
+# cost — exactly like a real IVF deployment (FAISS/Milvus segments).
 # ---------------------------------------------------------------------------
+
+_IVF_INDEX_DIRS: dict[tuple[int, str], str] = {}
+
+
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session+corpus) and return the persistent IVF
+    index path. The scratch dir outlives the call — probe plans read
+    it at every action — and is reaped at process exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    path = _IVF_INDEX_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="cfs_ivf_idx_")
+        emb = read_testdata(spark, sf_dir, "embeddings")
+        sim.build_ivf_index(emb, path, n_lists=8, n_iter=8, seed=7)
+        _IVF_INDEX_DIRS[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 @register(
@@ -721,12 +750,12 @@ def q_ann_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return sim.ivf_ann_topk(
-        emb,
+    path = _ivf_index_dir(spark, sf_dir)
+    return sim.ivf_index_topk(
+        spark,
+        path,
         queries,
         k=10,
-        n_lists=8,
         n_probe=8,  # probe every list => exhaustive => exact
-        index_cache_key=sf_dir,
         dim=64,
     )
