@@ -100,6 +100,8 @@ _NEW_R5 = [
     "audio_decode_wav",
     "multimodal_decode_jpeg_color",
     "bm25_topk_docs",
+    # r5: exact substring-span dedup (Lee et al. 2022 semantics).
+    "substring_span_dedup_docs",
 ]
 
 # Round-4 continuity: granular queries whose gate slot merged into a

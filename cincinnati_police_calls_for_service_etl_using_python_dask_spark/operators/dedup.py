@@ -920,3 +920,238 @@ def duckdb_bloom_sql(
            (COUNT(*) FILTER (WHERE hit)) > 0 AS contaminated
     FROM hits GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup ("Deduplicating Training Data Makes
+# Language Models Better", Lee et al. 2022): remove every token span
+# that appears more than once ANYWHERE in the corpus (across or within
+# documents). The paper builds a suffix array; the Spark-native
+# equivalent fingerprints every W-token window, keeps windows whose
+# fingerprint repeats, and merges overlapping/adjacent windows into
+# removal spans — same guarantees for matches of length exactly W..2W-1
+# and a superset-of-W detector for longer ones, with NO quadratic tier
+# and no full-text shuffle in the frequency pass.
+# ---------------------------------------------------------------------------
+
+
+def substring_span_dedup(
+    df: DataFrame,
+    window_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 131,
+) -> DataFrame:
+    """Flag and cut duplicated W-token spans corpus-wide.
+
+    Output, one row per input document:
+      (id, n_tokens, n_windows, n_dup_windows, n_spans,
+       n_removed_tokens, cleaned_n_tokens, cleaned_text)
+    where ``cleaned_text`` is the kept tokens (lowercased, whitespace-
+    normalized — the same token stream every text operator here works
+    on) joined by single spaces; a document with no duplicated spans
+    round-trips to its normalized token join.
+
+    Plan shape (scale posture):
+      1. core-count repartition → explode window positions → one md5
+         per window (hash56) — map-side, text never leaves its
+         partition;
+      2. ONE exchange on the fingerprint; a window ``count(*) OVER
+         (PARTITION BY fp)`` marks duplicated windows — no self-join,
+         no recompute of the fingerprint pass;
+      3. ONE exchange on the doc id; a classic gaps-and-islands pass
+         (running ``max(end)``) merges overlapping/adjacent windows
+         into spans, and the same sorted partition serves the per-doc
+         rollup;
+      4. kept-token reconstruction explodes positions once and
+         anti-joins the covered positions — shuffles carry (id, pos)
+         pairs, never text.
+    False positives require a 56-bit hash collision between distinct
+    W-grams; there are no false negatives.
+    """
+    W = int(window_tokens)
+    if W < 2:
+        raise ValueError("window_tokens must be >= 2")
+    par = df.sparkSession.sparkContext.defaultParallelism
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    tk = tokens(txt)
+    base = df.repartition(par, F.col(id_col)).select(
+        F.col(id_col), tk.alias("__t"), F.size(tk).alias("__n")
+    )
+
+    # 1. Window fingerprints (docs shorter than W emit none).
+    pos = base.filter(F.col("__n") >= W).select(
+        id_col,
+        "__t",
+        F.explode(F.sequence(F.lit(1), F.col("__n") - F.lit(W - 1))).alias("__i"),
+    )
+    fps = pos.select(
+        id_col,
+        F.col("__i"),
+        hash56(F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), W)), seed=seed)
+        .alias("__fp"),
+    )
+
+    # 2. Corpus-wide duplicate mark: single fp-partitioned window.
+    wfp = Window.partitionBy("__fp")
+    flagged = (
+        fps.withColumn("__cnt", F.count(F.lit(1)).over(wfp))
+        .filter(F.col("__cnt") > 1)
+        .select(
+            id_col,
+            F.col("__i").alias("__s"),
+            (F.col("__i") + F.lit(W - 1)).alias("__e"),
+        )
+    )
+
+    # 3. Merge overlapping/adjacent spans (gaps and islands): a new
+    # island starts where this span begins past the running max end +1.
+    wdoc = Window.partitionBy(id_col).orderBy("__s")
+    prev_max_e = F.max("__e").over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = flagged.select(
+        id_col,
+        "__s",
+        "__e",
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("__ndw"),
+        F.when(prev_max_e.isNull() | (F.col("__s") > prev_max_e + 1), 1)
+        .otherwise(0)
+        .alias("__new"),
+    ).withColumn(
+        "__grp",
+        F.sum("__new").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = spans.groupBy(id_col, "__grp").agg(
+        F.min("__s").alias("__start"),
+        F.max("__e").alias("__end"),
+        F.max("__ndw").alias("__ndw"),
+    )
+    summary = merged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("__end") - F.col("__start") + 1)
+        .cast("long")
+        .alias("n_removed_tokens"),
+        F.max("__ndw").cast("long").alias("n_dup_windows"),
+    )
+
+    # 4. Rebuild kept text: all positions minus covered positions.
+    covered = merged.select(
+        id_col, F.explode(F.sequence("__start", "__end")).alias("__i")
+    )
+    allpos = base.select(
+        id_col,
+        "__n",
+        F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("__i"),
+        F.col("__t"),
+    ).select(
+        id_col, "__n", "__i", F.element_at("__t", F.col("__i")).alias("__tok")
+    )
+    kept = allpos.join(covered, [id_col, "__i"], "left_anti")
+    cleaned = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cleaned_n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i", "__tok"))),
+                lambda x: x["__tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+    # Anchor on the full document list: a doc whose every position is
+    # covered (whole doc duplicated) has NO kept rows and must still
+    # come back, with cleaned_n_tokens = 0 and cleaned_text = ''.
+    return (
+        base.select(id_col, "__n")
+        .join(cleaned, id_col, "left")
+        .join(summary, id_col, "left")
+    ).select(
+        id_col,
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.greatest(F.col("__n") - F.lit(W - 1), F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("n_removed_tokens", F.lit(0))
+        .cast("long")
+        .alias("n_removed_tokens"),
+        F.coalesce("cleaned_n_tokens", F.lit(0))
+        .cast("long")
+        .alias("cleaned_n_tokens"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
+def duckdb_substring_span_sql(
+    window_tokens: int = 8,
+    seed: int = 131,
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL computing exactly :func:`substring_span_dedup`."""
+    from ..functions.hashing import duckdb_hash56_sql
+
+    W = int(window_tokens)
+    fp = duckdb_hash56_sql("array_to_string(t[i:i+%d], ' ')" % (W - 1), seed=seed)
+    return f"""
+    WITH tk AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS t
+      FROM {table}
+    ), fps AS (
+      SELECT doc_id, i, {fp} AS fp
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {W - 1})) AS i
+            FROM tk WHERE len(t) >= {W})
+    ), flagged AS (
+      SELECT doc_id, i AS s, i + {W - 1} AS e
+      FROM (SELECT doc_id, i, COUNT(*) OVER (PARTITION BY fp) AS cnt FROM fps)
+      WHERE cnt > 1
+    ), spans AS (
+      SELECT doc_id, s, e,
+             COUNT(*) OVER (PARTITION BY doc_id) AS ndw,
+             CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS new_grp
+      FROM flagged
+    ), grps AS (
+      SELECT doc_id, s, e, ndw,
+             SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM spans
+    ), merged AS (
+      SELECT doc_id, grp, MIN(s) AS st, MAX(e) AS en, MAX(ndw) AS ndw
+      FROM grps GROUP BY 1, 2
+    ), summary AS (
+      SELECT doc_id,
+             COUNT(*)::BIGINT AS n_spans,
+             SUM(en - st + 1)::BIGINT AS n_removed_tokens,
+             MAX(ndw)::BIGINT AS n_dup_windows
+      FROM merged GROUP BY 1
+    ), covered AS (
+      SELECT doc_id, unnest(generate_series(st, en)) AS i FROM merged
+    ), allpos AS (
+      SELECT doc_id, len(t) AS n, unnest(generate_series(1, len(t))) AS i, t
+      FROM tk
+    ), kept AS (
+      SELECT a.doc_id, a.i, a.t[a.i] AS tok
+      FROM allpos a ANTI JOIN covered c ON a.doc_id = c.doc_id AND a.i = c.i
+    ), cleaned AS (
+      SELECT doc_id,
+             COUNT(*)::BIGINT AS cleaned_n_tokens,
+             string_agg(tok, ' ' ORDER BY i) AS cleaned_text
+      FROM kept GROUP BY 1
+    )
+    SELECT tk.doc_id,
+           len(tk.t)::BIGINT AS n_tokens,
+           greatest(len(tk.t) - {W - 1}, 0)::BIGINT AS n_windows,
+           COALESCE(s.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+           COALESCE(s.n_spans, 0)::BIGINT AS n_spans,
+           COALESCE(s.n_removed_tokens, 0)::BIGINT AS n_removed_tokens,
+           COALESCE(c.cleaned_n_tokens, 0)::BIGINT AS cleaned_n_tokens,
+           COALESCE(c.cleaned_text, '') AS cleaned_text
+    FROM tk LEFT JOIN cleaned c USING (doc_id) LEFT JOIN summary s USING (doc_id)
+    """

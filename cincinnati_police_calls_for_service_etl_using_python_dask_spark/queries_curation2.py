@@ -457,3 +457,22 @@ def _bm25_oracle() -> str:
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     return tx.bm25_topk(docs, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2022): corpus-wide repeated
+# W-token spans merged and cut, cleaned text rebuilt exactly — see
+# operators/dedup.py:substring_span_dedup for the plan shape.
+# ---------------------------------------------------------------------------
+
+_SSD_WINDOW = 8
+
+
+@register(
+    "substring_span_dedup_docs",
+    dd.duckdb_substring_span_sql(window_tokens=_SSD_WINDOW),
+)
+def q_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.substring_span_dedup(
+        _docs(spark, sf_dir), window_tokens=_SSD_WINDOW
+    )

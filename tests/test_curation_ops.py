@@ -1187,3 +1187,72 @@ def test_bm25_bit_exact_vs_oracle_and_semantics(spark, duck):
     out = tx.bm25_topk(docs, ["hash", "join"], k=3).collect()
     assert out[0]["doc_id"] in (1, 3) and out[-1]["doc_id"] == 2
     assert out[0]["score"] > out[-1]["score"]
+
+
+# ---------------------------------------------------------------------------
+# substring_span_dedup (round 5): exact repeated-span removal.
+# ---------------------------------------------------------------------------
+
+
+def _ssd(spark, rows, W=3):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        dedup as dd,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.substring_span_dedup(df, window_tokens=W)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_ssd_cross_doc_span_removed_both_sides(spark):
+    # "a b c" appears in both docs -> removed from BOTH (no canonical
+    # survivor: Lee et al. cut every occurrence of a duplicated span).
+    got = _ssd(
+        spark,
+        [(1, "a b c x y"), (2, "p q a b c")],
+        W=3,
+    )
+    assert got[1]["n_dup_windows"] == 1 and got[1]["n_spans"] == 1
+    assert got[1]["cleaned_text"] == "x y"
+    assert got[2]["cleaned_text"] == "p q"
+    assert got[1]["n_removed_tokens"] == 3 == got[2]["n_removed_tokens"]
+
+
+def test_ssd_overlapping_and_adjacent_windows_merge(spark):
+    # "a b c d" duplicated: windows (a b c) and (b c d) overlap ->
+    # ONE merged span of 4 tokens, not two spans of 3.
+    got = _ssd(spark, [(1, "a b c d zz"), (2, "qq a b c d")], W=3)
+    assert got[1]["n_dup_windows"] == 2
+    assert got[1]["n_spans"] == 1
+    assert got[1]["n_removed_tokens"] == 4
+    assert got[1]["cleaned_text"] == "zz"
+
+
+def test_ssd_whole_doc_duplicated_comes_back_empty(spark):
+    got = _ssd(spark, [(1, "a b c"), (2, "a b c")], W=3)
+    for d in (1, 2):
+        assert got[d]["cleaned_n_tokens"] == 0
+        assert got[d]["cleaned_text"] == ""
+        assert got[d]["n_removed_tokens"] == 3
+    assert len(got) == 2
+
+
+def test_ssd_within_doc_repeat_counts(spark):
+    # The span repeats inside one doc -> still a duplicate.
+    got = _ssd(spark, [(1, "a b c z a b c")], W=3)
+    assert got[1]["n_dup_windows"] == 2
+    assert got[1]["n_spans"] == 2
+    assert got[1]["cleaned_text"] == "z"
+
+
+def test_ssd_short_null_and_unique_docs_round_trip(spark):
+    got = _ssd(
+        spark,
+        [(1, "a b"), (2, None), (3, "unique tokens only here")],
+        W=3,
+    )
+    assert got[1]["n_windows"] == 0 and got[1]["cleaned_text"] == "a b"
+    assert got[2]["n_tokens"] == 1 and got[2]["cleaned_text"] == ""
+    assert got[3]["n_removed_tokens"] == 0
+    assert got[3]["cleaned_text"] == "unique tokens only here"
+    assert got[3]["cleaned_n_tokens"] == got[3]["n_tokens"] == 4
