@@ -329,6 +329,21 @@ def main() -> None:
             "doc_id partitioning",
         ),
         (
+            "substring_span_dedup_docs",
+            "span dedup: bounded narrow exchanges, zero Python, no cartesian",
+            # 5 distinct exchanges AQE-off with the fingerprint pass
+            # exchange-reused; the AQE plan shows the pre-reuse 8.
+            lambda p: count_exchanges(p) <= 8
+            and "EvalPython" not in p
+            and "CartesianProduct" not in p,
+            "the duplicate mark is a window count over ONE fp exchange "
+            "(no self-join, so the explode+md5 fingerprint pass runs "
+            "once and is exchange-reused for the rebuild branch); span "
+            "merge + rollup share one doc_id exchange, and the "
+            "positional anti-join shuffles (id, pos) pairs — document "
+            "text never rides any shuffle",
+        ),
+        (
             "mixture_upsample_docs",
             "upsample explode is map-side; only the report's distinct-cascade shuffles",
             lambda p: count_exchanges(p) == 2
