@@ -181,9 +181,27 @@ def bucketed_range_join(
             last = min(max(last_raw, floor_idx), cap_idx)
         exploded.extend((label, lo, hi, b) for b in range(first, last + 1))
     spark = fact.sparkSession
-    dim = spark.createDataFrame(
-        exploded,
-        schema=f"{label_col} string, {lo_col} double, {hi_col} double, __bkt long",
+
+    # VALUES LocalRelation, not createDataFrame: an RDD-backed local
+    # frame re-runs a (tiny) job to rebuild its broadcast at every
+    # action (~0.25 s fixed tax per execution — same lesson as the IVF
+    # probe set, similarity.py:ivf_index_topk); a LocalTableScan
+    # broadcasts driver-side with no job. Double literals round-trip
+    # exactly through their shortest repr; infinities spell as the SQL
+    # 'Infinity' cast.
+    def _dlit(x: float) -> str:
+        if math.isinf(x):
+            return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    vals = ",".join(
+        "('%s', %s, %s, %dL)"
+        % (label.replace("'", "''"), _dlit(lo), _dlit(hi), b)
+        for label, lo, hi, b in exploded
+    )
+    dim = spark.sql(
+        f"SELECT col1 AS {label_col}, col2 AS {lo_col},"
+        f" col3 AS {hi_col}, col4 AS __bkt FROM VALUES {vals}"
     )
     v = F.col(value_col)
     fact_b = fact.withColumn(
