@@ -998,8 +998,15 @@ def _nulltext_oracle() -> str:
 @register("nulltext_robustness_suite", _nulltext_oracle())
 def q_nulltext_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # VALUES LocalRelation, not createDataFrame: the RDD-backed union
+    # member would re-run a tiny job per action (see
+    # relational.bucketed_range_join for the measured tax).
+    vals = ",".join(
+        f"({i}L, {'CAST(NULL AS STRING)' if t is None else repr(t)})"
+        for i, t in _NULLTEXT_ROWS
+    )
     aug = docs.unionByName(
-        spark.createDataFrame(_NULLTEXT_ROWS, "doc_id long, text string")
+        spark.sql(f"SELECT col1 AS doc_id, col2 AS text FROM VALUES {vals}")
     )
     stats = aug.select(
         "doc_id",
