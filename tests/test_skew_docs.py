@@ -169,3 +169,36 @@ def test_top_ngram_skew_parity(spark, patho):
     # exchange, top_ngram_stats' id-repartition is AQE-coalescible,
     # and on a 100-doc corpus AQE correctly folds the whole shuffle
     # into one partition — that's small-data economics, not skew.
+
+
+def test_substring_span_skew_parity_and_boiler_removed(spark, patho):
+    """substring_span_dedup on the pathological corpus: the shared
+    5-token boilerplate prefix + the first prose tokens give every doc
+    a duplicated leading span (the 8-token windows starting inside the
+    boilerplate repeat corpus-wide only if the following prose also
+    matches, so assert via the oracle rather than hand-derivation) —
+    the point is parity under skew: a giant doc (~100x median) and
+    corpus-wide repeats change nothing between the engines."""
+    df, con = patho
+    out = dd.substring_span_dedup(df, window_tokens=8)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_dup_windows"],
+            r["n_spans"],
+            r["n_removed_tokens"],
+            r["cleaned_n_tokens"],
+        )
+        for r in out.collect()
+    }
+    want = {
+        r[0]: (r[1], r[3], r[4], r[5], r[6])
+        for r in con.execute(
+            REGISTRY["substring_span_dedup_docs"][1]
+        ).fetchall()
+    }
+    assert got == want
+    assert len(got) == _N_DOCS
+    # Conservation: removed + kept == total, per doc.
+    for n_tok, _, _, removed, kept in got.values():
+        assert removed + kept == n_tok
