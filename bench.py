@@ -102,6 +102,9 @@ _NEW_R5 = [
     "bm25_topk_docs",
     # r5: exact substring-span dedup (Lee et al. 2022 semantics).
     "substring_span_dedup_docs",
+    # r5: CCNet-style bigram-LM perplexity filter (broadcast LM,
+    # hash-sampled exact tercile thresholds).
+    "lm_perplexity_filter_docs",
 ]
 
 # Round-4 continuity: granular queries whose gate slot merged into a

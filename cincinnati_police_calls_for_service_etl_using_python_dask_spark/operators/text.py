@@ -1063,3 +1063,215 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM perplexity filter (round 5 — the CCNet quality gate the
+# curation family was missing). CCNet scores every document with a
+# KenLM n-gram model trained on a trusted reference corpus and keeps/
+# buckets documents by perplexity (head/middle/tail). This is that
+# operator with an integer-exact surprise surrogate in place of
+# log-space perplexity: per document,
+#
+#     surprise = mean over bigrams of  floor(1e6 · (c(w1)+V) / (c(w1,w2)+1))
+#
+# i.e. the mean add-one-smoothed INVERSE conditional probability
+# 1/p(w2|w1) in fixed-point micros — order-isomorphic to perplexity on
+# the per-bigram level (each term is exactly 1e6/p̂), while every
+# number stays an exact BIGINT, so scores AND bucket thresholds
+# re-derive bit-identically in DuckDB (ln() differs by 1 ulp between
+# JVM and libm on ~9% of arguments — see bm25_topk — so true log-space
+# perplexity could not be hash-gated in-plan).
+#
+# Distributed shape (the CCNet shape):
+# - TRAIN: one explode+groupBy pass over the reference slice (lang =
+#   ref_lang) → bigram counts c2, context counts c1 (derived from c2,
+#   no second corpus pass), vocab V = |c1| as a 1-row aggregate. The
+#   model is BOUNDED BY THE REFERENCE CORPUS (CCNet trains on
+#   Wikipedia, not on the crawl), so broadcasting it to executors is
+#   the scale-correct posture — exactly how KenLM models ship to
+#   workers. The corpus-side scoring pass is then map-side: explode →
+#   two broadcast-hash joins → per-doc aggregate; text bytes never
+#   shuffle, (ctx+V)·1e6 stays < 2^63 until the reference slice
+#   exceeds ~9·10¹² bigrams (far past any curated LM corpus).
+# - THRESHOLDS: CCNet fits head/middle/tail cutoffs OFFLINE on a
+#   sample of the scored distribution. Here: a deterministic hash56
+#   sample (rate·2^56 threshold, same md5 hash as sampling.py — re-run
+#   and repartition stable) feeds an exact tercile selection (kth
+#   smallest at ceil(m/3), ceil(2m/3) via row_number); the single-
+#   partition window is over the BOUNDED sample only, then the two
+#   cutoffs broadcast back — the full corpus is never globally sorted.
+# Documents with < 2 tokens (no bigrams) carry no LM evidence and are
+# excluded, on both engines.
+# ---------------------------------------------------------------------------
+
+LM_SAMPLE_SEED = 41
+LM_SAMPLE_RATE = 0.25
+
+
+def lm_surprise_filter(
+    df: DataFrame,
+    ref_lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    sample_rate: float = LM_SAMPLE_RATE,
+    seed: int = LM_SAMPLE_SEED,
+) -> DataFrame:
+    """(doc_id, n_bigrams, surprise_micro, ppl_bucket) per document
+    with ≥ 2 tokens — see the section comment for semantics/scale."""
+    from ..functions.hashing import TWO_POW_56, hash56
+
+    def _bigrams(rel: DataFrame, repart: bool = True) -> DataFrame:
+        # repart=True pre-spreads raw docs across cores so the
+        # work-bound explode isn't limited to the scan's split count;
+        # the TRAIN pass skips it (its groupBy(w1,w2) exchanges anyway,
+        # and an extra id-exchange would just add a stage).
+        c = F.col(text_col)
+        toks = tokens(c)
+        base = (rel.repartition(F.col(id_col)) if repart else rel).select(
+            F.col(id_col),
+            F.col(lang_col).alias("__lang"),
+            toks.alias("__t"),
+            (F.size(toks) - F.lit(1)).alias("__m"),
+        )
+        return (
+            base.filter(F.col("__m") >= 1)
+            .select(
+                id_col,
+                "__lang",
+                F.explode(F.sequence(F.lit(1), F.col("__m"))).alias("__i"),
+                "__t",
+            )
+            .select(
+                id_col,
+                "__lang",
+                F.element_at("__t", F.col("__i")).alias("w1"),
+                F.element_at("__t", F.col("__i") + F.lit(1)).alias("w2"),
+            )
+        )
+
+    ref = _bigrams(df, repart=False).filter(F.col("__lang") == ref_lang)
+    c2 = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    c1 = c2.groupBy("w1").agg(F.sum("__c").cast("long").alias("__ctx"))
+    vocab = c1.agg(F.count(F.lit(1)).cast("long").alias("__v"))
+
+    term = F.floor(
+        (F.coalesce(F.col("__ctx"), F.lit(0)) + F.col("__v"))
+        * F.lit(1_000_000)
+        / (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(1))
+    ).cast("long")
+
+    def _score(rel: DataFrame) -> DataFrame:
+        # One broadcast-joined map-side pass over `rel`; the c2/c1/vocab
+        # broadcasts are the SAME DataFrame objects for every call, so
+        # Spark's broadcast-exchange reuse ships the LM once.
+        return (
+            _bigrams(rel)
+            .join(F.broadcast(c2), ["w1", "w2"], "left")
+            .join(F.broadcast(c1), ["w1"], "left")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy(id_col)
+            .agg(
+                F.sum(term).alias("__snum"),
+                F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            )
+            .select(
+                id_col,
+                "n_bigrams",
+                F.floor(F.col("__snum") / F.col("n_bigrams"))
+                .cast("long")
+                .alias("surprise_micro"),
+            )
+        )
+
+    doc = _score(df)
+
+    # Threshold fit scores ONLY the hash sample: the keep-predicate is
+    # a pure function of doc_id, so filtering the raw documents (pushed
+    # to the scan) and filtering the scored relation select the same
+    # rows — the fit branch costs rate·(one scoring pass) instead of
+    # re-scoring or barrier-materializing the full corpus, and both
+    # branches run in parallel sharing the broadcast LM.
+    thr = int(sample_rate * TWO_POW_56)
+    keep = hash56(F.col(id_col).cast("string"), seed=seed) < thr
+    samp = _score(df.filter(keep))
+    w = Window.orderBy("surprise_micro", id_col)
+    ranked = samp.select(
+        F.col("surprise_micro").alias("__s"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__mm"),
+    )
+    cuts = ranked.agg(
+        F.max(F.when(F.col("__rn") * 3 <= F.col("__mm"), F.col("__s"))).alias("__c1v"),
+        F.max(F.when(F.col("__rn") * 3 <= 2 * F.col("__mm"), F.col("__s"))).alias(
+            "__c2v"
+        ),
+    )
+    return doc.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "n_bigrams",
+        "surprise_micro",
+        F.when(F.col("surprise_micro") <= F.col("__c1v"), F.lit("head"))
+        .when(F.col("surprise_micro") <= F.col("__c2v"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
+def duckdb_lm_surprise_sql(
+    ref_lang: str = "en",
+    sample_rate: float = LM_SAMPLE_RATE,
+    seed: int = LM_SAMPLE_SEED,
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL computing exactly :func:`lm_surprise_filter`."""
+    from ..functions.hashing import TWO_POW_56, duckdb_hash56_sql
+
+    thr = int(sample_rate * TWO_POW_56)
+    h = duckdb_hash56_sql("CAST(doc_id AS VARCHAR)", seed=seed)
+    return rf"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM {table}
+    ), big AS (
+      SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+      FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*)::BIGINT AS c FROM big
+      WHERE lang = '{ref_lang}' GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, SUM(c)::BIGINT AS ctx FROM c2 GROUP BY 1
+    ), v AS (
+      SELECT COUNT(*)::BIGINT AS v FROM c1
+    ), doc AS (
+      SELECT b.doc_id,
+             SUM((COALESCE(c1.ctx, 0) + v.v) * 1000000
+                 // (COALESCE(c2.c, 0) + 1))::BIGINT AS snum,
+             COUNT(*)::BIGINT AS n_bigrams
+      FROM big b
+      LEFT JOIN c2 USING (w1, w2)
+      LEFT JOIN c1 USING (w1)
+      CROSS JOIN v
+      GROUP BY 1
+    ), sc AS (
+      SELECT doc_id, n_bigrams, (snum // n_bigrams)::BIGINT AS surprise_micro
+      FROM doc
+    ), rk AS (
+      SELECT surprise_micro AS s,
+             row_number() OVER (ORDER BY surprise_micro, doc_id) AS rn,
+             COUNT(*) OVER () AS m
+      FROM sc WHERE {h} < {thr}
+    ), cuts AS (
+      SELECT MAX(CASE WHEN rn * 3 <= m THEN s END) AS c1v,
+             MAX(CASE WHEN rn * 3 <= 2 * m THEN s END) AS c2v
+      FROM rk
+    )
+    SELECT doc_id, n_bigrams, surprise_micro,
+           CASE WHEN surprise_micro <= c1v THEN 'head'
+                WHEN surprise_micro <= c2v THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM sc CROSS JOIN cuts
+    """

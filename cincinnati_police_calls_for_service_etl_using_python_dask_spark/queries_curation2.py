@@ -476,3 +476,17 @@ def q_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.substring_span_dedup(
         _docs(spark, sf_dir), window_tokens=_SSD_WINDOW
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM perplexity filter (CCNet): bigram LM trained on the
+# lang='en' reference slice, integer-exact inverse-probability
+# surprise per doc, head/middle/tail buckets from hash-sampled exact
+# terciles — see operators/text.py:lm_surprise_filter for the
+# broadcast-LM scale posture.
+# ---------------------------------------------------------------------------
+
+
+@register("lm_perplexity_filter_docs", tx.duckdb_lm_surprise_sql())
+def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.lm_surprise_filter(_docs(spark, sf_dir))

@@ -1256,3 +1256,52 @@ def test_ssd_short_null_and_unique_docs_round_trip(spark):
     assert got[3]["n_removed_tokens"] == 0
     assert got[3]["cleaned_text"] == "unique tokens only here"
     assert got[3]["cleaned_n_tokens"] == got[3]["n_tokens"] == 4
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM perplexity filter (round 5): hand-computed add-one-smoothed
+# inverse-probability surprise on a 4-doc corpus.
+# ---------------------------------------------------------------------------
+
+
+def test_lm_surprise_hand_computed(spark):
+    # ref slice (en): doc1 "a b a b a c", doc2 "a b a b"
+    #   c2: (a,b)=4, (b,a)=3, (a,c)=1; c1: a=5, b=3; V=2
+    # per-bigram term = floor((ctx+V)*1e6 / (c+1)):
+    #   (a,b) -> floor((5+2)e6/5) = 1_400_000
+    #   (b,a) -> floor((3+2)e6/4) = 1_250_000
+    #   (a,c) -> floor((5+2)e6/2) = 3_500_000
+    #   unseen (ctx=0) -> floor(2e6/1) = 2_000_000
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a c", "en"),
+            (2, "a b a b", "en"),
+            (3, "x y x", "zh"),
+            (4, "z", "en"),  # single token: no bigrams, excluded
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.lm_surprise_filter(docs).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["surprise_micro"] == (2 * 1_400_000 + 2 * 1_250_000 + 3_500_000) // 5
+    assert out[2]["surprise_micro"] == (2 * 1_400_000 + 1_250_000) // 3
+    assert out[3]["surprise_micro"] == 2_000_000
+    # the out-of-reference-language doc is the most surprising
+    assert out[3]["surprise_micro"] > out[1]["surprise_micro"] > out[2]["surprise_micro"]
+    assert all(r["ppl_bucket"] in ("head", "middle", "tail") for r in out.values())
+    assert all(r["n_bigrams"] == n for r, n in [(out[1], 5), (out[2], 3), (out[3], 2)])
+
+
+def test_lm_surprise_no_reference_slice_degrades_uniform(spark):
+    # no docs in the reference language: V=0, all counts 0 -> every
+    # bigram term floor((0+0)*1e6/1) = 0; scores 0, never an error.
+    docs = spark.createDataFrame(
+        [(1, "p q r", "zh"), (2, "s t", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    rows = tx.lm_surprise_filter(docs, ref_lang="en").collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    assert all(r["surprise_micro"] == 0 for r in rows)

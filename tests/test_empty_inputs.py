@@ -103,6 +103,7 @@ _CASES = {
         dim=64,
     ),
     "semdedup": lambda s: sim.semdedup(_emb(s)),
+    "lm_surprise_filter": lambda s: tx.lm_surprise_filter(_docs(s)),
     "sessionize": lambda s: ao.sessionize(_events(s), key=["user_id"]),
     "user_event_gaps_native": lambda s: pe.user_event_gaps_native(_events(s)),
 }

@@ -344,6 +344,20 @@ def main() -> None:
             "text never rides any shuffle",
         ),
         (
+            "lm_perplexity_filter_docs",
+            "LM ships as broadcasts; scoring is map-side, zero Python",
+            lambda p: p.count("BroadcastHashJoin") >= 2
+            and "EvalPython" not in p
+            and "CartesianProduct" not in p,
+            "the CCNet shape: bigram/context counts are bounded by the "
+            "REFERENCE corpus and broadcast to executors (how KenLM "
+            "models ship to workers); the corpus scoring pass is "
+            "explode + broadcast-hash probes + per-doc aggregate — "
+            "text never rides a shuffle, and the tercile-threshold fit "
+            "scores only a hash sample (its single-partition window is "
+            "over the bounded sample, never the corpus)",
+        ),
+        (
             "mixture_upsample_docs",
             "upsample explode is map-side; only the report's distinct-cascade shuffles",
             lambda p: count_exchanges(p) == 2
