@@ -105,6 +105,8 @@ _NEW_R5 = [
     # r5: CCNet-style bigram-LM perplexity filter (broadcast LM,
     # hash-sampled exact tercile thresholds).
     "lm_perplexity_filter_docs",
+    # r5: int8-quantized two-stage retrieval (SQ8 memory scale path).
+    "ann_int8_rerank_topk",
 ]
 
 # Round-4 continuity: granular queries whose gate slot merged into a

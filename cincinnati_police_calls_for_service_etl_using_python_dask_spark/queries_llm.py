@@ -582,3 +582,73 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_PACK_SEED,
     )
     return packed.select("doc_id", "shard", "pack_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# int8 two-stage retrieval (round 5): symmetric per-vector int8
+# quantization (the 4×-memory SQ8 scale path) → integer-dot prefilter
+# shortlist → exact float cosine rerank. The integer stage re-derives
+# bit-identically in DuckDB (floor(x·127/amax + 0.5) is exact IEEE on
+# both engines), so even the APPROXIMATE tier is fully oracle-gated —
+# see operators/similarity.py:quantize_int8.
+# ---------------------------------------------------------------------------
+
+_I8_K = 10
+_I8_SHORTLIST = 50
+
+
+@register(
+    "ann_int8_rerank_topk",
+    f"""
+    WITH qz AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS amax,
+             embedding
+      FROM embeddings
+    ), q8 AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CASE WHEN amax = 0 THEN 0
+                    ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / amax + 0.5)
+                              AS BIGINT) END) AS qv
+      FROM qz
+    ), probe AS (
+      SELECT vec_id AS query_id, qv FROM q8 WHERE vec_id < 5
+    ), iscore AS (
+      SELECT p.query_id, c.vec_id,
+             (SELECT SUM(c.qv[g.i] * p.qv[g.i])
+              FROM unnest(generate_series(1, 64)) AS g(i)) AS s
+      FROM q8 c CROSS JOIN probe p
+    ), short AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, vec_id ASC) AS r8
+      FROM iscore
+    ), rer AS (
+      SELECT s.query_id, s.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY list_cosine_similarity(
+                          list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                          list_transform(q.embedding, x -> CAST(x AS DOUBLE)))
+                          DESC,
+                        s.vec_id ASC
+             ) AS rank
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN embeddings q ON q.vec_id = s.query_id
+      WHERE s.r8 <= {_I8_SHORTLIST}
+    )
+    SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+    FROM rer WHERE rank <= {_I8_K}
+    """,
+)
+def q_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.int8_rerank_topk(
+        emb, queries, k=_I8_K, shortlist=_I8_SHORTLIST, dim=64
+    )

@@ -103,6 +103,11 @@ _CASES = {
         dim=64,
     ),
     "semdedup": lambda s: sim.semdedup(_emb(s)),
+    "quantize_int8": lambda s: sim.quantize_int8(_emb(s)),
+    "int8_rerank_topk": lambda s: sim.int8_rerank_topk(
+        _emb(s),
+        _emb(s).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")),
+    ),
     "lm_surprise_filter": lambda s: tx.lm_surprise_filter(_docs(s)),
     "sessionize": lambda s: ao.sessionize(_events(s), key=["user_id"]),
     "user_event_gaps_native": lambda s: pe.user_event_gaps_native(_events(s)),

@@ -683,3 +683,41 @@ def test_ivf_persistent_index_matches_adhoc_and_prunes(spark, tmp_path):
     sim.build_ivf_index(emb, path2, n_lists=4, n_iter=2, train="distributed")
     out = sim.ivf_index_topk(spark, path2, queries, k=5, n_probe=4).collect()
     assert {(r["query_id"], r["vec_id"]) for r in out} >= {(q, q) for q in range(5)}
+
+
+def test_int8_quantization_invariants(spark):
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    zero = spark.createDataFrame(
+        [(9_000_001, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    q = sim.quantize_int8(emb.select("vec_id", "embedding").unionByName(zero))
+    rows = q.collect()
+    assert len(rows) == emb.count() + 1
+    by_id = {r["vec_id"]: r for r in rows}
+    for r in rows:
+        assert all(-127 <= v <= 127 for v in r["qvec"]), r["vec_id"]
+        # a max-magnitude positive element must hit exactly +127
+        if r["scale"] > 0:
+            assert 127 in r["qvec"] or -127 in r["qvec"] or any(
+                abs(v) >= 126 for v in r["qvec"]
+            )
+    z = by_id[9_000_001]
+    assert z["scale"] == 0.0 and all(v == 0 for v in z["qvec"])
+
+
+def test_int8_rerank_recall_against_brute_force(spark):
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["vec_id"])
+             for r in sim.brute_force_topk(emb, queries, k=5).collect()}
+    two_stage = {(r["query_id"], r["vec_id"])
+                 for r in sim.int8_rerank_topk(
+                     emb, queries, k=5, shortlist=25).collect()}
+    for q in range(10):
+        assert (q, q) in two_stage  # self-neighbor survives both stages
+    # int8 keeps ~7 bits of the score: the shortlist rarely drops a
+    # true top-5 neighbor, and the float rerank restores exact order
+    recall = len(exact & two_stage) / len(exact)
+    assert recall >= 0.9, f"int8 two-stage recall degenerated: {recall}"

@@ -358,6 +358,18 @@ def main() -> None:
             "over the bounded sample, never the corpus)",
         ),
         (
+            "ann_int8_rerank_topk",
+            "int8 prefilter is JVM-only; quantized queries broadcast",
+            lambda p: "BroadcastHashJoin" in p
+            and "EvalPython" not in p
+            and "CartesianProduct" not in p,
+            "quantization is a map-side array transform (no shuffle); "
+            "the integer-dot stage joins the exploded corpus against "
+            "the BROADCAST quantized query set and map-combines exact "
+            "integer partial sums — float vectors ride no shuffle, and "
+            "the exact-cosine rerank touches only the shortlist",
+        ),
+        (
             "mixture_upsample_docs",
             "upsample explode is map-side; only the report's distinct-cascade shuffles",
             lambda p: count_exchanges(p) == 2
