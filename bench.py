@@ -107,6 +107,10 @@ _NEW_R5 = [
     "lm_perplexity_filter_docs",
     # r5: int8-quantized two-stage retrieval (SQ8 memory scale path).
     "ann_int8_rerank_topk",
+    # r5: corpus composition — per-domain caps + deterministic
+    # source-interleaved read order.
+    "domain_cap_docs",
+    "interleave_sources_docs",
 ]
 
 # Round-4 continuity: granular queries whose gate slot merged into a

@@ -296,3 +296,98 @@ def weighted_sample_topk(
         picked.withColumn("samp_rank", F.row_number().over(w).cast("long"))
         .drop("__aes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition (round 5): the two ordering/capping operators a
+# training-data pipeline applies after filtering — per-domain frequency
+# caps (a crawl's head domains would otherwise dominate the mixture)
+# and a deterministic source-interleaved read order (training wants
+# sources mixed at a steady ratio, not concatenated; and the order must
+# be reproducible across re-runs and repartitioning).
+# ---------------------------------------------------------------------------
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    score: Column | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``group_col``: the top ``cap`` by
+    (``score`` desc, ``id_col`` asc) when a score is given, else the
+    first by (``order_col`` asc, ``id_col`` asc). Output: input columns
+    + ``domain_rank`` (1..cap within the group).
+
+    Scale: ONE shuffle on the (coalesced) group key; within-group
+    sort is bounded by the group's row count. A pathological
+    heavy-hitter domain sorts on one task — for crawl-scale skew,
+    pre-prune with a per-partition top-``cap``
+    (repartition + sortWithinPartitions + local rank) before this
+    exact pass; the cap makes the pruned relation ≤ cap·partitions
+    rows per domain, so the exact window then runs on bounded input.
+    NULL groups cap together under the empty-string key (coalesce —
+    Spark and SQL engines disagree on NULL GROUP ordering otherwise).
+    """
+    gk = F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+    order = (
+        [F.desc_nulls_last(score), F.asc(id_col)]
+        if score is not None
+        else [F.asc(order_col), F.asc(id_col)]
+    )
+    w = Window.partitionBy(gk).orderBy(*order)
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("domain_rank") <= cap)
+    )
+
+
+def interleave_by_source(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 47,
+) -> DataFrame:
+    """Deterministic round-robin read order across sources:
+    (id, source, rn_in_source, interleave_key) where sorting by
+    ``interleave_key`` yields source₀ row 1, source₁ row 1, …,
+    source₀ row 2, … — the steady mixture order training jobs read.
+
+    Within each source, rows order by a content hash of the id (a
+    reproducible shuffle — same property as hash_sample: stable under
+    re-runs, retries, and repartitioning). The interleave position is
+    the PURE FORMULA (rn−1)·n_sources + source_index, so no global
+    sort or single-partition window ever touches the corpus: one
+    shuffle for the per-source row_number, a broadcast join against
+    the tiny source dimension (distinct sources, indexed on the
+    driver-bounded relation), and map-side arithmetic. Readers sort
+    by the key lazily (e.g. per-partition merge); the key is dense
+    across a balanced corpus and merely monotone across sources of
+    unequal size — exactly the round-robin-with-exhaustion order.
+    """
+    gk = F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("__gk")
+    base = df.select(F.col(id_col), gk)
+    srcs = base.select("__gk").distinct()
+    wsrc = Window.orderBy("__gk")
+    dim = srcs.select(
+        "__gk", (F.row_number().over(wsrc) - 1).cast("long").alias("__sidx")
+    )
+    nsrc = dim.agg(F.count(F.lit(1)).cast("long").alias("__nsrc"))
+    wrn = Window.partitionBy("__gk").orderBy(
+        hash56(F.col(id_col).cast("string"), seed=seed), F.col(id_col)
+    )
+    return (
+        base.withColumn("rn_in_source", F.row_number().over(wrn).cast("long"))
+        .join(F.broadcast(dim), ["__gk"])
+        .crossJoin(F.broadcast(nsrc))
+        .select(
+            id_col,
+            F.col("__gk").alias(group_col),
+            "rn_in_source",
+            ((F.col("rn_in_source") - 1) * F.col("__nsrc") + F.col("__sidx"))
+            .cast("long")
+            .alias("interleave_key"),
+        )
+    )

@@ -490,3 +490,73 @@ def q_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("lm_perplexity_filter_docs", tx.duckdb_lm_surprise_sql())
 def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.lm_surprise_filter(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition (round 5): per-domain frequency cap (top-N per
+# source by quality) and the deterministic source-interleaved read
+# order — operators/sampling.py:domain_cap / interleave_by_source.
+# ---------------------------------------------------------------------------
+
+_DC_CAP = 20  # binds at every SF (25 docs/source at sf0.01)
+_IL_SEED = 47
+
+
+def _domain_cap_oracle() -> str:
+    from .queries_llm import _duckdb_quality_sql
+
+    return f"""
+    WITH q AS ({_duckdb_quality_sql()}),
+    r AS (
+      SELECT d.doc_id, d.source, q.quality,
+             row_number() OVER (
+               PARTITION BY COALESCE(CAST(d.source AS VARCHAR), '')
+               ORDER BY q.quality DESC NULLS LAST, d.doc_id ASC
+             )::BIGINT AS domain_rank
+      FROM documents d JOIN q USING (doc_id)
+    )
+    SELECT doc_id, source, quality, domain_rank
+    FROM r WHERE domain_rank <= {_DC_CAP}
+    """
+
+
+@register("domain_cap_docs", _domain_cap_oracle())
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "source", tx.quality_score("text").alias("quality")
+    )
+    return sp.domain_cap(
+        scored, cap=_DC_CAP, group_col="source",
+        score=F.col("quality"), id_col="doc_id",
+    ).select("doc_id", "source", "quality", "domain_rank")
+
+
+def _interleave_oracle() -> str:
+    from .operators.sampling import duckdb_key_sql
+
+    h = duckdb_key_sql(["doc_id"], seed=_IL_SEED)
+    return f"""
+    WITH b AS (
+      SELECT doc_id, COALESCE(CAST(source AS VARCHAR), '') AS gk
+      FROM documents
+    ), dim AS (
+      SELECT gk, (row_number() OVER (ORDER BY gk) - 1)::BIGINT AS sidx
+      FROM (SELECT DISTINCT gk FROM b)
+    ), n AS (SELECT COUNT(*)::BIGINT AS nsrc FROM dim),
+    r AS (
+      SELECT doc_id, gk,
+             row_number() OVER (
+               PARTITION BY gk ORDER BY {h}, doc_id
+             )::BIGINT AS rn_in_source
+      FROM b
+    )
+    SELECT r.doc_id, r.gk AS source, r.rn_in_source,
+           ((r.rn_in_source - 1) * n.nsrc + dim.sidx)::BIGINT AS interleave_key
+    FROM r JOIN dim USING (gk) CROSS JOIN n
+    """
+
+
+@register("interleave_sources_docs", _interleave_oracle())
+def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.interleave_by_source(_docs(spark, sf_dir), seed=_IL_SEED)

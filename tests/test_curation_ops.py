@@ -1305,3 +1305,47 @@ def test_lm_surprise_no_reference_slice_degrades_uniform(spark):
     rows = tx.lm_surprise_filter(docs, ref_lang="en").collect()
     assert {r["doc_id"] for r in rows} == {1, 2}
     assert all(r["surprise_micro"] == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition (round 5): domain cap + source interleave.
+# ---------------------------------------------------------------------------
+
+
+def test_domain_cap_binds_and_orders(spark):
+    rows = [(i, f"t{i}", "s" + str(i % 2)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sp.domain_cap(
+        df, cap=3, group_col="source", score=F.col("doc_id").cast("double")
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"s0", "s1"}
+    for src, rs in by_src.items():
+        assert len(rs) == 3
+        # score desc => highest doc_ids kept, rank 1 = best
+        ids = [r["doc_id"] for r in sorted(rs, key=lambda r: r["domain_rank"])]
+        assert ids == sorted((r["doc_id"] for r in rs), reverse=True)
+
+
+def test_interleave_round_robin_order(spark):
+    rows = [(i, "sA" if i < 4 else "sB") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sorted(
+        sp.interleave_by_source(df).collect(),
+        key=lambda r: r["interleave_key"],
+    )
+    # balanced 2-source corpus: strict alternation sA,sB,sA,sB,...
+    assert [r["source"] for r in out] == ["sA", "sB"] * 4
+    # keys are the dense 0..2n-1 sequence for a balanced corpus
+    assert [r["interleave_key"] for r in out] == list(range(8))
+    # within a source the order is the content-hash order: stable
+    # across repartitioning (re-run on a repartitioned input)
+    again = sorted(
+        sp.interleave_by_source(df.repartition(7)).collect(),
+        key=lambda r: r["interleave_key"],
+    )
+    assert [(r["doc_id"], r["interleave_key"]) for r in again] == [
+        (r["doc_id"], r["interleave_key"]) for r in out
+    ]

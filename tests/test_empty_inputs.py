@@ -109,6 +109,12 @@ _CASES = {
         _emb(s).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")),
     ),
     "lm_surprise_filter": lambda s: tx.lm_surprise_filter(_docs(s)),
+    "domain_cap": lambda s: sp.domain_cap(
+        _docs(s).select("doc_id", F.lit("s").alias("source")), cap=3
+    ),
+    "interleave_by_source": lambda s: sp.interleave_by_source(
+        _docs(s).select("doc_id", F.lit("s").alias("source"))
+    ),
     "sessionize": lambda s: ao.sessionize(_events(s), key=["user_id"]),
     "user_event_gaps_native": lambda s: pe.user_event_gaps_native(_events(s)),
 }
