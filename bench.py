@@ -38,6 +38,9 @@ from cincinnati_police_calls_for_service_etl_using_python_dask_spark.queries imp
 # - streaming_watermark_dedup: same availableNow-at-construction shape.
 _UNBENCHABLE = {
     "dedup_clusters_lsh",
+    # Round 5: BPE training's per-round argmax + localCheckpoint run at
+    # construction, same shape as dedup_clusters_lsh.
+    "bpe_train_merges",
     "streaming_daily_counts",
     "streaming_watermark_dedup",
     # Round 4: the gated streaming family has the same

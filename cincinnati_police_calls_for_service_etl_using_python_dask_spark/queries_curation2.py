@@ -560,3 +560,22 @@ def _interleave_oracle() -> str:
 @register("interleave_sources_docs", _interleave_oracle())
 def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.interleave_by_source(_docs(spark, sf_dir), seed=_IL_SEED)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (round 5): vocabulary induction on the
+# word-frequency table — operators/tokenizer.py. Training executes at
+# construction (per-round argmax fetch + localCheckpoint, like
+# dedup_clusters_lsh), so the query registers rows-only; exact
+# merge-table and segmentation equality vs a pure-Python reference
+# implementation is pytest-gated.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+@register("bpe_train_merges", None)  # rows-only: iterative trainer
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import tokenizer as tk
+
+    return tk.bpe_merge_table(spark, _docs(spark, sf_dir), num_merges=_BPE_MERGES)

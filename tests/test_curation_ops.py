@@ -1349,3 +1349,88 @@ def test_interleave_round_robin_order(spark):
     assert [(r["doc_id"], r["interleave_key"]) for r in again] == [
         (r["doc_id"], r["interleave_key"]) for r in out
     ]
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (round 5): exact equality with a pure-Python
+# reference (Sennrich-style word-frequency BPE, greedy left-to-right).
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(texts, num_merges):
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in t.strip().lower().split():
+            if w:
+                wc[w] += 1
+    reprs = {w: list(w) for w in wc}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pc = Counter()
+        for w, syms in reprs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        # count desc, then (left, right) asc
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, cnt))
+        for w, syms in reprs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            reprs[w] = out
+    return merges, reprs
+
+
+def test_bpe_train_matches_reference_at_sf001(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        tokenizer as tk,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.files import (
+        read_testdata,
+    )
+    from .conftest import SF_ORACLE
+
+    docs = read_testdata(spark, SF_ORACLE, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    ref_merges, ref_reprs = _ref_bpe(texts, 8)
+    got = tk.bpe_train(docs, num_merges=8)
+    assert got == ref_merges
+    # segmentation with the trained table reproduces the reference reprs
+    seg = {
+        r["word"]: r["pieces"]
+        for r in tk.bpe_segment(docs, got).dropDuplicates(["word"]).collect()
+    }
+    assert seg == {w: p for w, p in ref_reprs.items()}
+
+
+def test_bpe_adjacent_overlap_and_early_stop(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        tokenizer as tk,
+    )
+
+    # "aaaa": pair (a,a) count 3; greedy left-to-right merge -> [aa, aa]
+    docs = spark.createDataFrame([(1, "aaaa aaa")], "doc_id long, text string")
+    merges = tk.bpe_train(docs, num_merges=2)
+    assert merges[0][1:3] == ("a", "a")
+    # round 2 ties at count 1 between (aa,aa) and (aa,a); right-asc
+    # tie-break picks (aa,a)
+    assert merges[1][1:3] == ("aa", "a")
+    seg = {r["word"]: r["pieces"] for r in tk.bpe_segment(docs, merges).collect()}
+    assert seg["aaaa"] == ["aa", "aa"]
+    assert seg["aaa"] == ["aaa"]
+    # single-char words: no pairs -> early stop, empty table
+    single = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert tk.bpe_train(single, num_merges=3) == []

@@ -50,6 +50,14 @@ def _audio_mod():
     return audio
 
 
+def _tokenizer_mod():
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        tokenizer,
+    )
+
+    return tokenizer
+
+
 def _docs(spark):
     return spark.createDataFrame([], "doc_id long, text string, lang string, n_chars long")
 
@@ -109,6 +117,7 @@ _CASES = {
         _emb(s).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")),
     ),
     "lm_surprise_filter": lambda s: tx.lm_surprise_filter(_docs(s)),
+    "bpe_merge_table": lambda s: _tokenizer_mod().bpe_merge_table(s, _docs(s)),
     "domain_cap": lambda s: sp.domain_cap(
         _docs(s).select("doc_id", F.lit("s").alias("source")), cap=3
     ),
