@@ -358,6 +358,27 @@ def main() -> None:
             "over the bounded sample, never the corpus)",
         ),
         (
+            "domain_cap_docs",
+            "domain cap = ONE group-key exchange, zero Python",
+            lambda p: count_exchanges(p) == 1 and "EvalPython" not in p,
+            "the per-domain top-N is a single window over the source "
+            "shuffle; quality scoring stays a codegen scan fused below "
+            "it — capping 100 TB is one bounded-sort shuffle",
+        ),
+        (
+            "interleave_sources_docs",
+            "interleave order is a formula: dim broadcast, no corpus sort",
+            # 4 distinct exchanges AQE-off; the AQE plan shows the
+            # pre-reuse 5 (distinct-source partial/final pair unshared).
+            lambda p: p.count("BroadcastHashJoin") >= 2
+            and count_exchanges(p) <= 5
+            and "EvalPython" not in p,
+            "the corpus touches one per-source row_number exchange; the "
+            "single-partition windows in the plan are over the DISTINCT "
+            "SOURCES dim (bounded), which broadcasts back — the global "
+            "read order is (rn-1)·K+idx arithmetic, never a global sort",
+        ),
+        (
             "ann_int8_rerank_topk",
             "int8 prefilter is JVM-only; quantized queries broadcast",
             lambda p: "BroadcastHashJoin" in p
