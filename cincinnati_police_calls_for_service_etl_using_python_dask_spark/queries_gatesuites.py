@@ -102,11 +102,15 @@ _suite(
 # SemDeDup exact tier (per-item keep/drop status at the same
 # threshold family). The clustered SemDeDup tier stays rows-only in
 # the tail (k-means isn't SQL-expressible; tests pin its equivalence).
+# Round 5: the int8 two-stage retrieval joins the gated family — its
+# quantization is IEEE-exact, so even this approximate tier carries a
+# full oracle (rare for ANN; see similarity.py:quantize_int8).
 _suite(
     "embedding_dedup_suite",
     [
         ("cos_pairs", "dedup_embedding_cosine"),
         ("semdedup", "semdedup_exact"),
+        ("int8_rerank", "ann_int8_rerank_topk"),
     ],
 )
 
