@@ -57,6 +57,15 @@ def get_spark(
         # Spark refuses to plan them unless pushdown is enabled.
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Local-mode JVM heap: the PySpark default is 1g, which on a
+        # 32-thread local session puts every shuffle/broadcast/codegen
+        # cache under constant GC pressure — measured as bimodal
+        # query times (curation2_suite 1.06 s vs 1.54 s across
+        # sessions) that settle at the fast mode with headroom. A
+        # cluster deployment sets executor/driver memory explicitly;
+        # this default only matters when WE launch the JVM (ignored if
+        # the driver's session already exists).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     if master is not None:
         builder = builder.config("spark.master", master)
