@@ -181,3 +181,90 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows, direc
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_int8_quantization_properties(spark, vecs):
+    """Invariants of symmetric SQ8 for arbitrary float32 vectors:
+    range [-127,127], sign preservation, max-|x| element hits ±127,
+    zero vector → zeros, scale == max|x| exactly."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        similarity as sim,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in sim.quantize_int8(df).collect()}
+    import numpy as np
+
+    for i, v in enumerate(vecs):
+        v32 = np.array(v, dtype=np.float32).astype(np.float64)
+        amax = float(np.max(np.abs(v32)))
+        r = out[i]
+        assert r["scale"] == amax
+        q = r["qvec"]
+        assert all(-127 <= x <= 127 for x in q)
+        if amax == 0.0:
+            assert all(x == 0 for x in q)
+            continue
+        for x, qx in zip(v32, q):
+            expect = int(np.floor(x * 127.0 / amax + 0.5))
+            assert qx == expect
+            if x > 0:
+                assert qx >= 0
+            if x < 0:
+                assert qx <= 0
+        assert 127 in q or -127 in q  # the max-magnitude element saturates
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),
+            st.sampled_from(["a", "b", "c", "dd"]),
+        ),
+        min_size=0, max_size=30, unique_by=lambda t: t[0],
+    )
+)
+def test_interleave_properties(spark, rows):
+    """interleave_by_source invariants: output is a permutation of the
+    input ids; keys are unique; per-source rn is 1..n_s dense; and the
+    key formula holds exactly."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        sampling as sp,
+    )
+
+    df = spark.createDataFrame(rows or [], "doc_id long, source string")
+    out = sp.interleave_by_source(df).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(i for i, _ in rows)
+    keys = [r["interleave_key"] for r in out]
+    assert len(set(keys)) == len(keys)
+    srcs = sorted({s for _, s in rows})
+    sidx = {s: i for i, s in enumerate(srcs)}
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append(r["rn_in_source"])
+        assert r["interleave_key"] == (r["rn_in_source"] - 1) * len(srcs) + sidx[r["source"]]
+    for s, rns in per_src.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
