@@ -57,9 +57,12 @@ def main() -> None:
             continue
         sql = oracles[name]
         con.execute(sql).fetchall()  # warm (buffer cache, plan)
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        duck[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        duck[name] = round(best, 4)
 
     # --- Spark side (bench.py methodology) ---
     total_bytes = sum(
@@ -78,13 +81,19 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     force(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1000))
+    # min-of-5 warm on BOTH engines (bench.py's estimator): JVM/OS
+    # noise is strictly additive, so a single warm draw overstates
+    # sub-second queries by up to ~50%; the min is the plan's cost.
     spk: dict[str, float] = {}
     for name in bench.HEADLINE:
         fn = qs[name]
         force(fn(spark, sf_dir))
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        spk[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        spk[name] = round(best, 4)
 
     rows = []
     for name in bench.HEADLINE:
