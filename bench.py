@@ -114,6 +114,8 @@ _NEW_R5 = [
     # source-interleaved read order.
     "domain_cap_docs",
     "interleave_sources_docs",
+    # r5: Count-Min heavy hitters — the oracle-gated frequency sketch.
+    "cms_top_tokens_docs",
 ]
 
 # Round-4 continuity: granular queries whose gate slot merged into a

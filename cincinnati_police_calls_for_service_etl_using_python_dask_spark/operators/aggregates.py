@@ -287,3 +287,137 @@ def approx_profile(
             for q in quantiles
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters (round 5) — the FREQUENCY sketch tier
+# next to approx_profile's cardinality (HLL) and quantile (GK) tiers.
+# Unlike those, CMS is built from the repo's DETERMINISTIC md5 hash
+# family, so the sketch — counters, estimates, and the top-k — is
+# bit-identically re-derivable in DuckDB: a fully oracle-gated
+# approximate operator (engine-native sketches can only ever get a
+# rows-only check).
+#
+# Build: each value increments depth counters (row i, bucket
+# H_i(v) mod width) — ONE map-side explode to (i, bucket) pairs and a
+# map-combined groupBy; the whole sketch is depth·width rows, a
+# BROADCAST no matter the corpus size. Estimate: min over the d
+# probed counters (classic CMS guarantee: est ≥ true, over by at most
+# εN with prob 1−δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉).
+#
+# Batch heavy hitters enumerate candidates from the corpus's distinct
+# values; at stream/100 TB scale where distinct() itself is the
+# problem, candidates come from per-partition local top-k pre-pruning
+# (TakeOrdered-style) probed against the same broadcast sketch — the
+# sketch build is unchanged.
+# ---------------------------------------------------------------------------
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value: Column | str,
+    width: int = 256,
+    depth: int = 3,
+    k: int = 20,
+    seed: int = 7,
+) -> DataFrame:
+    """(value, est_count, rank 1..k): top-``k`` values by Count-Min
+    estimated frequency (ties break on value asc). NULLs are not
+    counted. See the section comment for guarantees and scale."""
+    from ..functions.hashing import hash56
+
+    v = (F.col(value) if isinstance(value, str) else value).alias("v")
+    vals = df.select(v).filter(F.col("v").isNotNull())
+
+    # ONE corpus-scaled pass: exact per-value counts (map-combined).
+    # Everything downstream — sketch build, probes, top-k — runs on the
+    # DISTINCT-value relation with the count as the increment weight
+    # (identical counters to incrementing per occurrence, since bucket
+    # assignment is a pure function of the value). A per-occurrence
+    # grid explode + a separate distinct() was measured ~2× slower: it
+    # pays the token stream twice and shuffles depth·N pairs instead
+    # of depth·|vocab|.
+    counts = vals.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+
+    probes = [
+        (i, (hash56(F.col("v"), seed=seed + i) % width).alias(f"__b{i}"))
+        for i in range(depth)
+    ]
+    melted = counts.select(
+        "v",
+        "__n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), b.alias("b"))
+                    for i, b in probes
+                ]
+            )
+        ).alias("p"),
+    ).select("v", "__n", F.col("p.i").alias("i"), F.col("p.b").alias("b"))
+    counters = melted.groupBy("i", "b").agg(
+        F.sum("__n").cast("long").alias("c")
+    )
+
+    # Probe with ONE broadcast join + min-agg: a join per depth row
+    # would re-execute the counters subtree depth times (each filtered
+    # broadcast is a distinct subtree — no reuse).
+    est = (
+        melted.join(F.broadcast(counters), ["i", "b"])
+        .groupBy("v")
+        .agg(F.min("c").alias("est_count"))
+        .select(F.col("v").alias("value"), "est_count")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("est_count"), F.asc("value"))
+    return (
+        est.orderBy(F.desc("est_count"), F.asc("value"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+def duckdb_cms_sql(
+    value_expr: str,
+    source_sql: str,
+    width: int = 256,
+    depth: int = 3,
+    k: int = 20,
+    seed: int = 7,
+) -> str:
+    """DuckDB SQL computing exactly :func:`cms_heavy_hitters` over
+    ``SELECT {value_expr} AS v FROM ({source_sql})``."""
+    from ..functions.hashing import duckdb_hash56_sql
+
+    hashes = [duckdb_hash56_sql("v", seed=seed + i) for i in range(depth)]
+    grid = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, ({hashes[i]}) % {width} AS b FROM vals"
+        for i in range(depth)
+    )
+    probe_cols = ", ".join(
+        f"({hashes[i]}) % {width} AS b{i}" for i in range(depth)
+    )
+    joins = "\n".join(
+        f"JOIN counters c{i} ON c{i}.i = {i} AND c{i}.b = cand.b{i}"
+        for i in range(depth)
+    )
+    least = "LEAST(" + ", ".join(f"c{i}.c" for i in range(depth)) + ")"
+    return f"""
+    WITH vals AS (
+      SELECT {value_expr} AS v FROM ({source_sql}) WHERE {value_expr} IS NOT NULL
+    ), grid AS (
+      {grid}
+    ), counters AS (
+      SELECT i, b, COUNT(*)::BIGINT AS c FROM grid GROUP BY 1, 2
+    ), cand AS (
+      SELECT v, {probe_cols} FROM (SELECT DISTINCT v FROM vals)
+    ), est AS (
+      SELECT cand.v AS value, {least} AS est_count
+      FROM cand
+      {joins}
+    )
+    SELECT value, est_count,
+           row_number() OVER (ORDER BY est_count DESC, value ASC)::BIGINT AS rank
+    FROM est ORDER BY est_count DESC, value ASC LIMIT {k}
+    """

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.hashing import P31, duckdb_affine_minhash_sql, duckdb_hash56_sql
+from .operators import aggregates as ag
 from .operators import dedup as dd
 from .operators import multimodal as mm
 from .operators import similarity as sim
@@ -651,4 +652,40 @@ def q_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sim.int8_rerank_topk(
         emb, queries, k=_I8_K, shortlist=_I8_SHORTLIST, dim=64
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters (round 5): top tokens by CMS-estimated
+# frequency — the fully-oracle-gated frequency-sketch tier (the md5
+# hash family makes the sketch bit-identical cross-engine, unlike
+# HLL/GK which can only be rows-only checked). est >= true and the
+# epsilon bound are pytest-pinned.
+# ---------------------------------------------------------------------------
+
+_CMS_W = 256
+_CMS_D = 3
+_CMS_K = 20
+_CMS_SEED = 7
+
+
+@register(
+    "cms_top_tokens_docs",
+    ag.duckdb_cms_sql(
+        "tok",
+        r"""SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+            FROM documents WHERE trim(text) <> ''""",
+        width=_CMS_W,
+        depth=_CMS_D,
+        k=_CMS_K,
+        seed=_CMS_SEED,
+    ),
+)
+def q_cms_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim(F.col("text")) != "").select(
+        F.explode(tx.tokens("text")).alias("tok")
+    )
+    return ag.cms_heavy_hitters(
+        toks, "tok", width=_CMS_W, depth=_CMS_D, k=_CMS_K, seed=_CMS_SEED
     )

@@ -721,3 +721,44 @@ def test_int8_rerank_recall_against_brute_force(spark):
     # true top-5 neighbor, and the float rerank restores exact order
     recall = len(exact & two_stage) / len(exact)
     assert recall >= 0.9, f"int8 two-stage recall degenerated: {recall}"
+
+
+def test_cms_overestimates_never_under(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        aggregates as ag,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        text as tx,
+    )
+
+    docs = read_testdata(spark, SF_SMOKE, "documents")
+    toks = docs.filter(F.trim(F.col("text")) != "").select(
+        F.explode(tx.tokens("text")).alias("tok")
+    )
+    n_total = toks.count()
+    true = {
+        r["tok"]: r["c"]
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    est = {
+        r["value"]: r["est_count"]
+        for r in ag.cms_heavy_hitters(
+            toks, "tok", width=64, depth=3, k=10_000
+        ).collect()
+    }
+    assert set(est) == set(true)
+    for v, e in est.items():
+        # the CMS guarantee: never under-estimates, never above N
+        assert true[v] <= e <= n_total, (v, true[v], e)
+
+
+def test_cms_dominant_value_ranks_first(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        aggregates as ag,
+    )
+
+    rows = [("hot",)] * 500 + [(f"cold{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "v string")
+    out = ag.cms_heavy_hitters(df, "v", width=128, depth=3, k=3).collect()
+    assert out[0]["value"] == "hot" and out[0]["rank"] == 1
+    assert out[0]["est_count"] >= 500
