@@ -358,6 +358,19 @@ def main() -> None:
             "over the bounded sample, never the corpus)",
         ),
         (
+            "cms_top_tokens_docs",
+            "CMS: one corpus pass; sketch+probes on weighted distincts",
+            lambda p: "BroadcastHashJoin" in p
+            and "EvalPython" not in p
+            and "CartesianProduct" not in p
+            and len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2,
+            "exact per-value counts are the only corpus-scaled stage "
+            "(map-combined); the depth×width counter grid and the "
+            "min-probe both run on the distinct-value relation, with "
+            "the counters shipping as one broadcast — sketching 100 TB "
+            "is a scan plus vocab-sized arithmetic",
+        ),
+        (
             "domain_cap_docs",
             "domain cap = ONE group-key exchange, zero Python",
             lambda p: count_exchanges(p) == 1 and "EvalPython" not in p,
