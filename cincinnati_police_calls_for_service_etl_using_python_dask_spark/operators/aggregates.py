@@ -324,6 +324,10 @@ def cms_heavy_hitters(
     """(value, est_count, rank 1..k): top-``k`` values by Count-Min
     estimated frequency (ties break on value asc). NULLs are not
     counted. See the section comment for guarantees and scale."""
+    if width < 1 or depth < 1 or k < 1:
+        raise ValueError(
+            f"width/depth/k must be >= 1, got {width}/{depth}/{k}"
+        )
     from ..functions.hashing import hash56
 
     v = (F.col(value) if isinstance(value, str) else value).alias("v")

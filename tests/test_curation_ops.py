@@ -1434,3 +1434,25 @@ def test_bpe_adjacent_overlap_and_early_stop(spark):
     # single-char words: no pairs -> early stop, empty table
     single = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     assert tk.bpe_train(single, num_merges=3) == []
+
+
+def test_bpe_handles_regex_special_symbols(spark):
+    """Words containing regex metacharacters ('.', '$', '\\\\') train
+    and segment correctly — merge patterns are escaped, replacements
+    escape '$' and backslash."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        tokenizer as tk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a.b a.b a.b x$y x$y")], "doc_id long, text string"
+    )
+    merges = tk.bpe_train(docs, num_merges=4)
+    texts = ["a.b a.b a.b x$y x$y"]
+    ref_merges, ref_reprs = _ref_bpe(texts, 4)
+    assert merges == ref_merges
+    seg = {
+        r["word"]: r["pieces"]
+        for r in tk.bpe_segment(docs, merges).dropDuplicates(["word"]).collect()
+    }
+    assert seg == ref_reprs

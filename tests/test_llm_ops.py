@@ -762,3 +762,39 @@ def test_cms_dominant_value_ranks_first(spark):
     out = ag.cms_heavy_hitters(df, "v", width=128, depth=3, k=3).collect()
     assert out[0]["value"] == "hot" and out[0]["rank"] == 1
     assert out[0]["est_count"] >= 500
+
+
+def test_cms_rejects_degenerate_params(spark):
+    import pytest as _pytest
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        aggregates as ag,
+    )
+
+    df = spark.createDataFrame([("x",)], "v string")
+    for bad in ({"width": 0}, {"depth": 0}, {"k": 0}):
+        with _pytest.raises(ValueError):
+            ag.cms_heavy_hitters(df, "v", **bad)
+
+
+def test_int8_null_embedding_degrades_not_poisons(spark):
+    """A NULL embedding row quantizes to (NULL qvec, NULL scale) and is
+    ABSENT from retrieval results (posexplode drops it) — the same
+    degraded-not-poisoned contract as dot()'s short-vector guard."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    nulled = spark.createDataFrame(
+        [(9_000_002, None)], "vec_id long, embedding array<float>"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(nulled)
+    q = {r["vec_id"]: r for r in sim.quantize_int8(corpus).collect()}
+    assert q[9_000_002]["qvec"] is None and q[9_000_002]["scale"] is None
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = sim.int8_rerank_topk(corpus, queries, k=5, shortlist=10).collect()
+    assert all(r["vec_id"] != 9_000_002 for r in hits)
+    assert {r["query_id"] for r in hits} == {0, 1, 2}  # queries unaffected

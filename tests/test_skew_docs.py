@@ -202,3 +202,29 @@ def test_substring_span_skew_parity_and_boiler_removed(spark, patho):
     # Conservation: removed + kept == total, per doc.
     for n_tok, _, _, removed, kept in got.values():
         assert removed + kept == n_tok
+
+
+def test_domain_cap_under_heavy_hitter_domain(spark):
+    """One domain carrying 95% of the corpus: the cap still returns
+    exactly `cap` rows for it, ranked deterministically, and the small
+    domains are untouched — the documented pre-prune recipe only
+    changes WHERE the work happens, not the result."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        sampling as sp,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "mega") for i in range(950)] + [
+        (1000 + i, f"s{i % 5}") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(13)
+    out = sp.domain_cap(df, cap=7, score=F.col("doc_id").cast("double")).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["mega"]) == 7
+    # score desc => ids 949..943, ranks 1..7
+    got = sorted((r["domain_rank"], r["doc_id"]) for r in by_src["mega"])
+    assert got == [(j + 1, 949 - j) for j in range(7)]
+    for s in ("s0", "s1", "s2", "s3", "s4"):
+        assert len(by_src[s]) == 7  # 10 rows each, capped to 7
