@@ -116,6 +116,8 @@ _NEW_R5 = [
     "interleave_sources_docs",
     # r5: Count-Min heavy hitters — the oracle-gated frequency sketch.
     "cms_top_tokens_docs",
+    # r5: daily resample + linear interpolation (temporal family).
+    "interpolate_daily_values",
 ]
 
 # Round-4 continuity: granular queries whose gate slot merged into a

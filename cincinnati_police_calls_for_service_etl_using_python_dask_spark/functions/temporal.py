@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..schemas import CFS_TIME_FORMAT
@@ -140,4 +140,94 @@ def fill_month_gaps(
         F.col(month_col),
         *[F.coalesce(F.col(c), fill[c]).alias(c) if c in fill else F.col(c)
           for c in out_cols],
+    )
+
+
+def interpolate_daily(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key daily resample with LINEAR interpolation — the
+    time-series densification step past :func:`fill_month_gaps`'s
+    constant fill: aggregate to a daily mean, emit every calendar day
+    between each key's first and last observation, and fill gap days
+    by interpolating between the surrounding observed days.
+
+    Output: (key, day DATE, value_micro BIGINT, src STRING) where
+    ``value_micro`` is the value in 1e-6 fixed-point and src ∈
+    {'observed','interp'}. All arithmetic is INTEGER (daily mean =
+    floor(Σfloor(v·1e6)/n); interpolation = prev + floor(Δ·step/gap)
+    with Δ possibly negative — floor, not truncation, on BOTH engines)
+    so the series re-derives bit-identically in DuckDB. Edge days
+    before the first / after the last observation don't exist by
+    construction (the spine spans observed bounds).
+
+    Distributed shape: one groupBy(key, day) pass over the events
+    (map-combined); the spine explodes from the per-key bounds
+    aggregate (≤ span-days rows per key, never a corpus-sized
+    cross join); prev/next propagate via two frame-bounded window
+    passes over the SAME (key)-partitioning — one exchange for the
+    daily aggregate, one for the window (subset-satisfied), nothing
+    touches raw events twice.
+    """
+    day = F.col("__day")
+    daily = (
+        df.select(
+            F.col(key),
+            F.to_date(F.col(ts_col)).alias("__day"),
+            F.floor(F.col(value_col) * F.lit(1_000_000)).cast("long").alias("__vm"),
+        )
+        .groupBy(key, "__day")
+        .agg(
+            F.floor(F.sum("__vm") / F.count(F.lit(1))).cast("long").alias("__dv")
+        )
+    )
+    bounds = daily.groupBy(key).agg(
+        F.min("__day").alias("__lo"), F.max("__day").alias("__hi")
+    )
+    spine = bounds.select(
+        key,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr("interval 1 day"))
+        ).alias("__day"),
+    )
+    joined = spine.join(daily, [key, "__day"], "left")
+
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(key)
+        .orderBy("__day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("__dv", ignorenulls=True).over(w_prev)
+    next_v = F.first("__dv", ignorenulls=True).over(w_next)
+    prev_d = F.last(
+        F.when(F.col("__dv").isNotNull(), day), ignorenulls=True
+    ).over(w_prev)
+    next_d = F.first(
+        F.when(F.col("__dv").isNotNull(), day), ignorenulls=True
+    ).over(w_next)
+
+    gap = F.datediff(next_d, prev_d)
+    step = F.datediff(day, prev_d)
+    interp = prev_v + F.floor((next_v - prev_v) * step / gap).cast("long")
+    return joined.select(
+        F.col(key),
+        # DATE → 'yyyy-MM-dd' string: DuckDB hands DATE to pandas as
+        # datetime64 (midnight), Spark as datetime.date — same value,
+        # different render; the string form hashes identically.
+        day.cast("string").alias("day"),
+        F.when(F.col("__dv").isNotNull(), F.col("__dv"))
+        .otherwise(interp)
+        .cast("long")
+        .alias("value_micro"),
+        F.when(F.col("__dv").isNotNull(), F.lit("observed"))
+        .otherwise(F.lit("interp"))
+        .alias("src"),
     )

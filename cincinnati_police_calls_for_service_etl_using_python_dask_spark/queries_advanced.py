@@ -505,3 +505,67 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily resample + LINEAR interpolation (round 5) — the densification
+# tier past month_spine_fill's constant fill: per-user daily mean
+# value, every calendar day between first and last observation, gap
+# days linearly interpolated between surrounding observed days. All
+# fixed-point/double arithmetic is spelled IDENTICALLY on both engines
+# (floor of correctly-rounded double ops on identical inputs), so the
+# interpolated series hash-matches. functions/temporal.py:
+# interpolate_daily.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interpolate_daily_values",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(floor(SUM(CAST(floor(value * 1000000) AS BIGINT))
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS dv
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT b.user_id, CAST(u.d AS DATE) AS day
+      FROM bounds b,
+           unnest(generate_series(CAST(b.lo AS TIMESTAMP),
+                                  CAST(b.hi AS TIMESTAMP),
+                                  INTERVAL 1 DAY)) AS u(d)
+    ), j AS (
+      SELECT s.user_id, s.day, d.dv FROM spine s
+      LEFT JOIN daily d USING (user_id, day)
+    ), f AS (
+      SELECT user_id, day, dv,
+             last_value(dv IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(dv IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             last_value(CASE WHEN dv IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(CASE WHEN dv IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
+           CAST(CASE WHEN dv IS NOT NULL THEN dv
+                     ELSE pv + CAST(floor((nv - pv) * date_diff('day', pd, day)
+                                          / CAST(date_diff('day', pd, nd) AS DOUBLE))
+                               AS BIGINT)
+                END AS BIGINT) AS value_micro,
+           CASE WHEN dv IS NOT NULL THEN 'observed' ELSE 'interp' END AS src
+    FROM f
+    """,
+)
+def q_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.temporal import interpolate_daily
+
+    ev = read_testdata(spark, sf_dir, "events")
+    return interpolate_daily(ev, key="user_id", ts_col="ts", value_col="value")

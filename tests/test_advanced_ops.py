@@ -337,3 +337,36 @@ def test_partition_overwrite_touches_only_new_partitions(spark, tmp_path):
         == "STATIC"
     )
     assert _os.path.isdir(f"{out}/month=mar")
+
+
+def test_interpolate_daily_hand_computed(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.functions.temporal import (
+        interpolate_daily,
+    )
+
+    rows = [
+        # user 1: observed day 1 (two events -> mean 1.5) and day 4 (4.0)
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 12:00:00", 2.0),
+        (1, "2024-01-04 09:00:00", 4.0),
+        # user 2: negative-to-positive ramp, single gap day
+        (2, "2024-02-01 00:00:00", -1.0),
+        (2, "2024-02-03 00:00:00", 2.0),
+        # user 3: single observation -> spine is one day, no interp
+        (3, "2024-03-05 05:00:00", 7.25),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string, value double").select(
+        "user_id", F.to_timestamp("ts").alias("ts"), "value"
+    )
+    out = {
+        (r["user_id"], r["day"]): (r["value_micro"], r["src"])
+        for r in interpolate_daily(ev, "user_id", "ts", "value").collect()
+    }
+    assert out[(1, "2024-01-01")] == (1_500_000, "observed")
+    # linear: 1.5e6 -> 4e6 over 3 days
+    assert out[(1, "2024-01-02")] == (1_500_000 + (4_000_000 - 1_500_000) // 3, "interp")
+    assert out[(1, "2024-01-03")] == (1_500_000 + (4_000_000 - 1_500_000) * 2 // 3, "interp")
+    assert out[(1, "2024-01-04")] == (4_000_000, "observed")
+    assert out[(2, "2024-02-02")] == (-1_000_000 + 3_000_000 // 2, "interp")
+    assert out[(3, "2024-03-05")] == (7_250_000, "observed")
+    assert len(out) == 4 + 3 + 1

@@ -50,6 +50,14 @@ def _audio_mod():
     return audio
 
 
+def _temporal_mod():
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.functions import (
+        temporal,
+    )
+
+    return temporal
+
+
 def _tokenizer_mod():
     from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
         tokenizer,
@@ -126,6 +134,9 @@ _CASES = {
     ),
     "sessionize": lambda s: ao.sessionize(_events(s), key=["user_id"]),
     "user_event_gaps_native": lambda s: pe.user_event_gaps_native(_events(s)),
+    "interpolate_daily": lambda s: _temporal_mod().interpolate_daily(
+        _events(s), "user_id", "ts", "value"
+    ),
 }
 
 
