@@ -183,3 +183,19 @@ def write_partition_overwrite(
         )
     finally:
         spark.conf.set(key, prev)
+
+
+def read_evolving_parquet(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet batches whose schemas EVOLVED over time (columns
+    added/reordered across batches) as one DataFrame: ``mergeSchema``
+    unions the file footers; rows from batches that predate a column
+    read it as NULL.
+
+    Scale note: schema merging reads every file's FOOTER at planning
+    time — O(files) driver work, so keep batch counts sane (compact
+    small files); data pages are untouched and column pruning /
+    predicate pushdown still apply per file, so a 2-column projection
+    of a 100-column evolved table reads 2 columns from every batch
+    regardless of when they appeared.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -821,3 +821,33 @@ def test_cadence_runner_catch_up_runs_once_immediately():
     r2 = CadenceRunner(fired2.append, interval_s=100.0, anchor_s=0.0, clock=clk2, sleep=clk2.sleep)
     r2.run(max_cycles=1, started_after=500.0)
     assert fired2 == [600.0]
+
+
+def test_read_evolving_parquet_merges_and_prunes(spark, tmp_path):
+    """Schema evolution: batch 1 lacks a column batch 2 adds; the
+    merged read unions the schema, NULL-fills the old batch, and still
+    pushes projection+filter down to each file's scan."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.files import (
+        read_evolving_parquet,
+    )
+
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(p1)
+    spark.createDataFrame(
+        [(3, "c", 30.0), (4, "d", 40.0)], "id long, name string, score double"
+    ).write.parquet(p2)
+
+    df = read_evolving_parquet(spark, p1, p2)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    # pruning still reaches the per-file scan under the merged schema
+    plan = df.filter(F.col("id") > 2).select("id", "score")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,2)]" in plan
+    rs = plan.split("ReadSchema", 1)[1][:200]
+    assert "name" not in rs  # projection pruned at the scan
