@@ -118,6 +118,8 @@ _NEW_R5 = [
     "cms_top_tokens_docs",
     # r5: daily resample + linear interpolation (temporal family).
     "interpolate_daily_values",
+    # r5: incremental dedup of a batch vs the historical fp index.
+    "incremental_dedup_docs",
 ]
 
 # Round-4 continuity: granular queries whose gate slot merged into a

@@ -1155,3 +1155,53 @@ def duckdb_substring_span_sql(
            COALESCE(c.cleaned_text, '') AS cleaned_text
     FROM tk LEFT JOIN cleaned c USING (doc_id) LEFT JOIN summary s USING (doc_id)
     """
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    fingerprint_col: str = "text",
+    id_col: str = "doc_id",
+    index_fp_col: str = "fingerprint",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup of a NEW batch against a persisted fingerprint
+    index — the incremental production shape: a daily increment is
+    deduplicated against the corpus's accumulated history WITHOUT
+    touching historical text (the index carries fingerprints only).
+
+    Output: every batch row as (id, fingerprint, status) with status
+    - 'kept'        first occurrence, not in history → admit + add
+                    its fingerprint to the index for the next batch;
+    - 'dup_batch'   duplicate WITHIN the batch (a smaller id kept it);
+    - 'dup_history' fingerprint already in the index.
+    Batch-internal dedup wins ties deterministically (min id), and a
+    batch row whose fingerprint is in history is 'dup_history' even if
+    it is also repeated in the batch (history is the stronger reason —
+    nothing from that content group is admitted).
+
+    Scale: batch fingerprints are map-side; the history probe is ONE
+    join on the 16-byte fingerprint (broadcast while the DAILY index
+    delta is small, shuffle-hash against the full accumulated index);
+    the within-batch window shuffles (fp, id) pairs only. Text never
+    rides any shuffle, and history is never re-scanned — cost is
+    O(batch) + O(index probe), not O(corpus).
+    """
+    c = F.col(fingerprint_col)
+    if normalize:
+        c = F.lower(F.trim(c))
+    fps = batch.select(F.col(id_col), F.md5(c).alias("fingerprint"))
+    hist = index.select(F.col(index_fp_col).alias("fingerprint")).distinct()
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        fps.join(F.broadcast(hist.withColumn("__h", F.lit(1))), ["fingerprint"], "left")
+        .withColumn("__rn", F.row_number().over(w))
+        .select(
+            id_col,
+            "fingerprint",
+            F.when(F.col("__h").isNotNull(), F.lit("dup_history"))
+            .when(F.col("__rn") > 1, F.lit("dup_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )

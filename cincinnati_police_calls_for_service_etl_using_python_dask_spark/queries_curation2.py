@@ -579,3 +579,47 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import tokenizer as tk
 
     return tk.bpe_merge_table(spark, _docs(spark, sf_dir), num_merges=_BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Incremental exact dedup (round 5): the daily-increment production
+# shape — a new batch deduplicated against the accumulated fingerprint
+# index without rescanning history. doc_id < 250 plays history,
+# doc_id >= 250 the increment. operators/dedup.py:
+# incremental_exact_dedup.
+# ---------------------------------------------------------------------------
+
+_INC_SPLIT = 250
+
+
+@register(
+    "incremental_dedup_docs",
+    f"""
+    WITH hist AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS fingerprint
+      FROM documents WHERE doc_id < {_INC_SPLIT}
+    ), fps AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+      FROM documents WHERE doc_id >= {_INC_SPLIT}
+    ), j AS (
+      SELECT f.doc_id, f.fingerprint,
+             (h.fingerprint IS NOT NULL) AS inh,
+             row_number() OVER (PARTITION BY f.fingerprint
+                                ORDER BY f.doc_id) AS rn
+      FROM fps f LEFT JOIN hist h USING (fingerprint)
+    )
+    SELECT doc_id, fingerprint,
+           CASE WHEN inh THEN 'dup_history'
+                WHEN rn > 1 THEN 'dup_batch'
+                ELSE 'kept' END AS status
+    FROM j
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    hist_fps = docs.filter(F.col("doc_id") < _INC_SPLIT).select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+    return dd.incremental_exact_dedup(
+        docs.filter(F.col("doc_id") >= _INC_SPLIT), hist_fps
+    )

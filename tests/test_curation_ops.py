@@ -1456,3 +1456,33 @@ def test_bpe_handles_regex_special_symbols(spark):
         for r in tk.bpe_segment(docs, merges).dropDuplicates(["word"]).collect()
     }
     assert seg == ref_reprs
+
+
+def test_incremental_dedup_statuses(spark):
+    """History beats batch: content already indexed is 'dup_history'
+    for EVERY batch occurrence; fresh content keeps min-id and marks
+    the rest 'dup_batch'; NULL text never matches anything."""
+    hist = spark.createDataFrame([("old content",)], "text string").select(
+        F.md5(F.lower(F.trim("text"))).alias("fingerprint")
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "old content"),      # in history
+            (11, "OLD CONTENT  "),    # normalizes to history too
+            (12, "fresh"),            # new, first
+            (13, "fresh"),            # new, dup within batch
+            (14, None),               # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in dd.incremental_exact_dedup(batch, hist).collect()
+    }
+    assert out == {
+        10: "dup_history",
+        11: "dup_history",
+        12: "kept",
+        13: "dup_batch",
+        14: "kept",  # NULL fingerprint joins nothing, rn=1 in its group
+    }
