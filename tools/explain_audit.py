@@ -358,6 +358,28 @@ def main() -> None:
             "over the bounded sample, never the corpus)",
         ),
         (
+            "interpolate_daily_values",
+            "resample+interp: 2 exchanges, windows never SinglePartition",
+            lambda p: count_exchanges(p) <= 2
+            and "SinglePartition" not in p
+            and "EvalPython" not in p,
+            "daily agg and the per-key spine/windows share the key "
+            "clustering (one agg exchange + one join-side exchange); "
+            "prev/next propagate via frame-bounded windows on the same "
+            "partitioning — densifying a 100 TB series never funnels "
+            "through one task",
+        ),
+        (
+            "incremental_dedup_docs",
+            "increment probes history by fingerprint; text never shuffles",
+            lambda p: count_exchanges(p) <= 2
+            and "BroadcastHashJoin" in p
+            and "EvalPython" not in p,
+            "the batch ships (id, 16-byte fp) into one history join + "
+            "one within-batch window — the accumulated corpus is never "
+            "rescanned; daily dedup cost is O(batch), not O(corpus)",
+        ),
+        (
             "cms_top_tokens_docs",
             "CMS: one corpus pass; sketch+probes on weighted distincts",
             lambda p: "BroadcastHashJoin" in p
