@@ -342,6 +342,16 @@ def cms_heavy_hitters(
     # pays the token stream twice and shuffles depth·N pairs instead
     # of depth·|vocab|.
     counts = vals.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # The counts relation feeds BOTH the counter build and the probe.
+    # Catalyst's ReuseExchange does not unify the two subtrees (the
+    # branches prune different columns below the broadcast), so without
+    # help the corpus-scaled aggregation executes twice. persist() puts
+    # an InMemoryRelation at the fork — the corpus pass runs ONCE
+    # structurally, and what is cached is the vocab-sized (value,
+    # count) table, not corpus rows (MEMORY_AND_DISK: spills, never
+    # recomputes). Audited in tools/explain_audit.py via the
+    # InMemoryTableScan pair.
+    counts = counts.persist()
 
     probes = [
         (i, (hash56(F.col("v"), seed=seed + i) % width).alias(f"__b{i}"))

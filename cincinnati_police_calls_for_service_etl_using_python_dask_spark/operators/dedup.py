@@ -1180,12 +1180,23 @@ def incremental_exact_dedup(
     it is also repeated in the batch (history is the stronger reason —
     nothing from that content group is admitted).
 
+    NULL content cannot be deduplicated: a NULL text (NULL
+    fingerprint) row is always 'kept' — it never matches history (SQL
+    equi-join semantics) and two NULL-text docs are NOT duplicates of
+    each other.
+
     Scale: batch fingerprints are map-side; the history probe is ONE
-    join on the 16-byte fingerprint (broadcast while the DAILY index
-    delta is small, shuffle-hash against the full accumulated index);
-    the within-batch window shuffles (fp, id) pairs only. Text never
-    rides any shuffle, and history is never re-scanned — cost is
-    O(batch) + O(index probe), not O(corpus).
+    join on the 16-byte fingerprint with NO broadcast hint — the
+    accumulated index grows with the corpus, so the join strategy is
+    left to the optimizer/AQE: broadcast while the index is small,
+    shuffle-hash once it isn't. (A hard F.broadcast(hist) here would
+    force-collect billions of fingerprints at production scale —
+    plan-audited in tools/explain_audit.py: with the broadcast
+    threshold disabled this join never plans a BroadcastExchange,
+    proving no hint survives.) The within-batch window shuffles
+    (fp, id) pairs only. Text never rides any shuffle, and history is
+    never re-scanned — cost is O(batch) + O(index probe), not
+    O(corpus).
     """
     c = F.col(fingerprint_col)
     if normalize:
@@ -1194,12 +1205,13 @@ def incremental_exact_dedup(
     hist = index.select(F.col(index_fp_col).alias("fingerprint")).distinct()
     w = Window.partitionBy("fingerprint").orderBy(id_col)
     return (
-        fps.join(F.broadcast(hist.withColumn("__h", F.lit(1))), ["fingerprint"], "left")
+        fps.join(hist.withColumn("__h", F.lit(1)), ["fingerprint"], "left")
         .withColumn("__rn", F.row_number().over(w))
         .select(
             id_col,
             "fingerprint",
-            F.when(F.col("__h").isNotNull(), F.lit("dup_history"))
+            F.when(F.col("fingerprint").isNull(), F.lit("kept"))
+            .when(F.col("__h").isNotNull(), F.lit("dup_history"))
             .when(F.col("__rn") > 1, F.lit("dup_batch"))
             .otherwise(F.lit("kept"))
             .alias("status"),

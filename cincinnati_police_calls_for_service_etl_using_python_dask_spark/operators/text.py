@@ -1167,10 +1167,14 @@ def lm_surprise_filter(
     c1 = c2.groupBy("w1").agg(F.sum("__c").cast("long").alias("__ctx"))
     vocab = c1.agg(F.count(F.lit(1)).cast("long").alias("__v"))
 
-    term = F.floor(
-        (F.coalesce(F.col("__ctx"), F.lit(0)) + F.col("__v"))
-        * F.lit(1_000_000)
-        / (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(1))
+    # Exact BIGINT division on BOTH engines (Spark `div`, DuckDB `//`):
+    # `floor(a / b)` on longs promotes to double and loses exactness
+    # past 2^53 — inside the int64 envelope (ctx+V < ~9.2e12, i.e. the
+    # numerator below 2^63), `div` keeps the surprise integer-exact
+    # cross-engine at ANY head-word frequency.
+    term = F.expr(
+        "(coalesce(__ctx, CAST(0 AS BIGINT)) + __v) * CAST(1000000 AS BIGINT)"
+        " div (coalesce(__c, CAST(0 AS BIGINT)) + CAST(1 AS BIGINT))"
     ).cast("long")
 
     def _score(rel: DataFrame) -> DataFrame:
@@ -1190,9 +1194,7 @@ def lm_surprise_filter(
             .select(
                 id_col,
                 "n_bigrams",
-                F.floor(F.col("__snum") / F.col("n_bigrams"))
-                .cast("long")
-                .alias("surprise_micro"),
+                F.expr("__snum div n_bigrams").cast("long").alias("surprise_micro"),
             )
         )
 

@@ -609,7 +609,8 @@ _INC_SPLIT = 250
       FROM fps f LEFT JOIN hist h USING (fingerprint)
     )
     SELECT doc_id, fingerprint,
-           CASE WHEN inh THEN 'dup_history'
+           CASE WHEN fingerprint IS NULL THEN 'kept'
+                WHEN inh THEN 'dup_history'
                 WHEN rn > 1 THEN 'dup_batch'
                 ELSE 'kept' END AS status
     FROM j

@@ -23,6 +23,31 @@ from pyspark.sql import SparkSession
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _default_driver_mem() -> str:
+    """Local-JVM heap default, derived from the HOST's available
+    memory instead of a hard-coded figure: half of MemAvailable,
+    clamped to [2g, 16g]. On the 128 GiB bench host this lands at the
+    measured-good 16g (the 1g PySpark default caused bimodal query
+    times under 32 threads — GC pressure); on a 8 GiB laptop it backs
+    off to ~3g instead of promising a heap the host can't serve.
+    ``SPARK_GRAFT_DRIVER_MEM`` overrides; the setting is ignored
+    entirely when the JVM already exists (driver-owned sessions)."""
+    override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if override:
+        return override
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) / (1 << 20)
+                    break
+            else:
+                return "4g"
+    except OSError:
+        return "4g"
+    return f"{max(2, min(16, int(avail_gb / 2)))}g"
+
+
 def get_spark(
     app_name: str = "cfs_spark_engine",
     master: str | None = None,
@@ -61,11 +86,13 @@ def get_spark(
         # 32-thread local session puts every shuffle/broadcast/codegen
         # cache under constant GC pressure — measured as bimodal
         # query times (curation2_suite 1.06 s vs 1.54 s across
-        # sessions) that settle at the fast mode with headroom. A
-        # cluster deployment sets executor/driver memory explicitly;
-        # this default only matters when WE launch the JVM (ignored if
-        # the driver's session already exists).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # sessions) that settle at the fast mode with headroom. The
+        # default scales with HOST MemAvailable (half, clamped 2g-16g
+        # — see _default_driver_mem) so small hosts aren't promised a
+        # heap they can't serve. A cluster deployment sets executor/
+        # driver memory explicitly; this default only matters when WE
+        # launch the JVM (ignored if the driver's session exists).
+        .config("spark.driver.memory", _default_driver_mem())
     )
     if master is not None:
         builder = builder.config("spark.master", master)

@@ -1461,10 +1461,13 @@ def test_bpe_handles_regex_special_symbols(spark):
 def test_incremental_dedup_statuses(spark):
     """History beats batch: content already indexed is 'dup_history'
     for EVERY batch occurrence; fresh content keeps min-id and marks
-    the rest 'dup_batch'; NULL text never matches anything."""
-    hist = spark.createDataFrame([("old content",)], "text string").select(
-        F.md5(F.lower(F.trim("text"))).alias("fingerprint")
-    )
+    the rest 'dup_batch'; NULL text never matches anything — every
+    NULL-text row is 'kept', including when the batch holds SEVERAL
+    NULL-text rows (two unknown contents are not duplicates of each
+    other) and when history itself contains a NULL fingerprint."""
+    hist = spark.createDataFrame(
+        [("old content",), (None,)], "text string"
+    ).select(F.md5(F.lower(F.trim("text"))).alias("fingerprint"))
     batch = spark.createDataFrame(
         [
             (10, "old content"),      # in history
@@ -1472,6 +1475,7 @@ def test_incremental_dedup_statuses(spark):
             (12, "fresh"),            # new, first
             (13, "fresh"),            # new, dup within batch
             (14, None),               # NULL text
+            (15, None),               # second NULL text — still kept
         ],
         "doc_id long, text string",
     )
@@ -1484,5 +1488,31 @@ def test_incremental_dedup_statuses(spark):
         11: "dup_history",
         12: "kept",
         13: "dup_batch",
-        14: "kept",  # NULL fingerprint joins nothing, rn=1 in its group
+        14: "kept",  # NULL fingerprint: short-circuited to kept
+        15: "kept",  # multi-NULL batch: each kept independently
     }
+
+
+def test_incremental_dedup_no_broadcast_of_index(spark):
+    """The accumulated-index side of the history probe must NOT carry
+    a broadcast hint: with the auto-broadcast threshold disabled, any
+    BroadcastExchange in the plan could only come from a hard hint —
+    assert there is none, so at corpus scale the optimizer is free to
+    shuffle-hash the billions-of-fingerprints index instead of
+    collecting it to every executor."""
+    hist = spark.createDataFrame([("x",)], "text string").select(
+        F.md5("text").alias("fingerprint")
+    )
+    batch = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            dd.incremental_exact_dedup(batch, hist)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" not in plan, plan

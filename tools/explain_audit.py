@@ -372,12 +372,21 @@ def main() -> None:
         (
             "incremental_dedup_docs",
             "increment probes history by fingerprint; text never shuffles",
-            lambda p: count_exchanges(p) <= 2
-            and "BroadcastHashJoin" in p
-            and "EvalPython" not in p,
+            lambda p: count_exchanges(p) <= 3 and "EvalPython" not in p,
             "the batch ships (id, 16-byte fp) into one history join + "
             "one within-batch window — the accumulated corpus is never "
             "rescanned; daily dedup cost is O(batch), not O(corpus)",
+        ),
+        (
+            "incremental_dedup_docs",
+            "index side carries NO broadcast hint@nobroadcast",
+            lambda p: "BroadcastExchange" not in p,
+            "the accumulated fingerprint index GROWS with the corpus: "
+            "with the auto-broadcast threshold disabled, any "
+            "BroadcastExchange could only come from a hard hint — none "
+            "appears, so at 100 TB the optimizer is free to "
+            "shuffle-hash the index instead of collecting billions of "
+            "fingerprints onto every executor",
         ),
         (
             "cms_top_tokens_docs",
@@ -385,7 +394,11 @@ def main() -> None:
             lambda p: "BroadcastHashJoin" in p
             and "EvalPython" not in p
             and "CartesianProduct" not in p
-            and len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2,
+            and len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2
+            # both the counter build and the probe read the persisted
+            # (value, count) relation — the corpus aggregation is
+            # STRUCTURALLY single-execution, not optimizer-dependent
+            and len(re.findall(r"\(\d+\) InMemoryTableScan", p)) >= 2,
             "exact per-value counts are the only corpus-scaled stage "
             "(map-combined); the depth×width counter grid and the "
             "min-probe both run on the distinct-value relation, with "
@@ -643,6 +656,17 @@ def main() -> None:
                     )
                 finally:
                     spark.conf.set("spark.sql.adaptive.enabled", "true")
+            elif mode == "nobroadcast":
+                # Plan with auto-broadcast disabled: any surviving
+                # BroadcastExchange must come from a hard hint.
+                prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                try:
+                    plans[(name, mode)] = plan_of(
+                        qs[name](spark, SF_DIR).select("*"), "formatted"
+                    )
+                finally:
+                    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             else:
                 plans[(name, mode)] = plan_of(qs[name](spark, SF_DIR), mode)
         ok = bool(pred(plans[(name, mode)]))
