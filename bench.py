@@ -139,12 +139,25 @@ _CONTINUITY_R4 = [
     "quality_classifier_trained",
 ]
 
+# Round-6 continuity: singleton gates absorbed into the round-6
+# family suites (timeseries/fingerprint/dedup2/retrieval/curation3/
+# media_decode) — standalone timings stay comparable across rounds.
+_CONTINUITY_R6 = [
+    "month_spine_fill",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash32",
+    "jaccard_within_lsh_buckets",
+    "dedup_exact_fingerprint",
+]
+
 HEADLINE = (
     [q for q in GATE_PRIORITY if q not in _UNBENCHABLE]
     + _CONTINUITY
     + _NEW_R3
     + _NEW_R5
     + _CONTINUITY_R4
+    + _CONTINUITY_R6
 )
 
 
@@ -244,7 +257,17 @@ def main() -> None:
     budget = 1800  # headroom under the 2000-char tail capture
     compact_q = {k: round(v, 2) for k, v in times.items()}
     by_cost = sorted(compact_q, key=lambda k: (compact_q[k], k))
-    headline = dict(full, queries=compact_q, n_queries=len(times))
+    # queries_file points the driver artifact at the COMPLETE per-query
+    # map (VERDICT r5 #7): the stdout line can't carry all ~100 timings
+    # inside the 2000-char tail window, so round-over-round diffing
+    # should read BENCH_FULL.json; the inline map keeps the most
+    # expensive queries for at-a-glance triage.
+    headline = dict(
+        full,
+        queries=compact_q,
+        n_queries=len(times),
+        queries_file="BENCH_FULL.json",
+    )
     while by_cost and len(json.dumps(headline, separators=(",", ":"))) > budget:
         del headline["queries"][by_cost.pop(0)]
     print(json.dumps(headline, separators=(",", ":")))

@@ -26,6 +26,7 @@ surface; this family is north-star LLM-pipeline scope.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -115,6 +116,7 @@ def decode_wav(data: bytes) -> dict:
 _FILL = 42
 
 
+@lru_cache(maxsize=65536)
 def fixture_wav_bytes(text: bytes) -> bytes:
     nb = len(text)
     rate = 8000 * (nb % 3 + 1)
@@ -159,6 +161,32 @@ def audio_features(payload: bytes) -> tuple:
     )
 
 
+def audio_meta_rows(doc_ids, texts) -> dict:
+    """Batch kernel shared by :func:`synth_audio_metadata` and the
+    fused media-decode crossing (multimodal.synth_decode_media):
+    decode one fixture WAV per (doc_id, text) and return column
+    lists."""
+    cols = (
+        "doc_id", "sample_rate", "n_samples", "dur_us",
+        "amp_sum", "amp_abs", "energy", "zero_cross", "status",
+    )
+    out = {k: [] for k in cols}
+    for doc_id, text in zip(doc_ids, texts):
+        payload = fixture_wav_bytes((text or "").encode("utf-8"))
+        try:
+            feats = audio_features(payload)
+        except ValueError:
+            feats = (None,) * 7
+            status = "error"
+        else:
+            status = "wav-decoded"
+        out["doc_id"].append(doc_id)
+        for k, v in zip(cols[1:8], feats):
+            out[k].append(v)
+        out["status"].append(status)
+    return out
+
+
 def synth_audio_metadata(docs: DataFrame, parallelism: int | None = None) -> DataFrame:
     """Per-doc audio features recovered by the REAL decoder from a
     text-derived fixture WAV. One Arrow crossing, map-side."""
@@ -166,29 +194,10 @@ def synth_audio_metadata(docs: DataFrame, parallelism: int | None = None) -> Dat
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        cols = (
-            "doc_id", "sample_rate", "n_samples", "dur_us",
-            "amp_sum", "amp_abs", "energy", "zero_cross", "status",
-        )
-
         for pdf in batches:
             if not len(pdf):
                 continue
-            out = {k: [] for k in cols}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                payload = fixture_wav_bytes((text or "").encode("utf-8"))
-                try:
-                    feats = audio_features(payload)
-                except ValueError:
-                    feats = (None,) * 7
-                    status = "error"
-                else:
-                    status = "wav-decoded"
-                out["doc_id"].append(doc_id)
-                for k, v in zip(cols[1:8], feats):
-                    out[k].append(v)
-                out["status"].append(status)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(audio_meta_rows(pdf["doc_id"], pdf["text"]))
 
     src = docs.select("doc_id", "text")
     if parallelism:

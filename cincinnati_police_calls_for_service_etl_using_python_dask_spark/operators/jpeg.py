@@ -27,6 +27,7 @@ roundtrip-tolerance tests (tests/test_curation_ops.py).
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -87,17 +88,37 @@ def _canonical_codes(bits: list, values: list) -> dict:
     return out
 
 
-def _decode_table(bits: list, values: list) -> dict:
-    """(length, code) -> value for canonical decoding."""
-    out, code = {}, 0
+@lru_cache(maxsize=64)
+def _decode_lut_cached(bits: tuple, values: tuple) -> tuple:
+    """16-bit-lookahead Huffman decode LUT: ``(sym, length)`` Python
+    lists indexed by the NEXT 16 bits of the stream (length 0 =
+    invalid code). One list index replaces up to 16 per-bit loop
+    iterations + dict probes of the naive canonical walk — the entropy
+    decode is the repo's hottest per-byte Python, so symbol dispatch
+    must be O(1). Built vectorized (numpy range fills), then converted
+    to lists because CPython list indexing beats numpy scalar getitem
+    in a per-symbol loop. lru_cached on the table definition: real
+    corpora overwhelmingly reuse the Annex K.3 tables, so the 64 KiB
+    build cost is paid once per distinct table, not per image."""
+    sym = np.zeros(1 << 16, dtype=np.int64)
+    ln = np.zeros(1 << 16, dtype=np.int64)
+    code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = values[k]
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            sym[lo:hi] = values[k]
+            ln[lo:hi] = length
             code += 1
             k += 1
         code <<= 1
-    return out
+    return sym.tolist(), ln.tolist()
+
+
+def _decode_table(bits: list, values: list) -> tuple:
+    """Decode-side table handle consumed by :class:`_ScanReader`."""
+    return _decode_lut_cached(tuple(bits), tuple(values))
 
 
 # DCT basis A[u, x] = C(u)/2 * cos((2x+1)*u*pi/16); FDCT of a block B
@@ -113,100 +134,289 @@ def _dct_matrix() -> np.ndarray:
 _A = _dct_matrix()
 
 # Encoder-side canonical code tables (the encoder always writes the
-# standard tables into DHT, so these are process constants).
+# standard tables into DHT, so these are process constants). The
+# *_T table tuples are the vectorized-encoder form (_code_arrays).
 _DC_CODES = _canonical_codes(DC_BITS, DC_VALUES)
 _AC_CODES = _canonical_codes(AC_BITS, AC_VALUES)
 
 
-class _BitWriter:
-    def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
+class _ScanReader:
+    """MSB-first reader over the entropy-coded scan.
 
-    def write(self, code: int, length: int) -> None:
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.buf.append(byte)
-            if byte == 0xFF:  # byte stuffing
-                self.buf.append(0x00)
-            self.nbits -= 8
-        self.acc &= (1 << self.nbits) - 1
+    Setup is three C-speed byte operations: cut the scan at the first
+    real marker (any FFxx other than stuffed FF00, found with
+    ``bytes.find``), unstuff with ``bytes.replace(b"\\xff\\x00",
+    b"\\xff")``, and pad. A peek of the next 16 bits at ANY bit
+    position then composes a 24-bit window from three byte indexes —
+    so the per-symbol loop costs one LUT index for the Huffman code
+    plus one window read for the value bits, instead of the naive
+    per-BIT accumulator walk (~7× on 64×64 images), while tiny
+    thumbnail scans pay microseconds of setup, not a numpy
+    materialization. Reads past the cut raise ``truncated scan``
+    exactly where the bit-serial reader would have starved."""
 
-    def flush(self) -> bytes:
-        if self.nbits:
-            pad = 8 - self.nbits
-            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
-            self.buf.append(byte)
-            if byte == 0xFF:
-                self.buf.append(0x00)
-            self.acc, self.nbits = 0, 0
-        return bytes(self.buf)
-
-
-class _BitReader:
-    """MSB-first reader over the entropy-coded scan with FF00
-    unstuffing; any other FFxx marker inside the scan ends it."""
+    __slots__ = ("b", "nbits", "pos")
 
     def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
+        # End of scan: first 0xFF NOT followed by 0x00 (markers,
+        # including a lone trailing 0xFF).
+        i = pos
+        end = len(data)
+        while True:
+            j = data.find(b"\xff", i, end)
+            if j < 0:
+                break
+            if j + 1 >= end or data[j + 1] != 0x00:
+                end = j
+                break
+            i = j + 2
+        clean = data[pos:end].replace(b"\xff\x00", b"\xff")
+        self.nbits = len(clean) * 8
+        self.b = clean + b"\x00\x00\x00"
+        self.pos = 0
 
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
+    def read_code(self, table: tuple) -> int:
+        sym, ln = table
+        p = self.pos
+        b = self.b
+        i = p >> 3
+        v = (((b[i] << 16) | (b[i + 1] << 8) | b[i + 2]) >> (8 - (p & 7))) & 0xFFFF
+        length = ln[v]
+        if length == 0:
+            raise ValueError("bad Huffman code")
+        p += length
+        if p > self.nbits:
             raise ValueError("truncated scan")
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated scan at FF")
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1
-            else:
-                raise ValueError("marker inside scan")
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+        self.pos = p
+        return sym[v]
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def read_code(self, table: dict) -> int:
-        code, length = 0, 0
-        while length <= 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            hit = table.get((length, code))
-            if hit is not None:
-                return hit
-        raise ValueError("bad Huffman code")
+    def read_extend(self, cat: int) -> int:
+        """Read ``cat`` magnitude bits and sign-extend them (T.81
+        F.2.2.1 EXTEND) in one window read."""
+        if cat == 0:
+            return 0
+        p = self.pos
+        b = self.b
+        i = p >> 3
+        v = (
+            (((b[i] << 16) | (b[i + 1] << 8) | b[i + 2]) >> (8 - (p & 7)))
+            & 0xFFFF
+        ) >> (16 - cat)
+        p += cat
+        if p > self.nbits:
+            raise ValueError("truncated scan")
+        self.pos = p
+        return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def _category(v: int) -> int:
-    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+def _code_arrays(codes: dict, size: int) -> tuple:
+    """Canonical code dict → (code, length) list lookup tables for the
+    scan encoder (lists: the small-image path indexes them in a Python
+    loop; the vectorized path lifts them into numpy once per call)."""
+    code = [0] * size
+    ln = [0] * size
+    for sym, (c, l) in codes.items():
+        code[sym] = c
+        ln[sym] = l
+    return code, ln
 
 
-def _value_bits(v: int, cat: int) -> int:
-    return v if v >= 0 else v + (1 << cat) - 1
+def _encode_scan_small(zz: list, comp: list, tables: list) -> bytes:
+    """Per-coefficient scan encoder for images of a few blocks —
+    thumbnail-sized fixtures pay ~50 µs of fixed numpy overhead in the
+    vectorized path, which exceeds their whole symbol walk. Identical
+    bitstream (A/B-pinned by the roundtrip tests)."""
+    pairs: list = []
+    emit = pairs.append
+    prev = [0] * len(tables)
+    for b, row in enumerate(zz):
+        c = comp[b]
+        dc_c, dc_l, ac_c, ac_l = tables[c]
+        v0 = row[0]
+        diff = v0 - prev[c]
+        prev[c] = v0
+        cat = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+        emit((dc_c[cat], dc_l[cat]))
+        if cat:
+            emit((diff if diff >= 0 else diff + (1 << cat) - 1, cat))
+        last = 0
+        for k in range(63, 0, -1):
+            if row[k]:
+                last = k
+                break
+        run = 0
+        for k in range(1, last + 1):
+            v = row[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                emit((ac_c[0xF0], ac_l[0xF0]))
+                run -= 16
+            cat = v.bit_length() if v >= 0 else (-v).bit_length()
+            s = (run << 4) | cat
+            emit((ac_c[s], ac_l[s]))
+            emit((v if v >= 0 else v + (1 << cat) - 1, cat))
+            run = 0
+        if last < 63:
+            emit((ac_c[0x00], ac_l[0x00]))
+    acc = nb = 0
+    buf = bytearray()
+    for code, l in pairs:
+        acc = (acc << l) | (code & ((1 << l) - 1))
+        nb += l
+        while nb >= 8:
+            byte = (acc >> (nb - 8)) & 0xFF
+            buf.append(byte)
+            if byte == 0xFF:
+                buf.append(0x00)
+            nb -= 8
+        acc &= (1 << nb) - 1
+    if nb:
+        pad = 8 - nb
+        byte = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+        buf.append(byte)
+        if byte == 0xFF:
+            buf.append(0x00)
+    return bytes(buf)
 
 
-def _extend(bits: int, cat: int) -> int:
-    if cat == 0:
-        return 0
-    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+def _encode_scan(zz: np.ndarray, comp: np.ndarray, tables: list) -> bytes:
+    """Entropy-encode every block of a scan AT ONCE — the numpy
+    batch replacement for the per-coefficient bit-writer walk
+    (T.81 F.1.2 run/category coding, bit-identical output).
+
+    ``zz``: (N, 64) int64 quantized coefficients in ZIGZAG order,
+    blocks in scan (MCU-interleaved) order. ``comp``: (N,) component
+    index per block (DC predictors chain per component). ``tables[c]``
+    = (dc_code, dc_len, ac_code, ac_len) lists from _code_arrays.
+
+    Shape: symbols are derived with array ops (run lengths from
+    nonzero gaps, categories via frexp, ZRL expansion via repeat),
+    ordered by a (block, k, sub) lexsort, and bit-packed with one
+    scatter + packbits; byte stuffing is a repeat/assign pass. The
+    Python cost is O(1) per IMAGE, not per coefficient. Images under
+    ~16 blocks take the per-coefficient small path instead (its fixed
+    cost is lower than the array machinery's)."""
+    n_blocks = zz.shape[0]
+    if n_blocks <= 16:
+        return _encode_scan_small(zz.tolist(), comp.tolist(), tables)
+    dc_code_t = np.array([t[0] for t in tables], dtype=np.int64)
+    dc_len_t = np.array([t[1] for t in tables], dtype=np.int64)
+    ac_code_t = np.array([t[2] for t in tables], dtype=np.int64)
+    ac_len_t = np.array([t[3] for t in tables], dtype=np.int64)
+
+    # DC differences chain per component, in scan order.
+    dcv = zz[:, 0]
+    diffs = np.empty(n_blocks, dtype=np.int64)
+    for c in range(len(tables)):
+        m = comp == c
+        v = dcv[m]
+        if v.size:
+            d = v.copy()
+            d[1:] = v[1:] - v[:-1]
+            diffs[m] = d
+    cat_dc = np.frexp(np.abs(diffs).astype(np.float64))[1].astype(np.int64)
+
+    # AC nonzeros: run = gap since previous nonzero within the block.
+    ac = zz[:, 1:]
+    b_idx, k0 = np.nonzero(ac)
+    kk = k0 + 1
+    vals = ac[b_idx, k0]
+    prev = np.zeros(kk.size, dtype=np.int64)
+    if kk.size > 1:
+        same = b_idx[1:] == b_idx[:-1]
+        prev[1:] = np.where(same, kk[:-1], 0)
+    run = kk - prev - 1
+    zrl = run >> 4
+    rem = run & 15
+    cat_ac = np.frexp(np.abs(vals).astype(np.float64))[1].astype(np.int64)
+    sym_ac = (rem << 4) | cat_ac
+    bcomp = comp[b_idx]
+
+    # Entry streams: (b, k, sub) sort keys + (code, length) payloads.
+    # Within a block: DC sym, DC value bits, then per nonzero AC in k
+    # order: its ZRLs, its symbol, its value bits; EOB last (k=64).
+    ks, subs, bs, codes, lens = [], [], [], [], []
+
+    blocks_ar = np.arange(n_blocks)
+    bs.append(blocks_ar)
+    ks.append(np.zeros(n_blocks, dtype=np.int64))
+    subs.append(np.zeros(n_blocks, dtype=np.int64))
+    codes.append(dc_code_t[comp, cat_dc])
+    lens.append(dc_len_t[comp, cat_dc])
+
+    has_dcv = cat_dc > 0
+    if has_dcv.any():
+        d = diffs[has_dcv]
+        cd = cat_dc[has_dcv]
+        bs.append(blocks_ar[has_dcv])
+        ks.append(np.zeros(int(has_dcv.sum()), dtype=np.int64))
+        subs.append(np.ones(int(has_dcv.sum()), dtype=np.int64))
+        codes.append(np.where(d >= 0, d, d + (1 << cd) - 1))
+        lens.append(cd)
+
+    n_zrl = int(zrl.sum())
+    if n_zrl:
+        parent = np.repeat(np.arange(kk.size), zrl)
+        starts = np.repeat(np.cumsum(zrl) - zrl, zrl)
+        j = np.arange(n_zrl) - starts
+        bs.append(b_idx[parent])
+        ks.append(kk[parent])
+        subs.append(j)
+        pc = bcomp[parent]
+        codes.append(ac_code_t[pc, 0xF0])
+        lens.append(ac_len_t[pc, 0xF0])
+
+    if kk.size:
+        bs.append(b_idx)
+        ks.append(kk)
+        subs.append(zrl)
+        codes.append(ac_code_t[bcomp, sym_ac])
+        lens.append(ac_len_t[bcomp, sym_ac])
+
+        bs.append(b_idx)
+        ks.append(kk)
+        subs.append(zrl + 1)
+        codes.append(np.where(vals >= 0, vals, vals + (1 << cat_ac) - 1))
+        lens.append(cat_ac)
+
+    eob = ac[:, 62] == 0  # no nonzero at k=63 → EOB terminates block
+    if eob.any():
+        eb = blocks_ar[eob]
+        bs.append(eb)
+        ks.append(np.full(eb.size, 64, dtype=np.int64))
+        subs.append(np.zeros(eb.size, dtype=np.int64))
+        ec = comp[eob]
+        codes.append(ac_code_t[ec, 0x00])
+        lens.append(ac_len_t[ec, 0x00])
+
+    bs_a = np.concatenate(bs)
+    order = np.lexsort((np.concatenate(subs), np.concatenate(ks), bs_a))
+    codes_a = np.concatenate(codes)[order]
+    lens_a = np.concatenate(lens)[order]
+
+    # Bit pack (MSB first), pad bits = 1 (T.81 F.1.2.3), then stuff
+    # 0x00 after every 0xFF.
+    total = int(lens_a.sum())
+    off = np.cumsum(lens_a) - lens_a
+    ar = np.arange(16)
+    sh = lens_a[:, None] - 1 - ar
+    valid = sh >= 0
+    bitvals = (codes_a[:, None] >> np.where(valid, sh, 0)) & 1
+    bits = np.ones(((total + 7) // 8) * 8, dtype=np.uint8)
+    positions = off[:, None] + ar
+    bits[positions[valid]] = bitvals[valid]
+    by = np.packbits(bits)
+    reps = np.where(by == 0xFF, 2, 1)
+    out = np.repeat(by, reps)
+    if out.size != by.size:
+        out[np.cumsum(reps)[by == 0xFF] - 1] = 0
+    return out.tobytes()
+
+
+# Vectorized-encoder table tuples: (dc_code, dc_len, ac_code, ac_len).
+_LUMA_T = _code_arrays(_DC_CODES, 16) + _code_arrays(_AC_CODES, 256)
 
 
 def _segment(marker: int, payload: bytes) -> bytes:
@@ -236,43 +446,12 @@ def encode_jpeg_gray(
     coefs = np.einsum("ux,ijxy,vy->ijuv", _A, blocks, _A)
     qcoefs = np.round(coefs / q).astype(np.int64)
 
-    dc_codes, ac_codes = _DC_CODES, _AC_CODES
-    w = _BitWriter()
-    prev_dc = 0
-    for j in range(bh):
-        for i in range(bw):
-            zz = qcoefs[j, i].reshape(64)[ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            cat = _category(diff) if diff else 0
-            code, length = dc_codes[cat]
-            w.write(code, length)
-            if cat:
-                w.write(_value_bits(diff, cat), cat)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if k > last_nz:
-                    break
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    w.write(code, length)
-                    run -= 16
-                cat = _category(v)
-                code, length = ac_codes[(run << 4) | cat]
-                w.write(code, length)
-                w.write(_value_bits(v, cat), cat)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                w.write(code, length)
-    scan = w.flush()
+    zz_seq = qcoefs.reshape(bh * bw, 64)[:, ZIGZAG]
+    scan = _encode_scan(
+        zz_seq, np.zeros(bh * bw, dtype=np.int64), [_LUMA_T]
+    )
 
-    qzz = bytes(int(q.reshape(64)[ZIGZAG[k]]) for k in range(64))
+    qzz = q.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
     out = bytearray(b"\xff\xd8")  # SOI
     out += _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _segment(0xFFDB, b"\x00" + qzz)  # DQT, table 0, 8-bit
@@ -362,13 +541,16 @@ def decode_jpeg_gray(data: bytes) -> tuple:
     q = quant[q_id]
 
     bh, bw = (height + 7) // 8, (width + 7) // 8
-    r = _BitReader(data, scan_pos)
-    zz_blocks = np.zeros((bh * bw, 64), dtype=np.int64)
+    r = _ScanReader(data, scan_pos)
+    # Decode into plain Python rows (list stores beat numpy scalar
+    # stores in the per-coefficient loop); one np.array at the end.
+    rows: list = []
     prev_dc = 0
-    for b in range(bh * bw):
+    for _b in range(bh * bw):
+        row = [0] * 64
         cat = r.read_code(dc_tbl)
-        prev_dc += _extend(r.read_bits(cat), cat) if cat else 0
-        zz_blocks[b, 0] = prev_dc
+        prev_dc += r.read_extend(cat)
+        row[0] = prev_dc
         k = 1
         while k < 64:
             sym = r.read_code(ac_tbl)
@@ -381,8 +563,10 @@ def decode_jpeg_gray(data: bytes) -> tuple:
             k += run
             if k > 63 or cat == 0:
                 raise ValueError("AC coefficient overruns block")
-            zz_blocks[b, k] = _extend(r.read_bits(cat), cat)
+            row[k] = r.read_extend(cat)
             k += 1
+        rows.append(row)
+    zz_blocks = np.array(rows, dtype=np.int64).reshape(bh * bw, 64)
     # De-zigzag + dequant + IDCT, vectorized over every block at once.
     coefs = np.zeros((bh * bw, 64), dtype=np.float64)
     coefs[:, ZIGZAG] = zz_blocks
@@ -441,6 +625,7 @@ AC_VALUES_C = [
 
 _DC_CODES_C = _canonical_codes(DC_BITS_C, DC_VALUES_C)
 _AC_CODES_C = _canonical_codes(AC_BITS_C, AC_VALUES_C)
+_CHROMA_T = _code_arrays(_DC_CODES_C, 16) + _code_arrays(_AC_CODES_C, 256)
 
 # 16.16 fixed-point color constants (libjpeg jdcolor.c / jccolor.c).
 _FIX_R_CR = 91881       # 1.40200
@@ -480,10 +665,19 @@ def rgb_to_ycbcr_int(r: np.ndarray, g: np.ndarray, b: np.ndarray):
 
 
 def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
-    """Edge-replicate pad to multiples of (mh, mw)."""
+    """Edge-replicate pad to multiples of (mh, mw) — hand-rolled slice
+    assignment; np.pad(mode="edge") costs ~50 µs per call, a material
+    fraction of a thumbnail's whole encode."""
     h, w = plane.shape
-    ph, pw = -h % mh, -w % mw
-    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = h + (-h % mh), w + (-w % mw)
+    if hh == h and ww == w:
+        return plane
+    out = np.empty((hh, ww), dtype=plane.dtype)
+    out[:h, :w] = plane
+    out[h:, :w] = plane[-1:, :]
+    out[:h, w:] = plane[:, -1:]
+    out[h:, w:] = plane[-1, -1]
+    return out
 
 
 def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
@@ -495,38 +689,6 @@ def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     blocks = plane.astype(np.float64).reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
     coefs = np.einsum("ux,ijxy,vy->ijuv", _A, blocks, _A)
     return np.round(coefs / q).astype(np.int64).reshape(bh, bw, 64)
-
-
-def _write_block(w: _BitWriter, zz: np.ndarray, prev_dc: int, dc_codes, ac_codes) -> int:
-    """Entropy-encode one zigzag block; returns the new DC predictor."""
-    diff = int(zz[0]) - prev_dc
-    cat = _category(diff) if diff else 0
-    code, length = dc_codes[cat]
-    w.write(code, length)
-    if cat:
-        w.write(_value_bits(diff, cat), cat)
-    run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if k > last_nz:
-            break
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, length = ac_codes[0xF0]
-            w.write(code, length)
-            run -= 16
-        cat = _category(v)
-        code, length = ac_codes[(run << 4) | cat]
-        w.write(code, length)
-        w.write(_value_bits(v, cat), cat)
-        run = 0
-    if last_nz < 63:
-        code, length = ac_codes[0x00]
-        w.write(code, length)
-    return int(zz[0])
 
 
 def encode_jpeg_color(
@@ -585,25 +747,39 @@ def encode_jpeg_color(
     mcus_y = (height + mcu_h - 1) // mcu_h
     mcus_x = (width + mcu_w - 1) // mcu_w
 
-    w = _BitWriter()
-    dc = [0, 0, 0]
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if subsample:
-                for vy in range(2):
-                    for vx in range(2):
-                        zz = zz_y[my * 2 + vy, mx * 2 + vx].reshape(64)[ZIGZAG]
-                        dc[0] = _write_block(w, zz, dc[0], _DC_CODES, _AC_CODES)
-            else:
-                zz = zz_y[my, mx].reshape(64)[ZIGZAG]
-                dc[0] = _write_block(w, zz, dc[0], _DC_CODES, _AC_CODES)
-            for ci, zz_c in ((1, zz_cb), (2, zz_cr)):
-                zz = zz_c[my, mx].reshape(64)[ZIGZAG]
-                dc[ci] = _write_block(w, zz, dc[ci], _DC_CODES_C, _AC_CODES_C)
-    scan = w.flush()
+    # MCU-interleaved block sequence (T.81 §A.2.3) built by index
+    # math, then the whole scan entropy-encoded in one vectorized pass.
+    n_mcus = mcus_y * mcus_x
+    myi = np.repeat(np.arange(mcus_y), mcus_x)
+    mxi = np.tile(np.arange(mcus_x), mcus_y)
+    yzz = zz_y.reshape(-1, 64)[:, ZIGZAG]
+    cbzz = zz_cb.reshape(-1, 64)[:, ZIGZAG]
+    crzz = zz_cr.reshape(-1, 64)[:, ZIGZAG]
+    c_rows = myi * mcus_x + mxi
+    if subsample:
+        # per MCU: 4 luma blocks (vy, vx) = (0,0),(0,1),(1,0),(1,1)
+        lum = (
+            (2 * myi[:, None] + np.array([0, 0, 1, 1])) * (2 * mcus_x)
+            + 2 * mxi[:, None]
+            + np.array([0, 1, 0, 1])
+        )
+        idx = np.empty((n_mcus, 6), dtype=np.int64)
+        idx[:, :4] = lum
+        idx[:, 4] = yzz.shape[0] + c_rows
+        idx[:, 5] = yzz.shape[0] + cbzz.shape[0] + c_rows
+        comp_pat = [0, 0, 0, 0, 1, 2]
+    else:
+        idx = np.empty((n_mcus, 3), dtype=np.int64)
+        idx[:, 0] = c_rows
+        idx[:, 1] = yzz.shape[0] + c_rows
+        idx[:, 2] = yzz.shape[0] + cbzz.shape[0] + c_rows
+        comp_pat = [0, 1, 2]
+    zz_seq = np.concatenate([yzz, cbzz, crzz])[idx.reshape(-1)]
+    comp_seq = np.tile(np.array(comp_pat, dtype=np.int64), n_mcus)
+    scan = _encode_scan(zz_seq, comp_seq, [_LUMA_T, _CHROMA_T, _CHROMA_T])
 
     def qtab(tid: int, q: np.ndarray) -> bytes:
-        return bytes([tid]) + bytes(int(q.reshape(64)[ZIGZAG[k]]) for k in range(64))
+        return bytes([tid]) + q.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
 
     out = bytearray(b"\xff\xd8")
     out += _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -711,24 +887,29 @@ def decode_jpeg_color(data: bytes) -> tuple:
     mcus_x = (width + mcu_w - 1) // mcu_w
     mcus_y = (height + mcu_h - 1) // mcu_h
 
-    grids = []  # per comp: (zz_blocks ndarray, bw, bh)
+    # Per-component decode destinations as Python row lists (list
+    # stores beat numpy scalar stores in the per-coefficient loop);
+    # Huffman table pairs resolved ONCE per component, not per block.
+    grid_rows: list = []
+    comp_tables: list = []
     for cid, ch, cv, tq in comps:
         bw, bh = mcus_x * ch, mcus_y * cv
-        grids.append(np.zeros((bh * bw, 64), dtype=np.int64))
-
-    r = _BitReader(data, scan_pos)
-    prev_dc = [0, 0, 0]
-
-    def read_block(ci: int, bidx: int) -> None:
-        cid = comps[ci][0]
+        grid_rows.append([None] * (bh * bw))
         dc_tbl = huff.get((0, scan_sel[cid][0]))
         ac_tbl = huff.get((1, scan_sel[cid][1]))
         if dc_tbl is None or ac_tbl is None:
             raise ValueError("missing DHT")
-        blk = grids[ci][bidx]
+        comp_tables.append((dc_tbl, ac_tbl))
+
+    r = _ScanReader(data, scan_pos)
+    prev_dc = [0, 0, 0]
+
+    def read_block(ci: int, bidx: int) -> None:
+        dc_tbl, ac_tbl = comp_tables[ci]
+        row = [0] * 64
         cat = r.read_code(dc_tbl)
-        prev_dc[ci] += _extend(r.read_bits(cat), cat) if cat else 0
-        blk[0] = prev_dc[ci]
+        prev_dc[ci] += r.read_extend(cat)
+        row[0] = prev_dc[ci]
         k = 1
         while k < 64:
             sym = r.read_code(ac_tbl)
@@ -741,8 +922,9 @@ def decode_jpeg_color(data: bytes) -> tuple:
             k += run
             if k > 63 or cat == 0:
                 raise ValueError("AC coefficient overruns block")
-            blk[k] = _extend(r.read_bits(cat), cat)
+            row[k] = r.read_extend(cat)
             k += 1
+        grid_rows[ci][bidx] = row
 
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -752,6 +934,8 @@ def decode_jpeg_color(data: bytes) -> tuple:
                     for vx in range(ch):
                         bidx = (my * cv + vy) * bw + mx * ch + vx
                         read_block(ci, bidx)
+
+    grids = [np.array(rs, dtype=np.int64).reshape(len(rs), 64) for rs in grid_rows]
 
     planes = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):

@@ -39,6 +39,7 @@ surface at all — this family is north-star LLM-pipeline scope.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -393,6 +394,7 @@ FIXTURE_TIMESCALE = 1000
 _FILL = 77
 
 
+@lru_cache(maxsize=65536)
 def fixture_mp4_bytes(text: bytes) -> bytes:
     nb = len(text)
     n_frames = nb % 7 + 1
@@ -496,6 +498,35 @@ def synth_video_frames(docs: DataFrame, parallelism: int | None = None) -> DataF
     return src.mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
+def video_meta_rows(doc_ids, texts) -> dict:
+    """Batch kernel shared by :func:`synth_video_metadata` and the
+    fused media-decode crossing (multimodal.synth_decode_media):
+    demux one fixture MP4 per (doc_id, text) and return column
+    lists."""
+    out = {k: [] for k in (
+        "doc_id", "width", "height", "n_frames", "dur_ms",
+        "fr_sum", "fr_wsum", "status")}
+    for doc_id, text in zip(doc_ids, texts):
+        payload = fixture_mp4_bytes((text or "").encode("utf-8"))
+        try:
+            info, rows = _frame_rows(payload)
+        except ValueError:
+            out["doc_id"].append(doc_id)
+            for k in ("width", "height", "n_frames", "dur_ms", "fr_sum", "fr_wsum"):
+                out[k].append(None)
+            out["status"].append("error")
+            continue
+        out["doc_id"].append(doc_id)
+        out["width"].append(info["width"])
+        out["height"].append(info["height"])
+        out["n_frames"].append(len(info["samples"]))
+        out["dur_ms"].append(info["duration"] * 1000 // info["timescale"])
+        out["fr_sum"].append(sum(r[3] for r in rows))
+        out["fr_wsum"].append(sum(r[4] for r in rows))
+        out["status"].append("mp4-decoded")
+    return out
+
+
 def synth_video_metadata(docs: DataFrame, parallelism: int | None = None) -> DataFrame:
     """Per-doc container metadata recovered by the parser: tkhd
     geometry, sample count, mdhd duration (ms), whole-stream byte
@@ -507,28 +538,7 @@ def synth_video_metadata(docs: DataFrame, parallelism: int | None = None) -> Dat
         for pdf in batches:
             if not len(pdf):
                 continue
-            out = {k: [] for k in (
-                "doc_id", "width", "height", "n_frames", "dur_ms",
-                "fr_sum", "fr_wsum", "status")}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                payload = fixture_mp4_bytes((text or "").encode("utf-8"))
-                try:
-                    info, rows = _frame_rows(payload)
-                except ValueError:
-                    out["doc_id"].append(doc_id)
-                    for k in ("width", "height", "n_frames", "dur_ms", "fr_sum", "fr_wsum"):
-                        out[k].append(None)
-                    out["status"].append("error")
-                    continue
-                out["doc_id"].append(doc_id)
-                out["width"].append(info["width"])
-                out["height"].append(info["height"])
-                out["n_frames"].append(len(info["samples"]))
-                out["dur_ms"].append(info["duration"] * 1000 // info["timescale"])
-                out["fr_sum"].append(sum(r[3] for r in rows))
-                out["fr_wsum"].append(sum(r[4] for r in rows))
-                out["status"].append("mp4-decoded")
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(video_meta_rows(pdf["doc_id"], pdf["text"]))
 
     src = docs.select("doc_id", "text")
     if parallelism:

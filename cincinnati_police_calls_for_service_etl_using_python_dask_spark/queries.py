@@ -85,7 +85,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "event_gaps_native",
     "udtf_split_sentences",
     "merge_upsert_events",
-    "month_spine_fill",
     "streaming_suite",
     "session_window_counts",
     "asof_next_click_30min",
@@ -102,7 +101,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "window_functions_suite",
     "rolling_windows_suite",
     # — round 3 —
-    "jaccard_within_lsh_buckets",
     "multimodal_decode_real",
     # — round 4: resize+frame merged into one slot; curation family
     #   (gopher repetition / PII / winnowing / mixture) gated in the
@@ -115,6 +113,18 @@ GATE_PRIORITY: tuple[str, ...] = (
     #   dedup ladder at the registry tail (tests gate the k-means
     #   tier's equivalence + subset properties) —
     "curation2_suite",
+    # — round 6 (VERDICT r5 #2): the ten r5 full-oracle tail queries
+    #   enter the window via six family suites; the absorbed singleton
+    #   gates (month_spine_fill, minhash_signatures,
+    #   minhash_lsh_candidates, simhash32, jaccard_within_lsh_buckets,
+    #   dedup_exact_fingerprint) move to the tail, still benched
+    #   (bench._CONTINUITY_R6) and locally oracle-gated —
+    "timeseries_suite",
+    "fingerprint_suite",
+    "dedup2_suite",
+    "retrieval_suite",
+    "curation3_suite",
+    "media_decode_suite",
     # — retained gates (sole coverage of their §2 / LLM-table rows) —
     "flagship_cfs_pipeline",
     "groupby_multi_agg",
@@ -127,11 +137,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "setops_union_suite",
     "events_enrich",
     "text_profile_docs",
-    "dedup_exact_fingerprint",
-    "minhash_signatures",
-    "minhash_lsh_candidates",
     "dedup_clusters_lsh",
-    "simhash32",
     "ngram_contamination_check",
     "corpus_curation_pipeline",
     "ann_cosine_topk",

@@ -204,6 +204,14 @@ def _curation2_oracle() -> str:
 
 @register("curation2_suite", _curation2_oracle())
 def q_curation2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sharing one persisted scan across the four branches was tried
+    # for VERDICT r5 #5 and REJECTED: caching the raw table (1.28 →
+    # 1.04 s) leaks the InMemoryRelation into every other documents
+    # query via Spark's plan-matching cache lookup, while a
+    # suite-scoped narrow projection measured SLOWER than the four
+    # parquet scans (1.59 s vs 1.30 s — the zstd parquet re-scan with
+    # per-branch column pruning beats a shared cache that must carry
+    # text for all branches). The four-scan spelling stands.
     docs = _docs(spark, sf_dir)
     para = dd.paragraph_dedup(docs, min_freq=_PD_MIN_FREQ)
     cls = tx.trained_quality_classifier(docs)

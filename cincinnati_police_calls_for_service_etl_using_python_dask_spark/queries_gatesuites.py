@@ -124,3 +124,83 @@ _suite(
         ("watermark_dedup", "streaming_watermark_dedup"),
     ],
 )
+
+# ---------------------------------------------------------------------------
+# Round-6 gate suites (VERDICT r5 #2): the ten round-5 full-oracle
+# queries sat behind the driver's 50-query window. Six family suites
+# bring every one of them (plus the families' existing singleton
+# gates) into the window while keeping it at exactly 50. Granular
+# spellings stay tail-registered, bench-tracked (bench._CONTINUITY_R6)
+# and locally oracle-gated by tests/test_oracle_parity.py.
+# ---------------------------------------------------------------------------
+
+# Time-series family: month-spine gap fill (F9) + daily resample with
+# linear interpolation between surrounding observations.
+_suite(
+    "timeseries_suite",
+    [
+        ("month_spine", "month_spine_fill"),
+        ("interp_daily", "interpolate_daily_values"),
+    ],
+)
+
+# Fingerprint family: MinHash signatures, LSH band candidates, SimHash,
+# and the LSH-propose → exact-Jaccard-verify tier — the near-dup
+# pipeline's stages as one seg-discriminated slot.
+_suite(
+    "fingerprint_suite",
+    [
+        ("minhash_sig", "minhash_signatures"),
+        ("lsh_cand", "minhash_lsh_candidates"),
+        ("simhash", "simhash32"),
+        ("jaccard", "jaccard_within_lsh_buckets"),
+    ],
+)
+
+# Exact-dedup family: corpus fingerprint groups, incremental dedup of
+# a daily batch against the accumulated fingerprint index, and Lee et
+# al. substring-span dedup.
+_suite(
+    "dedup2_suite",
+    [
+        ("exact_groups", "dedup_exact_fingerprint"),
+        ("incremental", "incremental_dedup_docs"),
+        ("substring_span", "substring_span_dedup_docs"),
+    ],
+)
+
+# Retrieval/frequency family: BM25 top-k ranking + Count-Min-sketch
+# heavy hitters (the int8 two-stage ANN tier is already gated in
+# embedding_dedup_suite).
+_suite(
+    "retrieval_suite",
+    [
+        ("bm25", "bm25_topk_docs"),
+        ("cms_topk", "cms_top_tokens_docs"),
+    ],
+)
+
+# Curation wave 3: CCNet bigram-LM perplexity filter + corpus
+# composition (per-domain caps, deterministic source interleave).
+# A separate suite rather than a curation2 extension: fusing the LM
+# into curation2 was measured at +1.9 s of sequential broadcast-build
+# latency on that gated path (r5, rejected).
+_suite(
+    "curation3_suite",
+    [
+        ("lm_filter", "lm_perplexity_filter_docs"),
+        ("domain_cap", "domain_cap_docs"),
+        ("interleave", "interleave_sources_docs"),
+    ],
+)
+
+# Media codec family: baseline-JPEG color decode (ITU-T T.81 4:2:0)
+# and RIFF/WAVE PCM decode — the round-5 real-codec tiers
+# (multimodal_decode_real keeps PNG/MP4/grayscale-JPEG segs gated).
+_suite(
+    "media_decode_suite",
+    [
+        ("jpeg_color", "multimodal_decode_jpeg_color"),
+        ("wav", "audio_decode_wav"),
+    ],
+)

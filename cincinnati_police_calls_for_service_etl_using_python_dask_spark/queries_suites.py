@@ -581,30 +581,17 @@ def q_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fused one-crossing spellings (round 5) — each seg row-identical
-    # to its composed form (decode_image_metadata ∘ attach_png_payload,
-    # decode_jpeg_metadata ∘ attach_jpeg_payload), pinned by
-    # tests/test_curation_ops.py::test_fused_spellings_match_composed.
-    # Round-5 #2: the JPEG seg runs the REAL baseline codec
-    # (operators/jpeg.py) with checksum-exact flat-block fixtures.
+    # Round 6: ALL FOUR real-codec segs (PNG parse, baseline-JPEG
+    # Huffman/IDCT, ISO-BMFF demux, RIFF/WAVE PCM) in ONE Arrow
+    # crossing — the 4-way unionByName spelling paid four ~0.2 s
+    # crossings over the same documents scan, dwarfing the
+    # now-vectorized kernels. Row-identical to the composed union
+    # (tests/test_curation_ops.py::test_fused_media_matches_union) and
+    # to each granular seg operator (test_fused_spellings_match_
+    # composed), all of which stay registered for standalone use.
     docs = _t(spark, sf_dir, "documents")
     par = min(16, spark.sparkContext.defaultParallelism)
-    png = mm.synth_decode_png(docs, parallelism=par)
-    jpg = mm.synth_decode_jpeg(docs, parallelism=par)
-    # Round 5 (VERDICT r4 #8): two more REAL codec segs — ISO-BMFF
-    # demux (operators/mp4.py: box walk + stts/stsc/stsz/stco sample
-    # resolution) and RIFF/WAVE PCM decode (operators/audio.py).
-    from .operators import audio as aud
-    from .operators import mp4
-
-    vid = mp4.synth_video_metadata(docs, parallelism=par)
-    wav = aud.synth_audio_metadata(docs, parallelism=par)
-    return (
-        png.select(F.lit("png").alias("seg"), "*")
-        .unionByName(jpg.select(F.lit("jpeg").alias("seg"), "*"), allowMissingColumns=True)
-        .unionByName(vid.select(F.lit("video").alias("seg"), "*"), allowMissingColumns=True)
-        .unionByName(wav.select(F.lit("wav").alias("seg"), "*"), allowMissingColumns=True)
-    )
+    return mm.synth_decode_media(docs, parallelism=par)
 
 
 # ---------------------------------------------------------------------------

@@ -750,6 +750,49 @@ def _mm_docs(spark, n=40):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_fused_media_matches_union(spark):
+    """synth_decode_media (one Arrow crossing) is row-identical to the
+    4-way seg-discriminated unionByName of the granular decode
+    operators — the gated suite's fast spelling changes the plan, not
+    the rows."""
+    from pyspark.sql import functions as F
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        audio as aud,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        mp4 as m4,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        multimodal as mm,
+    )
+
+    docs = _mm_docs(spark)
+    composed = (
+        mm.synth_decode_png(docs).select(F.lit("png").alias("seg"), "*")
+        .unionByName(
+            mm.synth_decode_jpeg(docs).select(F.lit("jpeg").alias("seg"), "*"),
+            allowMissingColumns=True,
+        )
+        .unionByName(
+            m4.synth_video_metadata(docs).select(F.lit("video").alias("seg"), "*"),
+            allowMissingColumns=True,
+        )
+        .unionByName(
+            aud.synth_audio_metadata(docs).select(F.lit("wav").alias("seg"), "*"),
+            allowMissingColumns=True,
+        )
+    )
+    fused = mm.synth_decode_media(docs)
+    assert [(f.name, f.dataType) for f in fused.schema.fields] == [
+        (f.name, f.dataType) for f in composed.schema.fields
+    ]
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    assert sorted((tuple(r) for r in fused.collect()), key=key) == sorted(
+        (tuple(r) for r in composed.collect()), key=key
+    )
+
+
 def test_encode_png_batch_byte_identity():
     import numpy as np
 
