@@ -30,10 +30,13 @@ from pyspark.sql import functions as F
 from .queries import REGISTRY, register
 
 
-def _suite(name: str, members: list[tuple[str, str]]) -> None:
+def _suite(name: str, members: list[tuple[str, str]], spark_fn=None) -> None:
     """Register ``name`` as the seg-discriminated union of registered
     granular queries. Every member must already be in REGISTRY with an
-    oracle (the suite inherits oracle coverage, never weakens it)."""
+    oracle (the suite inherits oracle coverage, never weakens it).
+    ``spark_fn``, when given, replaces the default union SPELLING with
+    a fused/shared-work plan — the oracle stays the member union, so
+    the replacement is held to exactly the same row contract."""
     missing = [m for _, m in members if m not in REGISTRY]
     if missing:
         raise RuntimeError(f"suite {name}: members not registered: {missing}")
@@ -44,6 +47,10 @@ def _suite(name: str, members: list[tuple[str, str]]) -> None:
     oracle = "\nUNION ALL BY NAME\n".join(
         f"SELECT '{seg}' AS seg, * FROM ({REGISTRY[m][1]})" for seg, m in members
     )
+
+    if spark_fn is not None:
+        register(name, oracle)(spark_fn)
+        return
 
     @register(name, oracle)
     def suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,6 +112,47 @@ _suite(
 # Round 5: the int8 two-stage retrieval joins the gated family — its
 # quantization is IEEE-exact, so even this approximate tier carries a
 # full oracle (rare for ANN; see similarity.py:quantize_int8).
+#
+# Round 6 (VERDICT r5 #5): fused spelling — both the cos_pairs and
+# semdedup members are views over the SAME ≥0.4 cosine pair set
+# (SemDeDup's exact tier drops exactly the larger id of each pair),
+# so the suite computes the blocked-triangle Gram ONCE, persists the
+# near-dup pair relation (bounded: it's the duplicate set, corpus-
+# tiny by construction), and derives the status seg by an anti-probe.
+# The oracle stays the 3-member union, holding the fusion to the
+# members' exact rows.
+
+
+def _q_embedding_dedup_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+    from .sources.files import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    # same call as the dedup_embedding_cosine member (threshold 0.4 ==
+    # queries_curation2._SEM_THRESHOLD)
+    pairs = sim.cosine_near_dup_pairs(emb, threshold=0.4).persist()
+    cos = pairs.select(F.lit("cos_pairs").alias("seg"), "*")
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    sem = (
+        emb.select("vec_id")
+        .join(dropped.withColumn("__d", F.lit(1)), ["vec_id"], "left")
+        .select(
+            F.lit("semdedup").alias("seg"),
+            "vec_id",
+            F.lit(-1).cast("long").alias("cluster_id"),
+            F.when(F.col("__d").isNotNull(), F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+        )
+    )
+    int8 = REGISTRY["ann_int8_rerank_topk"][0](spark, sf_dir).select(
+        F.lit("int8_rerank").alias("seg"), "*"
+    )
+    return cos.unionByName(sem, allowMissingColumns=True).unionByName(
+        int8, allowMissingColumns=True
+    )
+
+
 _suite(
     "embedding_dedup_suite",
     [
@@ -112,6 +160,7 @@ _suite(
         ("semdedup", "semdedup_exact"),
         ("int8_rerank", "ann_int8_rerank_topk"),
     ],
+    spark_fn=_q_embedding_dedup_fused,
 )
 
 # Streaming family: tumbling daily counts and watermark-disciplined
@@ -197,6 +246,10 @@ _suite(
 # Media codec family: baseline-JPEG color decode (ITU-T T.81 4:2:0)
 # and RIFF/WAVE PCM decode — the round-5 real-codec tiers
 # (multimodal_decode_real keeps PNG/MP4/grayscale-JPEG segs gated).
+# NOT fused into one crossing (unlike multimodal_decode_real): the
+# color kernel dominates both segs' wall-clock, and a fused crossing
+# serializes the cheap WAV work behind it per task — measured 0.51 s
+# fused vs 0.45 s as two overlapping crossings at sf0.1.
 _suite(
     "media_decode_suite",
     [

@@ -738,6 +738,74 @@ def test_available_now_checkpoint_resumes_incrementally(spark, tmp_path):
     assert got.select("event_id").distinct().count() == got.count()
 
 
+def test_available_now_crash_midrain_recovers_exactly_once(spark, tmp_path):
+    """Crash-recovery contract (VERDICT r5 #8): an AvailableNow drain
+    is KILLED mid-run — the first micro-batch commits to the parquet
+    sink, then a poisoned row fails the second — and a clean re-run
+    against the SAME checkpoint + sink resumes from the committed
+    offset: no reprocessing of the committed prefix, no duplicates,
+    and the final output equals the batch twin exactly."""
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = tmp_path / "crash_src"
+    src.mkdir()
+    out = str(tmp_path / "crash_out")
+    ckpt = str(tmp_path / "crash_ckpt")
+
+    events = read_testdata(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    parts = [
+        events.filter(F.col("event_id") < 100),
+        events.filter((F.col("event_id") >= 100) & (F.col("event_id") < 200)),
+        events.filter((F.col("event_id") >= 200) & (F.col("event_id") < 300)),
+    ]
+    counts = [p.count() for p in parts]
+    for i, p in enumerate(parts, 1):
+        # one file per dir + distinct mtimes: with maxFilesPerTrigger=1
+        # the drain processes them as three ordered micro-batches
+        p.coalesce(1).write.parquet(str(src / f"batch{i}"))
+        time.sleep(0.2)
+
+    def stream():
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src))
+        )
+
+    @F.udf("long")
+    def poison(v):
+        if v >= 100:
+            raise ValueError("injected mid-drain crash")
+        return v
+
+    with pytest.raises(StreamingQueryException):
+        run_available_now(
+            stream()
+            .withColumn("event_id", poison("event_id"))
+            .select("event_id", "event_type"),
+            ckpt,
+            out,
+        )
+    committed = spark.read.parquet(out)
+    assert committed.count() == counts[0]  # first batch committed, rest not
+
+    # restart: same checkpoint, clean plan — drains ONLY the remainder
+    run_available_now(stream().select("event_id", "event_type"), ckpt, out)
+    got = spark.read.parquet(out)
+    assert got.count() == sum(counts)
+    assert got.select("event_id").distinct().count() == sum(counts)
+    batch_twin = sorted(
+        r["event_id"] for p in parts for r in p.select("event_id").collect()
+    )
+    assert sorted(r["event_id"] for r in got.collect()) == batch_twin
+
+
 # ---------------------------------------------------------------------------
 # Round-4: scheduled-cadence runner (the reference's daily driver,
 # app.py:50/991-995). Fake clock — no wall-clock sleeps.
