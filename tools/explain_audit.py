@@ -69,6 +69,25 @@ real execution, and it decomposes into exactly two causes:
    600 k keys, 0.48 s) and `groupby_multi_agg` (distinct shuffle,
    0.74 s) sit on it; every other mid-band query is ≤2.9× with plans
    verified clean above.
+
+3. **The Arrow crossing floor (round 6).** A bare `mapInPandas` over
+   the sf0.1 documents table — identity kernel, any partition count
+   from 4 to 32 — costs **~0.20 s** (task dispatch + Python-worker
+   Arrow round-trip). After the round-6 codec vectorization (16-bit
+   LUT Huffman decode, batched scan encoder, fused 4-seg crossing)
+   the media decode queries sit ON this floor:
+   `multimodal_decode_real` 0.29 s for four real codecs in one
+   crossing, `multimodal_decode_jpeg_color` ~0.44 s (its color kernel
+   is the one remaining >floor term — ~50 ms/task at 32-way). Their
+   3-4× ratios against 0.08-0.14 s DuckDB oracles are this fixed
+   crossing cost, not kernel fat; at corpus scale the same crossing
+   amortizes over GB-sized partitions. SCALE.md measures the
+   general form of this argument across a 100× data span.
+
+Round-6 note on `gopher_repetition_docs`: the r5-reported 0.73 s was
+bench-context noise, not a regression — re-measured at 0.17-0.36 s
+(isolated and in the full r6 run) with no code change to
+`top_ngram_stats`.
 """
 
 
