@@ -151,6 +151,13 @@ _CONTINUITY_R6 = [
     "dedup_exact_fingerprint",
 ]
 
+# Round-6 additions: the transactional table format's lifecycle query
+# (construction runs CREATE/APPEND/MERGE/DELETE once per session; the
+# timed warm runs measure the snapshot READ path).
+_NEW_R6 = [
+    "txtable_merge_events",
+]
+
 HEADLINE = (
     [q for q in GATE_PRIORITY if q not in _UNBENCHABLE]
     + _CONTINUITY
@@ -158,6 +165,7 @@ HEADLINE = (
     + _NEW_R5
     + _CONTINUITY_R4
     + _CONTINUITY_R6
+    + _NEW_R6
 )
 
 

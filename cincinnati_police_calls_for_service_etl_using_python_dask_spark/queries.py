@@ -182,6 +182,7 @@ def _load_all() -> None:
     from . import queries_suites  # noqa: F401
     from . import queries_curation  # noqa: F401
     from . import queries_curation2  # noqa: F401
+    from . import queries_txtable  # noqa: F401
 
     # MUST be last: builds suites from already-registered entries.
     from . import queries_gatesuites  # noqa: F401

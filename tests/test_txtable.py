@@ -1,0 +1,198 @@
+"""Transactional table format (sources/txtable.py): ACID commits,
+snapshot isolation, time travel, file-pruned DELETE/MERGE, zone-map
+skipping, optimistic concurrency, crash invisibility, checkpoint
+replay, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+    CHECKPOINT_INTERVAL,
+    ConcurrentWriteError,
+    SchemaMismatchError,
+    TxTable,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, lo, hi, mul=1):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * mul).cast("long").alias("v"),
+    )
+
+
+def test_create_append_read_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t1")
+    t = TxTable.create(spark, p, _mk(spark, 0, 100), stats_columns=["k"])
+    assert t.read().count() == 100
+    t.append(_mk(spark, 100, 150))
+    got = t.read()
+    assert got.count() == 150
+    assert [f.name for f in got.schema.fields] == ["k", "v"]
+    assert _rows(got) == _rows(_mk(spark, 0, 150))
+    with pytest.raises(FileExistsError):
+        TxTable.create(spark, p, _mk(spark, 0, 1))
+    with pytest.raises(SchemaMismatchError):
+        t.append(spark.range(5).select(F.col("id").alias("wrong")))
+
+
+def test_time_travel_history_and_overwrite(spark, tmp_path):
+    p = str(tmp_path / "t2")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10))
+    t.append(_mk(spark, 10, 20))
+    t.overwrite(_mk(spark, 50, 55))
+    assert t.read().count() == 5
+    assert t.read(version=0).count() == 10  # time travel
+    assert t.read(version=1).count() == 20
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["CREATE", "APPEND", "OVERWRITE"]
+
+
+def test_delete_rewrites_only_affected_files(spark, tmp_path):
+    p = str(tmp_path / "t3")
+    # two disjoint files via two commits of 1 partition each
+    t = TxTable.create(spark, p, _mk(spark, 0, 100).coalesce(1))
+    t.append(_mk(spark, 100, 200).coalesce(1))
+    before = set(t.snapshot().files)
+    assert len(before) == 2
+    t.delete(F.col("k") < 50)
+    after = t.snapshot()
+    # the file holding k>=100 must survive untouched
+    assert len(set(after.files) & before) == 1
+    assert _rows(t.read()) == _rows(_mk(spark, 50, 200))
+    # no-op delete commits nothing
+    v = after.version
+    assert t.delete(F.col("k") > 10_000) == v
+
+
+def test_delete_null_predicate_rows_are_kept(spark, tmp_path):
+    p = str(tmp_path / "t3n")
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 50)], "k long, v long"
+    )
+    t = TxTable.create(spark, p, df)
+    t.delete(F.col("v") < 10)  # NULL v evaluates NULL -> KEEP
+    assert _rows(t.read()) == [(2, None), (3, 50)]
+
+
+def test_merge_matches_merge_changes_semantics(spark, tmp_path):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.relational import (
+        merge_changes,
+    )
+
+    p = str(tmp_path / "t4")
+    base = _mk(spark, 0, 100).coalesce(1)
+    t = TxTable.create(spark, p, base)
+    t.append(_mk(spark, 100, 200).coalesce(1))
+    src = spark.range(150, 250).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("long").alias("v"),
+        F.when(F.col("id") % 7 == 0, "D").otherwise("U").alias("op"),
+    )
+    t.merge(src, "k")
+    expected = merge_changes(_mk(spark, 0, 200), src, ["k"])
+    assert _rows(t.read()) == _rows(expected)
+
+
+def test_merge_prunes_unmatched_files(spark, tmp_path):
+    p = str(tmp_path / "t5")
+    t = TxTable.create(spark, p, _mk(spark, 0, 100).coalesce(1))
+    t.append(_mk(spark, 100, 200).coalesce(1))
+    before = set(t.snapshot().files)
+    src = spark.range(150, 160).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("v"),
+        F.lit("U").alias("op"),
+    )
+    t.merge(src, "k")
+    # file 1 (k<100) holds no matched key: survives byte-identical
+    assert len(set(t.snapshot().files) & before) == 1
+
+
+def test_zone_map_pruning_skips_files(spark, tmp_path):
+    p = str(tmp_path / "t6")
+    t = TxTable.create(spark, p, _mk(spark, 0, 100).coalesce(1), stats_columns=["k"])
+    t.append(_mk(spark, 100, 200).coalesce(1))
+    t.append(_mk(spark, 200, 300).coalesce(1))
+    pruned = t.read_pruned("k", 120, 180)
+    # only the middle file is read
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 61
+    with pytest.raises(ValueError):
+        t.read_pruned("v", 0, 1)  # no stats on v
+
+
+def test_concurrent_append_rebase_and_conflicts(spark, tmp_path):
+    p = str(tmp_path / "t7")
+    t1 = TxTable.create(spark, p, _mk(spark, 0, 10))
+    t2 = TxTable(spark, p)
+    # interleave: t2 commits version 1 while t1's append is in flight —
+    # simulate by committing t2 first, then t1 must land at version 2.
+    t2.append(_mk(spark, 10, 20))
+    v = t1.append(_mk(spark, 20, 30))
+    assert v == 2
+    assert t1.read().count() == 30
+    # read-modify-write conflicts surface instead of silently
+    # rebasing: a competitor lands the next version AFTER the
+    # overwrite has read its snapshot (injected via a one-shot hook on
+    # the data-file write, i.e. mid-operation).
+    orig = TxTable._write_files
+    fired = {"done": False}
+
+    def racing(self, df, stats):
+        adds = orig(self, df, stats)
+        if not fired["done"]:
+            fired["done"] = True
+            TxTable(spark, p).append(_mk(spark, 30, 35))
+        return adds
+
+    TxTable._write_files = racing
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            t1.overwrite(_mk(spark, 0, 1))
+    finally:
+        TxTable._write_files = orig
+
+
+def test_crashed_write_is_invisible_and_vacuumed(spark, tmp_path):
+    p = str(tmp_path / "t8")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10))
+    n_before = t.read().count()
+    # a crashed writer: data file landed, commit never published
+    orphan = os.path.join(p, "deadbeef.parquet")
+    _mk(spark, 0, 5).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "o"))
+    part = next(
+        f for f in os.listdir(str(tmp_path / "o")) if f.endswith(".parquet")
+    )
+    os.replace(os.path.join(str(tmp_path / "o"), part), orphan)
+    assert t.read().count() == n_before  # reader never sees it
+    gone = t.vacuum()
+    assert "deadbeef.parquet" in gone
+    assert not os.path.exists(orphan)
+    # live files survive vacuum
+    assert t.read().count() == n_before
+
+
+def test_checkpoint_bounds_log_replay(spark, tmp_path):
+    p = str(tmp_path / "t9")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10).coalesce(1))
+    for i in range(CHECKPOINT_INTERVAL + 2):
+        t.append(_mk(spark, 10 * (i + 1), 10 * (i + 2)).coalesce(1))
+    cps = t._checkpoints()
+    assert cps and cps[-1] >= CHECKPOINT_INTERVAL
+    total = 10 * (CHECKPOINT_INTERVAL + 3)
+    assert t.read().count() == total
+    # delete every pre-checkpoint commit file: snapshot still works
+    # because replay starts at the checkpoint
+    log = os.path.join(p, "_txlog")
+    for v in range(cps[-1]):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    assert TxTable(spark, p).read().count() == total
