@@ -94,6 +94,10 @@ class Snapshot:
     stats_columns: list[str]
     # path -> {"numRecords": int, "stats": {col: [min, max]}}
     files: dict[str, dict] = field(default_factory=dict)
+    # streaming writer app_id -> last committed epoch (the Delta `txn`
+    # action): exactly-once idempotence survives checkpoint compaction
+    # because it rides the snapshot state, not the raw log tail.
+    txns: dict[str, int] = field(default_factory=dict)
 
 
 class TxTable:
@@ -155,6 +159,11 @@ class TxTable:
                     }
                 elif "remove" in action:
                     snap.files.pop(action["remove"]["path"], None)
+                elif "txn" in action:
+                    tx = action["txn"]
+                    snap.txns[tx["appId"]] = max(
+                        tx["epoch"], snap.txns.get(tx["appId"], -1)
+                    )
         snap.version = v
 
     def snapshot(self, version: int | None = None) -> Snapshot:
@@ -176,6 +185,7 @@ class TxTable:
             snap.schema = T.StructType.fromJson(json.loads(state["schemaJson"]))
             snap.stats_columns = list(state.get("statsColumns", []))
             snap.files = dict(state["files"])
+            snap.txns = dict(state.get("txns", {}))
             snap.version = cps[-1]
             start = cps[-1] + 1
         for v in range(start, target + 1):
@@ -219,6 +229,7 @@ class TxTable:
                 "schemaJson": json.dumps(snap.schema.jsonValue()),
                 "statsColumns": snap.stats_columns,
                 "files": snap.files,
+                "txns": snap.txns,
             }
             tmp = os.path.join(self.log, f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
@@ -432,6 +443,92 @@ class TxTable:
             raise ConcurrentWriteError(f"MERGE conflicted at {self.path}")
         self._maybe_checkpoint(v)
         return v
+
+    def optimize(
+        self,
+        target_file_rows: int = 1_000_000,
+        sort_by: list[str] | None = None,
+    ) -> int:
+        """Compact the table's live files into ~``target_file_rows``
+        files (the lakehouse small-file OPTIMIZE), optionally
+        range-clustering by ``sort_by`` so each output file owns a
+        DISJOINT key range — which turns the zone maps into a real
+        partition-pruning structure (``read_pruned`` then touches
+        one file per range). Pure file-level rewrite: row set is
+        unchanged, committed as remove-all + add-new, and time travel
+        to pre-OPTIMIZE versions still reads the old files (until
+        vacuum)."""
+        snap = self.snapshot()
+        if not snap.files:
+            return snap.version
+        total = sum(m.get("numRecords") or 0 for m in snap.files.values())
+        n_out = max(1, -(-total // target_file_rows))
+        df = self._read_snapshot(snap)
+        if sort_by:
+            df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            df = df.coalesce(n_out)
+        adds = self._write_files(df, snap.stats_columns)
+        v = snap.version + 1
+        actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
+        actions += adds + [_commit_info("OPTIMIZE", v)]
+        if not self._try_commit(v, actions):
+            raise ConcurrentWriteError(f"OPTIMIZE conflicted at {self.path}")
+        self._maybe_checkpoint(v)
+        return v
+
+    # ------------------------------------------------------------------
+    # streaming sink (exactly-once)
+    # ------------------------------------------------------------------
+
+    def stream_epoch_append(self, df: DataFrame, app_id: str, epoch: int,
+                            _retries: int = 5) -> bool:
+        """Idempotent epoch append — the sink half of exactly-once
+        streaming: the commit carries a ``txn`` action recording
+        (app_id, epoch), and an epoch at or below the table's recorded
+        high-water mark for ``app_id`` is a NO-OP. A micro-batch that
+        crashed AFTER committing but BEFORE the source checkpoint
+        advanced is therefore deduplicated when the engine replays it.
+        Returns True if this call committed, False if skipped."""
+        snap = self.snapshot()
+        if epoch <= snap.txns.get(app_id, -1):
+            return False
+        self._check_schema(df, snap.schema)
+        adds = self._write_files(df, snap.stats_columns)
+        txn = {"txn": {"appId": app_id, "epoch": epoch}}
+        for _ in range(_retries):
+            cur = self.snapshot()
+            if epoch <= cur.txns.get(app_id, -1):  # raced with ourselves
+                return False
+            v = cur.version + 1
+            if self._try_commit(
+                v, adds + [txn, _commit_info("STREAM_APPEND", v)]
+            ):
+                self._maybe_checkpoint(v)
+                return True
+        raise ConcurrentWriteError(
+            f"STREAM_APPEND lost {_retries} version races at {self.path}"
+        )
+
+    def write_stream(self, result: DataFrame, checkpoint: str, app_id: str):
+        """Drain a streaming DataFrame into this table with
+        Trigger.AvailableNow and exactly-once epoch commits
+        (``foreachBatch`` → :meth:`stream_epoch_append`). Blocks until
+        the drain completes."""
+
+        def fb(batch_df: DataFrame, epoch: int) -> None:
+            self.stream_epoch_append(batch_df, app_id, epoch)
+
+        q = (
+            result.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .foreachBatch(fb)
+            .start()
+        )
+        q.awaitTermination()
 
     def vacuum(self) -> list[str]:
         """Remove data files invisible to EVERY retained version:

@@ -196,3 +196,95 @@ def test_checkpoint_bounds_log_replay(spark, tmp_path):
     for v in range(cps[-1]):
         os.unlink(os.path.join(log, f"{v:020d}.json"))
     assert TxTable(spark, p).read().count() == total
+
+
+def test_optimize_compacts_and_clusters(spark, tmp_path):
+    p = str(tmp_path / "t10")
+    # 4 small files with INTERLEAVED key ranges: zone maps overlap, so
+    # pruning can't skip anything
+    t = TxTable.create(
+        spark,
+        p,
+        spark.createDataFrame([(i, i) for i in range(0, 200, 2)], "k long, v long")
+        .coalesce(1),
+        stats_columns=["k"],
+    )
+    t.append(
+        spark.createDataFrame([(i, i) for i in range(1, 200, 2)], "k long, v long")
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(i, i) for i in range(200, 400, 2)], "k long, v long")
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(i, i) for i in range(201, 400, 2)], "k long, v long")
+        .coalesce(1)
+    )
+    pre_version = t.latest_version()
+    before = _rows(t.read())
+    assert len(t.read_pruned("k", 0, 50).inputFiles()) == 2  # overlap
+    t.optimize(target_file_rows=200, sort_by=["k"])
+    snap = t.snapshot()
+    assert len(snap.files) == 2  # 400 rows / 200 target
+    assert _rows(t.read()) == before  # row set unchanged
+    # range clustering → disjoint zone maps → one file per range probe
+    assert len(t.read_pruned("k", 0, 50).inputFiles()) == 1
+    assert _rows(t.read(version=pre_version)) == before  # time travel intact
+    assert [h["operation"] for h in t.history()][-1] == "OPTIMIZE"
+
+
+def test_stream_epoch_append_is_idempotent(spark, tmp_path):
+    p = str(tmp_path / "t11")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10))
+    assert t.stream_epoch_append(_mk(spark, 10, 20), "appA", 0) is True
+    # engine replays the same epoch after a crash: no-op
+    assert t.stream_epoch_append(_mk(spark, 10, 20), "appA", 0) is False
+    assert t.read().count() == 20
+    # a DIFFERENT writer's epoch 0 is independent
+    assert t.stream_epoch_append(_mk(spark, 20, 30), "appB", 0) is True
+    assert t.read().count() == 30
+    assert t.snapshot().txns == {"appA": 0, "appB": 0}
+
+
+def test_write_stream_exactly_once_vs_batch_twin(spark, tmp_path):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.files import (
+        read_testdata,
+    )
+    from .conftest import SF_SMOKE
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "stream_ckpt")
+    events = read_testdata(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type"
+    )
+    first = events.filter(F.col("event_id") < 200)
+    second = events.filter(
+        (F.col("event_id") >= 200) & (F.col("event_id") < 300)
+    )
+    first.coalesce(1).write.parquet(str(src / "b1"))
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t12"), events.limit(0), stats_columns=[]
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(events.schema)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src))
+        )
+
+    t.write_stream(stream(), ckpt, app_id="ingest")
+    assert t.read().count() == first.count()
+    # re-drain with NO new data: no duplicate epochs, no new rows
+    t.write_stream(stream(), ckpt, app_id="ingest")
+    assert t.read().count() == first.count()
+    # incremental: second file arrives, drain appends exactly it
+    second.coalesce(1).write.parquet(str(src / "b2"))
+    t.write_stream(stream(), ckpt, app_id="ingest")
+    got = t.read()
+    assert got.count() == first.count() + second.count()
+    assert got.select("event_id").distinct().count() == got.count()
