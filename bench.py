@@ -149,6 +149,7 @@ _CONTINUITY_R6 = [
     "simhash32",
     "jaccard_within_lsh_buckets",
     "dedup_exact_fingerprint",
+    "merge_upsert_events",
 ]
 
 # Round-6 additions: the transactional table format's lifecycle query

@@ -84,7 +84,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     # oracle-gated, and benched (bench.py continuity list).
     "event_gaps_native",
     "udtf_split_sentences",
-    "merge_upsert_events",
     "streaming_suite",
     "session_window_counts",
     "asof_next_click_30min",
@@ -119,6 +118,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     #   minhash_lsh_candidates, simhash32, jaccard_within_lsh_buckets,
     #   dedup_exact_fingerprint) move to the tail, still benched
     #   (bench._CONTINUITY_R6) and locally oracle-gated —
+    # — round 6b: the MERGE family slot (DataFrame merge + the
+    #   transactional-table lifecycle) replaces the merge_upsert
+    #   singleton, gating sources/txtable.py end-to-end —
+    "merge_suite",
     "timeseries_suite",
     "fingerprint_suite",
     "dedup2_suite",

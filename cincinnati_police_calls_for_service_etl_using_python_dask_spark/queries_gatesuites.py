@@ -243,6 +243,19 @@ _suite(
     ],
 )
 
+# MERGE family (round 6): the format-free DataFrame MERGE (anti join
+# + union over parquet) and the transactional table format's full
+# CREATE→APPEND→MERGE→DELETE lifecycle (sources/txtable.py) — the two
+# spellings of incremental refresh vs the reference's drop-and-reload
+# (app.py:957-968), in one gated slot.
+_suite(
+    "merge_suite",
+    [
+        ("dataframe_merge", "merge_upsert_events"),
+        ("txtable_lifecycle", "txtable_merge_events"),
+    ],
+)
+
 # Media codec family: baseline-JPEG color decode (ITU-T T.81 4:2:0)
 # and RIFF/WAVE PCM decode — the round-5 real-codec tiers
 # (multimodal_decode_real keeps PNG/MP4/grayscale-JPEG segs gated).
