@@ -530,6 +530,45 @@ class TxTable:
         )
         q.awaitTermination()
 
+    def change_feed(self, key, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Row-level change feed between two versions (CDC read):
+        each changed row comes back with a ``_change_type`` of
+        ``insert`` / ``delete`` / ``update_preimage`` /
+        ``update_postimage``. ``key`` must be unique per snapshot (the
+        invariant MERGE maintains).
+
+        Scale: only files that DIFFER between the snapshots are read —
+        files common to both versions cannot contribute changes, so an
+        OPTIMIZE-style rewrite yields an EMPTY feed (its row set is
+        unchanged; identical rows in moved files cancel in the
+        null-safe struct compare) and a small MERGE costs O(rewritten
+        files), never O(table)."""
+        keys = [key] if isinstance(key, str) else list(key)
+        s0 = self.snapshot(v_from)
+        s1 = self.snapshot(self.latest_version() if v_to is None else v_to)
+        removed = sorted(set(s0.files) - set(s1.files))
+        added = sorted(set(s1.files) - set(s0.files))
+        old = self._read_snapshot(s0, removed)
+        new = self._read_snapshot(s1, added)
+        vals = [f.name for f in s1.schema.fields if f.name not in keys]
+        olds = old.select(*keys, F.struct(*vals).alias("__o"))
+        news = new.select(*keys, F.struct(*vals).alias("__n"))
+        j = olds.join(news, keys, "full_outer")
+        ins = j.filter(F.col("__o").isNull() & F.col("__n").isNotNull()).select(
+            *keys, "__n.*", F.lit("insert").alias("_change_type")
+        )
+        del_ = j.filter(F.col("__n").isNull() & F.col("__o").isNotNull()).select(
+            *keys, "__o.*", F.lit("delete").alias("_change_type")
+        )
+        upd = j.filter(
+            F.col("__o").isNotNull()
+            & F.col("__n").isNotNull()
+            & ~(F.col("__o").eqNullSafe(F.col("__n")))
+        )
+        pre = upd.select(*keys, "__o.*", F.lit("update_preimage").alias("_change_type"))
+        post = upd.select(*keys, "__n.*", F.lit("update_postimage").alias("_change_type"))
+        return ins.unionByName(del_).unionByName(pre).unionByName(post)
+
     def vacuum(self) -> list[str]:
         """Remove data files invisible to EVERY retained version:
         orphans from crashed writes and files removed by some commit.

@@ -288,3 +288,41 @@ def test_write_stream_exactly_once_vs_batch_twin(spark, tmp_path):
     got = t.read()
     assert got.count() == first.count() + second.count()
     assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_change_feed_insert_update_delete_and_optimize_silence(spark, tmp_path):
+    p = str(tmp_path / "t13")
+    t = TxTable.create(spark, p, _mk(spark, 0, 100).coalesce(1), stats_columns=["k"])
+    v0 = t.latest_version()
+    t.append(_mk(spark, 100, 120).coalesce(1))
+    v1 = t.latest_version()
+    # append window: pure inserts
+    feed = t.change_feed("k", v0, v1)
+    assert {r["_change_type"] for r in feed.collect()} == {"insert"}
+    assert feed.count() == 20
+    # merge: k 90..110 doubled, k%7==0 deleted
+    src = spark.range(90, 110).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).cast("long").alias("v"),
+        F.when(F.col("id") % 7 == 0, "D").otherwise("U").alias("op"),
+    )
+    t.merge(src, "k")
+    v2 = t.latest_version()
+    feed = t.change_feed("k", v1, v2)
+    by_type = {}
+    for r in feed.collect():
+        by_type.setdefault(r["_change_type"], set()).add(r["k"])
+    deleted = {k for k in range(90, 110) if k % 7 == 0}
+    updated = {k for k in range(90, 110) if k % 7 != 0 and k * 2 != k}
+    assert by_type["delete"] == deleted
+    assert by_type["update_preimage"] == updated - {0}
+    assert by_type["update_postimage"] == by_type["update_preimage"]
+    assert "insert" not in by_type  # all source keys existed
+    # OPTIMIZE moves every row to new files but changes none: empty feed
+    t.optimize(target_file_rows=1000, sort_by=["k"])
+    assert t.change_feed("k", v2, t.latest_version()).count() == 0
+    # full-span feed composes: v0 -> latest sees net effect only
+    net = t.change_feed("k", v0, t.latest_version())
+    assert {r["k"] for r in net.filter(F.col("_change_type") == "insert").collect()} == set(
+        range(100, 120)
+    ) - deleted
