@@ -354,17 +354,93 @@ class TxTable:
         df = self._read_snapshot(snap, keep)
         return df.filter((F.col(column) >= lower) & (F.col(column) <= upper))
 
-    def append(self, df: DataFrame, _retries: int = 5) -> int:
-        """ACID append; blind appends rebase-and-retry on conflict."""
+    def append(self, df: DataFrame, merge_schema: bool = False, _retries: int = 5) -> int:
+        """ACID append; blind appends rebase-and-retry on conflict.
+
+        ``merge_schema=True`` allows ADDITIVE evolution: new columns in
+        ``df`` widen the table schema in the same commit (a metaData
+        action), and old files read back with NULLs for the new
+        columns — the parquet reader resolves by name against the
+        snapshot schema, so no rewrite ever happens. Dropping or
+        retyping existing columns is still rejected (that would be a
+        silent data loss / corruption path, not evolution)."""
         snap = self.snapshot()
+        evolve: list[dict] = []
+        if merge_schema:
+            have = {f.name: f.dataType for f in snap.schema.fields}
+            for f in df.schema.fields:
+                if f.name in have and have[f.name] != f.dataType:
+                    raise SchemaMismatchError(
+                        f"cannot retype column {f.name!r}: "
+                        f"{have[f.name]} -> {f.dataType}"
+                    )
+            missing_in_df = [
+                f.name for f in snap.schema.fields
+                if f.name not in {g.name for g in df.schema.fields}
+            ]
+            if missing_in_df:
+                raise SchemaMismatchError(
+                    f"append is missing table columns {missing_in_df}"
+                )
+            new_cols = [
+                f for f in df.schema.fields
+                if f.name not in have
+            ]
+            if new_cols:
+                widened = T.StructType(
+                    list(snap.schema.fields)
+                    + [T.StructField(f.name, f.dataType, True) for f in new_cols]
+                )
+                evolve.append(
+                    {
+                        "metaData": {
+                            "schemaJson": json.dumps(widened.jsonValue()),
+                            "statsColumns": snap.stats_columns,
+                        }
+                    }
+                )
+                snap.schema = widened
+            # align column order to the (possibly widened) table schema
+            df = df.select(*[f.name for f in snap.schema.fields])
         self._check_schema(df, snap.schema)
         adds = self._write_files(df, snap.stats_columns)
         for _ in range(_retries):
             v = self.latest_version() + 1
-            if self._try_commit(v, adds + [_commit_info("APPEND", v)]):
+            if self._try_commit(v, evolve + adds + [_commit_info("APPEND", v)]):
                 self._maybe_checkpoint(v)
                 return v
         raise ConcurrentWriteError(f"APPEND lost {_retries} version races at {self.path}")
+
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` AS A NEW COMMIT (the
+        audit-friendly undo: history is preserved, time travel still
+        sees the bad commits, and no data file is touched — the
+        restore commit just re-points the live set)."""
+        target = self.snapshot(version)
+        cur = self.snapshot()
+        v = cur.version + 1
+        actions: list[dict] = [
+            {
+                "metaData": {
+                    "schemaJson": json.dumps(target.schema.jsonValue()),
+                    "statsColumns": target.stats_columns,
+                }
+            }
+        ]
+        actions += [
+            {"remove": {"path": p}} for p in cur.files if p not in target.files
+        ]
+        actions += [
+            {"add": {"path": p, "numRecords": m.get("numRecords"),
+                     "stats": m.get("stats", {})}}
+            for p, m in target.files.items()
+            if p not in cur.files
+        ]
+        actions.append(_commit_info("RESTORE", v))
+        if not self._try_commit(v, actions):
+            raise ConcurrentWriteError(f"RESTORE conflicted at {self.path}")
+        self._maybe_checkpoint(v)
+        return v
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the whole table content in one commit."""

@@ -326,3 +326,53 @@ def test_change_feed_insert_update_delete_and_optimize_silence(spark, tmp_path):
     assert {r["k"] for r in net.filter(F.col("_change_type") == "insert").collect()} == set(
         range(100, 120)
     ) - deleted
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    p = str(tmp_path / "t14")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10).coalesce(1))
+    wide = spark.range(10, 20).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("long").alias("v"),
+        (F.col("id") % 3).cast("long").alias("extra"),
+    )
+    with pytest.raises(SchemaMismatchError):
+        t.append(wide)  # strict mode still rejects
+    t.append(wide, merge_schema=True)
+    got = t.read()
+    assert [f.name for f in got.schema.fields] == ["k", "v", "extra"]
+    # old files read back with NULL extra; new rows carry values
+    assert got.filter(F.col("extra").isNull()).count() == 10
+    assert got.filter(F.col("extra").isNotNull()).count() == 10
+    # dropping a table column is NOT evolution
+    with pytest.raises(SchemaMismatchError):
+        t.append(_mk(spark, 0, 1), merge_schema=True)
+    # neither is retyping
+    bad = spark.range(1).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("long").alias("v"),
+        F.lit("s").alias("extra"),
+    )
+    with pytest.raises(SchemaMismatchError):
+        t.append(bad, merge_schema=True)
+    # time travel renders the PRE-evolution schema
+    assert [f.name for f in t.read(version=0).schema.fields] == ["k", "v"]
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    p = str(tmp_path / "t15")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10).coalesce(1))
+    t.append(_mk(spark, 10, 20).coalesce(1))
+    good = t.latest_version()
+    t.delete(F.col("k") >= 0)  # catastrophic delete
+    assert t.read().count() == 0
+    v = t.restore(good)
+    assert v == good + 2
+    assert _rows(t.read()) == _rows(_mk(spark, 0, 20))
+    ops = [h["operation"] for h in t.history()]
+    assert ops[-1] == "RESTORE" and "DELETE" in ops  # history preserved
+    # the bad version is still time-travelable
+    assert t.read(version=good + 1).count() == 0
+    # vacuum keeps the restored files alive
+    t.vacuum()
+    assert t.read().count() == 20
