@@ -635,6 +635,17 @@ def main() -> None:
             "globally sorts and no Python touches the hot path",
         ),
         (
+            "merge_suite",
+            "MERGE spellings stay JVM-side; txtable read is a plain scan",
+            lambda p: "EvalPython" not in p
+            and re.search(r"(LeftAnti|Anti)", p)
+            and "Scan parquet" in p,
+            "the DataFrame merge compiles to anti join + union and the "
+            "transactional table's snapshot read is an ordinary pruned "
+            "parquet scan over the log's live files — the commit "
+            "protocol adds zero read-path operators",
+        ),
+        (
             "audio_decode_wav",
             "WAV decode is ONE Arrow crossing, map-side",
             lambda p: count_ops(p, "MapInPandas") == 1
