@@ -645,19 +645,32 @@ class TxTable:
         post = upd.select(*keys, "__n.*", F.lit("update_postimage").alias("_change_type"))
         return ins.unionByName(del_).unionByName(pre).unionByName(post)
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Remove data files invisible to EVERY retained version:
         orphans from crashed writes and files removed by some commit.
         (Time travel to old versions keeps working only for files still
         referenced by any version's snapshot — this minimal vacuum
-        retains those.)"""
+        retains those.)
+
+        ``min_age_seconds`` is the concurrent-writer guard (the same
+        role as Delta's retention window): an in-flight commit moves
+        its data files into the table root BEFORE publishing the log
+        entry, so a freshly written unreferenced file may be a commit
+        about to happen, not garbage. Only files older than the window
+        are deleted; pass 0 only when no writer can be active."""
         referenced: set[str] = set()
         for v in self._versions():
             referenced |= set(self.snapshot(v).files)
+        cutoff = time.time() - min_age_seconds
         gone = []
         for name in os.listdir(self.path):
-            if name.endswith(".parquet") and name not in referenced:
-                os.unlink(os.path.join(self.path, name))
+            full = os.path.join(self.path, name)
+            if (
+                name.endswith(".parquet")
+                and name not in referenced
+                and os.path.getmtime(full) <= cutoff
+            ):
+                os.unlink(full)
                 gone.append(name)
         return sorted(gone)
 

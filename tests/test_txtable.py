@@ -174,7 +174,8 @@ def test_crashed_write_is_invisible_and_vacuumed(spark, tmp_path):
     )
     os.replace(os.path.join(str(tmp_path / "o"), part), orphan)
     assert t.read().count() == n_before  # reader never sees it
-    gone = t.vacuum()
+    assert t.vacuum() == []  # retention window protects fresh files
+    gone = t.vacuum(min_age_seconds=0)
     assert "deadbeef.parquet" in gone
     assert not os.path.exists(orphan)
     # live files survive vacuum

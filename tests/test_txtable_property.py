@@ -80,6 +80,6 @@ def test_random_commit_sequences_match_model(spark, tmp_path, seed):
     for v, st in states.items():
         assert _table_rows(t, version=v) == set(st.items()), f"version {v}"
     # vacuum removes only unreferenced files: all versions still exact
-    t.vacuum()
+    t.vacuum(min_age_seconds=0)
     for v, st in states.items():
         assert _table_rows(t, version=v) == set(st.items()), f"post-vacuum v{v}"
