@@ -188,9 +188,17 @@ class TxTable:
             snap.txns = dict(state.get("txns", {}))
             snap.version = cps[-1]
             start = cps[-1] + 1
+        have = set(vs)
         for v in range(start, target + 1):
-            if v in vs:
-                self._apply_commit(snap, v)
+            if v not in have:
+                # a replay gap means the reconstruction would be WRONG,
+                # not merely incomplete — e.g. time travel below the
+                # oldest checkpoint after pre-checkpoint log cleanup
+                raise ValueError(
+                    f"cannot reconstruct version {target}: commit {v} is "
+                    f"missing from the log (cleaned below a checkpoint?)"
+                )
+            self._apply_commit(snap, v)
         return snap
 
     def history(self) -> list[dict]:

@@ -197,6 +197,10 @@ def test_checkpoint_bounds_log_replay(spark, tmp_path):
     for v in range(cps[-1]):
         os.unlink(os.path.join(log, f"{v:020d}.json"))
     assert TxTable(spark, p).read().count() == total
+    # time travel BELOW the checkpoint now has a log gap: loud error,
+    # never a silently wrong snapshot
+    with pytest.raises(ValueError, match="does not exist|missing from the log"):
+        TxTable(spark, p).read(version=cps[-1] - 1)
 
 
 def test_optimize_compacts_and_clusters(spark, tmp_path):
