@@ -350,7 +350,10 @@ def cms_heavy_hitters(
     # structurally, and what is cached is the vocab-sized (value,
     # count) table, not corpus rows (MEMORY_AND_DISK: spills, never
     # recomputes). Audited in tools/explain_audit.py via the
-    # InMemoryTableScan pair.
+    # InMemoryTableScan pair. The pin is session-lifetime by design
+    # (the registry builds one plan per session; callers looping over
+    # MANY corpora in one session should unpersist between inputs) —
+    # and what is pinned is the vocab-sized table, never corpus rows.
     counts = counts.persist()
 
     probes = [

@@ -116,7 +116,10 @@ def decode_wav(data: bytes) -> dict:
 _FILL = 42
 
 
-@lru_cache(maxsize=65536)
+# Bounded fixture memo: keys are FULL texts, so a large cache
+# retains the corpus in every reused Python worker — 1024 entries
+# (~MBs) captures the repeat-run benefit without that.
+@lru_cache(maxsize=1024)
 def fixture_wav_bytes(text: bytes) -> bytes:
     nb = len(text)
     rate = 8000 * (nb % 3 + 1)

@@ -419,6 +419,16 @@ def _encode_scan(zz: np.ndarray, comp: np.ndarray, tables: list) -> bytes:
 _LUMA_T = _code_arrays(_DC_CODES, 16) + _code_arrays(_AC_CODES, 256)
 
 
+def _dqt_bytes(q: np.ndarray) -> bytes:
+    """Zigzag-serialize an 8-bit quant table for DQT, validating the
+    range — astype(uint8) alone would silently WRAP values >255 (the
+    bytes() spelling it replaced raised), corrupting every decode."""
+    flat = q.reshape(64)
+    if (flat < 1).any() or (flat > 255).any():
+        raise ValueError("8-bit DQT entries must be in 1..255")
+    return flat[ZIGZAG].astype(np.uint8).tobytes()
+
+
 def _segment(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
@@ -451,7 +461,7 @@ def encode_jpeg_gray(
         zz_seq, np.zeros(bh * bw, dtype=np.int64), [_LUMA_T]
     )
 
-    qzz = q.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    qzz = _dqt_bytes(q)
     out = bytearray(b"\xff\xd8")  # SOI
     out += _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _segment(0xFFDB, b"\x00" + qzz)  # DQT, table 0, 8-bit
@@ -779,7 +789,7 @@ def encode_jpeg_color(
     scan = _encode_scan(zz_seq, comp_seq, [_LUMA_T, _CHROMA_T, _CHROMA_T])
 
     def qtab(tid: int, q: np.ndarray) -> bytes:
-        return bytes([tid]) + q.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+        return bytes([tid]) + _dqt_bytes(q)
 
     out = bytearray(b"\xff\xd8")
     out += _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")

@@ -394,7 +394,10 @@ FIXTURE_TIMESCALE = 1000
 _FILL = 77
 
 
-@lru_cache(maxsize=65536)
+# Bounded fixture memo: keys are FULL texts, so a large cache
+# retains the corpus in every reused Python worker — 1024 entries
+# (~MBs) captures the repeat-run benefit without that.
+@lru_cache(maxsize=1024)
 def fixture_mp4_bytes(text: bytes) -> bytes:
     nb = len(text)
     n_frames = nb % 7 + 1

@@ -1094,7 +1094,10 @@ DECODE_JPEG_SCHEMA = T.StructType(
 )
 
 
-@lru_cache(maxsize=65536)
+# Bounded fixture memo: keys are FULL texts, so a large cache
+# retains the corpus in every reused Python worker — 1024 entries
+# (~MBs) captures the repeat-run benefit without that.
+@lru_cache(maxsize=1024)
 def _jpeg_fixture_bytes(data: bytes) -> bytes:
     """Deterministic flat-block JPEG: w = n%16+1, h = n%12+1, block
     (bi, bj) holds byte[(bj·bw + bi) mod n] (128 for empty text)."""
@@ -1346,7 +1349,10 @@ DECODE_JPEG_COLOR_SCHEMA = T.StructType(
 )
 
 
-@lru_cache(maxsize=65536)
+# Bounded fixture memo: keys are FULL texts, so a large cache
+# retains the corpus in every reused Python worker — 1024 entries
+# (~MBs) captures the repeat-run benefit without that.
+@lru_cache(maxsize=1024)
 def _jpeg_color_fixture_bytes(data: bytes) -> bytes:
     """Deterministic 4:2:0 color fixture: w = n%33+1, h = n%20+1 (up to
     3×2 MCUs), luma block (bx, by) = byte[(by·bw + bx) mod n], chroma

@@ -14,7 +14,9 @@ session, so repeated executions measure the snapshot READ path.)
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,14 +30,14 @@ _ORACLE = """
 WITH n AS (SELECT COUNT(*) AS n FROM events),
 base AS (
   SELECT event_id, event_type, value FROM events, n
-  WHERE event_id < CAST(0.8 * n.n AS BIGINT)
+  WHERE event_id < CAST(FLOOR(0.8 * n.n) AS BIGINT)
 ),
 chg AS (
   SELECT event_id, event_type, value * 2 AS value,
          CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op
   FROM events, n
-  WHERE event_id >= CAST(0.7 * n.n AS BIGINT)
-    AND event_id < CAST(0.9 * n.n AS BIGINT)
+  WHERE event_id >= CAST(FLOOR(0.7 * n.n) AS BIGINT)
+    AND event_id < CAST(FLOOR(0.9 * n.n) AS BIGINT)
 ),
 merged AS (
   SELECT b.event_id, b.event_type, b.value
@@ -60,9 +62,11 @@ def q_txtable_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(0.7 * n),
         int(0.9 * n),
     )
-    path = os.path.join(
-        tempfile.mkdtemp(prefix="txtable_"), "events_table"
-    )
+    scratch = tempfile.mkdtemp(prefix="txtable_")
+    # the registry caches the returned DataFrame for the session, so
+    # the files must outlive this call — reclaim them at exit instead
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = os.path.join(scratch, "events_table")
     t = TxTable.create(
         spark,
         path,

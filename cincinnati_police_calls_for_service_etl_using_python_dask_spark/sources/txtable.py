@@ -412,9 +412,22 @@ class TxTable:
             df = df.select(*[f.name for f in snap.schema.fields])
         self._check_schema(df, snap.schema)
         adds = self._write_files(df, snap.stats_columns)
+        if evolve:
+            # a schema-evolving append is READ-MODIFY-WRITE: its
+            # metaData action was computed against this snapshot, and
+            # rebasing it over a concurrent commit could republish a
+            # STALE schema (silently reverting another writer's
+            # evolution) — so conflict means raise, like OVERWRITE.
+            v = snap.version + 1
+            if self._try_commit(v, evolve + adds + [_commit_info("APPEND", v)]):
+                self._maybe_checkpoint(v)
+                return v
+            raise ConcurrentWriteError(
+                f"schema-evolving APPEND conflicted at {self.path}"
+            )
         for _ in range(_retries):
             v = self.latest_version() + 1
-            if self._try_commit(v, evolve + adds + [_commit_info("APPEND", v)]):
+            if self._try_commit(v, adds + [_commit_info("APPEND", v)]):
                 self._maybe_checkpoint(v)
                 return v
         raise ConcurrentWriteError(f"APPEND lost {_retries} version races at {self.path}")
@@ -634,7 +647,26 @@ class TxTable:
         added = sorted(set(s1.files) - set(s0.files))
         old = self._read_snapshot(s0, removed)
         new = self._read_snapshot(s1, added)
-        vals = [f.name for f in s1.schema.fields if f.name not in keys]
+        # the window may SPAN a schema evolution (or a restore across
+        # one): align both sides to the union of the two schemas,
+        # NULL-filling the columns a side predates — a row whose only
+        # difference is an evolved-in NULL column still cancels.
+        union_fields: list[T.StructField] = list(s1.schema.fields)
+        have = {f.name for f in union_fields}
+        union_fields += [f for f in s0.schema.fields if f.name not in have]
+
+        def _align(df: DataFrame) -> DataFrame:
+            present = {f.name for f in df.schema.fields}
+            return df.select(
+                *[
+                    F.col(f.name) if f.name in present
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in union_fields
+                ]
+            )
+
+        old, new = _align(old), _align(new)
+        vals = [f.name for f in union_fields if f.name not in keys]
         olds = old.select(*keys, F.struct(*vals).alias("__o"))
         news = new.select(*keys, F.struct(*vals).alias("__n"))
         j = olds.join(news, keys, "full_outer")
@@ -665,10 +697,23 @@ class TxTable:
         its data files into the table root BEFORE publishing the log
         entry, so a freshly written unreferenced file may be a commit
         about to happen, not garbage. Only files older than the window
-        are deleted; pass 0 only when no writer can be active."""
+        are deleted; pass 0 only when no writer can be active.
+
+        The referenced set is the union of every add-action and
+        checkpoint file list EVER written — scanned directly from the
+        raw log rather than via snapshot reconstruction, so a log gap
+        that makes some old version irreconstructible can only make
+        vacuum retain MORE, never delete a referenced file or raise."""
         referenced: set[str] = set()
         for v in self._versions():
-            referenced |= set(self.snapshot(v).files)
+            with open(_version_path(self.log, v)) as f:
+                for line in f:
+                    action = json.loads(line)
+                    if "add" in action:
+                        referenced.add(action["add"]["path"])
+        for c in self._checkpoints():
+            with open(_checkpoint_path(self.log, c)) as f:
+                referenced |= set(json.load(f)["files"])
         cutoff = time.time() - min_age_seconds
         gone = []
         for name in os.listdir(self.path):

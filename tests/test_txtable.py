@@ -381,3 +381,58 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     # vacuum keeps the restored files alive
     t.vacuum()
     assert t.read().count() == 20
+
+
+def test_schema_evolving_append_conflict_raises(spark, tmp_path):
+    """A schema-evolving append is read-modify-write: losing the
+    version race must RAISE, not rebase — a rebased stale metaData
+    action would silently revert a concurrent writer's evolution."""
+    p = str(tmp_path / "t16")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10))
+    wide = spark.range(10, 12).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("long").alias("v"),
+        F.lit(1).cast("long").alias("extra"),
+    )
+    orig = TxTable._write_files
+    fired = {"done": False}
+
+    def racing(self, df, stats):
+        adds = orig(self, df, stats)
+        if not fired["done"]:
+            fired["done"] = True
+            TxTable(spark, p).append(_mk(spark, 50, 55))
+        return adds
+
+    TxTable._write_files = racing
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            t.append(wide, merge_schema=True)
+    finally:
+        TxTable._write_files = orig
+    # the competitor's commit survives; no stale schema was published
+    assert [f.name for f in TxTable(spark, p).read().schema.fields] == ["k", "v"]
+    assert TxTable(spark, p).read().count() == 15
+
+
+def test_change_feed_spans_schema_evolution(spark, tmp_path):
+    """A CDC window that crosses an additive evolution aligns both
+    sides to the union schema (NULL-filled) instead of failing to
+    resolve the new column against pre-evolution files."""
+    p = str(tmp_path / "t17")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10).coalesce(1))
+    v0 = t.latest_version()
+    wide = spark.range(10, 15).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("long").alias("v"),
+        (F.col("id") * 100).cast("long").alias("extra"),
+    )
+    t.append(wide, merge_schema=True)
+    t.delete(F.col("k") < 3)  # rewrites a pre-evolution file
+    feed = t.change_feed("k", v0)
+    rows = {(r["k"], r["_change_type"]): r for r in feed.collect()}
+    assert {(k, c) for k, c in rows} == {(k, "delete") for k in range(3)} | {
+        (k, "insert") for k in range(10, 15)
+    }
+    assert rows[(0, "delete")]["extra"] is None  # pre-evolution row
+    assert rows[(10, "insert")]["extra"] == 1000
