@@ -23,9 +23,23 @@ Layout::
 Commit actions (one JSON object per line):
 
 - ``{"metaData": {"schemaJson": ..., "statsColumns": [...]}}``
-- ``{"add": {"path", "numRecords", "stats": {col: [min, max]}}}``
+- ``{"add": {"path", "numRecords", "stats": {col: [min, max]},
+  "dv": <sidecar>, "dvRows": n}}`` (``dv`` optional — a
+  deletion-vector sidecar masking ``dvRows`` physical positions)
 - ``{"remove": {"path"}}``
 - ``{"commitInfo": {"operation", "version", "timestamp"}}``
+
+DELETION VECTORS (merge-on-read): at production scale a DELETE
+matching 0.1% of rows would rewrite terabytes under copy-on-write —
+every touched file, for a handful of rows each. ``delete(...,
+strategy="mor")`` instead records the PHYSICAL POSITIONS of deleted
+rows (parquet ``_metadata.row_index``) in a tiny ``*.dv.parquet``
+sidecar and re-points the affected add-actions at it; no data file is
+rewritten. Readers apply the mask with one broadcast anti-join on
+(file, position). DVs stack (a later MOR delete unions positions into
+a fresh sidecar), COW/OPTIMIZE rewrites purge them, and
+``strategy="auto"`` picks MOR only when the deleted fraction of the
+affected files is small — the regime where MOR wins.
 
 ATOMICITY & CONCURRENCY: a commit is prepared as a hidden temp file
 and PUBLISHED with ``os.link(tmp, <version>.json)`` — hard-linking is
@@ -92,7 +106,9 @@ class Snapshot:
     version: int
     schema: T.StructType
     stats_columns: list[str]
-    # path -> {"numRecords": int, "stats": {col: [min, max]}}
+    # path -> {"numRecords": int, "stats": {col: [min, max]},
+    #          "dv": sidecar|absent, "dvRows": int}
+    # numRecords stays PHYSICAL; live rows = numRecords - dvRows.
     files: dict[str, dict] = field(default_factory=dict)
     # streaming writer app_id -> last committed epoch (the Delta `txn`
     # action): exactly-once idempotence survives checkpoint compaction
@@ -153,10 +169,14 @@ class TxTable:
                     snap.stats_columns = list(md.get("statsColumns", []))
                 elif "add" in action:
                     a = action["add"]
-                    snap.files[a["path"]] = {
+                    meta = {
                         "numRecords": a.get("numRecords"),
                         "stats": a.get("stats", {}),
                     }
+                    if a.get("dv"):
+                        meta["dv"] = a["dv"]
+                        meta["dvRows"] = a.get("dvRows", 0)
+                    snap.files[a["path"]] = meta
                 elif "remove" in action:
                     snap.files.pop(action["remove"]["path"], None)
                 elif "txn" in action:
@@ -337,9 +357,82 @@ class TxTable:
         use = paths if paths is not None else list(snap.files)
         if not use:
             return self.spark.createDataFrame([], snap.schema)
+        if any(snap.files.get(p, {}).get("dv") for p in use):
+            # merge-on-read: mask deletion-vector positions
+            return self._read_snapshot_meta(snap, use).drop("__file", "__pos")
         return self.spark.read.schema(snap.schema).parquet(
             *[os.path.join(self.path, p) for p in use]
         )
+
+    def _read_snapshot_meta(self, snap: Snapshot, paths: list[str] | None = None) -> DataFrame:
+        """Snapshot read carrying ``__file`` (data-file basename) and
+        ``__pos`` (physical row position, parquet ``_metadata.
+        row_index``), with deletion vectors already applied — the
+        common basis for the MOR read path and DELETE/MERGE file
+        pruning. Position columns come from the scan's metadata
+        struct, so they are exact regardless of later joins/filters.
+
+        Scale: the DV mask is ONE broadcast anti-join on (file, pos) —
+        sidecars are tiny relative to data (positions only), and files
+        without a DV pass through the join untouched."""
+        use = paths if paths is not None else list(snap.files)
+        meta_schema = T.StructType(
+            list(snap.schema.fields)
+            + [
+                T.StructField("__file", T.StringType(), True),
+                T.StructField("__pos", T.LongType(), True),
+            ]
+        )
+        if not use:
+            return self.spark.createDataFrame([], meta_schema)
+        df = self.spark.read.schema(snap.schema).parquet(
+            *[os.path.join(self.path, p) for p in use]
+        ).select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        by_sidecar: dict[str, list[str]] = {}
+        for p in use:
+            dv = snap.files.get(p, {}).get("dv")
+            if dv:
+                by_sidecar.setdefault(dv, []).append(p)
+        if not by_sidecar:
+            return df
+        # a sidecar may hold positions for files since re-pointed at a
+        # NEWER sidecar (stacked deletes) — filter each read to the
+        # files that still reference it
+        parts = []
+        for sidecar, files_for in sorted(by_sidecar.items()):
+            parts.append(
+                self.spark.read.parquet(os.path.join(self.path, sidecar))
+                .filter(F.col("file").isin(files_for))
+            )
+        dvdf = parts[0]
+        for d in parts[1:]:
+            dvdf = dvdf.unionByName(d)
+        dvdf = dvdf.withColumnsRenamed({"file": "__file", "pos": "__pos"})
+        return df.join(F.broadcast(dvdf), ["__file", "__pos"], "left_anti")
+
+    def _write_dv(self, dvdf: DataFrame) -> str:
+        """Write a deletion-vector sidecar (``file`` STRING basename,
+        ``pos`` BIGINT physical position) as one parquet file in the
+        table root; returns its basename. Executor-side write — the
+        positions never transit the driver."""
+        staging = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
+        dvdf.select(
+            F.col("file").cast("string"), F.col("pos").cast("long")
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        name = f"{uuid.uuid4().hex}.dv.parquet"
+        for part in os.listdir(staging):
+            if part.endswith(".parquet"):
+                os.replace(os.path.join(staging, part), os.path.join(self.path, name))
+            else:
+                os.unlink(os.path.join(staging, part))
+        os.rmdir(staging)
+        return name
 
     def read_pruned(self, column: str, lower, upper, version: int | None = None) -> DataFrame:
         """Zone-map file skipping: read only files whose [min, max]
@@ -448,14 +541,24 @@ class TxTable:
                 }
             }
         ]
-        actions += [
-            {"remove": {"path": p}} for p in cur.files if p not in target.files
+        # entry identity includes the deletion vector: a file present
+        # in both versions but pointing at a different (or no) sidecar
+        # must be re-pointed, not skipped
+        changed = [
+            p
+            for p in target.files
+            if p in cur.files
+            and cur.files[p].get("dv") != target.files[p].get("dv")
         ]
         actions += [
-            {"add": {"path": p, "numRecords": m.get("numRecords"),
-                     "stats": m.get("stats", {})}}
+            {"remove": {"path": p}}
+            for p in list(cur.files)
+            if p not in target.files or p in changed
+        ]
+        actions += [
+            _add_action(p, m)
             for p, m in target.files.items()
-            if p not in cur.files
+            if p not in cur.files or p in changed
         ]
         actions.append(_commit_info("RESTORE", v))
         if not self._try_commit(v, actions):
@@ -476,32 +579,100 @@ class TxTable:
         self._maybe_checkpoint(v)
         return v
 
-    def delete(self, predicate) -> int:
-        """Copy-on-write DELETE with file pruning: only files that
-        CONTAIN matching rows are rewritten; untouched files survive
-        the commit byte-identical (asserted in tests)."""
+    def delete(
+        self,
+        predicate,
+        strategy: str = "cow",
+        mor_threshold: float = 0.2,
+    ) -> int:
+        """DELETE rows where ``predicate`` is TRUE (rows evaluating
+        NULL are KEPT — SQL DELETE semantics; a bare ``~predicate``
+        would silently drop them).
+
+        ``strategy``:
+
+        - ``"cow"`` — copy-on-write with file pruning: only files that
+          CONTAIN matching rows are rewritten; untouched files survive
+          the commit byte-identical (asserted in tests).
+        - ``"mor"`` — merge-on-read: no data file is rewritten; the
+          matching rows' physical positions go to a deletion-vector
+          sidecar and the affected files are re-pointed at it. The
+          scale path for sparse deletes — a 0.1% delete on a 100 TB
+          table writes kilobytes instead of rewriting every touched
+          file.
+        - ``"auto"`` — MOR when matches are ≤ ``mor_threshold`` of
+          the affected files' physical rows (sparse: rewrite amplification
+          would dominate), else COW (dense: masking most of a file
+          just defers the rewrite to every future read)."""
+        if strategy not in ("cow", "mor", "auto"):
+            raise ValueError(f"unknown DELETE strategy {strategy!r}")
         snap = self.snapshot()
-        cur = self._read_snapshot(snap).withColumn("__f", F.input_file_name())
-        affected = {
-            os.path.basename(r["__f"])
-            for r in cur.filter(predicate).select("__f").distinct().collect()
-        }
-        if not affected:
-            return snap.version  # no-op: nothing matched
-        # SQL DELETE semantics: remove rows where the predicate is
-        # TRUE; rows evaluating NULL are KEPT (bare ~predicate would
-        # silently drop them).
-        keep_rows = self._read_snapshot(snap, sorted(affected)).filter(
-            ~F.coalesce(predicate, F.lit(False))
-        )
-        adds = self._write_files(keep_rows, snap.stats_columns)
-        v = snap.version + 1
-        actions = [{"remove": {"path": p}} for p in sorted(affected)]
-        actions += adds + [_commit_info("DELETE", v)]
-        if not self._try_commit(v, actions):
-            raise ConcurrentWriteError(f"DELETE conflicted at {self.path}")
-        self._maybe_checkpoint(v)
-        return v
+        live = self._read_snapshot_meta(snap)
+        hits = live.filter(predicate).select("__file", "__pos").persist()
+        try:
+            per_file = {
+                r["__file"]: r["__n"]
+                for r in hits.groupBy("__file")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()
+            }
+            if not per_file:
+                return snap.version  # no-op: nothing matched
+            affected = sorted(per_file)
+            if strategy == "auto":
+                phys = sum(
+                    snap.files[p].get("numRecords") or 0 for p in affected
+                )
+                frac_ok = phys and sum(per_file.values()) <= mor_threshold * phys
+                strategy = "mor" if frac_ok else "cow"
+            v = snap.version + 1
+            if strategy == "mor":
+                newdv = hits.select(
+                    F.col("__file").alias("file"), F.col("__pos").alias("pos")
+                )
+                # stack: fold the affected files' EXISTING dv positions
+                # into the new sidecar so each file references exactly one
+                restack: dict[str, list[str]] = {}
+                for p in affected:
+                    old = snap.files[p].get("dv")
+                    if old:
+                        restack.setdefault(old, []).append(p)
+                for sidecar, files_for in sorted(restack.items()):
+                    newdv = newdv.unionByName(
+                        self.spark.read.parquet(
+                            os.path.join(self.path, sidecar)
+                        ).filter(F.col("file").isin(files_for))
+                    )
+                sidecar = self._write_dv(newdv)
+                actions = []
+                for p in affected:
+                    m = snap.files[p]
+                    actions.append({"remove": {"path": p}})
+                    actions.append(
+                        _add_action(
+                            p,
+                            m,
+                            dv=sidecar,
+                            dv_rows=per_file[p] + m.get("dvRows", 0),
+                        )
+                    )
+            else:
+                # re-open ONLY the affected files (real file pruning —
+                # filtering the full scan on __file would read the
+                # whole table), DV-masked so a prior MOR delete's rows
+                # stay gone through the rewrite
+                keep_rows = self._read_snapshot_meta(snap, affected).filter(
+                    ~F.coalesce(predicate, F.lit(False))
+                ).drop("__file", "__pos")
+                adds = self._write_files(keep_rows, snap.stats_columns)
+                actions = [{"remove": {"path": p}} for p in affected] + adds
+            actions.append(_commit_info("DELETE", v))
+            if not self._try_commit(v, actions):
+                raise ConcurrentWriteError(f"DELETE conflicted at {self.path}")
+            self._maybe_checkpoint(v)
+            return v
+        finally:
+            hits.unpersist()
 
     def merge(
         self,
@@ -522,11 +693,14 @@ class TxTable:
         keys = [key] if isinstance(key, str) else list(key)
         snap = self.snapshot()
         self._check_schema(source.drop(op_col), snap.schema)
-        cur = self._read_snapshot(snap).withColumn("__f", F.input_file_name())
+        # meta view: __file comes from the scan's metadata struct and
+        # deletion vectors are already masked, so a DV'd row can
+        # neither pin its file into the rewrite nor resurrect below
+        cur = self._read_snapshot_meta(snap)
         affected = {
-            os.path.basename(r["__f"])
+            r["__file"]
             for r in cur.join(source.select(*keys).distinct(), keys, "left_semi")
-            .select("__f")
+            .select("__file")
             .distinct()
             .collect()
         }
@@ -558,7 +732,10 @@ class TxTable:
         snap = self.snapshot()
         if not snap.files:
             return snap.version
-        total = sum(m.get("numRecords") or 0 for m in snap.files.values())
+        total = sum(
+            (m.get("numRecords") or 0) - m.get("dvRows", 0)
+            for m in snap.files.values()
+        )
         n_out = max(1, -(-total // target_file_rows))
         df = self._read_snapshot(snap)
         if sort_by:
@@ -643,8 +820,20 @@ class TxTable:
         keys = [key] if isinstance(key, str) else list(key)
         s0 = self.snapshot(v_from)
         s1 = self.snapshot(self.latest_version() if v_to is None else v_to)
-        removed = sorted(set(s0.files) - set(s1.files))
-        added = sorted(set(s1.files) - set(s0.files))
+        # file identity includes its deletion vector: a MOR delete
+        # re-points a file's sidecar without moving data, and those
+        # masked rows must surface as `delete` events (both sides are
+        # read through _read_snapshot, which applies each snapshot's
+        # own DVs, so the surviving rows cancel in the struct compare)
+        def _differs(a: dict, b: dict | None) -> bool:
+            return b is None or a.get("dv") != b.get("dv")
+
+        removed = sorted(
+            p for p, m in s0.files.items() if _differs(m, s1.files.get(p))
+        )
+        added = sorted(
+            p for p, m in s1.files.items() if _differs(m, s0.files.get(p))
+        )
         old = self._read_snapshot(s0, removed)
         new = self._read_snapshot(s1, added)
         # the window may SPAN a schema evolution (or a restore across
@@ -711,9 +900,15 @@ class TxTable:
                     action = json.loads(line)
                     if "add" in action:
                         referenced.add(action["add"]["path"])
+                        if action["add"].get("dv"):
+                            referenced.add(action["add"]["dv"])
         for c in self._checkpoints():
             with open(_checkpoint_path(self.log, c)) as f:
-                referenced |= set(json.load(f)["files"])
+                files = json.load(f)["files"]
+                referenced |= set(files)
+                referenced |= {
+                    m["dv"] for m in files.values() if m.get("dv")
+                }
         cutoff = time.time() - min_age_seconds
         gone = []
         for name in os.listdir(self.path):
@@ -726,6 +921,25 @@ class TxTable:
                 os.unlink(full)
                 gone.append(name)
         return sorted(gone)
+
+
+def _add_action(path: str, meta: dict, dv: str | None = None,
+                dv_rows: int | None = None) -> dict:
+    """Build an add-action from a snapshot file entry, optionally
+    re-pointing its deletion vector (``dv=None`` keeps the entry's
+    own, if any)."""
+    a = {
+        "path": path,
+        "numRecords": meta.get("numRecords"),
+        "stats": meta.get("stats", {}),
+    }
+    if dv is not None:
+        a["dv"] = dv
+        a["dvRows"] = dv_rows or 0
+    elif meta.get("dv"):
+        a["dv"] = meta["dv"]
+        a["dvRows"] = meta.get("dvRows", 0)
+    return {"add": a}
 
 
 def _commit_info(op: str, version: int) -> dict:

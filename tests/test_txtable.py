@@ -436,3 +436,127 @@ def test_change_feed_spans_schema_evolution(spark, tmp_path):
     }
     assert rows[(0, "delete")]["extra"] is None  # pre-evolution row
     assert rows[(10, "insert")]["extra"] == 1000
+
+
+# ----------------------------------------------------------------------
+# deletion vectors (merge-on-read DELETE)
+# ----------------------------------------------------------------------
+
+
+def _data_files(t):
+    return {p for p in t.snapshot().files}
+
+
+def test_mor_delete_writes_no_data_files(spark, tmp_path):
+    """strategy='mor' masks positions in a sidecar: the data-file set
+    is unchanged (no rewrite), reads exclude the masked rows, and time
+    travel to the pre-delete version still sees them."""
+    p = str(tmp_path / "t18")
+    t = TxTable.create(spark, p, _mk(spark, 0, 100).coalesce(1))
+    t.append(_mk(spark, 100, 200).coalesce(1))
+    before = _data_files(t)
+    v0 = t.latest_version()
+    t.delete((F.col("k") % 10 == 0) & (F.col("k") < 100), strategy="mor")
+    assert _data_files(t) == before  # no data file rewritten
+    sidecars = [n for n in os.listdir(p) if n.endswith(".dv.parquet")]
+    assert len(sidecars) == 1
+    expect = [k for k in range(200) if not (k % 10 == 0 and k < 100)]
+    assert _rows(t.read()) == sorted((k, k) for k in expect)
+    assert t.read(version=v0).count() == 200  # time travel unaffected
+    # only the file holding k<100 carries the DV
+    snap = t.snapshot()
+    dv_meta = [m for m in snap.files.values() if m.get("dv")]
+    assert len(dv_meta) == 1 and dv_meta[0]["dvRows"] == 10
+
+
+def test_mor_delete_stacks_and_cow_purges(spark, tmp_path):
+    """A second MOR delete on the same file unions the old positions
+    into a fresh sidecar; a later COW delete rewrites the file with
+    all masked rows gone for good."""
+    p = str(tmp_path / "t19")
+    t = TxTable.create(spark, p, _mk(spark, 0, 100).coalesce(1))
+    t.delete(F.col("k") < 10, strategy="mor")
+    first_dv = next(m["dv"] for m in t.snapshot().files.values() if m.get("dv"))
+    t.delete(F.col("k") >= 90, strategy="mor")
+    snap = t.snapshot()
+    meta = next(iter(snap.files.values()))
+    assert meta["dv"] != first_dv  # re-pointed at the stacked sidecar
+    assert meta["dvRows"] == 20
+    assert _rows(t.read()) == sorted((k, k) for k in range(10, 90))
+    # COW rewrite must not resurrect the masked rows
+    t.delete(F.col("k") % 2 == 0, strategy="cow")
+    snap = t.snapshot()
+    assert not any(m.get("dv") for m in snap.files.values())
+    assert _rows(t.read()) == sorted((k, k) for k in range(10, 90) if k % 2)
+
+
+def test_mor_auto_strategy_picks_by_density(spark, tmp_path):
+    """auto = MOR for sparse deletes (<= threshold of affected files'
+    physical rows), COW for dense ones."""
+    p = str(tmp_path / "t20")
+    t = TxTable.create(spark, p, _mk(spark, 0, 1000).coalesce(1))
+    before = _data_files(t)
+    t.delete(F.col("k") < 5, strategy="auto")  # 0.5% -> MOR
+    assert _data_files(t) == before
+    assert any(m.get("dv") for m in t.snapshot().files.values())
+    t.delete(F.col("k") < 900, strategy="auto")  # ~90% -> COW
+    snap = t.snapshot()
+    assert _data_files(t) != before
+    assert not any(m.get("dv") for m in snap.files.values())
+    assert _rows(t.read()) == sorted((k, k) for k in range(900, 1000))
+
+
+def test_merge_on_dv_file_does_not_resurrect(spark, tmp_path):
+    """MERGE against a DV'd file: the masked rows stay deleted through
+    the copy-on-write rewrite, upserts/deletes apply on the live view."""
+    p = str(tmp_path / "t21")
+    t = TxTable.create(spark, p, _mk(spark, 0, 50).coalesce(1))
+    t.delete(F.col("k") < 5, strategy="mor")
+    src = spark.createDataFrame(
+        [(2, 222, "U"), (10, 111, "U"), (20, None, "D")],
+        "k long, v long, op string",
+    )
+    t.merge(src, "k")
+    got = dict(_rows(t.read()))
+    assert 20 not in got and got[10] == 111
+    assert got[2] == 222          # re-inserting a masked key is an upsert
+    assert all(k not in got for k in (0, 1, 3, 4))  # still deleted
+    assert not any(m.get("dv") for m in t.snapshot().files.values())
+
+
+def test_change_feed_and_restore_across_mor_delete(spark, tmp_path):
+    """A DV re-point is a file-identity change: the feed emits exactly
+    the masked rows as deletes, and RESTORE to the pre-delete version
+    un-points the sidecar (rows come back, history preserved)."""
+    p = str(tmp_path / "t22")
+    t = TxTable.create(spark, p, _mk(spark, 0, 30).coalesce(1))
+    v0 = t.latest_version()
+    t.delete(F.col("k").isin(3, 7), strategy="mor")
+    feed = t.change_feed("k", v0)
+    assert {(r["k"], r["_change_type"]) for r in feed.collect()} == {
+        (3, "delete"),
+        (7, "delete"),
+    }
+    t.restore(v0)
+    assert t.read().count() == 30
+    assert not any(m.get("dv") for m in t.snapshot().files.values())
+    # and restoring FORWARD onto the DV version re-points the sidecar
+    t.restore(v0 + 1)
+    assert _rows(t.read()) == sorted((k, k) for k in range(30) if k not in (3, 7))
+
+
+def test_optimize_purges_dvs_and_vacuum_retains_sidecars(spark, tmp_path):
+    """OPTIMIZE compacts the LIVE view (DVs drop out of the new files);
+    vacuum never deletes a sidecar still referenced by a retained
+    version, so time travel through the DV era keeps working."""
+    p = str(tmp_path / "t23")
+    t = TxTable.create(spark, p, _mk(spark, 0, 100).coalesce(1))
+    t.delete(F.col("k") < 20, strategy="mor")
+    v_dv = t.latest_version()
+    t.optimize(target_file_rows=1000)
+    snap = t.snapshot()
+    assert not any(m.get("dv") for m in snap.files.values())
+    assert t.read().count() == 80
+    t.vacuum(min_age_seconds=0)
+    assert [n for n in os.listdir(p) if n.endswith(".dv.parquet")]
+    assert t.read(version=v_dv).count() == 80  # DV era still readable

@@ -53,7 +53,12 @@ def test_random_commit_sequences_match_model(spark, tmp_path, seed):
             model.update(rows)
         elif op == "delete":
             cut = rng.randrange(0, 5000)
-            t.delete(F.col("k") < cut)
+            # all three strategies must be row-equivalent (mor masks
+            # positions in a sidecar; cow rewrites; auto picks)
+            t.delete(
+                F.col("k") < cut,
+                strategy=rng.choice(["cow", "mor", "auto"]),
+            )
             model = {k: v for k, v in model.items() if not k < cut}
         elif op == "merge":
             keys = rng.sample(sorted(model) or [0], min(5, len(model))) if model else []

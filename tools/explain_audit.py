@@ -636,14 +636,18 @@ def main() -> None:
         ),
         (
             "merge_suite",
-            "MERGE spellings stay JVM-side; txtable read is a plain scan",
+            "MERGE anti join AND the deletion-vector mask both "
+            "broadcast; txtable read stays a plain parquet scan",
             lambda p: "EvalPython" not in p
-            and re.search(r"(LeftAnti|Anti)", p)
+            and len(re.findall(r"BroadcastHashJoin LeftAnti", p)) == 2
+            and "SortMergeJoin" not in p
             and "Scan parquet" in p,
-            "the DataFrame merge compiles to anti join + union and the "
+            "the DataFrame merge compiles to anti join + union; the "
             "transactional table's snapshot read is an ordinary pruned "
-            "parquet scan over the log's live files — the commit "
-            "protocol adds zero read-path operators",
+            "parquet scan plus ONE broadcast anti-join applying the "
+            "MOR deletion vector (position sidecars are tiny relative "
+            "to data, so the mask must never become a shuffled join) — "
+            "the commit protocol adds zero other read-path operators",
         ),
         (
             "audio_decode_wav",
