@@ -43,6 +43,9 @@ _UNBENCHABLE = {
     "bpe_train_merges",
     "streaming_daily_counts",
     "streaming_watermark_dedup",
+    # Round 6: txtable streaming-source pipeline — drain at
+    # construction, same shape.
+    "txstream_events_pipeline",
     # Round 4: the gated streaming family has the same
     # drain-at-construction shape as its members.
     "streaming_suite",

@@ -180,6 +180,9 @@ _suite(
     [
         ("daily_counts", "streaming_daily_counts"),
         ("watermark_dedup", "streaming_watermark_dedup"),
+        # r6: the table-format streaming SOURCE → exactly-once sink
+        # loop (sources/txstream.py), gated through the same slot
+        ("txstream_pipeline", "txstream_events_pipeline"),
     ],
 )
 

@@ -4,7 +4,10 @@ driver's full cross-engine oracle.
 The callable runs a complete lakehouse lifecycle at construction —
 CREATE from the first 60% of events, APPEND the next 20%, MERGE a
 change set (values doubled, every 7th key deleted) over the 70-90%
-band, DELETE a predicate slice — and returns the final snapshot read.
+band, DELETE a predicate slice copy-on-write, then DELETE a sparse
+slice merge-on-read (deletion-vector sidecar, no file rewrite) — and
+returns the final snapshot read, whose plan therefore carries the DV
+broadcast anti-join mask (audited in PLANS.md).
 The DuckDB oracle replays the same algebra in pure SQL over the raw
 events table, so every commit/replay/rewrite path in the format is
 value-hash-gated, not just unit-tested. (Construction writes to a
@@ -47,6 +50,7 @@ merged AS (
 )
 SELECT event_id, event_type, value FROM merged
 WHERE NOT COALESCE(event_type = 'click' AND value < 5.0, FALSE)
+  AND NOT COALESCE(event_id % 13 = 0 AND event_type = 'view', FALSE)
 """
 
 
@@ -84,4 +88,62 @@ def q_txtable_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge(src, "event_id")
     t.delete((F.col("event_type") == "click") & (F.col("value") < 5.0))
+    # sparse slice via merge-on-read: the final read exercises the
+    # deletion-vector mask (broadcast anti-join on file/position)
+    t.delete(
+        (F.col("event_id") % 13 == 0) & (F.col("event_type") == "view"),
+        strategy="mor",
+    )
     return t.read()
+
+
+_STREAM_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS sum_ids
+FROM events
+"""
+
+
+@register("txstream_events_pipeline", _STREAM_ORACLE + "GROUP BY event_type")
+def q_txstream_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table→table incremental pipeline under the full oracle: events
+    land in table A over two append commits, the txtable_stream SOURCE
+    (sources/txstream.py: versions-as-offsets, one Arrow-read partition
+    per added file) drains them through a projection into table B via
+    the format's exactly-once epoch sink, and the result is B's
+    snapshot aggregated per event_type. The oracle is the same
+    aggregate over the raw events table — so source offsets, partition
+    planning, executor-side pyarrow reads, AND the sink's txn
+    idempotence are all value-hash-gated. (Drain happens at
+    construction; registered bench-unbenchable like the streaming
+    family.)"""
+    from .sources.txstream import TxTableStreamSource
+
+    spark.dataSource.register(TxTableStreamSource)
+    events = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    scratch = tempfile.mkdtemp(prefix="txstream_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    a = TxTable.create(
+        spark,
+        os.path.join(scratch, "a"),
+        events.filter(F.col("event_id") % 2 == 0),
+    )
+    a.append(events.filter(F.col("event_id") % 2 != 0))
+    b = TxTable.create(
+        spark,
+        os.path.join(scratch, "b"),
+        spark.createDataFrame([], "event_id long, event_type string"),
+    )
+    stream = spark.readStream.format("txtable_stream").load(a.path)
+    b.write_stream(
+        stream.select("event_id", "event_type"),
+        os.path.join(scratch, "ckpt"),
+        app_id="gate_pipeline",
+    )
+    return b.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_ids"),
+    )
