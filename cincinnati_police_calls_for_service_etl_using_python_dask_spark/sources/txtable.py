@@ -389,8 +389,9 @@ class TxTable:
             *[os.path.join(self.path, p) for p in use]
         ).select(
             "*",
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
+            # substring_index, not split: no per-row array allocation
+            F.substring_index(
+                F.col("_metadata.file_path"), "/", -1
             ).alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
         )
