@@ -106,6 +106,10 @@ class Snapshot:
     version: int
     schema: T.StructType
     stats_columns: list[str]
+    # {"columns": [...], "nWords": int, "k": int} or {} — per-file
+    # Bloom filters for equality skipping on high-cardinality columns
+    # (zone maps only skip when the column is range-clustered)
+    bloom_spec: dict = field(default_factory=dict)
     # path -> {"numRecords": int, "stats": {col: [min, max]},
     #          "dv": sidecar|absent, "dvRows": int}
     # numRecords stays PHYSICAL; live rows = numRecords - dvRows.
@@ -167,6 +171,7 @@ class TxTable:
                         json.loads(md["schemaJson"])
                     )
                     snap.stats_columns = list(md.get("statsColumns", []))
+                    snap.bloom_spec = dict(md.get("bloomSpec", {}))
                 elif "add" in action:
                     a = action["add"]
                     meta = {
@@ -176,6 +181,8 @@ class TxTable:
                     if a.get("dv"):
                         meta["dv"] = a["dv"]
                         meta["dvRows"] = a.get("dvRows", 0)
+                    if a.get("bloom"):
+                        meta["bloom"] = a["bloom"]
                     snap.files[a["path"]] = meta
                 elif "remove" in action:
                     snap.files.pop(action["remove"]["path"], None)
@@ -204,6 +211,7 @@ class TxTable:
                 state = json.load(f)
             snap.schema = T.StructType.fromJson(json.loads(state["schemaJson"]))
             snap.stats_columns = list(state.get("statsColumns", []))
+            snap.bloom_spec = dict(state.get("bloomSpec", {}))
             snap.files = dict(state["files"])
             snap.txns = dict(state.get("txns", {}))
             snap.version = cps[-1]
@@ -256,6 +264,7 @@ class TxTable:
             state = {
                 "schemaJson": json.dumps(snap.schema.jsonValue()),
                 "statsColumns": snap.stats_columns,
+                "bloomSpec": snap.bloom_spec,
                 "files": snap.files,
                 "txns": snap.txns,
             }
@@ -268,11 +277,19 @@ class TxTable:
     # data-file plumbing
     # ------------------------------------------------------------------
 
-    def _write_files(self, df: DataFrame, stats_columns: list[str]) -> list[dict]:
+    def _write_files(
+        self,
+        df: DataFrame,
+        stats_columns: list[str],
+        bloom_spec: dict | None = None,
+    ) -> list[dict]:
         """Write ``df`` as new immutable parquet files in the table
         root and return their add-actions. Stats (numRecords + min/max
         zone maps) come from ONE pass over the new files grouped by
-        ``input_file_name`` — no per-file jobs."""
+        ``input_file_name`` — no per-file jobs. When the table carries
+        a ``bloom_spec``, one ADDITIONAL map-combined pass packs
+        per-file Bloom bitmaps for the spec'd columns (all columns in
+        the same job)."""
         staging = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         moved = []
@@ -294,6 +311,9 @@ class TxTable:
             back.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
         )
         by_file = {os.path.basename(r["__f"]): r for r in rows}
+        blooms = (
+            self._bloom_words(back, bloom_spec) if bloom_spec else {}
+        )
         adds = []
         for m in moved:
             r = by_file.get(m)
@@ -303,10 +323,65 @@ class TxTable:
             stats = {
                 c: [r[f"__min_{c}"], r[f"__max_{c}"]] for c in stats_columns
             }
-            adds.append(
-                {"add": {"path": m, "numRecords": r["__n"], "stats": stats}}
-            )
+            a = {"path": m, "numRecords": r["__n"], "stats": stats}
+            if m in blooms:
+                a["bloom"] = blooms[m]
+            adds.append({"add": a})
         return adds
+
+    def _bloom_words(
+        self, back: DataFrame, spec: dict
+    ) -> dict[str, dict[str, list[int]]]:
+        """Per-file Bloom bitmaps for every spec'd column, built in
+        ONE distributed job: k Kirsch-Mitzenmacher positions per value
+        (pmod-exact, 32-bit words so every packed word stays a
+        positive long), ``bit_or`` packs words map-side, and the
+        driver receives only (file, column, word_idx, word) rows —
+        nWords longs per file per column, never data rows. Returns
+        {file_basename: {column: [nWords ints]}}."""
+        cols, n_words, k = spec["columns"], spec["nWords"], spec["k"]
+        m = n_words * 32
+        parts = []
+        for c in cols:
+            h = F.xxhash64(F.col(c))
+            h1 = F.pmod(h, F.lit(m))
+            h2 = F.pmod(F.shiftright(h, 28), F.lit(1 << 28)) * 2 + 1
+            parts.append(
+                back.filter(F.col(c).isNotNull()).select(
+                    F.input_file_name().alias("__f"),
+                    F.lit(c).alias("__c"),
+                    F.explode(
+                        F.array(
+                            *[
+                                F.pmod(h1 + F.lit(j) * h2, F.lit(m))
+                                for j in range(k)
+                            ]
+                        )
+                    ).alias("__p"),
+                )
+            )
+        allpos = parts[0]
+        for d in parts[1:]:
+            allpos = allpos.unionByName(d)
+        packed = (
+            allpos.select(
+                "__f",
+                "__c",
+                F.floor(F.col("__p") / 32).cast("int").alias("__w"),
+                # 2^bit is exact in a double (single mantissa bit) and
+                # <= 2^31, so the cast back to long is exact
+                F.pow(F.lit(2.0), F.col("__p") % 32).cast("long").alias("__bit"),
+            )
+            .groupBy("__f", "__c", "__w")
+            .agg(F.bit_or("__bit").alias("__word"))
+        )
+        out: dict[str, dict[str, list[int]]] = {}
+        for r in packed.collect():
+            f = os.path.basename(r["__f"])
+            out.setdefault(f, {}).setdefault(r["__c"], [0] * n_words)[
+                r["__w"]
+            ] = r["__word"]
+        return out
 
     def _check_schema(self, df: DataFrame, schema: T.StructType) -> None:
         got = [(f.name, f.dataType) for f in df.schema.fields]
@@ -326,30 +401,68 @@ class TxTable:
         path: str,
         df: DataFrame,
         stats_columns: list[str] | None = None,
+        bloom_columns: list[str] | None = None,
+        bloom_n_words: int = 256,
+        bloom_k: int = 3,
     ) -> "TxTable":
         """Create a table at ``path`` from ``df`` (commit 0). Fails if
-        a table already exists there."""
+        a table already exists there.
+
+        ``bloom_columns`` enables per-file BLOOM FILTERS for equality
+        skipping: zone maps only skip point lookups when the column is
+        range-clustered, so a lookup on a high-cardinality unclustered
+        key (doc id, user id) reads every file. With a bloom, every
+        write packs an (nWords x 32)-bit filter per file per column
+        into the add-action and :meth:`read_point` opens only files
+        whose filter claims the value — no false negatives, fp-rate
+        tunable via ``bloom_n_words`` (bits per distinct value ≈
+        nWords*32 / distinct-per-file)."""
         t = TxTable(spark, path)
         if t.exists():
             raise FileExistsError(f"transactional table already exists at {path}")
         os.makedirs(path, exist_ok=True)
         stats_columns = list(stats_columns or [])
-        actions = [
+        bloom_spec = (
             {
-                "metaData": {
-                    "schemaJson": json.dumps(df.schema.jsonValue()),
-                    "statsColumns": stats_columns,
-                }
+                "columns": list(bloom_columns),
+                "nWords": int(bloom_n_words),
+                "k": int(bloom_k),
             }
-        ]
-        actions += t._write_files(df, stats_columns)
+            if bloom_columns
+            else {}
+        )
+        actions = [_metadata_action(df.schema, stats_columns, bloom_spec)]
+        actions += t._write_files(df, stats_columns, bloom_spec)
         actions.append(_commit_info("CREATE", 0))
         if not t._try_commit(0, actions):
             raise ConcurrentWriteError(f"concurrent CREATE at {path}")
         return t
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (optionally time-traveled to ``version``)."""
+    def version_as_of(self, timestamp_ms: int) -> int:
+        """Latest version whose commit timestamp is <= ``timestamp_ms``
+        (epoch milliseconds) — the TIMESTAMP AS OF resolution rule.
+        Driver-side walk of commitInfo entries only."""
+        best = None
+        for h in self.history():
+            if h["timestamp"] <= timestamp_ms:
+                best = h["version"]
+        if best is None:
+            raise ValueError(
+                f"no commit at or before {timestamp_ms} at {self.path}"
+            )
+        return best
+
+    def read(
+        self,
+        version: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read, optionally time-traveled to ``version`` or to
+        the latest commit at/before ``as_of_timestamp_ms``."""
+        if version is not None and as_of_timestamp_ms is not None:
+            raise ValueError("pass version OR as_of_timestamp_ms, not both")
+        if as_of_timestamp_ms is not None:
+            version = self.version_as_of(as_of_timestamp_ms)
         snap = self.snapshot(version)
         return self._read_snapshot(snap)
 
@@ -456,6 +569,61 @@ class TxTable:
         df = self._read_snapshot(snap, keep)
         return df.filter((F.col(column) >= lower) & (F.col(column) <= upper))
 
+    def bloom_keep_files(
+        self, column: str, value, version: int | None = None
+    ) -> list[str]:
+        """Files whose Bloom filter may contain ``value`` (plus any
+        file without a filter — e.g. written before the spec; a bloom
+        can only ever skip, never drop). Exposed for tests/audits;
+        :meth:`read_point` is the query surface."""
+        snap = self.snapshot(version)
+        spec = snap.bloom_spec
+        if column not in spec.get("columns", []):
+            raise ValueError(
+                f"{column!r} carries no bloom filters "
+                f"(have {spec.get('columns', [])})"
+            )
+        if value is None:
+            raise ValueError("bloom skipping cannot probe NULL")
+        # hash EXACTLY as the build did: xxhash64 of the column's own
+        # type, evaluated by Spark itself (constant-folded, no job)
+        sql_type = next(
+            f.dataType.simpleString()
+            for f in snap.schema.fields
+            if f.name == column
+        )
+        h = self.spark.sql(
+            f"SELECT xxhash64(CAST(? AS {sql_type}))", args=[value]
+        ).first()[0]
+        n_words, k = spec["nWords"], spec["k"]
+        m = n_words * 32
+        # Python % / >> on signed ints match Spark's pmod / shiftright
+        h1 = h % m
+        h2 = ((h >> 28) % (1 << 28)) * 2 + 1
+        pos = [(h1 + j * h2) % m for j in range(k)]
+        keep = []
+        for p, meta in snap.files.items():
+            words = (meta.get("bloom") or {}).get(column)
+            if words is None or all(
+                words[q // 32] >> (q % 32) & 1 for q in pos
+            ):
+                keep.append(p)
+        return sorted(keep)
+
+    def read_point(self, column: str, value, version: int | None = None) -> DataFrame:
+        """Equality lookup with Bloom file skipping: open only the
+        files whose per-file filter claims ``value`` (no false
+        negatives; false positives just read an extra file), with the
+        exact ``column == value`` filter applied on top. The point-
+        lookup complement to :meth:`read_pruned` — zone maps skip
+        RANGES on clustered columns, blooms skip EQUALITY on
+        high-cardinality columns in any layout. At the 100 TB design
+        point this is the difference between opening a handful of
+        files and scanning the table for one id."""
+        snap = self.snapshot(version)
+        keep = self.bloom_keep_files(column, value, version)
+        return self._read_snapshot(snap, keep).filter(F.col(column) == value)
+
     def append(self, df: DataFrame, merge_schema: bool = False, _retries: int = 5) -> int:
         """ACID append; blind appends rebase-and-retry on conflict.
 
@@ -494,18 +662,15 @@ class TxTable:
                     + [T.StructField(f.name, f.dataType, True) for f in new_cols]
                 )
                 evolve.append(
-                    {
-                        "metaData": {
-                            "schemaJson": json.dumps(widened.jsonValue()),
-                            "statsColumns": snap.stats_columns,
-                        }
-                    }
+                    _metadata_action(
+                        widened, snap.stats_columns, snap.bloom_spec
+                    )
                 )
                 snap.schema = widened
             # align column order to the (possibly widened) table schema
             df = df.select(*[f.name for f in snap.schema.fields])
         self._check_schema(df, snap.schema)
-        adds = self._write_files(df, snap.stats_columns)
+        adds = self._write_files(df, snap.stats_columns, snap.bloom_spec)
         if evolve:
             # a schema-evolving append is READ-MODIFY-WRITE: its
             # metaData action was computed against this snapshot, and
@@ -535,12 +700,9 @@ class TxTable:
         cur = self.snapshot()
         v = cur.version + 1
         actions: list[dict] = [
-            {
-                "metaData": {
-                    "schemaJson": json.dumps(target.schema.jsonValue()),
-                    "statsColumns": target.stats_columns,
-                }
-            }
+            _metadata_action(
+                target.schema, target.stats_columns, target.bloom_spec
+            )
         ]
         # entry identity includes the deletion vector: a file present
         # in both versions but pointing at a different (or no) sidecar
@@ -571,7 +733,7 @@ class TxTable:
         """Replace the whole table content in one commit."""
         snap = self.snapshot()
         self._check_schema(df, snap.schema)
-        adds = self._write_files(df, snap.stats_columns)
+        adds = self._write_files(df, snap.stats_columns, snap.bloom_spec)
         v = snap.version + 1
         actions = [{"remove": {"path": p}} for p in snap.files]
         actions += adds + [_commit_info("OVERWRITE", v)]
@@ -665,7 +827,9 @@ class TxTable:
                 keep_rows = self._read_snapshot_meta(snap, affected).filter(
                     ~F.coalesce(predicate, F.lit(False))
                 ).drop("__file", "__pos")
-                adds = self._write_files(keep_rows, snap.stats_columns)
+                adds = self._write_files(
+                    keep_rows, snap.stats_columns, snap.bloom_spec
+                )
                 actions = [{"remove": {"path": p}} for p in affected] + adds
             actions.append(_commit_info("DELETE", v))
             if not self._try_commit(v, actions):
@@ -707,7 +871,7 @@ class TxTable:
         }
         base = self._read_snapshot(snap, sorted(affected))
         merged = merge_changes(base, source, keys, op_col=op_col, delete_op=delete_op)
-        adds = self._write_files(merged, snap.stats_columns)
+        adds = self._write_files(merged, snap.stats_columns, snap.bloom_spec)
         v = snap.version + 1
         actions = [{"remove": {"path": p}} for p in sorted(affected)]
         actions += adds + [_commit_info("MERGE", v)]
@@ -720,16 +884,32 @@ class TxTable:
         self,
         target_file_rows: int = 1_000_000,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 8,
     ) -> int:
         """Compact the table's live files into ~``target_file_rows``
         files (the lakehouse small-file OPTIMIZE), optionally
-        range-clustering by ``sort_by`` so each output file owns a
-        DISJOINT key range — which turns the zone maps into a real
-        partition-pruning structure (``read_pruned`` then touches
-        one file per range). Pure file-level rewrite: row set is
-        unchanged, committed as remove-all + add-new, and time travel
-        to pre-OPTIMIZE versions still reads the old files (until
-        vacuum)."""
+        clustering so the zone maps become a real pruning structure:
+
+        - ``sort_by``: RANGE clustering — each output file owns a
+          disjoint key range, so ``read_pruned`` on the FIRST sort key
+          touches one file per range (later keys stay scattered).
+        - ``zorder_by``: Z-ORDER (Morton) clustering — each column is
+          bucketed into 2^``zorder_bits`` approx-quantile ranks (one
+          driver-side quantile probe per column; the per-row bucketing
+          is a codegen ``width_bucket``, no window/sort), the bucket
+          bits are INTERLEAVED into one long, and files are range-
+          clustered on that. Every z-ordered column's zone maps then
+          shrink together, so ``read_pruned`` prunes on ANY of them —
+          the multi-dimensional layout range clustering can't give.
+          At 100 TB this turns "point-ish lookups on 2-3 dimensions"
+          from full scans into a handful of file opens.
+
+        Pure file-level rewrite: row set is unchanged, committed as
+        remove-all + add-new, and time travel to pre-OPTIMIZE versions
+        still reads the old files (until vacuum)."""
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by OR zorder_by, not both")
         snap = self.snapshot()
         if not snap.files:
             return snap.version
@@ -739,13 +919,21 @@ class TxTable:
         )
         n_out = max(1, -(-total // target_file_rows))
         df = self._read_snapshot(snap)
-        if sort_by:
+        if zorder_by:
+            z = self._zorder_key(df, zorder_by, zorder_bits)
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by:
             df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
                 *sort_by
             )
         else:
             df = df.coalesce(n_out)
-        adds = self._write_files(df, snap.stats_columns)
+        adds = self._write_files(df, snap.stats_columns, snap.bloom_spec)
         v = snap.version + 1
         actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
         actions += adds + [_commit_info("OPTIMIZE", v)]
@@ -753,6 +941,51 @@ class TxTable:
             raise ConcurrentWriteError(f"OPTIMIZE conflicted at {self.path}")
         self._maybe_checkpoint(v)
         return v
+
+    def _zorder_key(
+        self, df: DataFrame, cols: list[str], bits: int
+    ):
+        """Morton key column for ``cols``: each column is bucketed into
+        2^bits approx-quantile ranks and the rank bits interleave into
+        one long. Quantile boundaries come from ONE driver-side
+        ``approxQuantile`` probe over all columns; the per-row bucket
+        is a BALANCED WHEN-tree (log2(2^bits) comparisons per row,
+        whole-stage codegen — no window, no sort, no higher-order
+        array functions), so the only exchange in a z-order OPTIMIZE
+        is the final repartitionByRange itself. Quantile ranks, not
+        raw values: equi-width bucketing collapses under skew, ranks
+        stay balanced by construction."""
+        n_buckets = 1 << bits
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        try:
+            bounds = df.stat.approxQuantile(cols, probs, 1.0 / n_buckets)
+        except Exception as e:  # noqa: BLE001 — surface the contract
+            raise ValueError(
+                f"zorder_by requires numeric columns (approxQuantile "
+                f"failed for {cols}): {e}"
+            ) from e
+
+        def bucket(c: str, bs: list[float]):
+            def search(lo: int, hi: int):
+                if lo == hi:
+                    return F.lit(lo)
+                mid = (lo + hi) // 2
+                return F.when(
+                    F.col(c) <= F.lit(bs[mid]), search(lo, mid)
+                ).otherwise(search(mid + 1, hi))
+
+            return search(0, n_buckets - 1)
+
+        ncols = len(cols)
+        z = None
+        for i, (c, bs) in enumerate(zip(cols, bounds)):
+            b = bucket(c, bs).cast("long")
+            for j in range(bits):
+                term = F.shiftleft(
+                    F.shiftright(b, j).bitwiseAND(F.lit(1)), j * ncols + i
+                )
+                z = term if z is None else z + term
+        return z.cast("long")
 
     # ------------------------------------------------------------------
     # streaming sink (exactly-once)
@@ -771,7 +1004,7 @@ class TxTable:
         if epoch <= snap.txns.get(app_id, -1):
             return False
         self._check_schema(df, snap.schema)
-        adds = self._write_files(df, snap.stats_columns)
+        adds = self._write_files(df, snap.stats_columns, snap.bloom_spec)
         txn = {"txn": {"appId": app_id, "epoch": epoch}}
         for _ in range(_retries):
             cur = self.snapshot()
@@ -924,6 +1157,18 @@ class TxTable:
         return sorted(gone)
 
 
+def _metadata_action(
+    schema: T.StructType, stats_columns: list[str], bloom_spec: dict
+) -> dict:
+    md = {
+        "schemaJson": json.dumps(schema.jsonValue()),
+        "statsColumns": stats_columns,
+    }
+    if bloom_spec:
+        md["bloomSpec"] = bloom_spec
+    return {"metaData": md}
+
+
 def _add_action(path: str, meta: dict, dv: str | None = None,
                 dv_rows: int | None = None) -> dict:
     """Build an add-action from a snapshot file entry, optionally
@@ -940,6 +1185,8 @@ def _add_action(path: str, meta: dict, dv: str | None = None,
     elif meta.get("dv"):
         a["dv"] = meta["dv"]
         a["dvRows"] = meta.get("dvRows", 0)
+    if meta.get("bloom"):
+        a["bloom"] = meta["bloom"]
     return {"add": a}
 
 

@@ -147,8 +147,8 @@ def test_concurrent_append_rebase_and_conflicts(spark, tmp_path):
     orig = TxTable._write_files
     fired = {"done": False}
 
-    def racing(self, df, stats):
-        adds = orig(self, df, stats)
+    def racing(self, df, stats, bloom_spec=None):
+        adds = orig(self, df, stats, bloom_spec)
         if not fired["done"]:
             fired["done"] = True
             TxTable(spark, p).append(_mk(spark, 30, 35))
@@ -397,8 +397,8 @@ def test_schema_evolving_append_conflict_raises(spark, tmp_path):
     orig = TxTable._write_files
     fired = {"done": False}
 
-    def racing(self, df, stats):
-        adds = orig(self, df, stats)
+    def racing(self, df, stats, bloom_spec=None):
+        adds = orig(self, df, stats, bloom_spec)
         if not fired["done"]:
             fired["done"] = True
             TxTable(spark, p).append(_mk(spark, 50, 55))
@@ -560,3 +560,134 @@ def test_optimize_purges_dvs_and_vacuum_retains_sidecars(spark, tmp_path):
     t.vacuum(min_age_seconds=0)
     assert [n for n in os.listdir(p) if n.endswith(".dv.parquet")]
     assert t.read(version=v_dv).count() == 80  # DV era still readable
+
+
+# ----------------------------------------------------------------------
+# bloom-filter file skipping (point lookups)
+# ----------------------------------------------------------------------
+
+
+def test_bloom_point_lookup_skips_files(spark, tmp_path):
+    """Per-file blooms: a point lookup opens only the file(s) whose
+    filter claims the value; misses open (almost) nothing; results
+    are exact because the equality filter applies on top."""
+    p = str(tmp_path / "t24")
+    t = TxTable.create(
+        spark, p, _mk(spark, 0, 100).coalesce(1), bloom_columns=["k"]
+    )
+    for lo in (100, 200, 300):
+        t.append(_mk(spark, lo, lo + 100).coalesce(1))
+    snap = t.snapshot()
+    assert len(snap.files) == 4
+    assert all(len(m["bloom"]["k"]) == 256 for m in snap.files.values())
+    keep = t.bloom_keep_files("k", 250)
+    assert len(keep) == 1  # deterministic for this data
+    assert [(r["k"], r["v"]) for r in t.read_point("k", 250).collect()] == [
+        (250, 250)
+    ]
+    # absent key: bloom says no file holds it
+    assert t.bloom_keep_files("k", 987_654) == []
+    assert t.read_point("k", 987_654).count() == 0
+    with pytest.raises(ValueError):
+        t.bloom_keep_files("v", 1)
+    with pytest.raises(ValueError):
+        t.bloom_keep_files("k", None)
+
+
+def test_bloom_string_column_and_rewrite_survival(spark, tmp_path):
+    """Blooms on a string key (negative xxhash64 values exercise the
+    signed pmod parity); COW rewrites recompute them, RESTORE carries
+    them, and NULL values are simply absent from the filter."""
+    p = str(tmp_path / "t25")
+    df1 = spark.createDataFrame(
+        [("alpha", 1), ("beta", 2), (None, 3)], "name string, v long"
+    ).coalesce(1)
+    df2 = spark.createDataFrame(
+        [("gamma", 4), ("delta", 5)], "name string, v long"
+    ).coalesce(1)
+    t = TxTable.create(spark, p, df1, bloom_columns=["name"])
+    t.append(df2)
+    assert len(t.bloom_keep_files("name", "delta")) == 1
+    assert t.read_point("name", "delta").collect()[0]["v"] == 5
+    assert t.read_point("name", "nope").count() == 0
+    v0 = t.latest_version()
+    # COW delete rewrites file 1 — its new file gets a fresh bloom
+    t.delete(F.col("v") == 1, strategy="cow")
+    assert t.read_point("name", "beta").collect()[0]["v"] == 2
+    assert t.read_point("name", "alpha").count() == 0
+    t.restore(v0)
+    assert t.read_point("name", "alpha").collect()[0]["v"] == 1
+    # schema evolution preserves the spec
+    wide = spark.createDataFrame(
+        [("eps", 6, 60)], "name string, v long, extra long"
+    )
+    t.append(wide, merge_schema=True)
+    assert t.read_point("name", "eps").collect()[0]["extra"] == 60
+
+
+def test_zorder_optimize_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering makes zone maps selective on EVERY z-ordered
+    column: after OPTIMIZE(zorder_by=[k, h]) a narrow range probe on k
+    AND one on h each skip most files, while plain range clustering on
+    k leaves h probes reading everything."""
+    p_z = str(tmp_path / "tz")
+    p_r = str(tmp_path / "tr")
+    # two near-independent dimensions: k sequential, h a multiplicative
+    # scramble of k
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2654435761 % 4096).alias("h"),
+    )
+    tz = TxTable.create(spark, p_z, df, stats_columns=["k", "h"])
+    tr = TxTable.create(spark, p_r, df, stats_columns=["k", "h"])
+    tz.optimize(target_file_rows=256, zorder_by=["k", "h"], zorder_bits=4)
+    tr.optimize(target_file_rows=256, sort_by=["k"])
+    n_z = len(tz.snapshot().files)
+    n_r = len(tr.snapshot().files)
+    assert n_z == 16 and n_r == 16
+
+    def kept(t, col, lo, hi):
+        snap = t.snapshot()
+        n = 0
+        for meta in snap.files.values():
+            mn, mx = meta["stats"][col]
+            if not (mx < lo or mn > hi):
+                n += 1
+        return n
+
+    # range-clustered: perfect on k, useless on h
+    assert kept(tr, "k", 100, 163) <= 2
+    assert kept(tr, "h", 100, 163) == n_r
+    # z-ordered: selective on BOTH (4-bit interleave -> each dimension
+    # splits the file set)
+    assert kept(tz, "k", 100, 163) <= n_z // 2
+    assert kept(tz, "h", 100, 163) <= n_z // 2
+    # correctness: row set unchanged, probes exact
+    assert tz.read().count() == 4096
+    got = sorted(r["k"] for r in tz.read_pruned("h", 100, 163).collect())
+    want = sorted(
+        k for k in range(4096) if 100 <= (k * 2654435761) % 4096 <= 163
+    )
+    assert got == want
+    with pytest.raises(ValueError):
+        tz.optimize(sort_by=["k"], zorder_by=["h"])
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: resolve to the latest commit at/before the
+    given epoch-millis instant."""
+    import time as _time
+
+    p = str(tmp_path / "t26")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10))
+    _time.sleep(0.05)
+    ts_between = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    t.append(_mk(spark, 10, 20))
+    assert t.read(as_of_timestamp_ms=ts_between).count() == 10
+    assert t.read(as_of_timestamp_ms=int(_time.time() * 1000) + 1000).count() == 20
+    assert t.version_as_of(ts_between) == 0
+    with pytest.raises(ValueError):
+        t.version_as_of(ts_between - 10_000_000)
+    with pytest.raises(ValueError):
+        t.read(version=0, as_of_timestamp_ms=ts_between)
