@@ -265,6 +265,8 @@ _suite(
     [
         ("dataframe_merge", "merge_upsert_events"),
         ("txtable_lifecycle", "txtable_merge_events"),
+        # r6: CDC change feed across a deletion-vector re-point
+        ("cdc_feed", "txtable_change_feed_events"),
     ],
 )
 

@@ -76,6 +76,9 @@ def q_txtable_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
         events.filter(F.col("event_id") < c1),
         stats_columns=["event_id"],
+        # per-file equality blooms ride every rewrite below, so the
+        # bloom build/carry paths run under the driver gate too
+        bloom_columns=["event_id"],
     )
     t.append(events.filter((F.col("event_id") >= c1) & (F.col("event_id") < c2)))
     src = events.filter(
@@ -147,3 +150,37 @@ def q_txstream_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("event_id").alias("sum_ids"),
     )
+
+
+_CDC_ORACLE = """
+SELECT event_id, event_type, value,
+       'delete' AS _change_type
+FROM events
+WHERE event_id % 97 = 0
+  AND event_id < CAST(FLOOR(0.5 * (SELECT COUNT(*) FROM events)) AS BIGINT)
+"""
+
+
+@register("txtable_change_feed_events", _CDC_ORACLE)
+def q_txtable_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC read under the full oracle: a table built from the
+    first half of events takes a sparse merge-on-read DELETE, and the
+    change feed between the two versions must be EXACTLY the deleted
+    rows (the DV re-point is a file-identity change; surviving rows in
+    re-pointed files cancel in the feed's full-outer struct compare).
+    The oracle recomputes the deleted slice in pure SQL."""
+    events = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n = events.count()
+    scratch = tempfile.mkdtemp(prefix="txcdc_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    t = TxTable.create(
+        spark,
+        os.path.join(scratch, "t"),
+        events.filter(F.col("event_id") < int(0.5 * n)),
+        stats_columns=["event_id"],
+    )
+    v0 = t.latest_version()
+    t.delete(F.col("event_id") % 97 == 0, strategy="mor")
+    return t.change_feed("event_id", v0)

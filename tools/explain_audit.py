@@ -639,15 +639,17 @@ def main() -> None:
             "MERGE anti join AND the deletion-vector mask both "
             "broadcast; txtable read stays a plain parquet scan",
             lambda p: "EvalPython" not in p
-            and len(re.findall(r"BroadcastHashJoin LeftAnti", p)) == 2
+            and len(re.findall(r"BroadcastHashJoin LeftAnti", p)) >= 2
             and "SortMergeJoin" not in p
             and "Scan parquet" in p,
             "the DataFrame merge compiles to anti join + union; the "
             "transactional table's snapshot read is an ordinary pruned "
             "parquet scan plus ONE broadcast anti-join applying the "
             "MOR deletion vector (position sidecars are tiny relative "
-            "to data, so the mask must never become a shuffled join) — "
-            "the commit protocol adds zero other read-path operators",
+            "to data, so the mask must never become a shuffled join); "
+            "the CDC feed diffs only changed files, so its outer join "
+            "also broadcasts at any sane changed-file size — the "
+            "commit protocol adds zero other read-path operators",
         ),
         (
             "audio_decode_wav",
