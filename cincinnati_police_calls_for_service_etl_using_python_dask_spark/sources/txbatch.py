@@ -1,0 +1,355 @@
+"""Batch DataFrame reader/writer for the transactional table format —
+``spark.read.format("txtable")`` / ``df.write.format("txtable")`` via
+the Python DataSource API, so the format plugs into the engine's
+native I/O surface instead of only its own :class:`TxTable` methods.
+
+READ (``TxTableBatchReader``): the snapshot's live file list becomes
+one ``InputPartition`` per data file, read executor-side with pyarrow
+and returned as Arrow RecordBatches; deletion vectors are applied
+in-partition (the file's masked positions load from its sidecar and
+drop by physical row index — no join needed at all on this path).
+Catalyst pushes filters down (``pushFilters``): equality and range
+predicates PRUNE THE FILE LIST driver-side through the log's zone
+maps and per-file Bloom filters before Spark ever schedules a task —
+the same skipping `read_pruned`/`read_point` give, but driven by the
+optimizer from a plain ``df.filter(...)``. Every filter is also
+returned as remaining so Spark re-applies it row-exactly
+(double-filtering is free; dropped boundary rows are a correctness
+bug). Options: ``path``, ``version`` (time travel).
+
+WRITE (``TxTableBatchWriter``): Spark's two-phase writer protocol IS
+a transactional commit, so it maps 1:1 onto the log — each task
+writes one immutable parquet shard straight into the table root
+(unreferenced until commit — a failed job leaves only vacuum-able
+orphans, exactly like a crashed TxTable writer) and returns the
+shard's add-action payload (numRecords + min/max zone-map stats,
+computed from the Arrow batches IN the task: the writer path needs no
+post-write stats job at all). The driver's ``commit`` publishes one
+log entry from the collected messages: CREATE if the table is new
+(``statsColumns`` option seeds the zone-map spec; the Python
+DataSource API only accepts Append/Overwrite modes, so creation rides
+either), blind-append with rebase-and-retry under ``mode("append")``,
+remove-all + add under ``mode("overwrite")``. ``abort`` unlinks the shards. Writer-path
+files carry no Bloom bitmaps (Spark-side xxhash64 is not replayable
+in a task without a session); the filters simply skip nothing for
+those files until the next OPTIMIZE rewrite — conservative, never
+wrong.
+
+Reference note: the reference persists results by dropping and
+re-uploading a whole collection each run (app.py:957-968); this
+writer is the transactional spelling of that sink on the engine's own
+write API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterable, Iterator, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+
+from .txtable import (
+    ConcurrentWriteError,
+    SchemaMismatchError,
+    TxTable,
+    _commit_info,
+    _metadata_action,
+)
+
+# only types whose min/max survive the JSON log round-trip AND compare
+# cleanly against filter literals on re-read
+_STATS_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType, T.StringType)
+
+
+class _ScanPartition(InputPartition):
+    def __init__(self, file: str, dv: str | None):
+        self.file = file
+        self.dv = dv
+
+
+@dataclass
+class _ShardMessage(WriterCommitMessage):
+    path: str
+    num_records: int
+    stats: dict
+
+
+def _col_name(f: Filter) -> str | None:
+    a = f.attribute
+    if isinstance(a, tuple):
+        return a[0] if len(a) == 1 else None  # no nested-field pruning
+    return a
+
+
+class TxTableBatchReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        opts = {str(k).lower(): v for k, v in options.items()}
+        self.table_path = opts.get("path") or opts.get("tablepath")
+        if not self.table_path:
+            raise ValueError("txtable requires a 'path' option")
+        self.schema = schema
+        version = opts.get("version")
+        t = TxTable(None, self.table_path)
+        self.snap = t.snapshot(int(version) if version is not None else None)
+        self.keep = sorted(self.snap.files)
+
+    # -- predicate pushdown: file skipping via zone maps + blooms ------
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        spark = SparkSession.getActiveSession()
+        t = TxTable(spark, self.table_path)
+        for f in filters:
+            col = _col_name(f)
+            if col is None:
+                continue
+            if isinstance(f, (EqualTo, In)):
+                values = list(f.value) if isinstance(f, In) else [f.value]
+                keep: set[str] = set()
+                for v in values:
+                    if v is None:
+                        continue
+                    cand = set(self._zone_keep(col, v, v))
+                    if (
+                        spark is not None
+                        and col in self.snap.bloom_spec.get("columns", [])
+                    ):
+                        cand &= set(
+                            t.bloom_keep_files(col, v, self.snap.version)
+                        )
+                    keep |= cand
+                self.keep = sorted(set(self.keep) & keep)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                self.keep = sorted(
+                    set(self.keep) & set(self._zone_keep(col, f.value, None))
+                )
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                self.keep = sorted(
+                    set(self.keep) & set(self._zone_keep(col, None, f.value))
+                )
+        # every filter is re-applied by Spark row-exactly: pruning here
+        # is file-granular, never row-granular
+        return list(filters)
+
+    def _zone_keep(self, column: str, lower, upper) -> list[str]:
+        if column not in self.snap.stats_columns:
+            return list(self.snap.files)  # no stats: cannot skip
+        keep = []
+        for p, meta in self.snap.files.items():
+            mn, mx = meta["stats"].get(column, [None, None])
+            if mn is None or mx is None:
+                keep.append(p)
+            elif (upper is None or not (mn > upper)) and (
+                lower is None or not (mx < lower)
+            ):
+                keep.append(p)
+        return keep
+
+    # -- scan ----------------------------------------------------------
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _ScanPartition(
+                os.path.join(self.table_path, p),
+                (
+                    os.path.join(self.table_path, self.snap.files[p]["dv"])
+                    if self.snap.files[p].get("dv")
+                    else None
+                ),
+            )
+            for p in self.keep
+        ]
+
+    def read(self, partition: _ScanPartition) -> Iterator["pa.RecordBatch"]:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        want = to_arrow_schema(self.schema)
+        table = pq.read_table(partition.file)
+        if partition.dv is not None:
+            dv = pq.read_table(
+                partition.dv,
+                filters=[("file", "==", os.path.basename(partition.file))],
+            )
+            pos = dv.column("pos").to_numpy()
+            mask = np.ones(len(table), dtype=bool)
+            mask[pos] = False
+            table = table.filter(pa.array(mask))
+        cols = []
+        for f in want:
+            if f.name in table.column_names:
+                cols.append(table.column(f.name).cast(f.type))
+            else:  # pre-evolution file: NULL-fill like the batch reader
+                cols.append(pa.nulls(len(table), f.type))
+        yield from pa.Table.from_arrays(cols, schema=want).to_batches()
+
+
+class TxTableBatchWriter(DataSourceArrowWriter):
+    def __init__(self, schema: T.StructType, overwrite: bool, options: dict):
+        opts = {str(k).lower(): v for k, v in options.items()}
+        self.table_path = opts.get("path") or opts.get("tablepath")
+        if not self.table_path:
+            raise ValueError("txtable requires a 'path' option")
+        self.schema = schema
+        self.overwrite = overwrite
+        t = TxTable(None, self.table_path)
+        if t.exists():
+            snap = t.snapshot()
+            got = [(f.name, f.dataType) for f in schema.fields]
+            want = [(f.name, f.dataType) for f in snap.schema.fields]
+            if got != want:
+                raise SchemaMismatchError(
+                    f"schema mismatch: table {want} vs incoming {got}"
+                )
+            self.create = False
+            self.stats_columns = snap.stats_columns
+        else:
+            self.create = True
+            self.stats_columns = [
+                c.strip()
+                for c in str(opts.get("statscolumns", "")).split(",")
+                if c.strip()
+            ]
+            os.makedirs(self.table_path, exist_ok=True)
+        # only types whose min/max round-trip through the JSON log
+        valid = {
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, _STATS_TYPES)
+        }
+        self.stats_columns = [c for c in self.stats_columns if c in valid]
+
+    # -- executors -----------------------------------------------------
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> _ShardMessage:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        name = f"{uuid.uuid4().hex}.parquet"
+        full = os.path.join(self.table_path, name)
+        writer = None
+        n = 0
+        lo: dict[str, object] = {}
+        hi: dict[str, object] = {}
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(full, batch.schema)
+                writer.write_batch(batch)
+                n += batch.num_rows
+                for c in self.stats_columns:
+                    mm = pc.min_max(batch.column(c))
+                    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                    if mn is not None and (c not in lo or mn < lo[c]):
+                        lo[c] = mn
+                    if mx is not None and (c not in hi or mx > hi[c]):
+                        hi[c] = mx
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:  # empty task: no shard at all
+            return _ShardMessage(path="", num_records=0, stats={})
+        stats = {
+            c: [lo.get(c), hi.get(c)] for c in self.stats_columns
+        }
+        # dates etc. must survive the JSON log round-trip
+        stats = json.loads(json.dumps(stats, default=str))
+        return _ShardMessage(path=name, num_records=n, stats=stats)
+
+    # -- driver two-phase commit --------------------------------------
+
+    def commit(self, messages) -> None:
+        t = TxTable(None, self.table_path)
+        adds = [
+            {
+                "add": {
+                    "path": m.path,
+                    "numRecords": m.num_records,
+                    "stats": m.stats,
+                }
+            }
+            for m in messages
+            if m is not None and m.path
+        ]
+        if self.create:
+            actions = [_metadata_action(self.schema, self.stats_columns, {})]
+            actions += adds + [_commit_info("CREATE", 0)]
+            if not t._try_commit(0, actions):
+                raise ConcurrentWriteError(
+                    f"concurrent CREATE at {self.table_path}"
+                )
+            return
+        if self.overwrite:
+            snap = t.snapshot()
+            v = snap.version + 1
+            actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
+            actions += adds + [_commit_info("OVERWRITE", v)]
+            if not t._try_commit(v, actions):
+                raise ConcurrentWriteError(
+                    f"OVERWRITE conflicted at {self.table_path}"
+                )
+            t._maybe_checkpoint(v)
+            return
+        for _ in range(5):  # blind append: rebase-and-retry
+            v = t.latest_version() + 1
+            if t._try_commit(v, adds + [_commit_info("APPEND", v)]):
+                t._maybe_checkpoint(v)
+                return
+        raise ConcurrentWriteError(
+            f"APPEND lost 5 version races at {self.table_path}"
+        )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and getattr(m, "path", ""):
+                try:
+                    os.unlink(os.path.join(self.table_path, m.path))
+                except OSError:
+                    pass
+
+
+class TxTableBatchSource(DataSource):
+    """``spark.read.format("txtable")`` / ``df.write.format("txtable")``
+    after ``spark.dataSource.register(TxTableBatchSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txtable"
+
+    def schema(self) -> T.StructType:
+        opts = {str(k).lower(): v for k, v in self.options.items()}
+        path = opts.get("path") or opts.get("tablepath")
+        if not path:
+            raise ValueError("txtable requires a 'path' option")
+        version = opts.get("version")
+        return TxTable(None, path).snapshot(
+            int(version) if version is not None else None
+        ).schema
+
+    def reader(self, schema: T.StructType) -> TxTableBatchReader:
+        return TxTableBatchReader(schema, dict(self.options))
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> TxTableBatchWriter:
+        return TxTableBatchWriter(schema, overwrite, dict(self.options))

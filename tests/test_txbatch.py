@@ -1,0 +1,128 @@
+"""Batch DataSource surface for the table format
+(sources/txbatch.py): spark.read/write.format("txtable"), pushdown
+file pruning through zone maps + blooms, DV masking in-partition,
+two-phase writer commit (create / append / overwrite / abort)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txbatch import (
+    TxTableBatchReader,
+    TxTableBatchSource,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+    TxTable,
+)
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(TxTableBatchSource)
+
+
+def test_format_read_matches_native_read(spark, tmp_path):
+    p = str(tmp_path / "t1")
+    t = TxTable.create(spark, p, _mk(spark, 0, 100).coalesce(1))
+    t.append(_mk(spark, 100, 200).coalesce(1))
+    t.delete(F.col("k").isin(5, 150), strategy="mor")  # DV in-partition
+    got = spark.read.format("txtable").load(p)
+    assert sorted(r["k"] for r in got.collect()) == [
+        k for k in range(200) if k not in (5, 150)
+    ]
+    # time travel via option
+    v0 = spark.read.format("txtable").option("version", "0").load(p)
+    assert v0.count() == 100
+
+
+def test_pushdown_prunes_files(spark, tmp_path):
+    """A plain df.filter on the format reader plans only the claiming
+    files: zone maps serve ranges, blooms serve equality."""
+    p = str(tmp_path / "t2")
+    t = TxTable.create(
+        spark,
+        p,
+        _mk(spark, 0, 100).coalesce(1),
+        stats_columns=["k"],
+        bloom_columns=["k"],
+    )
+    for lo in (100, 200, 300):
+        t.append(_mk(spark, lo, lo + 100).coalesce(1))
+    # reader-level check (partitions after pushFilters)
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    r = TxTableBatchReader(t.snapshot().schema, {"path": p})
+    r.pushFilters([GreaterThanOrEqual(("k",), 200), LessThan(("k",), 250)])
+    assert len(r.partitions()) == 1
+    r2 = TxTableBatchReader(t.snapshot().schema, {"path": p})
+    r2.pushFilters([EqualTo(("k",), 123)])
+    assert len(r2.partitions()) == 1
+    r3 = TxTableBatchReader(t.snapshot().schema, {"path": p})
+    r3.pushFilters([EqualTo(("k",), 999_999)])  # bloom: nobody claims it
+    assert len(r3.partitions()) == 0
+    # end-to-end: values exact after Spark re-applies the filter
+    got = (
+        spark.read.format("txtable")
+        .load(p)
+        .filter((F.col("k") >= 200) & (F.col("k") < 250))
+    )
+    assert sorted(r["k"] for r in got.collect()) == list(range(200, 250))
+    assert (
+        spark.read.format("txtable").load(p).filter(F.col("k") == 123).count()
+        == 1
+    )
+
+
+def test_format_write_create_append_overwrite(spark, tmp_path):
+    p = str(tmp_path / "t3")
+    df = _mk(spark, 0, 50)
+    df.write.format("txtable").option("statsColumns", "k").mode("append").save(p)
+    t = TxTable(spark, p)
+    assert t.read().count() == 50
+    assert t.snapshot().stats_columns == ["k"]
+    # stats computed task-side, no post-write job: zone maps present
+    assert all(
+        m["stats"]["k"][0] is not None
+        for m in t.snapshot().files.values()
+        if m["numRecords"]
+    )
+    _mk(spark, 50, 80).write.format("txtable").mode("append").save(p)
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(80))
+    _mk(spark, 500, 510).write.format("txtable").mode("overwrite").save(p)
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(500, 510))
+    # history shows the writer protocol mapped onto log operations
+    assert [h["operation"] for h in t.history()] == [
+        "CREATE",
+        "APPEND",
+        "OVERWRITE",
+    ]
+    # schema mismatch rejected before any task runs
+    with pytest.raises(Exception):
+        spark.range(3).write.format("txtable").mode("append").save(p)
+    # native reader interop: TxTable sees writer-path commits
+    assert t.read(version=1).count() == 80
+
+
+def test_format_write_interops_with_native_paths(spark, tmp_path):
+    """Writer-path files flow through native DELETE/MERGE/OPTIMIZE and
+    the format reader sees native commits — one log, two APIs."""
+    p = str(tmp_path / "t4")
+    _mk(spark, 0, 100).coalesce(1).write.format("txtable").option(
+        "statsColumns", "k"
+    ).mode("append").save(p)
+    t = TxTable(spark, p)
+    t.delete(F.col("k") < 10, strategy="mor")
+    got = spark.read.format("txtable").load(p)
+    assert sorted(r["k"] for r in got.collect()) == list(range(10, 100))
+    t.optimize(target_file_rows=50, sort_by=["k"])
+    assert spark.read.format("txtable").load(p).count() == 90
