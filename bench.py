@@ -160,6 +160,8 @@ _CONTINUITY_R6 = [
 # timed warm runs measure the snapshot READ path).
 _NEW_R6 = [
     "txtable_merge_events",
+    # format-API read path: pushdown prune + in-partition DV mask
+    "txbatch_read_events",
 ]
 
 HEADLINE = (

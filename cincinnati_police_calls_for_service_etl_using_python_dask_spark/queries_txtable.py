@@ -2,12 +2,15 @@
 driver's full cross-engine oracle.
 
 The callable runs a complete lakehouse lifecycle at construction —
-CREATE from the first 60% of events, APPEND the next 20%, MERGE a
-change set (values doubled, every 7th key deleted) over the 70-90%
-band, DELETE a predicate slice copy-on-write, then DELETE a sparse
-slice merge-on-read (deletion-vector sidecar, no file rewrite) — and
-returns the final snapshot read, whose plan therefore carries the DV
-broadcast anti-join mask (audited in PLANS.md).
+CREATE (with per-file event_id blooms) from the first 60% of events,
+APPEND the next 20%, MERGE a change set (values doubled, every 7th
+key deleted) over the 70-90% band, DELETE a predicate slice
+copy-on-write, OPTIMIZE with Z-order clustering (row set unchanged),
+then DELETE a sparse slice merge-on-read (deletion-vector sidecar, no
+file rewrite) — and returns the final snapshot read, whose plan
+therefore carries the DV broadcast anti-join mask (audited in
+PLANS.md). Sibling queries gate the streaming source pipeline, the
+CDC change feed, and the batch format API (writer + pushdown reader).
 The DuckDB oracle replays the same algebra in pure SQL over the raw
 events table, so every commit/replay/rewrite path in the format is
 value-hash-gated, not just unit-tested. (Construction writes to a
@@ -91,6 +94,10 @@ def q_txtable_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge(src, "event_id")
     t.delete((F.col("event_type") == "click") & (F.col("value") < 5.0))
+    # Z-order compaction: row set unchanged (oracle unaffected), so the
+    # Morton bucketing/interleave path runs under the gate — placed
+    # BEFORE the MOR delete so the final read still carries a DV
+    t.optimize(target_file_rows=25_000, zorder_by=["event_id", "value"])
     # sparse slice via merge-on-read: the final read exercises the
     # deletion-vector mask (broadcast anti-join on file/position)
     t.delete(
@@ -184,3 +191,41 @@ def q_txtable_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = t.latest_version()
     t.delete(F.col("event_id") % 97 == 0, strategy="mor")
     return t.change_feed("event_id", v0)
+
+
+_BATCH_ORACLE = """
+SELECT event_id, event_type, value
+FROM events
+WHERE event_id >= 1000 AND event_id < 2000
+  AND NOT COALESCE(event_id % 11 = 0, FALSE)
+"""
+
+
+@register("txbatch_read_events", _BATCH_ORACLE)
+def q_txbatch_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The format's batch DataFrame API under the full oracle: events
+    land through ``df.write.format("txtable")`` (two-phase writer
+    commit, task-side zone-map stats), take a sparse merge-on-read
+    DELETE, and come back through ``spark.read.format("txtable")``
+    with a range filter — so the pushFilters zone-map prune, the
+    per-file Arrow scan, and the IN-PARTITION deletion-vector mask
+    (no join on this path) are all value-hash-gated against the same
+    slice recomputed in pure SQL."""
+    from .sources.txbatch import TxTableBatchSource
+
+    spark.dataSource.register(TxTableBatchSource)
+    events = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="txbatch_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = os.path.join(scratch, "t")
+    events.repartition(4).write.format("txtable").option(
+        "statsColumns", "event_id"
+    ).mode("append").save(path)
+    TxTable(spark, path).delete(F.col("event_id") % 11 == 0, strategy="mor")
+    return (
+        spark.read.format("txtable")
+        .load(path)
+        .filter((F.col("event_id") >= 1000) & (F.col("event_id") < 2000))
+    )

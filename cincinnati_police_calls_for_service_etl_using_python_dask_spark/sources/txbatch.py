@@ -100,7 +100,7 @@ def _col_name(f: Filter) -> str | None:
     return a
 
 
-class TxTableBatchReader(DataSourceReader):
+class _TxTableScanBase(DataSourceReader):
     def __init__(self, schema: T.StructType, options: dict):
         opts = {str(k).lower(): v for k, v in options.items()}
         self.table_path = opts.get("path") or opts.get("tablepath")
@@ -113,8 +113,11 @@ class TxTableBatchReader(DataSourceReader):
         self.keep = sorted(self.snap.files)
 
     # -- predicate pushdown: file skipping via zone maps + blooms ------
+    # (lives on the SUBCLASS below: Spark refuses a reader that merely
+    # implements pushFilters when spark.sql.python.filterPushdown.
+    # enabled is false — the default)
 
-    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+    def _push_filters(self, filters: list[Filter]) -> Iterable[Filter]:
         spark = SparkSession.getActiveSession()
         t = TxTable(spark, self.table_path)
         for f in filters:
@@ -203,6 +206,16 @@ class TxTableBatchReader(DataSourceReader):
             else:  # pre-evolution file: NULL-fill like the batch reader
                 cols.append(pa.nulls(len(table), f.type))
         yield from pa.Table.from_arrays(cols, schema=want).to_batches()
+
+
+class TxTableBatchReader(_TxTableScanBase):
+    """Scan + pushFilters file pruning — handed out only when the
+    active session enables spark.sql.python.filterPushdown; the plain
+    base otherwise serves every file and Spark filters rows (slower,
+    never wrong)."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        return self._push_filters(filters)
 
 
 class TxTableBatchWriter(DataSourceArrowWriter):
@@ -348,8 +361,19 @@ class TxTableBatchSource(DataSource):
             int(version) if version is not None else None
         ).schema
 
-    def reader(self, schema: T.StructType) -> TxTableBatchReader:
-        return TxTableBatchReader(schema, dict(self.options))
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        spark = SparkSession.getActiveSession()
+        enabled = (
+            spark is not None
+            and str(
+                spark.conf.get(
+                    "spark.sql.python.filterPushdown.enabled", "false"
+                )
+            ).lower()
+            == "true"
+        )
+        cls = TxTableBatchReader if enabled else _TxTableScanBase
+        return cls(schema, dict(self.options))
 
     def writer(self, schema: T.StructType, overwrite: bool) -> TxTableBatchWriter:
         return TxTableBatchWriter(schema, overwrite, dict(self.options))
