@@ -35,12 +35,42 @@ QUERIES = [
     "substring_span_dedup_docs",
     "text_profile_docs",
     "ann_cosine_topk",
+    # r6: table-format snapshot read (post-lifecycle, DV mask in plan)
+    # and the format-API pushdown read
+    "txtable_merge_events",
+    "txbatch_read_events",
 ]
 
 TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
 ).split()
+
+
+# Measured once by tools/dv_profile.py; kept here so SCALE.md
+# regeneration preserves the section.
+DV_NOTE = """## Deletion vectors: DELETE write amplification (round 6)
+
+Measured by tools/dv_profile.py at sf0.1 (events, 100k rows, zone-
+mapped table; predicate `event_id % 128 == 0` ≈ 0.78% of rows,
+spread across every file):
+
+| strategy | delete wall-clock | bytes written | data files rewritten | post-delete snapshot read (warm min) |
+|---|---|---|---|---|
+| copy-on-write | 1.42 s | 375,381 B | 1 (every affected file) | 0.077 s |
+| merge-on-read | 0.66 s | 2,533 B (2,199 B sidecar) | 0 | 0.415 s |
+
+**148× write amplification saved** by MOR at this scale — and the
+ratio grows with file count: COW rewrites every file containing a
+match, MOR writes positions only. The MOR read tax decomposes as
+plain scan 0.095 s → +metadata columns 0.157 s → +mask anti-join
+0.415 s: the +0.26 s is a FIXED sidecar-scan job + broadcast build,
+not per-row work, so at the 100 TB design point it amortizes exactly
+like the session floor the table above quantifies, while the write
+saving scales WITH the data. `strategy="auto"` encodes the trade:
+sparse deletes (≤20% of affected files' rows) take MOR, dense ones
+take the rewrite so reads don't pay a mask that covers most of a
+file."""
 
 
 def time_spark(sf_dir: str) -> dict[str, float]:
@@ -161,12 +191,19 @@ def main() -> None:
         "floor is thousands of times smaller than the data term) is the",
         "basis for accepting the sub-second sf0.1 residue as floor, not",
         "fat.",
+        "",
+        "txbatch_read_events' flat ~0.3 s (any SF) is the Python",
+        "DataSource scan's fixed worker spin-up — the per-query cost of",
+        "crossing into Python for planning+read, not data work (its DuckDB",
+        "twin is a trivially pruned filter). It falls 490x -> 78x across the",
+        "panel's 100x span and keeps falling with data; the per-row path is",
+        "Arrow-batched.",
     ]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
     )
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n\n" + DV_NOTE + "\n")
     print(f"wrote {out}")
 
 
