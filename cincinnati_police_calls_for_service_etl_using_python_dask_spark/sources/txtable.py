@@ -1108,6 +1108,38 @@ class TxTable:
         post = upd.select(*keys, "__n.*", F.lit("update_postimage").alias("_change_type"))
         return ins.unionByName(del_).unionByName(pre).unionByName(post)
 
+    def expire_log(self, before_version: int | None = None) -> list[str]:
+        """Log retention: delete commit files (and checkpoints)
+        STRICTLY BELOW the newest checkpoint at or below
+        ``before_version`` (default: the newest checkpoint) — a
+        long-lived table's log stays O(retained history) instead of
+        growing forever. Time travel below the cut raises
+        ``snapshot()``'s documented gap error; reads at/above it
+        replay from the surviving checkpoint. Shrinking the log also
+        shrinks vacuum's referenced set, so data files only the
+        expired era referenced become reclaimable — expire_log then
+        vacuum IS the retention story (vacuum itself stays
+        gap-tolerant: it scans surviving commits + checkpoints only
+        and can only over-retain, never over-delete). Returns the
+        removed log file names."""
+        cps = self._checkpoints()
+        cut = max(
+            (c for c in cps if before_version is None or c <= before_version),
+            default=None,
+        )
+        if cut is None:
+            return []
+        gone = []
+        for v in self._versions():
+            if v < cut:
+                os.unlink(_version_path(self.log, v))
+                gone.append(os.path.basename(_version_path(self.log, v)))
+        for c in cps:
+            if c < cut:
+                os.unlink(_checkpoint_path(self.log, c))
+                gone.append(os.path.basename(_checkpoint_path(self.log, c)))
+        return sorted(gone)
+
     def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Remove data files invisible to EVERY retained version:
         orphans from crashed writes and files removed by some commit.

@@ -691,3 +691,34 @@ def test_timestamp_time_travel(spark, tmp_path):
         t.version_as_of(ts_between - 10_000_000)
     with pytest.raises(ValueError):
         t.read(version=0, as_of_timestamp_ms=ts_between)
+
+
+def test_expire_log_retention(spark, tmp_path):
+    """expire_log drops commit files below the newest checkpoint: the
+    table stays readable at and above it, time travel below raises the
+    documented gap error, and a subsequent vacuum reclaims files only
+    the expired era referenced."""
+    p = str(tmp_path / "t27")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10).coalesce(1))
+    for i in range(CHECKPOINT_INTERVAL + 2):  # versions 1..12
+        t.overwrite(_mk(spark, i, i + 10).coalesce(1))
+    assert t._checkpoints() == [CHECKPOINT_INTERVAL]
+    gone = t.expire_log()
+    assert [int(n[: -len(".json")]) for n in gone] == list(
+        range(CHECKPOINT_INTERVAL)
+    )
+    assert t.read().count() == 10
+    assert t.read(version=CHECKPOINT_INTERVAL).count() == 10
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read(version=3)
+    # files only the expired era referenced are now vacuum-able
+    n_before = len([n for n in os.listdir(p) if n.endswith(".parquet")])
+    t.vacuum(min_age_seconds=0)
+    n_after = len([n for n in os.listdir(p) if n.endswith(".parquet")])
+    assert n_after < n_before
+    assert t.read().count() == 10  # live data untouched
+    assert t.read(version=CHECKPOINT_INTERVAL).count() == 10
+    # no checkpoint yet -> nothing to expire
+    p2 = str(tmp_path / "t28")
+    t2 = TxTable.create(spark, p2, _mk(spark, 0, 5))
+    assert t2.expire_log() == []
