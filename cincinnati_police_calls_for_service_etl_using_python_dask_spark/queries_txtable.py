@@ -4,8 +4,9 @@ driver's full cross-engine oracle.
 The callable runs a complete lakehouse lifecycle at construction —
 CREATE (with per-file event_id blooms) from the first 60% of events,
 APPEND the next 20%, MERGE a change set (values doubled, every 7th
-key deleted) over the 70-90% band, DELETE a predicate slice
-copy-on-write, OPTIMIZE with Z-order clustering (row set unchanged),
+key deleted) over the 70-90% band, UPDATE the signup slice (+1000),
+DELETE a predicate slice copy-on-write, OPTIMIZE with Z-order
+clustering (row set unchanged),
 then DELETE a sparse slice merge-on-read (deletion-vector sidecar, no
 file rewrite) — and returns the final snapshot read, whose plan
 therefore carries the DV broadcast anti-join mask (audited in
@@ -50,8 +51,14 @@ merged AS (
   FROM base b ANTI JOIN chg c USING (event_id)
   UNION ALL
   SELECT event_id, event_type, value FROM chg WHERE op <> 'D'
+),
+updated AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_type = 'signup' THEN value + 1000.0
+              ELSE value END AS value
+  FROM merged
 )
-SELECT event_id, event_type, value FROM merged
+SELECT event_id, event_type, value FROM updated
 WHERE NOT COALESCE(event_type = 'click' AND value < 5.0, FALSE)
   AND NOT COALESCE(event_id % 13 = 0 AND event_type = 'view', FALSE)
 """
@@ -93,6 +100,13 @@ def q_txtable_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 7 == 0, "D").otherwise("U").alias("op"),
     )
     t.merge(src, "event_id")
+    # sparse UPDATE via auto strategy (signup ≈ 20% of rows -> COW at
+    # default threshold; the WHEN/OTHERWISE rewrite path runs gated)
+    t.update(
+        F.col("event_type") == "signup",
+        {"value": F.col("value") + 1000.0},
+        strategy="auto",
+    )
     t.delete((F.col("event_type") == "click") & (F.col("value") < 5.0))
     # Z-order compaction: row set unchanged (oracle unaffected), so the
     # Morton bucketing/interleave path runs under the gate — placed

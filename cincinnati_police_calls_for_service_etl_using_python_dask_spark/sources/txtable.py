@@ -839,6 +839,136 @@ class TxTable:
         finally:
             hits.unpersist()
 
+    def update(
+        self,
+        predicate,
+        assignments: dict,
+        strategy: str = "cow",
+        mor_threshold: float = 0.2,
+    ) -> int:
+        """UPDATE rows where ``predicate`` is TRUE (NULL-predicate rows
+        are untouched — SQL UPDATE semantics), setting each column in
+        ``assignments`` to its expression (which may reference the
+        row's OLD values).
+
+        ``strategy`` mirrors :meth:`delete`:
+
+        - ``"cow"``: rewrite only the files containing matches, each
+          row passed through ``WHEN predicate THEN new ELSE old`` — one
+          pass, row count preserved.
+        - ``"mor"``: the matched rows' positions go to a deletion-
+          vector sidecar (old versions masked, no file rewritten) and
+          the UPDATED rows append as a new file — the Delta-style
+          DV update: a sparse update on a 100 TB table writes the
+          changed rows plus a KB-scale sidecar instead of rewriting
+          every touched file. The change feed still reads it as
+          update_preimage/postimage (mask = old side, append = new
+          side, same key).
+        - ``"auto"``: MOR when matches are ≤ ``mor_threshold`` of the
+          affected files' physical rows."""
+        if strategy not in ("cow", "mor", "auto"):
+            raise ValueError(f"unknown UPDATE strategy {strategy!r}")
+        bad = [c for c in assignments if c not in {f.name for f in self.snapshot().schema.fields}]
+        if bad:
+            raise ValueError(f"UPDATE assigns unknown columns {bad}")
+        snap = self.snapshot()
+        live = self._read_snapshot_meta(snap)
+        hits = live.filter(predicate).persist()
+        try:
+            per_file = {
+                r["__file"]: r["__n"]
+                for r in hits.groupBy("__file")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()
+            }
+            if not per_file:
+                return snap.version  # no-op
+            affected = sorted(per_file)
+            if strategy == "auto":
+                phys = sum(
+                    snap.files[p].get("numRecords") or 0 for p in affected
+                )
+                frac_ok = phys and sum(per_file.values()) <= mor_threshold * phys
+                strategy = "mor" if frac_ok else "cow"
+            v = snap.version + 1
+            if strategy == "mor":
+                updated = hits.select(
+                    *[
+                        (
+                            F.expr(assignments[f.name]).alias(f.name)
+                            if isinstance(assignments.get(f.name), str)
+                            else assignments[f.name].alias(f.name)
+                            if f.name in assignments
+                            else F.col(f.name)
+                        )
+                        for f in snap.schema.fields
+                    ]
+                )
+                self._check_schema(updated, snap.schema)
+                newdv = hits.select(
+                    F.col("__file").alias("file"), F.col("__pos").alias("pos")
+                )
+                restack: dict[str, list[str]] = {}
+                for p in affected:
+                    old = snap.files[p].get("dv")
+                    if old:
+                        restack.setdefault(old, []).append(p)
+                for sidecar, files_for in sorted(restack.items()):
+                    newdv = newdv.unionByName(
+                        self.spark.read.parquet(
+                            os.path.join(self.path, sidecar)
+                        ).filter(F.col("file").isin(files_for))
+                    )
+                sidecar = self._write_dv(newdv)
+                adds = self._write_files(
+                    updated, snap.stats_columns, snap.bloom_spec
+                )
+                actions = []
+                for p in affected:
+                    m = snap.files[p]
+                    actions.append({"remove": {"path": p}})
+                    actions.append(
+                        _add_action(
+                            p,
+                            m,
+                            dv=sidecar,
+                            dv_rows=per_file[p] + m.get("dvRows", 0),
+                        )
+                    )
+                actions += adds
+            else:
+                base = self._read_snapshot_meta(snap, affected)
+                cond = F.coalesce(predicate, F.lit(False))
+                rewritten = base.select(
+                    *[
+                        (
+                            F.when(
+                                cond,
+                                F.expr(assignments[f.name])
+                                if isinstance(assignments.get(f.name), str)
+                                else assignments[f.name],
+                            )
+                            .otherwise(F.col(f.name))
+                            .alias(f.name)
+                            if f.name in assignments
+                            else F.col(f.name)
+                        )
+                        for f in snap.schema.fields
+                    ]
+                )
+                self._check_schema(rewritten, snap.schema)
+                adds = self._write_files(
+                    rewritten, snap.stats_columns, snap.bloom_spec
+                )
+                actions = [{"remove": {"path": p}} for p in affected] + adds
+            actions.append(_commit_info("UPDATE", v))
+            if not self._try_commit(v, actions):
+                raise ConcurrentWriteError(f"UPDATE conflicted at {self.path}")
+            self._maybe_checkpoint(v)
+            return v
+        finally:
+            hits.unpersist()
+
     def merge(
         self,
         source: DataFrame,

@@ -722,3 +722,48 @@ def test_expire_log_retention(spark, tmp_path):
     p2 = str(tmp_path / "t28")
     t2 = TxTable.create(spark, p2, _mk(spark, 0, 5))
     assert t2.expire_log() == []
+
+
+def test_update_cow_and_mor_row_equivalent(spark, tmp_path):
+    """UPDATE both ways: COW rewrites matched files through
+    WHEN/OTHERWISE; MOR masks old versions in a DV and appends the
+    updated rows. Same result, and NULL-predicate rows are untouched."""
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 50), (4, 7)], "k long, v long"
+    ).coalesce(1)
+    results = {}
+    for strategy in ("cow", "mor"):
+        p = str(tmp_path / f"tu_{strategy}")
+        t = TxTable.create(spark, p, df)
+        before = set(t.snapshot().files)
+        t.update(F.col("v") < 10, {"v": F.col("v") * 100}, strategy=strategy)
+        results[strategy] = sorted(tuple(r) for r in t.read().collect())
+        if strategy == "mor":
+            # old file survives (masked), one appended file
+            assert before <= set(t.snapshot().files)
+            assert any(m.get("dv") for m in t.snapshot().files.values())
+        else:
+            assert not (before & set(t.snapshot().files))
+    want = [(1, 500), (2, None), (3, 50), (4, 700)]
+    assert results["cow"] == results["mor"] == sorted(want)
+
+
+def test_update_mor_change_feed_and_errors(spark, tmp_path):
+    """A MOR update reads back through the change feed as
+    update_preimage/postimage (mask = old side, append = new side,
+    same key); unknown assignment columns are rejected."""
+    p = str(tmp_path / "tu2")
+    t = TxTable.create(spark, p, _mk(spark, 0, 20).coalesce(1))
+    v0 = t.latest_version()
+    t.update(F.col("k") == 3, {"v": F.lit(999).cast("long")}, strategy="mor")
+    feed = t.change_feed("k", v0)
+    rows = {(r["k"], r["_change_type"]): r["v"] for r in feed.collect()}
+    assert rows == {(3, "update_preimage"): 3, (3, "update_postimage"): 999}
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update(F.col("k") == 1, {"nope": F.lit(1)})
+    # string expressions work too (SQL SET spelling)
+    t.update(F.col("k") == 5, {"v": "v + k"}, strategy="cow")
+    assert dict(_rows(t.read()))[5] == 10
+    # no-op predicate commits nothing
+    v = t.latest_version()
+    assert t.update(F.col("k") > 10_000, {"v": F.lit(0).cast("long")}) == v

@@ -41,7 +41,9 @@ def test_random_commit_sequences_match_model(spark, tmp_path, seed):
     states = {t.latest_version(): dict(model)}
 
     for _ in range(6):
-        op = rng.choice(["append", "delete", "merge", "optimize", "restore"])
+        op = rng.choice(
+            ["append", "delete", "update", "merge", "optimize", "restore"]
+        )
         if op == "append":
             base = rng.randrange(100, 10_000)
             rows = {base + i: rng.randrange(1000) for i in range(rng.randrange(1, 8))}
@@ -60,6 +62,17 @@ def test_random_commit_sequences_match_model(spark, tmp_path, seed):
                 strategy=rng.choice(["cow", "mor", "auto"]),
             )
             model = {k: v for k, v in model.items() if not k < cut}
+        elif op == "update":
+            cut = rng.randrange(0, 5000)
+            delta = rng.randrange(1, 100)
+            t.update(
+                F.col("k") < cut,
+                {"v": F.col("v") + delta},
+                strategy=rng.choice(["cow", "mor", "auto"]),
+            )
+            model = {
+                k: (v + delta if k < cut else v) for k, v in model.items()
+            }
         elif op == "merge":
             keys = rng.sample(sorted(model) or [0], min(5, len(model))) if model else []
             new_key = rng.randrange(20_000, 30_000)
