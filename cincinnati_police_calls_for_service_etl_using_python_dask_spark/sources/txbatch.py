@@ -80,6 +80,40 @@ _STATS_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                 T.FloatType, T.DoubleType, T.StringType)
 
 
+def read_masked_table(file: str, dv: str | None):
+    """pyarrow-read one data file with its deletion-vector sidecar
+    applied by physical row index (no join). Shared by the batch scan
+    and the streaming change-feed reader."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(file)
+    if dv is not None:
+        dvt = pq.read_table(
+            dv, filters=[("file", "==", os.path.basename(file))]
+        )
+        pos = dvt.column("pos").to_numpy()
+        mask = np.ones(len(table), dtype=bool)
+        mask[pos] = False
+        table = table.filter(pa.array(mask))
+    return table
+
+
+def align_to(table, want):
+    """Cast/NULL-fill an arrow table to the arrow schema ``want``
+    (pre-evolution files lack late columns, like the batch reader)."""
+    import pyarrow as pa
+
+    cols = []
+    for f in want:
+        if f.name in table.column_names:
+            cols.append(table.column(f.name).cast(f.type))
+        else:
+            cols.append(pa.nulls(len(table), f.type))
+    return pa.Table.from_arrays(cols, schema=want)
+
+
 class _ScanPartition(InputPartition):
     def __init__(self, file: str, dv: str | None):
         self.file = file
@@ -182,30 +216,11 @@ class _TxTableScanBase(DataSourceReader):
         ]
 
     def read(self, partition: _ScanPartition) -> Iterator["pa.RecordBatch"]:
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         from pyspark.sql.pandas.types import to_arrow_schema
 
         want = to_arrow_schema(self.schema)
-        table = pq.read_table(partition.file)
-        if partition.dv is not None:
-            dv = pq.read_table(
-                partition.dv,
-                filters=[("file", "==", os.path.basename(partition.file))],
-            )
-            pos = dv.column("pos").to_numpy()
-            mask = np.ones(len(table), dtype=bool)
-            mask[pos] = False
-            table = table.filter(pa.array(mask))
-        cols = []
-        for f in want:
-            if f.name in table.column_names:
-                cols.append(table.column(f.name).cast(f.type))
-            else:  # pre-evolution file: NULL-fill like the batch reader
-                cols.append(pa.nulls(len(table), f.type))
-        yield from pa.Table.from_arrays(cols, schema=want).to_batches()
+        table = read_masked_table(partition.file, partition.dv)
+        yield from align_to(table, want).to_batches()
 
 
 class TxTableBatchReader(_TxTableScanBase):

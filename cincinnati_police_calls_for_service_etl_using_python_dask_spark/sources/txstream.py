@@ -148,19 +148,203 @@ class TxTableStreamReader(DataSourceStreamReader):
         pass  # the engine's checkpoint is the only consumption state
 
 
+class _CdcInsertPartition(InputPartition):
+    def __init__(self, file: str, version: int):
+        self.file = file
+        self.version = version
+
+
+class _CdcDiffPartition(InputPartition):
+    """One non-append commit: (file, dv-sidecar) lists for both sides
+    of the version boundary; the diff runs in this single task."""
+
+    def __init__(self, version: int, removed, added, keys: list[str]):
+        self.version = version
+        self.removed = removed  # list[(file_path, dv_path | None)]
+        self.added = added
+        self.keys = keys
+
+
+class TxTableChangeFeedReader(DataSourceStreamReader):
+    """Streaming CHANGE DATA FEED over the table format
+    (``readChangeFeed=true`` + ``key=<cols>``): consumers see
+    row-level ``insert`` / ``delete`` / ``update_preimage`` /
+    ``update_postimage`` rows (+ ``_commit_version``) instead of an
+    append-only stream, so DELETE/UPDATE/MERGE commits propagate
+    downstream instead of raising.
+
+    Offsets are commit versions, like the append reader. An
+    append-type commit expands to per-file ``insert`` partitions; a
+    non-append commit becomes ONE partition that pyarrow-reads only
+    the files whose identity (path, dv) CHANGED across the boundary —
+    both sides DV-masked — and diffs them BY KEY in the task
+    (dict-based; exact, NaN-safe). Work and memory are O(changed
+    files of that commit), never O(table) — the same bound as the
+    driver-side ``change_feed``, but per-commit and executor-side.
+    OPTIMIZE commits are skipped (row set unchanged by contract)."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        opts = {str(k).lower(): v for k, v in options.items()}
+        self.table_path = opts.get("path") or opts.get("tablepath")
+        if not self.table_path:
+            raise ValueError("txtable_stream requires a 'path' option")
+        key = opts.get("key")
+        if not key:
+            raise ValueError("readChangeFeed requires a 'key' option")
+        self.keys = [k.strip() for k in str(key).split(",") if k.strip()]
+        self.schema = schema  # table schema + _change_type + _commit_version
+        self.starting_version = int(opts.get("startingversion", 0))
+        self.log = os.path.join(self.table_path, "_txlog")
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version - 1}
+
+    def latestOffset(self) -> dict:
+        return {"version": TxTable(None, self.table_path).latest_version()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        t = TxTable(None, self.table_path)
+        out: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            actions = _commit_actions(self.log, v)
+            op = _commit_op(actions)
+            if op in APPEND_OPS:
+                for a in actions:
+                    if "add" in a and (a["add"].get("numRecords") or 0) > 0:
+                        out.append(
+                            _CdcInsertPartition(
+                                os.path.join(self.table_path, a["add"]["path"]),
+                                v,
+                            )
+                        )
+                continue
+            if op == "OPTIMIZE":
+                continue  # pure file-level rewrite: row set unchanged
+            s0, s1 = t.snapshot(v - 1), t.snapshot(v)
+
+            def _side(fr, to):
+                return [
+                    (
+                        os.path.join(self.table_path, p),
+                        (
+                            os.path.join(self.table_path, m["dv"])
+                            if m.get("dv")
+                            else None
+                        ),
+                    )
+                    for p, m in fr.files.items()
+                    if p not in to.files
+                    or to.files[p].get("dv") != m.get("dv")
+                ]
+
+            out.append(
+                _CdcDiffPartition(v, _side(s0, s1), _side(s1, s0), self.keys)
+            )
+        return out
+
+    def read(self, partition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from .txbatch import align_to, read_masked_table
+
+        want = to_arrow_schema(self.schema)
+        table_fields = [
+            f for f in want
+            if f.name not in ("_change_type", "_commit_version")
+        ]
+        tbl_schema = pa.schema(table_fields)
+        names = [f.name for f in table_fields]
+
+        def rows_of(parts):
+            out: dict = {}
+            for file, dv in parts:
+                t = align_to(read_masked_table(file, dv), tbl_schema)
+                for row in t.to_pylist():
+                    out[tuple(row[k] for k in partition_keys)] = row
+            return out
+
+        if isinstance(partition, _CdcInsertPartition):
+            t = align_to(read_masked_table(partition.file, None), tbl_schema)
+            out = t.append_column(
+                "_change_type", pa.array(["insert"] * len(t), pa.string())
+            ).append_column(
+                "_commit_version",
+                pa.array([partition.version] * len(t), pa.int64()),
+            )
+            yield from out.cast(want).to_batches()
+            return
+
+        partition_keys = partition.keys
+        olds = rows_of(partition.removed)
+        news = rows_of(partition.added)
+
+        def _ne(a, b):  # NaN-safe inequality
+            if a is None or b is None:
+                return (a is None) != (b is None)
+            if isinstance(a, float) and isinstance(b, float):
+                return a != b and not (a != a and b != b)
+            return a != b
+
+        changed = []
+        for k, row in olds.items():
+            if k not in news:
+                changed.append({**row, "_change_type": "delete",
+                                "_commit_version": partition.version})
+        for k, row in news.items():
+            if k not in olds:
+                changed.append({**row, "_change_type": "insert",
+                                "_commit_version": partition.version})
+            else:
+                old = olds[k]
+                if any(_ne(old[c], row[c]) for c in names):
+                    changed.append({**old, "_change_type": "update_preimage",
+                                    "_commit_version": partition.version})
+                    changed.append({**row, "_change_type": "update_postimage",
+                                    "_commit_version": partition.version})
+        if changed:
+            yield from pa.Table.from_pylist(changed, schema=want).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class TxTableStreamSource(DataSource):
     """``spark.readStream.format("txtable_stream")`` after
-    ``spark.dataSource.register(TxTableStreamSource)``."""
+    ``spark.dataSource.register(TxTableStreamSource)``. Plain
+    append-stream by default; ``readChangeFeed=true`` + ``key=...``
+    switches to the row-level CDC stream."""
 
     @classmethod
     def name(cls) -> str:
         return "txtable_stream"
 
+    def _opts(self) -> dict:
+        return {str(k).lower(): v for k, v in self.options.items()}
+
+    def _cdc(self) -> bool:
+        return str(self._opts().get("readchangefeed", "false")).lower() in (
+            "true", "1", "yes",
+        )
+
     def schema(self) -> T.StructType:
-        path = self.options.get("path") or self.options.get("tablePath")
+        opts = self._opts()
+        path = opts.get("path") or opts.get("tablepath")
         if not path:
             raise ValueError("txtable_stream requires a 'path' option")
-        return TxTable(None, path).snapshot().schema
+        base = TxTable(None, path).snapshot().schema
+        if not self._cdc():
+            return base
+        return T.StructType(
+            list(base.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_version", T.LongType(), False),
+            ]
+        )
 
-    def streamReader(self, schema: T.StructType) -> TxTableStreamReader:
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        if self._cdc():
+            return TxTableChangeFeedReader(schema, dict(self.options))
         return TxTableStreamReader(schema, dict(self.options))

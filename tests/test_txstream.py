@@ -138,3 +138,46 @@ def test_table_to_table_pipeline_exactly_once(spark, tmp_path):
     # replaying the same drained state is a no-op (exactly-once)
     pipe()
     assert b.read().count() == 45
+
+
+def test_change_feed_stream_propagates_dml(spark, tmp_path):
+    """readChangeFeed=true: DELETE/UPDATE/MERGE commits arrive as
+    row-level change events with _commit_version instead of raising;
+    appends arrive as inserts; OPTIMIZE contributes nothing."""
+    p = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    t = TxTable.create(spark, p, _mk(spark, 0, 20).coalesce(1))
+    t.delete(F.col("k") < 3, strategy="mor")             # v1: deletes
+    t.update(F.col("k") == 5, {"v": F.lit(999).cast("long")})  # v2: update
+    t.optimize(target_file_rows=1000)                    # v3: silent
+    t.append(_mk(spark, 100, 103))                       # v4: inserts
+
+    def drain(ck):
+        rows: list = []
+        q = (
+            spark.readStream.format("txtable_stream")
+            .option("readChangeFeed", "true")
+            .option("key", "k")
+            .load(p)
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .foreachBatch(lambda df, _e: rows.extend(df.collect()))
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    got = drain(ckpt)
+    ev = {(r["k"], r["_change_type"]): r for r in got}
+    # v0 snapshot arrives as inserts
+    assert sum(1 for k, c in ev if c == "insert" and k < 100) == 20
+    assert {k for k, c in ev if c == "delete"} == {0, 1, 2}
+    assert ev[(5, "update_preimage")]["v"] == 50
+    assert ev[(5, "update_postimage")]["v"] == 999
+    assert ev[(5, "update_postimage")]["_commit_version"] == 2
+    assert {k for k, c in ev if c == "insert" and k >= 100} == {100, 101, 102}
+    assert not any(r["_commit_version"] == 3 for r in got)  # OPTIMIZE silent
+    # incremental: a second drain sees only new commits
+    t.delete(F.col("k") == 10)
+    got2 = drain(ckpt)
+    assert {(r["k"], r["_change_type"]) for r in got2} == {(10, "delete")}
