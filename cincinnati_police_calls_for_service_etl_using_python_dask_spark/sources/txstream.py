@@ -64,8 +64,21 @@ class _FilePartition(InputPartition):
 
 
 def _commit_actions(log: str, v: int) -> list[dict]:
-    with open(_version_path(log, v)) as f:
-        return [json.loads(line) for line in f]
+    """Actions of commit ``v`` — with the log-retention error contract:
+    a version expired by ``TxTable.expire_log`` surfaces as a clear
+    RuntimeError (a stream whose startingVersion or checkpointed
+    offset fell below the retention cut must fail loudly, not with a
+    bare FileNotFoundError from the log internals)."""
+    try:
+        with open(_version_path(log, v)) as f:
+            return [json.loads(line) for line in f]
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"txtable_stream: commit {v} is missing from the log at "
+            f"{log} — it was expired by log retention (expire_log). "
+            f"Restart the stream from a fresh checkpoint with "
+            f"startingVersion at or above the oldest retained commit."
+        ) from None
 
 
 def _commit_op(actions: list[dict]) -> str:
@@ -148,21 +161,133 @@ class TxTableStreamReader(DataSourceStreamReader):
         pass  # the engine's checkpoint is the only consumption state
 
 
+# ---------------------------------------------------------------------------
+# Change-data-feed reader
+# ---------------------------------------------------------------------------
+#
+# Partition taxonomy for one non-append commit, most-distributed first:
+#
+# 1. `_CdcFilePartition` — the commit carries writer-emitted change-data
+#    files (the table was created with ``change_data_feed=True``; the
+#    public Delta CDF design): one partition PER CDC FILE, zero read-time
+#    diffing, I/O = O(changed rows). The scale path.
+# 2. `_CdcDvDeltaPartition` — a pure merge-on-read commit (only deletion
+#    vectors changed, nothing added or removed, no unmask possible): one
+#    partition PER FILE; the newly-masked positions are `delete` events,
+#    taken by index — no key, no join.
+# 3. `_CdcWholeFilePartition` — one side of the commit is empty (pure
+#    drop or pure insert of whole files): one partition PER FILE, every
+#    live row gets the same change type.
+# 4. `_CdcSlicePartition` — both sides non-empty (COW DELETE/UPDATE,
+#    MERGE, OVERWRITE, RESTORE without CDC files): the joint old/new
+#    universe is diffed BY KEY with an Arrow-native full-outer join
+#    (`pa.Table.join`, Acero — never a Python dict loop), hash-sliced
+#    into ceil(rows / cdcSliceRows) partitions so one large commit
+#    spreads across the cluster and per-task RETAINED memory is
+#    O(rows / n_slices). The trade (documented, PLANS.md): each slice
+#    scans every changed file of the commit, so read amplification is
+#    n_slices x changed-bytes — which is why tables that stream CDC at
+#    scale should enable writer-side change files (case 1).
+
+
 class _CdcInsertPartition(InputPartition):
     def __init__(self, file: str, version: int):
         self.file = file
         self.version = version
 
 
-class _CdcDiffPartition(InputPartition):
-    """One non-append commit: (file, dv-sidecar) lists for both sides
-    of the version boundary; the diff runs in this single task."""
+class _CdcFilePartition(InputPartition):
+    """One writer-emitted change-data file of a CDC-enabled commit."""
 
-    def __init__(self, version: int, removed, added, keys: list[str]):
+    def __init__(self, path: str, version: int):
+        self.path = path
         self.version = version
-        self.removed = removed  # list[(file_path, dv_path | None)]
-        self.added = added
+
+
+class _CdcDvDeltaPartition(InputPartition):
+    """One data file whose deletion vector grew in a pure-MOR commit:
+    positions in new_dv minus old_dv are `delete` events."""
+
+    def __init__(self, version: int, file: str, old_dv: str | None,
+                 new_dv: str | None):
+        self.version = version
+        self.file = file
+        self.old_dv = old_dv
+        self.new_dv = new_dv
+
+
+class _CdcWholeFilePartition(InputPartition):
+    """One file present on exactly one side of the commit boundary:
+    every live row is ``change_type``."""
+
+    def __init__(self, version: int, file: str, dv: str | None,
+                 change_type: str):
+        self.version = version
+        self.file = file
+        self.dv = dv
+        self.change_type = change_type
+
+
+class _CdcSlicePartition(InputPartition):
+    """Key-hash slice ``slice_idx`` of ``n_slices`` of one commit's
+    joint old/new diff. ``old_files`` / ``new_files`` are residual
+    ``(path, dv)`` pairs; ``dv_deltas`` are ``(path, old_dv, new_dv)``
+    whose masked/unmasked position deltas join the old/new sides."""
+
+    def __init__(self, version: int, old_files, new_files, dv_deltas,
+                 keys: list[str], slice_idx: int, n_slices: int):
+        self.version = version
+        self.old_files = old_files
+        self.new_files = new_files
+        self.dv_deltas = dv_deltas
         self.keys = keys
+        self.slice_idx = slice_idx
+        self.n_slices = n_slices
+
+
+def _dv_positions(dv_path: str | None, file: str):
+    """Masked physical positions of ``file`` in sidecar ``dv_path``."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    if dv_path is None:
+        return np.empty(0, dtype=np.int64)
+    t = pq.read_table(
+        dv_path, filters=[("file", "==", os.path.basename(file))]
+    )
+    return t.column("pos").to_numpy().astype(np.int64, copy=False)
+
+
+def _slice_filter(table, keys: list[str], slice_idx: int, n_slices: int):
+    """Keep the rows whose key-hash lands in this slice. The hash is
+    pandas' vectorized siphash (fixed default hash key, deterministic
+    across processes) — every slice task of the commit computes the
+    same partitioning independently, which is what lets a no-shuffle
+    Python DataSource distribute a keyed diff."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if n_slices <= 1 or len(table) == 0:
+        return table
+    h = pd.util.hash_pandas_object(
+        table.select(keys).to_pandas(), index=False
+    ).to_numpy()
+    return table.filter(pa.array((h % n_slices) == slice_idx))
+
+
+def _col_differs(a, b):
+    """Vectorized per-column inequality with SQL-null and NaN handling
+    matched to the batch ``change_feed``'s ``eqNullSafe`` struct
+    compare: NULL == NULL, NaN == NaN, NULL != value."""
+    import pyarrow.compute as pc
+    import pyarrow.types as pt
+
+    one_null = pc.xor(pc.is_null(a), pc.is_null(b))
+    neq = pc.fill_null(pc.not_equal(a, b), False)
+    if pt.is_floating(a.type):
+        both_nan = pc.fill_null(pc.and_(pc.is_nan(a), pc.is_nan(b)), False)
+        neq = pc.and_(neq, pc.invert(both_nan))
+    return pc.or_(one_null, neq)
 
 
 class TxTableChangeFeedReader(DataSourceStreamReader):
@@ -175,13 +300,20 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
 
     Offsets are commit versions, like the append reader. An
     append-type commit expands to per-file ``insert`` partitions; a
-    non-append commit becomes ONE partition that pyarrow-reads only
-    the files whose identity (path, dv) CHANGED across the boundary —
-    both sides DV-masked — and diffs them BY KEY in the task
-    (dict-based; exact, NaN-safe). Work and memory are O(changed
-    files of that commit), never O(table) — the same bound as the
-    driver-side ``change_feed``, but per-commit and executor-side.
-    OPTIMIZE commits are skipped (row set unchanged by contract)."""
+    non-append commit decomposes per the taxonomy above — writer
+    change files when the table records them, per-file partitions for
+    pure-MOR / one-sided commits, and a key-hash-sliced Arrow-join
+    diff otherwise. Per-task retained memory is O(changed rows /
+    n_slices), never O(commit); OPTIMIZE commits are skipped (row set
+    unchanged by contract). NULL key columns follow SQL join
+    semantics (never match — same as the batch ``change_feed``'s
+    full-outer join)."""
+
+    # One slice task retains ~this many diff rows; at parquet-typical
+    # ~100 B/row that is ~400 MB — sized to executor memory, matching
+    # spark.sql.files.maxPartitionBytes-scale working sets.
+    DEFAULT_SLICE_ROWS = 4_000_000
+    MAX_SLICES = 64  # read-amplification cap: slices re-scan the commit
 
     def __init__(self, schema: T.StructType, options: dict):
         opts = {str(k).lower(): v for k, v in options.items()}
@@ -194,6 +326,9 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
         self.keys = [k.strip() for k in str(key).split(",") if k.strip()]
         self.schema = schema  # table schema + _change_type + _commit_version
         self.starting_version = int(opts.get("startingversion", 0))
+        self.slice_rows = int(
+            opts.get("cdcslicerows", self.DEFAULT_SLICE_ROWS)
+        )
         self.log = os.path.join(self.table_path, "_txlog")
 
     def initialOffset(self) -> dict:
@@ -201,6 +336,8 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         return {"version": TxTable(None, self.table_path).latest_version()}
+
+    # -- planning (driver) ---------------------------------------------
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         t = TxTable(None, self.table_path)
@@ -220,91 +357,248 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
                 continue
             if op == "OPTIMIZE":
                 continue  # pure file-level rewrite: row set unchanged
-            s0, s1 = t.snapshot(v - 1), t.snapshot(v)
-
-            def _side(fr, to):
-                return [
-                    (
-                        os.path.join(self.table_path, p),
-                        (
-                            os.path.join(self.table_path, m["dv"])
-                            if m.get("dv")
-                            else None
-                        ),
-                    )
-                    for p, m in fr.files.items()
-                    if p not in to.files
-                    or to.files[p].get("dv") != m.get("dv")
-                ]
-
-            out.append(
-                _CdcDiffPartition(v, _side(s0, s1), _side(s1, s0), self.keys)
-            )
+            out.extend(self._plan_dml(t, v, actions))
         return out
 
-    def read(self, partition) -> Iterator["pa.RecordBatch"]:
+    def _plan_dml(self, t: TxTable, v: int,
+                  actions: list[dict]) -> list[InputPartition]:
+        # Case 1: writer-emitted change files (table-level CDF). The
+        # commitInfo cdc flag distinguishes "CDC computed, zero
+        # changes" from "CDC not recorded" — only the latter falls
+        # back to the read-time diff.
+        info = next(
+            (a["commitInfo"] for a in actions if "commitInfo" in a), {}
+        )
+        if info.get("cdc"):
+            return [
+                _CdcFilePartition(
+                    os.path.join(self.table_path, a["cdc"]["path"]), v
+                )
+                for a in actions
+                if "cdc" in a and (a["cdc"].get("numRecords") or 0) > 0
+            ]
+
+        s0, s1 = t.snapshot(v - 1), t.snapshot(v)
+        f0, f1 = s0.files, s1.files
+        join = os.path.join
+        dv_deltas = [
+            (join(self.table_path, p),
+             join(self.table_path, f0[p]["dv"]) if f0[p].get("dv") else None,
+             join(self.table_path, f1[p]["dv"]) if f1[p].get("dv") else None)
+            for p in f0
+            if p in f1 and f0[p].get("dv") != f1[p].get("dv")
+        ]
+        removed = [
+            (join(self.table_path, p),
+             join(self.table_path, f0[p]["dv"]) if f0[p].get("dv") else None)
+            for p in sorted(f0) if p not in f1
+        ]
+        added = [
+            (join(self.table_path, p),
+             join(self.table_path, f1[p]["dv"]) if f1[p].get("dv") else None)
+            for p in sorted(f1) if p not in f0
+        ]
+        # an old dv can only LOSE positions via RESTORE-style commits;
+        # a fresh dv (old side None) strictly masks
+        unmask_possible = any(od is not None for _, od, _nd in dv_deltas)
+
+        # Case 2: pure MOR masking — per-file, index-take, no key
+        if not removed and not added and not unmask_possible:
+            return [
+                _CdcDvDeltaPartition(v, f, od, nd)
+                for f, od, nd in dv_deltas
+            ]
+        # Case 3: one-sided commits — whole files, one change type
+        if not dv_deltas and not added:
+            return [
+                _CdcWholeFilePartition(v, f, dv, "delete")
+                for f, dv in removed
+            ]
+        if not dv_deltas and not removed:
+            return [
+                _CdcWholeFilePartition(v, f, dv, "insert")
+                for f, dv in added
+            ]
+        # Case 4: joint keyed diff, hash-sliced. Row estimate from the
+        # log's per-file stats (live = physical - dv-masked).
+        def live(meta):
+            return (meta.get("numRecords") or 0) - meta.get("dvRows", 0)
+
+        est = sum(live(f0[os.path.relpath(f, self.table_path)])
+                  for f, _ in removed)
+        est += sum(live(f1[os.path.relpath(f, self.table_path)])
+                   for f, _ in added)
+        for f, _od, _nd in dv_deltas:
+            p = os.path.relpath(f, self.table_path)
+            est += abs(f1[p].get("dvRows", 0) - f0[p].get("dvRows", 0))
+        n = max(1, min(self.MAX_SLICES,
+                       -(-est // max(1, self.slice_rows))))
+        return [
+            _CdcSlicePartition(v, removed, added, dv_deltas,
+                               self.keys, i, n)
+            for i in range(n)
+        ]
+
+    # -- reading (executors) -------------------------------------------
+
+    def _arrow_schemas(self):
         import pyarrow as pa
 
         from pyspark.sql.pandas.types import to_arrow_schema
-
-        from .txbatch import align_to, read_masked_table
 
         want = to_arrow_schema(self.schema)
         table_fields = [
             f for f in want
             if f.name not in ("_change_type", "_commit_version")
         ]
-        tbl_schema = pa.schema(table_fields)
-        names = [f.name for f in table_fields]
+        return want, pa.schema(table_fields)
 
-        def rows_of(parts):
-            out: dict = {}
-            for file, dv in parts:
-                t = align_to(read_masked_table(file, dv), tbl_schema)
-                for row in t.to_pylist():
-                    out[tuple(row[k] for k in partition_keys)] = row
-            return out
+    def _emit(self, table, change_type: str, version: int, want):
+        """Tag a table-schema arrow table with change metadata."""
+        import pyarrow as pa
+
+        return table.append_column(
+            "_change_type", pa.array([change_type] * len(table), pa.string())
+        ).append_column(
+            "_commit_version", pa.array([version] * len(table), pa.int64())
+        ).cast(want)
+
+    def read(self, partition) -> Iterator["pa.RecordBatch"]:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from .txbatch import align_to, read_masked_table
+
+        want, tbl_schema = self._arrow_schemas()
 
         if isinstance(partition, _CdcInsertPartition):
             t = align_to(read_masked_table(partition.file, None), tbl_schema)
-            out = t.append_column(
-                "_change_type", pa.array(["insert"] * len(t), pa.string())
+            yield from self._emit(
+                t, "insert", partition.version, want
+            ).to_batches()
+            return
+
+        if isinstance(partition, _CdcFilePartition):
+            # writer-emitted change file: rows already classified; the
+            # file carries _change_type + table columns at write-time
+            # schema — align the table part, keep the recorded type
+            raw = pq.read_table(partition.path)
+            body = align_to(raw.drop_columns(["_change_type"]), tbl_schema)
+            out = body.append_column(
+                "_change_type", raw.column("_change_type").cast(pa.string())
             ).append_column(
                 "_commit_version",
-                pa.array([partition.version] * len(t), pa.int64()),
+                pa.array([partition.version] * len(raw), pa.int64()),
             )
             yield from out.cast(want).to_batches()
             return
 
-        partition_keys = partition.keys
-        olds = rows_of(partition.removed)
-        news = rows_of(partition.added)
+        if isinstance(partition, _CdcWholeFilePartition):
+            t = align_to(
+                read_masked_table(partition.file, partition.dv), tbl_schema
+            )
+            yield from self._emit(
+                t, partition.change_type, partition.version, want
+            ).to_batches()
+            return
 
-        def _ne(a, b):  # NaN-safe inequality
-            if a is None or b is None:
-                return (a is None) != (b is None)
-            if isinstance(a, float) and isinstance(b, float):
-                return a != b and not (a != a and b != b)
-            return a != b
+        if isinstance(partition, _CdcDvDeltaPartition):
+            old_pos = _dv_positions(partition.old_dv, partition.file)
+            new_pos = _dv_positions(partition.new_dv, partition.file)
+            masked = np.setdiff1d(new_pos, old_pos)
+            if len(masked) == 0:
+                return
+            t = align_to(
+                pq.read_table(partition.file).take(masked), tbl_schema
+            )
+            yield from self._emit(
+                t, "delete", partition.version, want
+            ).to_batches()
+            return
 
-        changed = []
-        for k, row in olds.items():
-            if k not in news:
-                changed.append({**row, "_change_type": "delete",
-                                "_commit_version": partition.version})
-        for k, row in news.items():
-            if k not in olds:
-                changed.append({**row, "_change_type": "insert",
-                                "_commit_version": partition.version})
-            else:
-                old = olds[k]
-                if any(_ne(old[c], row[c]) for c in names):
-                    changed.append({**old, "_change_type": "update_preimage",
-                                    "_commit_version": partition.version})
-                    changed.append({**row, "_change_type": "update_postimage",
-                                    "_commit_version": partition.version})
-        if changed:
-            yield from pa.Table.from_pylist(changed, schema=want).to_batches()
+        # _CdcSlicePartition: joint keyed diff, this task's hash slice
+        keys = partition.keys
+        vals = [f.name for f in tbl_schema if f.name not in keys]
+
+        def gather(files, delta_side):
+            chunks = []
+            for f, dv in files:
+                t = align_to(read_masked_table(f, dv), tbl_schema)
+                chunks.append(_slice_filter(
+                    t, keys, partition.slice_idx, partition.n_slices
+                ))
+            for f, od, nd in partition.dv_deltas:
+                old_pos = _dv_positions(od, f)
+                new_pos = _dv_positions(nd, f)
+                take = (np.setdiff1d(new_pos, old_pos) if delta_side == "old"
+                        else np.setdiff1d(old_pos, new_pos))
+                if len(take):
+                    t = align_to(pq.read_table(f).take(take), tbl_schema)
+                    chunks.append(_slice_filter(
+                        t, keys, partition.slice_idx, partition.n_slices
+                    ))
+            if not chunks:
+                return tbl_schema.empty_table()
+            return pa.concat_tables(chunks)
+
+        old_t = gather(partition.old_files, "old")
+        new_t = gather(partition.new_files, "new")
+        old_t = old_t.append_column(
+            "__po", pa.array(np.ones(len(old_t), dtype=np.int8))
+        )
+        new_t = new_t.append_column(
+            "__pn", pa.array(np.ones(len(new_t), dtype=np.int8))
+        )
+        j = old_t.join(
+            new_t, keys=keys, join_type="full outer", right_suffix="__r"
+        )
+        has_old = pc.is_valid(j.column("__po"))
+        has_new = pc.is_valid(j.column("__pn"))
+
+        def side(rows, renamed: bool):
+            cols = [rows.column(k) for k in keys]
+            cols += [
+                rows.column(c + "__r" if renamed else c) for c in vals
+            ]
+            return pa.Table.from_arrays(
+                cols, schema=pa.schema(
+                    [tbl_schema.field(k) for k in keys]
+                    + [tbl_schema.field(c) for c in vals]
+                )
+            ).select([f.name for f in tbl_schema])
+
+        outs = []
+        dels = j.filter(pc.and_(has_old, pc.invert(has_new)))
+        if len(dels):
+            outs.append(self._emit(
+                side(dels, False), "delete", partition.version, want
+            ))
+        ins = j.filter(pc.and_(has_new, pc.invert(has_old)))
+        if len(ins):
+            outs.append(self._emit(
+                side(ins, True), "insert", partition.version, want
+            ))
+        both = j.filter(pc.and_(has_old, has_new))
+        if len(both):
+            differs = None
+            for c in vals:
+                d = _col_differs(both.column(c), both.column(c + "__r"))
+                differs = d if differs is None else pc.or_(differs, d)
+            if differs is not None:
+                changed = both.filter(differs)
+                if len(changed):
+                    outs.append(self._emit(
+                        side(changed, False), "update_preimage",
+                        partition.version, want,
+                    ))
+                    outs.append(self._emit(
+                        side(changed, True), "update_postimage",
+                        partition.version, want,
+                    ))
+        for out in outs:
+            yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
         pass

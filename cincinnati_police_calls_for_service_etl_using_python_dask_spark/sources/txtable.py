@@ -80,6 +80,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 LOG_DIR = "_txlog"
+CDC_DIR = "_change_data"
 CHECKPOINT_INTERVAL = 10
 _VERSION_DIGITS = 20
 
@@ -118,6 +119,11 @@ class Snapshot:
     # action): exactly-once idempotence survives checkpoint compaction
     # because it rides the snapshot state, not the raw log tail.
     txns: dict[str, int] = field(default_factory=dict)
+    # table-level CHANGE DATA FEED flag (Delta's enableChangeDataFeed):
+    # when set, DELETE/UPDATE/MERGE also write their classified change
+    # rows under _change_data/ in the same commit, so CDC readers cost
+    # O(changed rows) with zero read-time diffing.
+    cdc_enabled: bool = False
 
 
 class TxTable:
@@ -172,6 +178,7 @@ class TxTable:
                     )
                     snap.stats_columns = list(md.get("statsColumns", []))
                     snap.bloom_spec = dict(md.get("bloomSpec", {}))
+                    snap.cdc_enabled = bool(md.get("changeDataFeed", False))
                 elif "add" in action:
                     a = action["add"]
                     meta = {
@@ -214,6 +221,7 @@ class TxTable:
             snap.bloom_spec = dict(state.get("bloomSpec", {}))
             snap.files = dict(state["files"])
             snap.txns = dict(state.get("txns", {}))
+            snap.cdc_enabled = bool(state.get("changeDataFeed", False))
             snap.version = cps[-1]
             start = cps[-1] + 1
         have = set(vs)
@@ -267,6 +275,7 @@ class TxTable:
                 "bloomSpec": snap.bloom_spec,
                 "files": snap.files,
                 "txns": snap.txns,
+                "changeDataFeed": snap.cdc_enabled,
             }
             tmp = os.path.join(self.log, f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
@@ -404,6 +413,7 @@ class TxTable:
         bloom_columns: list[str] | None = None,
         bloom_n_words: int = 256,
         bloom_k: int = 3,
+        change_data_feed: bool = False,
     ) -> "TxTable":
         """Create a table at ``path`` from ``df`` (commit 0). Fails if
         a table already exists there.
@@ -431,7 +441,12 @@ class TxTable:
             if bloom_columns
             else {}
         )
-        actions = [_metadata_action(df.schema, stats_columns, bloom_spec)]
+        actions = [
+            _metadata_action(
+                df.schema, stats_columns, bloom_spec,
+                change_data_feed=change_data_feed,
+            )
+        ]
         actions += t._write_files(df, stats_columns, bloom_spec)
         actions.append(_commit_info("CREATE", 0))
         if not t._try_commit(0, actions):
@@ -548,6 +563,133 @@ class TxTable:
         os.rmdir(staging)
         return name
 
+    def _write_cdc(self, cdc: DataFrame) -> list[dict]:
+        """Write writer-side CHANGE DATA FEED files (the public Delta
+        CDF design: DML commits persist their classified change rows
+        under ``_change_data/`` so CDC consumers never re-diff the
+        table). ``cdc`` carries the table columns plus ``_change_type``
+        (insert / delete / update_preimage / update_postimage — only
+        rows that ACTUALLY changed, matching the read-time diff's
+        eqNullSafe semantics). Executor-side distributed write;
+        returns the commit's ``cdc`` actions. The streaming
+        change-feed reader plans one partition per change file, so a
+        commit that touched thousands of files streams as
+        O(changed rows) spread across the cluster."""
+        cdc_dir = os.path.join(self.path, CDC_DIR)
+        os.makedirs(cdc_dir, exist_ok=True)
+        staging = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
+        cdc.write.mode("overwrite").parquet(staging)
+        moved = []
+        for name in os.listdir(staging):
+            if name.endswith(".parquet"):
+                dst = f"{uuid.uuid4().hex}.parquet"
+                os.replace(
+                    os.path.join(staging, name), os.path.join(cdc_dir, dst)
+                )
+                moved.append(dst)
+            else:
+                os.unlink(os.path.join(staging, name))
+        os.rmdir(staging)
+        if not moved:
+            return []
+        back = self.spark.read.parquet(
+            *[os.path.join(cdc_dir, m) for m in moved]
+        )
+        counts = {
+            os.path.basename(r["__f"]): r["__n"]
+            for r in back.groupBy(F.input_file_name().alias("__f"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        }
+        return [
+            {
+                "cdc": {
+                    "path": f"{CDC_DIR}/{m}",
+                    "numRecords": counts.get(m, 0),
+                }
+            }
+            for m in moved
+        ]
+
+    def _update_cdc_rows(
+        self, snap: Snapshot, hits: DataFrame, assignments: dict
+    ) -> DataFrame:
+        """UPDATE's change rows: pre/post images for the matched rows
+        whose assigned values ACTUALLY differ (eqNullSafe, so a no-op
+        assignment emits nothing — identical to what a read-time diff
+        of the two snapshots would conclude)."""
+        def new_expr(c):
+            e = assignments[c]
+            return F.expr(e) if isinstance(e, str) else e
+
+        diff = F.lit(False)
+        for c in assignments:
+            diff = diff | ~F.col(c).eqNullSafe(new_expr(c))
+        changed = hits.filter(diff)
+        pre = changed.select(
+            *[F.col(f.name) for f in snap.schema.fields]
+        ).withColumn("_change_type", F.lit("update_preimage"))
+        post = changed.select(
+            *[
+                new_expr(f.name).alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in snap.schema.fields
+            ]
+        ).withColumn("_change_type", F.lit("update_postimage"))
+        return pre.unionByName(post)
+
+    def _merge_cdc_rows(
+        self,
+        snap: Snapshot,
+        base: DataFrame,
+        source: DataFrame,
+        keys: list[str],
+        op_col: str,
+        delete_op: str,
+    ) -> DataFrame:
+        """MERGE's change rows, classified with one extra join over the
+        affected files (``base`` is already pruned to them): a matched
+        ``delete_op`` row deletes the OLD row; a matched upsert whose
+        values differ yields pre/post images; an unmatched upsert
+        inserts. NULL ``op_col`` is an upsert, never a delete — the
+        same contract as ``operators.relational.merge_changes``."""
+        vals = [f.name for f in snap.schema.fields if f.name not in keys]
+        src = source.withColumn(
+            "__op", F.coalesce(F.col(op_col), F.lit("U"))
+        )
+        matched = base.alias("b").join(src.alias("s"), keys, "inner")
+        b_row = [F.col(f"b.{c}").alias(c) for c in vals]
+        s_row = [F.col(f"s.{c}").alias(c) for c in vals]
+        dels = matched.filter(F.col("__op") == delete_op).select(
+            *keys, *b_row
+        ).withColumn("_change_type", F.lit("delete"))
+        upd = matched.filter(
+            (F.col("__op") != delete_op)
+            & ~F.struct(*[F.col(f"b.{c}") for c in vals]).eqNullSafe(
+                F.struct(*[F.col(f"s.{c}") for c in vals])
+            )
+        )
+        pre = upd.select(*keys, *b_row).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = upd.select(*keys, *s_row).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        ins = (
+            src.filter(F.col("__op") != delete_op)
+            .join(base.select(*keys), keys, "left_anti")
+            .select(*keys, *vals)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        order = [f.name for f in snap.schema.fields] + ["_change_type"]
+        return (
+            dels.select(*order)
+            .unionByName(pre.select(*order))
+            .unionByName(post.select(*order))
+            .unionByName(ins.select(*order))
+        )
+
     def read_pruned(self, column: str, lower, upper, version: int | None = None) -> DataFrame:
         """Zone-map file skipping: read only files whose [min, max]
         range for ``column`` overlaps [lower, upper], with the residual
@@ -663,7 +805,8 @@ class TxTable:
                 )
                 evolve.append(
                     _metadata_action(
-                        widened, snap.stats_columns, snap.bloom_spec
+                        widened, snap.stats_columns, snap.bloom_spec,
+                        change_data_feed=snap.cdc_enabled,
                     )
                 )
                 snap.schema = widened
@@ -701,7 +844,8 @@ class TxTable:
         v = cur.version + 1
         actions: list[dict] = [
             _metadata_action(
-                target.schema, target.stats_columns, target.bloom_spec
+                target.schema, target.stats_columns, target.bloom_spec,
+                change_data_feed=target.cdc_enabled,
             )
         ]
         # entry identity includes the deletion vector: a file present
@@ -831,7 +975,19 @@ class TxTable:
                     keep_rows, snap.stats_columns, snap.bloom_spec
                 )
                 actions = [{"remove": {"path": p}} for p in affected] + adds
-            actions.append(_commit_info("DELETE", v))
+            if snap.cdc_enabled:
+                # change rows = exactly the matched rows, read from the
+                # affected files only (file-pruned second pass)
+                actions += self._write_cdc(
+                    self._read_snapshot_meta(snap, affected)
+                    .filter(predicate)
+                    .drop("__file", "__pos")
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+            ci = _commit_info("DELETE", v)
+            if snap.cdc_enabled:
+                ci["commitInfo"]["cdc"] = True
+            actions.append(ci)
             if not self._try_commit(v, actions):
                 raise ConcurrentWriteError(f"DELETE conflicted at {self.path}")
             self._maybe_checkpoint(v)
@@ -961,7 +1117,14 @@ class TxTable:
                     rewritten, snap.stats_columns, snap.bloom_spec
                 )
                 actions = [{"remove": {"path": p}} for p in affected] + adds
-            actions.append(_commit_info("UPDATE", v))
+            if snap.cdc_enabled:
+                actions += self._write_cdc(
+                    self._update_cdc_rows(snap, hits, assignments)
+                )
+            ci = _commit_info("UPDATE", v)
+            if snap.cdc_enabled:
+                ci["commitInfo"]["cdc"] = True
+            actions.append(ci)
             if not self._try_commit(v, actions):
                 raise ConcurrentWriteError(f"UPDATE conflicted at {self.path}")
             self._maybe_checkpoint(v)
@@ -1004,7 +1167,17 @@ class TxTable:
         adds = self._write_files(merged, snap.stats_columns, snap.bloom_spec)
         v = snap.version + 1
         actions = [{"remove": {"path": p}} for p in sorted(affected)]
-        actions += adds + [_commit_info("MERGE", v)]
+        actions += adds
+        if snap.cdc_enabled:
+            actions += self._write_cdc(
+                self._merge_cdc_rows(
+                    snap, base, source, keys, op_col, delete_op
+                )
+            )
+        ci = _commit_info("MERGE", v)
+        if snap.cdc_enabled:
+            ci["commitInfo"]["cdc"] = True
+        actions += [ci]
         if not self._try_commit(v, actions):
             raise ConcurrentWriteError(f"MERGE conflicted at {self.path}")
         self._maybe_checkpoint(v)
@@ -1298,6 +1471,8 @@ class TxTable:
                         referenced.add(action["add"]["path"])
                         if action["add"].get("dv"):
                             referenced.add(action["add"]["dv"])
+                    elif "cdc" in action:
+                        referenced.add(action["cdc"]["path"])
         for c in self._checkpoints():
             with open(_checkpoint_path(self.log, c)) as f:
                 files = json.load(f)["files"]
@@ -1316,11 +1491,28 @@ class TxTable:
             ):
                 os.unlink(full)
                 gone.append(name)
+        # change-data files: referenced by their commit's cdc action
+        # only, so once expire_log drops that commit they reclaim here
+        cdc_dir = os.path.join(self.path, CDC_DIR)
+        if os.path.isdir(cdc_dir):
+            for name in os.listdir(cdc_dir):
+                rel = f"{CDC_DIR}/{name}"
+                full = os.path.join(cdc_dir, name)
+                if (
+                    name.endswith(".parquet")
+                    and rel not in referenced
+                    and os.path.getmtime(full) <= cutoff
+                ):
+                    os.unlink(full)
+                    gone.append(rel)
         return sorted(gone)
 
 
 def _metadata_action(
-    schema: T.StructType, stats_columns: list[str], bloom_spec: dict
+    schema: T.StructType,
+    stats_columns: list[str],
+    bloom_spec: dict,
+    change_data_feed: bool = False,
 ) -> dict:
     md = {
         "schemaJson": json.dumps(schema.jsonValue()),
@@ -1328,6 +1520,8 @@ def _metadata_action(
     }
     if bloom_spec:
         md["bloomSpec"] = bloom_spec
+    if change_data_feed:
+        md["changeDataFeed"] = True
     return {"metaData": md}
 
 

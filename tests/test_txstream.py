@@ -181,3 +181,197 @@ def test_change_feed_stream_propagates_dml(spark, tmp_path):
     t.delete(F.col("k") == 10)
     got2 = drain(ckpt)
     assert {(r["k"], r["_change_type"]) for r in got2} == {(10, "delete")}
+
+
+def _cdc_drain(spark, path, ckpt, **opts):
+    rows: list = []
+    reader = (
+        spark.readStream.format("txtable_stream")
+        .option("readChangeFeed", "true")
+        .option("key", "k")
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(path)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, _e: rows.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
+def _events(rows):
+    return sorted(
+        (r["k"], r["_change_type"], r["v"], r["_commit_version"])
+        for r in rows
+    )
+
+
+def _run_dml(spark, t):
+    """One of each DML against a 0..19 table; the expected CDC events
+    are identical regardless of HOW the reader decomposes them."""
+    t.delete(F.col("k") < 3, strategy="mor")                       # v1
+    t.update(F.col("k") == 5, {"v": F.lit(999).cast("long")})      # v2
+    t.update(F.col("k") == 6, {"v": F.lit(666).cast("long")},
+             strategy="mor")                                       # v3
+    src = spark.createDataFrame(
+        [(7, 777, None), (8, 80, "D"), (200, 2000, None)],
+        "k long, v long, op string",
+    )
+    t.merge(src, "k")                                              # v4
+    t.delete(F.col("k") == 9)                                      # v5 (cow)
+
+
+_EXPECTED_DML_EVENTS = sorted(
+    [(k, "insert", k * 10, 0) for k in range(20)]
+    + [(k, "delete", k * 10, 1) for k in (0, 1, 2)]
+    + [(5, "update_preimage", 50, 2), (5, "update_postimage", 999, 2)]
+    + [(6, "update_preimage", 60, 3), (6, "update_postimage", 666, 3)]
+    + [(7, "update_preimage", 70, 4), (7, "update_postimage", 777, 4),
+       (8, "delete", 80, 4), (200, "insert", 2000, 4)]
+    + [(9, "delete", 90, 5)]
+)
+
+
+def test_cdc_fallback_diff_matches_expected(spark, tmp_path):
+    """Read-time diff path (table created WITHOUT change_data_feed):
+    MOR deletes/updates, COW update/delete and MERGE all classify."""
+    p = str(tmp_path / "nf")
+    t = TxTable.create(spark, p, _mk(spark, 0, 20).coalesce(1))
+    _run_dml(spark, t)
+    got = _cdc_drain(spark, p, str(tmp_path / "nf_ck"))
+    assert _events(got) == _EXPECTED_DML_EVENTS
+
+
+def test_cdc_writer_change_files_match_fallback(spark, tmp_path):
+    """A change_data_feed=True table records its change rows at
+    commit time; the stream delivers the SAME events as the
+    read-time diff, from _change_data files alone."""
+    import json
+    import os as _os
+
+    p = str(tmp_path / "wf")
+    t = TxTable.create(
+        spark, p, _mk(spark, 0, 20).coalesce(1), change_data_feed=True
+    )
+    _run_dml(spark, t)
+    got = _cdc_drain(spark, p, str(tmp_path / "wf_ck"))
+    assert _events(got) == _EXPECTED_DML_EVENTS
+    # every DML commit carries cdc actions + the commitInfo flag
+    log = _os.path.join(p, "_txlog")
+    for v in (1, 2, 3, 4, 5):
+        name = [n for n in sorted(_os.listdir(log)) if int(n.split(".")[0]) == v][0]
+        actions = [json.loads(l) for l in open(_os.path.join(log, name))]
+        info = next(a["commitInfo"] for a in actions if "commitInfo" in a)
+        assert info["cdc"] is True
+        assert any("cdc" in a for a in actions), f"v{v} has no cdc files"
+    assert _os.path.isdir(_os.path.join(p, "_change_data"))
+
+
+def test_cdc_partition_decomposition(spark, tmp_path):
+    """The CDC planner distributes a commit instead of funnelling it
+    through one task: writer-CDC commits get one partition per change
+    file; a pure-MOR delete gets one per masked file; a multi-file
+    COW MERGE under a small cdcSliceRows gets one per key-hash
+    slice — and the slices reproduce the single-partition result."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txstream import (
+        TxTableChangeFeedReader,
+        _CdcDvDeltaPartition,
+        _CdcFilePartition,
+        _CdcSlicePartition,
+    )
+
+    p = str(tmp_path / "parts")
+    # 4 data files so the DML touches several
+    t = TxTable.create(spark, p, _mk(spark, 0, 40).repartition(4))
+    t.delete(F.col("k") % 10 == 0, strategy="mor")                 # v1
+    src = spark.createDataFrame(
+        [(int(k), int(k) * 10 + 1, None) for k in range(1, 40, 2)],
+        "k long, v long, op string",
+    )
+    t.merge(src, "k")                                              # v2
+
+    def reader(**extra):
+        opts = {"path": p, "key": "k", "readchangefeed": "true", **extra}
+        schema = TxTableStreamSource(opts).schema()
+        return TxTableChangeFeedReader(schema, opts)
+
+    r = reader()
+    mor = r.partitions({"version": 0}, {"version": 1})
+    assert len(mor) >= 2  # one per file that gained DV positions
+    assert all(isinstance(x, _CdcDvDeltaPartition) for x in mor)
+
+    sliced = reader(cdcSliceRows="10")
+    merge_parts = sliced.partitions({"version": 1}, {"version": 2})
+    assert len(merge_parts) > 1, "multi-file MERGE must not be one task"
+    assert all(isinstance(x, _CdcSlicePartition) for x in merge_parts)
+    rows_sliced = [
+        row
+        for part in merge_parts
+        for b in sliced.read(part)
+        for row in b.to_pylist()
+    ]
+    single = reader().partitions({"version": 1}, {"version": 2})
+    rows_single = [
+        row for part in single for b in r.read(part) for row in b.to_pylist()
+    ]
+    key = lambda d: (d["k"], d["_change_type"])
+    assert sorted(rows_sliced, key=key) == sorted(rows_single, key=key)
+    assert {d["_change_type"] for d in rows_sliced} == {
+        "update_preimage", "update_postimage",
+    }
+
+    # writer-CDC table: the same MERGE plans as per-change-file reads
+    p2 = str(tmp_path / "parts_w")
+    t2 = TxTable.create(
+        spark, p2, _mk(spark, 0, 40).repartition(4), change_data_feed=True
+    )
+    t2.merge(src.repartition(4), "k")
+    r2_opts = {"path": p2, "key": "k", "readchangefeed": "true"}
+    r2 = TxTableChangeFeedReader(
+        TxTableStreamSource(r2_opts).schema(), r2_opts
+    )
+    wparts = r2.partitions({"version": 0}, {"version": 1})
+    assert all(isinstance(x, _CdcFilePartition) for x in wparts)
+    assert len(wparts) >= 1
+
+
+def test_cdc_slice_rows_option_end_to_end(spark, tmp_path):
+    """cdcSliceRows exercised through a real streaming query."""
+    p = str(tmp_path / "sl")
+    t = TxTable.create(spark, p, _mk(spark, 0, 40).repartition(4))
+    t.update(F.col("k") % 3 == 0, {"v": (F.col("v") + 1).cast("long")})
+    got = _cdc_drain(spark, p, str(tmp_path / "sl_ck"), cdcSliceRows="5")
+    ev = {(r["k"], r["_change_type"]) for r in got if r["_commit_version"] == 1}
+    assert ev == {
+        (k, c)
+        for k in range(0, 40, 3)
+        for c in ("update_preimage", "update_postimage")
+    }
+
+
+def test_stream_over_expired_log_fails_clearly(spark, tmp_path):
+    """Log retention x streaming (error contract): a stream whose
+    startingVersion — or checkpointed offset — fell below the
+    expire_log cut fails with a clear retention error, not a raw
+    FileNotFoundError/KeyError from log internals."""
+    p = str(tmp_path / "exp")
+    t = TxTable.create(spark, p, _mk(spark, 0, 5).coalesce(1))
+    ckpt = str(tmp_path / "exp_ck")
+    got = _drain(spark, p, ckpt)  # checkpoint now holds offset v0
+    assert len(got) == 5
+    for i in range(10):  # reach v10 -> checkpoint -> expire v0..v9
+        t.append(_mk(spark, 10 * (i + 1), 10 * (i + 1) + 2).coalesce(1))
+    assert t.expire_log()
+    # fresh stream from below the cut
+    with pytest.raises(StreamingQueryException, match="expired by log retention"):
+        _drain(spark, p, str(tmp_path / "exp_ck2"), startingVersion="1")
+    # checkpointed stream resuming across the expired range
+    with pytest.raises(StreamingQueryException, match="expired by log retention"):
+        _drain(spark, p, ckpt)
+    # CDC flavor honours the same contract
+    with pytest.raises(StreamingQueryException, match="expired by log retention"):
+        _cdc_drain(spark, p, str(tmp_path / "exp_ck3"), startingVersion="1")

@@ -767,3 +767,63 @@ def test_update_mor_change_feed_and_errors(spark, tmp_path):
     # no-op predicate commits nothing
     v = t.latest_version()
     assert t.update(F.col("k") > 10_000, {"v": F.lit(0).cast("long")}) == v
+
+
+def test_change_data_feed_files_lifecycle(spark, tmp_path):
+    """change_data_feed=True: DML commits persist classified change
+    rows under _change_data/ (only rows that ACTUALLY changed — a
+    no-op assignment emits nothing), the flag survives checkpoints
+    and schema evolution, and vacuum reclaims change files once
+    expire_log drops their commit."""
+    import json
+
+    p = str(tmp_path / "cdf")
+    t = TxTable.create(
+        spark, p, _mk(spark, 0, 10).coalesce(1), change_data_feed=True
+    )
+    assert t.snapshot().cdc_enabled
+    # UPDATE that assigns every row its own value: cdc must be EMPTY
+    t.update(F.col("k") >= 0, {"v": F.col("v")})
+    log = os.path.join(p, "_txlog")
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(log, sorted(os.listdir(log))[-1]))
+    ]
+    info = next(a["commitInfo"] for a in acts if "commitInfo" in a)
+    assert info["cdc"] is True  # CDC computed...
+    assert not any(
+        "cdc" in a and a["cdc"].get("numRecords") for a in acts
+    )  # ...and empty: no row changed
+    # real delete writes change rows
+    t.delete(F.col("k") < 4)
+    cdc_dir = os.path.join(p, "_change_data")
+    n_files = len(os.listdir(cdc_dir))
+    assert n_files > 0
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(cdc_dir, "*.parquet"))
+        .collect()
+    )
+    assert got == [(k, k, "delete") for k in range(4)]
+    # flag survives evolution + checkpoint replay
+    wide = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.col("id").alias("v"),
+        F.lit(1).alias("extra"),
+    )
+    t.append(wide, merge_schema=True)
+    for i in range(CHECKPOINT_INTERVAL):
+        t.append(
+            _mk(spark, 100 + i, 101 + i)
+            .withColumn("extra", F.lit(1))
+            .coalesce(1)
+        )
+    assert t._checkpoints()
+    assert t.snapshot().cdc_enabled
+    # vacuum retains referenced change files; expire_log frees them
+    t.vacuum(min_age_seconds=0)
+    assert len(os.listdir(cdc_dir)) == n_files
+    assert t.expire_log()
+    gone = t.vacuum(min_age_seconds=0)
+    assert any(g.startswith("_change_data/") for g in gone)
+    assert len(os.listdir(cdc_dir)) == 0
