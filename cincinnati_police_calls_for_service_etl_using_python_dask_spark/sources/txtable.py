@@ -282,6 +282,99 @@ class TxTable:
                 json.dump(state, f)
             os.replace(tmp, _checkpoint_path(self.log, version))
 
+    def _commit_rmw(
+        self,
+        snap: Snapshot,
+        actions: list[dict],
+        op: str,
+        read_files: set[str],
+        cdc: bool = False,
+        retries: int = 5,
+    ) -> int:
+        """Commit a READ-MODIFY-WRITE operation with Delta-style
+        LOGICAL conflict detection: losing the version race no longer
+        aborts unconditionally — the interleaved commits are examined
+        and the operation REBASES onto the new log head whenever
+        serializability provably holds, raising only on a real
+        conflict. Rules (mirroring the public Delta conflict matrix
+        for an unpartitioned table):
+
+        - interleaved metadata/schema change, OVERWRITE or RESTORE →
+          always conflict (the table was redefined under us);
+        - interleaved blind append (APPEND / STREAM_APPEND) →
+          conflicts with predicate-reading ops (DELETE/UPDATE/MERGE:
+          the new rows might have matched the predicate — Delta's
+          ConcurrentAppendException), but a pure file-level OPTIMIZE
+          rebases over it;
+        - interleaved DELETE / UPDATE / MERGE / OPTIMIZE → conflict
+          iff it removed or re-pointed a file THIS operation read
+          (file-disjoint maintenance commutes: both commit), and
+          additionally for predicate-reading ops an interleaved
+          UPDATE/MERGE conflicts outright — it can create rows the
+          predicate would have matched, which row-preserving OPTIMIZE
+          and row-removing DELETE cannot.
+
+        ``read_files`` is the operation's file-pruned read set (the
+        files its predicate/keys actually matched — the same
+        pruned-read-set granularity Delta records), which is what
+        makes "two concurrent DELETEs on disjoint files" commute."""
+        predicate_read = op in ("DELETE", "UPDATE", "MERGE")
+        v = snap.version + 1
+        for _ in range(retries):
+            ci = _commit_info(op, v)
+            if cdc:
+                ci["commitInfo"]["cdc"] = True
+            if self._try_commit(v, actions + [ci]):
+                self._maybe_checkpoint(v)
+                return v
+            latest = self.latest_version()
+            for iv in range(v, latest + 1):
+                with open(_version_path(self.log, iv)) as f:
+                    i_actions = [json.loads(line) for line in f]
+                i_op = next(
+                    (
+                        a["commitInfo"]["operation"]
+                        for a in i_actions
+                        if "commitInfo" in a
+                    ),
+                    "UNKNOWN",
+                )
+                if any("metaData" in a for a in i_actions) or i_op in (
+                    "OVERWRITE", "RESTORE", "UNKNOWN",
+                ):
+                    raise ConcurrentWriteError(
+                        f"{op} conflicted at {self.path}: concurrent "
+                        f"{i_op} at version {iv} redefined the table"
+                    )
+                if i_op in ("CREATE", "APPEND", "STREAM_APPEND"):
+                    if predicate_read:
+                        raise ConcurrentWriteError(
+                            f"{op} conflicted at {self.path}: concurrent "
+                            f"{i_op} at version {iv} added rows the "
+                            f"predicate may match"
+                        )
+                    continue  # OPTIMIZE serializes after blind appends
+                i_removed = {
+                    a["remove"]["path"] for a in i_actions if "remove" in a
+                }
+                overlap = sorted(i_removed & read_files)
+                if overlap:
+                    raise ConcurrentWriteError(
+                        f"{op} conflicted at {self.path}: concurrent "
+                        f"{i_op} at version {iv} rewrote files this "
+                        f"operation read: {overlap[:3]}"
+                    )
+                if predicate_read and i_op in ("UPDATE", "MERGE"):
+                    raise ConcurrentWriteError(
+                        f"{op} conflicted at {self.path}: concurrent "
+                        f"{i_op} at version {iv} may have produced rows "
+                        f"the predicate matches"
+                    )
+            v = latest + 1
+        raise ConcurrentWriteError(
+            f"{op} lost {retries} version races at {self.path}"
+        )
+
     # ------------------------------------------------------------------
     # data-file plumbing
     # ------------------------------------------------------------------
@@ -984,14 +1077,10 @@ class TxTable:
                     .drop("__file", "__pos")
                     .withColumn("_change_type", F.lit("delete"))
                 )
-            ci = _commit_info("DELETE", v)
-            if snap.cdc_enabled:
-                ci["commitInfo"]["cdc"] = True
-            actions.append(ci)
-            if not self._try_commit(v, actions):
-                raise ConcurrentWriteError(f"DELETE conflicted at {self.path}")
-            self._maybe_checkpoint(v)
-            return v
+            return self._commit_rmw(
+                snap, actions, "DELETE", set(affected),
+                cdc=snap.cdc_enabled,
+            )
         finally:
             hits.unpersist()
 
@@ -1121,14 +1210,10 @@ class TxTable:
                 actions += self._write_cdc(
                     self._update_cdc_rows(snap, hits, assignments)
                 )
-            ci = _commit_info("UPDATE", v)
-            if snap.cdc_enabled:
-                ci["commitInfo"]["cdc"] = True
-            actions.append(ci)
-            if not self._try_commit(v, actions):
-                raise ConcurrentWriteError(f"UPDATE conflicted at {self.path}")
-            self._maybe_checkpoint(v)
-            return v
+            return self._commit_rmw(
+                snap, actions, "UPDATE", set(affected),
+                cdc=snap.cdc_enabled,
+            )
         finally:
             hits.unpersist()
 
@@ -1165,7 +1250,6 @@ class TxTable:
         base = self._read_snapshot(snap, sorted(affected))
         merged = merge_changes(base, source, keys, op_col=op_col, delete_op=delete_op)
         adds = self._write_files(merged, snap.stats_columns, snap.bloom_spec)
-        v = snap.version + 1
         actions = [{"remove": {"path": p}} for p in sorted(affected)]
         actions += adds
         if snap.cdc_enabled:
@@ -1174,14 +1258,9 @@ class TxTable:
                     snap, base, source, keys, op_col, delete_op
                 )
             )
-        ci = _commit_info("MERGE", v)
-        if snap.cdc_enabled:
-            ci["commitInfo"]["cdc"] = True
-        actions += [ci]
-        if not self._try_commit(v, actions):
-            raise ConcurrentWriteError(f"MERGE conflicted at {self.path}")
-        self._maybe_checkpoint(v)
-        return v
+        return self._commit_rmw(
+            snap, actions, "MERGE", set(affected), cdc=snap.cdc_enabled
+        )
 
     def optimize(
         self,
@@ -1237,13 +1316,11 @@ class TxTable:
         else:
             df = df.coalesce(n_out)
         adds = self._write_files(df, snap.stats_columns, snap.bloom_spec)
-        v = snap.version + 1
         actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
-        actions += adds + [_commit_info("OPTIMIZE", v)]
-        if not self._try_commit(v, actions):
-            raise ConcurrentWriteError(f"OPTIMIZE conflicted at {self.path}")
-        self._maybe_checkpoint(v)
-        return v
+        actions += adds
+        # file-level op: rebases over blind appends and file-disjoint
+        # maintenance (its read set is exactly the files it compacts)
+        return self._commit_rmw(snap, actions, "OPTIMIZE", set(snap.files))
 
     def _zorder_key(
         self, df: DataFrame, cols: list[str], bits: int

@@ -769,6 +769,112 @@ def test_update_mor_change_feed_and_errors(spark, tmp_path):
     assert t.update(F.col("k") > 10_000, {"v": F.lit(0).cast("long")}) == v
 
 
+def _race(t, interleaved):
+    """Deterministically lose the version race: the first _try_commit
+    of ``t`` runs ``interleaved`` (another writer's commit) first, so
+    the target version is taken and the logical conflict rules decide
+    rebase-vs-raise."""
+    orig = t._try_commit
+    state = {"armed": True}
+
+    def wrapped(version, actions):
+        if state["armed"]:
+            state["armed"] = False
+            interleaved()
+        return orig(version, actions)
+
+    t._try_commit = wrapped
+
+
+def _two_file_table(spark, path):
+    t = TxTable.create(spark, path, _mk(spark, 0, 10).coalesce(1))
+    t.append(_mk(spark, 10, 20).coalesce(1))
+    return t
+
+
+def test_concurrent_disjoint_deletes_both_commit(spark, tmp_path):
+    """Delta-style logical conflict detection: two DELETEs whose
+    pruned read sets are disjoint FILES commute — the loser of the
+    version race rebases instead of raising."""
+    p = str(tmp_path / "cc1")
+    t = _two_file_table(spark, p)
+    other = TxTable(spark, p)
+    _race(t, lambda: other.delete(F.col("k") == 15))  # file 2 only
+    v = t.delete(F.col("k") == 5)  # file 1 only
+    assert v == 3  # rebased past the interleaved commit's version 2
+    assert sorted(r["k"] for r in t.read().collect()) == sorted(
+        set(range(20)) - {5, 15}
+    )
+    ops = [h["operation"] for h in t.history()]
+    assert ops.count("DELETE") == 2
+
+
+def test_concurrent_overlapping_deletes_raise(spark, tmp_path):
+    """DELETEs whose read sets touch the same file still conflict."""
+    p = str(tmp_path / "cc2")
+    t = _two_file_table(spark, p)
+    other = TxTable(spark, p)
+    _race(t, lambda: other.delete(F.col("k") == 4))
+    with pytest.raises(ConcurrentWriteError, match="rewrote files"):
+        t.delete(F.col("k") == 5)  # same file as k==4
+
+
+def test_optimize_rebases_over_blind_append(spark, tmp_path):
+    """A pure file-level OPTIMIZE serializes after a concurrent blind
+    append: both commit, nothing is lost."""
+    p = str(tmp_path / "cc3")
+    t = _two_file_table(spark, p)
+    other = TxTable(spark, p)
+    _race(t, lambda: other.append(_mk(spark, 100, 105).coalesce(1)))
+    v = t.optimize(target_file_rows=1000)
+    assert v == 3
+    assert t.read().count() == 25
+    # compaction touched only the pre-append files; append survives
+    assert sorted(r["k"] for r in t.read().collect()) == sorted(
+        list(range(20)) + list(range(100, 105))
+    )
+
+
+def test_predicate_dml_conflicts_with_concurrent_append(spark, tmp_path):
+    """DELETE/UPDATE/MERGE read the table through a predicate, so a
+    concurrent blind append (whose rows might have matched) raises —
+    the ConcurrentAppendException rule."""
+    p = str(tmp_path / "cc4")
+    t = _two_file_table(spark, p)
+    other = TxTable(spark, p)
+    _race(t, lambda: other.append(_mk(spark, 100, 105).coalesce(1)))
+    with pytest.raises(ConcurrentWriteError, match="predicate may match"):
+        t.delete(F.col("k") < 100)
+
+
+def test_delete_conflicts_with_concurrent_update(spark, tmp_path):
+    """An interleaved UPDATE can create rows the predicate would have
+    matched, so even file-disjoint UPDATE-vs-DELETE raises."""
+    p = str(tmp_path / "cc5")
+    t = _two_file_table(spark, p)
+    other = TxTable(spark, p)
+    _race(
+        t,
+        lambda: other.update(
+            F.col("k") == 15, {"v": F.lit(1).cast("long")}
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError, match="may have produced"):
+        t.delete(F.col("k") == 5)
+
+
+def test_disjoint_delete_rebases_over_optimize_free_files(spark, tmp_path):
+    """Row-preserving OPTIMIZE of OTHER files does not invalidate a
+    DELETE's read set... but an OPTIMIZE that rewrote the read files
+    does. (OPTIMIZE compacts everything here, so it must conflict.)"""
+    p = str(tmp_path / "cc6")
+    t = _two_file_table(spark, p)
+    other = TxTable(spark, p)
+    _race(t, lambda: other.optimize(target_file_rows=1000))
+    with pytest.raises(ConcurrentWriteError, match="rewrote files"):
+        t.delete(F.col("k") == 5)
+
+
 def test_change_data_feed_files_lifecycle(spark, tmp_path):
     """change_data_feed=True: DML commits persist classified change
     rows under _change_data/ (only rows that ACTUALLY changed — a
