@@ -766,6 +766,25 @@ def bloom_bitmap(
     )
 
 
+def bloom_hit_expr(shingle, n_words: int = 256, k: int = 3, seed: int = 97):
+    """Boolean Bloom-probe EXPRESSION for ``shingle`` against a
+    ``bitmap`` column brought into scope by crossJoin-broadcasting
+    :func:`bloom_bitmap`'s single row — factored out so fused plans
+    (curation2_suite's shared-explode pass) probe inside their own
+    scan with exactly the probe bloom_decontaminate uses."""
+    m = n_words * _BLOOM_BITS_PER_WORD
+    hit = F.lit(True)
+    hbase = hash56(shingle, seed=seed)
+    for j in range(k):
+        p = _bloom_pos(hbase, j, m)
+        word = F.element_at(
+            F.col("bitmap"), (F.floor(p / _BLOOM_BITS_PER_WORD) + 1).cast("int")
+        )
+        mask = _pow2((p % _BLOOM_BITS_PER_WORD).cast("int"))
+        hit = hit & (word.bitwiseAND(mask) != 0)
+    return hit
+
+
 def bloom_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -815,15 +834,7 @@ def bloom_decontaminate(
         F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), shingle_n)).alias("__sh"),
     )
     probed = shingled.crossJoin(F.broadcast(bm))
-    hit = F.lit(True)
-    hbase = hash56(F.col("__sh"), seed=seed)
-    for j in range(k):
-        p = _bloom_pos(hbase, j, m)
-        word = F.element_at(
-            F.col("bitmap"), (F.floor(p / _BLOOM_BITS_PER_WORD) + 1).cast("int")
-        )
-        mask = _pow2((p % _BLOOM_BITS_PER_WORD).cast("int"))
-        hit = hit & (word.bitwiseAND(mask) != 0)
+    hit = bloom_hit_expr(F.col("__sh"), n_words=n_words, k=k, seed=seed)
     return (
         probed.select(id_col, hit.alias("__hit"))
         .groupBy(id_col)

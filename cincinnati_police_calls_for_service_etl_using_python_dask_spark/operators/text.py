@@ -823,7 +823,7 @@ def _stop_labels(
     )
 
 
-def trained_quality_classifier(
+def trained_classifier_weights(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -832,15 +832,13 @@ def trained_quality_classifier(
     split_seed: int = TCLS_SPLIT_SEED,
     train_rate: float = TCLS_TRAIN_RATE,
 ) -> DataFrame:
-    """Score every document with weights learned on the deterministic
-    train split (hash56(id) < rate·2^56). Output (id, n_bigrams,
-    score_sum, label) — the same frame contract as
-    :func:`hashed_ngram_classifier`, with score_sum now a LEARNED
-    margin instead of hash noise."""
+    """The LEARNED (bucket, w) weight table alone — the fit half of
+    :func:`trained_quality_classifier`, exposed so a fused plan (e.g.
+    curation2_suite's shared-explode scoring pass) can broadcast the
+    weights into its own scan instead of re-running the score half."""
     from ..functions.hashing import hash56
     from ..operators.sampling import _key_expr, _threshold
 
-    feats = _bucket_feats(df, text_col, id_col, n_buckets, seed)
     in_train = _key_expr([id_col], split_seed) < F.lit(_threshold(train_rate))
 
     # FUSED fit (round 5): the weak label is a pure function of the
@@ -892,7 +890,27 @@ def trained_quality_classifier(
             .alias("__xn"),
         )
     )
-    w = _weights_from_bucket_counts(per_bucket)
+    return _weights_from_bucket_counts(per_bucket)
+
+
+def trained_quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = TCLS_BUCKETS,
+    seed: int = CLASSIFIER_SEED,
+    split_seed: int = TCLS_SPLIT_SEED,
+    train_rate: float = TCLS_TRAIN_RATE,
+) -> DataFrame:
+    """Score every document with weights learned on the deterministic
+    train split (hash56(id) < rate·2^56). Output (id, n_bigrams,
+    score_sum, label) — the same frame contract as
+    :func:`hashed_ngram_classifier`, with score_sum now a LEARNED
+    margin instead of hash noise."""
+    feats = _bucket_feats(df, text_col, id_col, n_buckets, seed)
+    w = trained_classifier_weights(
+        df, text_col, id_col, n_buckets, seed, split_seed, train_rate
+    )
     sc = (
         feats.join(F.broadcast(w), "bucket", "left")
         .groupBy(id_col)

@@ -202,26 +202,113 @@ def _curation2_oracle() -> str:
     """
 
 
+def _fused_classifier_bloom(docs: DataFrame) -> DataFrame:
+    """Classifier scoring + Bloom decontamination in ONE tokenize →
+    explode → groupBy(doc_id) pass (r7, VERDICT r6 #5).
+
+    Both branches explode positional n-grams of the SAME token array
+    (bigrams for the classifier, 3-shingles for the probe), so
+    running them as separate branches paid the regex tokenize, the
+    explode and one doc_id exchange TWICE. Here each position row
+    computes its bigram-bucket weight (learned weights broadcast from
+    the fit) AND its shingle Bloom probe (bitmap crossJoin-broadcast),
+    and one aggregate emits all six columns. Sharing-a-persisted-scan
+    was tried for r5 and rejected (cache leak / slower than pruned
+    re-scans — see git history); sharing the EXPLODE is strictly
+    map-side and leaks nothing. Bench docs (doc_id < 5) are the
+    filter's source, not its subject: their bloom columns are -1/-1/
+    FALSE sentinels, exactly the oracle's COALESCE on the missing
+    left-join side."""
+    from .functions.hashing import hash56
+
+    spark = docs.sparkSession
+    w = tx.trained_classifier_weights(docs)
+    bm = dd.bloom_bitmap(
+        docs.filter(F.col("doc_id") < 5),
+        n_words=_BLOOM_WORDS, k=_BLOOM_K, seed=_BLOOM_SEED,
+    )
+    toks = tx.tokens("text")
+    corpus = F.col("doc_id") >= 5
+    base = docs.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    ).select(
+        "doc_id",
+        toks.alias("__t"),
+        (F.size(toks) - F.lit(1)).alias("__m2"),
+        F.when(corpus, F.greatest(F.size(toks) - F.lit(2), F.lit(1)))
+        .otherwise(F.lit(0))
+        .alias("__m3"),
+    )
+    maxm = F.greatest(
+        F.when(F.col("__m2") >= 1, F.col("__m2")).otherwise(F.lit(0)),
+        F.col("__m3"),
+    )
+    pos = base.select(
+        "doc_id",
+        "__t",
+        "__m2",
+        "__m3",
+        F.explode_outer(
+            F.when(maxm >= 1, F.sequence(F.lit(1), maxm))
+        ).alias("__i"),
+    )
+    bigram = F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), 2))
+    shingle = F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), 3))
+    probed = (
+        pos.select(
+            "doc_id",
+            "__m2",
+            "__m3",
+            "__i",
+            F.when(
+                F.col("__i") <= F.col("__m2"),
+                hash56(bigram, seed=tx.CLASSIFIER_SEED)
+                % F.lit(tx.TCLS_BUCKETS),
+            ).alias("bucket"),
+            F.when(F.col("__i") <= F.col("__m3"), shingle).alias("__sh"),
+        )
+        .crossJoin(F.broadcast(bm))
+        .join(F.broadcast(w), "bucket", "left")
+    )
+    hit = F.col("__sh").isNotNull() & dd.bloom_hit_expr(
+        F.col("__sh"), n_words=_BLOOM_WORDS, k=_BLOOM_K, seed=_BLOOM_SEED
+    )
+    is_bigram = F.col("__i") <= F.col("__m2")
+    is_shingle = F.col("__i") <= F.col("__m3")
+    agg = probed.groupBy("doc_id").agg(
+        F.count(F.when(is_bigram, F.lit(1))).cast("long").alias("n_bigrams"),
+        F.coalesce(
+            F.sum(F.when(is_bigram, F.coalesce(F.col("w"), F.lit(0)))),
+            F.lit(0),
+        ).cast("long").alias("score_sum"),
+        F.count(F.when(is_shingle, F.lit(1))).cast("long").alias("__nsh"),
+        F.count(F.when(hit, F.lit(1))).cast("long").alias("__nfl"),
+    )
+    sentinel = F.col("doc_id") < 5
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "score_sum",
+        F.when(F.col("score_sum") > 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+        F.when(sentinel, F.lit(-1)).otherwise(F.col("__nsh"))
+        .cast("long").alias("n_shingles"),
+        F.when(sentinel, F.lit(-1)).otherwise(F.col("__nfl"))
+        .cast("long").alias("n_flagged"),
+        F.when(sentinel, F.lit(False)).otherwise(F.col("__nfl") > 0)
+        .alias("contaminated"),
+    )
+
+
 @register("curation2_suite", _curation2_oracle())
 def q_curation2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Sharing one persisted scan across the four branches was tried
-    # for VERDICT r5 #5 and REJECTED: caching the raw table (1.28 →
-    # 1.04 s) leaks the InMemoryRelation into every other documents
-    # query via Spark's plan-matching cache lookup, while a
-    # suite-scoped narrow projection measured SLOWER than the four
-    # parquet scans (1.59 s vs 1.30 s — the zstd parquet re-scan with
-    # per-branch column pruning beats a shared cache that must carry
-    # text for all branches). The four-scan spelling stands.
+    # r7 plan: paragraph dedup + ONE fused classifier/bloom pass +
+    # the tiny weighted-sample rank, joined on doc_id (all branches
+    # aggregate to one row per doc_id, so the joins co-partition).
     docs = _docs(spark, sf_dir)
     para = dd.paragraph_dedup(docs, min_freq=_PD_MIN_FREQ)
-    cls = tx.trained_quality_classifier(docs)
-    bloom = dd.bloom_decontaminate(
-        docs.filter(F.col("doc_id") >= 5),
-        docs.filter(F.col("doc_id") < 5),
-        n_words=_BLOOM_WORDS,
-        k=_BLOOM_K,
-        seed=_BLOOM_SEED,
-    ).select("doc_id", "n_shingles", "n_flagged", "contaminated")
+    fused = _fused_classifier_bloom(docs)
     ws = sp.weighted_sample_topk(
         docs.select("doc_id", "lang", "n_chars"),
         "n_chars",
@@ -230,8 +317,7 @@ def q_curation2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_WS_SEED,
     ).select("doc_id", "samp_rank")
     return (
-        para.join(cls, "doc_id")
-        .join(bloom, "doc_id", "left")
+        para.join(fused, "doc_id")
         .join(ws, "doc_id", "left")
         .select(
             "doc_id",
@@ -242,9 +328,9 @@ def q_curation2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bigrams",
             "score_sum",
             "label",
-            F.coalesce("n_shingles", F.lit(-1)).cast("long").alias("n_shingles"),
-            F.coalesce("n_flagged", F.lit(-1)).cast("long").alias("n_flagged"),
-            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+            "n_shingles",
+            "n_flagged",
+            "contaminated",
             F.coalesce("samp_rank", F.lit(0)).cast("long").alias("samp_rank"),
         )
     )
