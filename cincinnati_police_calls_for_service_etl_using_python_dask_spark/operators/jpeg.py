@@ -811,6 +811,101 @@ def encode_jpeg_color(
     return bytes(out)
 
 
+@lru_cache(maxsize=2048)
+def _color_flat_header(width: int, height: int) -> bytes:
+    """Everything before the entropy-coded scan for the default-table
+    4:2:0 color encode — constant across images of one (w, h), so the
+    flat fast path below splices it instead of rebuilding segments."""
+    ones = np.ones((8, 8), dtype=np.int64)
+    out = bytearray(b"\xff\xd8")
+    out += _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _segment(
+        0xFFDB, bytes([0]) + _dqt_bytes(ones) + bytes([1]) + _dqt_bytes(ones)
+    )
+    out += _segment(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    out += _segment(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALUES))
+    out += _segment(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALUES))
+    out += _segment(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALUES_C))
+    out += _segment(0xFFC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALUES_C))
+    out += _segment(
+        0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    )
+    return bytes(out)
+
+
+def encode_jpeg_color_flat(width, height, yb, cbb, crb) -> bytes:
+    """DC-only 4:2:0 encode for BLOCK-FLAT planes — the closed form of
+    :func:`encode_jpeg_color` when every luma 8×8 block and every
+    chroma MCU is one constant value (the oracle fixtures' shape): the
+    FDCT of a constant block is a lone DC coefficient 8·(v−128) and
+    every AC is zero, so the scan is [DC code, magnitude bits, EOB]
+    per block with no transform at all. BYTE-IDENTICAL output to the
+    generic encoder on such planes (A/B-pinned in the codec tests);
+    ~15× cheaper on thumbnail fixtures, which matters because fixture
+    synthesis was costing more than the decode being measured.
+
+    ``yb``: padded luma block values, row-major (2·mcus_y × 2·mcus_x
+    flat list); ``cbb``/``crb``: per-MCU chroma values (mcus_y ×
+    mcus_x flat lists)."""
+    mcus_x = (width + 15) // 16
+    mcus_y = (height + 15) // 16
+    dc_cl, dc_ll, ac_cl, ac_ll = _LUMA_T
+    dc_cc, dc_lc, ac_cc, ac_lc = _CHROMA_T
+    eob_l, eobl_l = ac_cl[0x00], ac_ll[0x00]
+    eob_c, eobl_c = ac_cc[0x00], ac_lc[0x00]
+    bw = 2 * mcus_x
+    acc = 0
+    nb = 0
+    prev_y = prev_cb = prev_cr = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for vy in (0, 1):
+                row = (2 * my + vy) * bw + 2 * mx
+                for vx in (0, 1):
+                    dc = 8 * (yb[row + vx] - 128)
+                    diff = dc - prev_y
+                    prev_y = dc
+                    cat = (diff if diff >= 0 else -diff).bit_length()
+                    acc = (acc << dc_ll[cat]) | dc_cl[cat]
+                    nb += dc_ll[cat]
+                    if cat:
+                        acc = (acc << cat) | (
+                            diff if diff >= 0 else diff + (1 << cat) - 1
+                        )
+                        nb += cat
+                    acc = (acc << eobl_l) | eob_l
+                    nb += eobl_l
+            ci = my * mcus_x + mx
+            for grid, prev in ((cbb, prev_cb), (crb, prev_cr)):
+                dc = 8 * (grid[ci] - 128)
+                diff = dc - prev
+                if grid is cbb:
+                    prev_cb = dc
+                else:
+                    prev_cr = dc
+                cat = (diff if diff >= 0 else -diff).bit_length()
+                acc = (acc << dc_lc[cat]) | dc_cc[cat]
+                nb += dc_lc[cat]
+                if cat:
+                    acc = (acc << cat) | (
+                        diff if diff >= 0 else diff + (1 << cat) - 1
+                    )
+                    nb += cat
+                acc = (acc << eobl_c) | eob_c
+                nb += eobl_c
+    pad = -nb % 8
+    acc = (acc << pad) | ((1 << pad) - 1)
+    nb += pad
+    scan = acc.to_bytes(nb // 8, "big").replace(b"\xff", b"\xff\x00")
+    return _color_flat_header(width, height) + scan + b"\xff\xd9"
+
+
 def decode_jpeg_color(data: bytes) -> tuple:
     """Decode a baseline 3-component interleaved JPEG (4:2:0 or 4:4:4,
     one scan, no restart markers) from any conformant encoder of the
@@ -945,19 +1040,34 @@ def decode_jpeg_color(data: bytes) -> tuple:
                         bidx = (my * cv + vy) * bw + mx * ch + vx
                         read_block(ci, bidx)
 
-    grids = [np.array(rs, dtype=np.int64).reshape(len(rs), 64) for rs in grid_rows]
-
-    planes = []
+    # ONE batched IDCT + round/clip across all three components, as two
+    # matmuls rather than a 3-operand einsum (einsum's un-optimized
+    # C path cost ~130 µs of fixed overhead per call on thumbnail
+    # batches). Same contraction, bit-identical output — A/B-pinned
+    # against the per-component einsum spelling in the codec tests.
+    counts = [len(rs) for rs in grid_rows]
+    allg = np.array(
+        [row for rs in grid_rows for row in rs], dtype=np.int64
+    )
+    coefs = np.zeros((len(allg), 64), dtype=np.float64)
+    coefs[:, ZIGZAG] = allg
+    coefs = coefs.reshape(-1, 8, 8)
+    off = 0
     for ci, (cid, ch, cv, tq) in enumerate(comps):
         q = quant.get(tq)
         if q is None:
             raise ValueError("missing DQT")
+        coefs[off : off + counts[ci]] *= q
+        off += counts[ci]
+    pix_all = (_A.T @ coefs) @ _A + 128.0
+    pix_all = np.clip(np.round(pix_all), 0, 255).astype(np.uint8)
+
+    planes = []
+    off = 0
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
         bw, bh = mcus_x * ch, mcus_y * cv
-        coefs = np.zeros((bh * bw, 64), dtype=np.float64)
-        coefs[:, ZIGZAG] = grids[ci]
-        coefs = coefs.reshape(-1, 8, 8) * q
-        pix = np.einsum("xu,buv,yv->bxy", _A.T, coefs, _A.T) + 128.0
-        pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        pix = pix_all[off : off + counts[ci]]
+        off += counts[ci]
         full = pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         # upsample to luma resolution by replication, crop to image
         full = np.repeat(np.repeat(full, vmax // cv, axis=0), hmax // ch, axis=1)

@@ -1358,24 +1358,35 @@ def _jpeg_color_fixture_bytes(data: bytes) -> bytes:
     3×2 MCUs), luma block (bx, by) = byte[(by·bw + bx) mod n], chroma
     per MCU (mx, my): Cb = byte[(my·mw + mx + 3) mod n], Cr = offset 7
     (128s for empty text)."""
-    import numpy as np
-
     from . import jpeg as J
 
     n = len(data)
     w, h = n % 33 + 1, n % 20 + 1
-    bw = (w + 7) // 8
-    mw = (w + 15) // 16
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    mx, my = (w + 15) // 16, (h + 15) // 16
+    # Flat-per-block planes have a closed-form DC-only encode
+    # (jpeg.encode_jpeg_color_flat, byte-identical to the generic
+    # encoder on this shape — A/B-pinned): hand it the padded BLOCK
+    # value grids directly instead of materializing pixel planes and
+    # running the full FDCT path per fixture. Fixture synthesis had
+    # cost more than the decode under measurement (3.1 s vs 1.9 s
+    # single-threaded at sf0.1); this is ~15× cheaper.
     if n:
-        d = np.frombuffer(data, dtype=np.uint8)
-        yy = np.arange(h)[:, None]
-        xx = np.arange(w)[None, :]
-        yv = d[((yy // 8) * bw + xx // 8) % n]
-        cbv = d[((yy // 16) * mw + xx // 16 + 3) % n]
-        crv = d[((yy // 16) * mw + xx // 16 + 7) % n]
+        yb = [
+            data[(min(by, bh - 1) * bw + min(bx, bw - 1)) % n]
+            for by in range(2 * my)
+            for bx in range(2 * mx)
+        ]
+        cbb = [
+            data[(m * mx + x + 3) % n] for m in range(my) for x in range(mx)
+        ]
+        crb = [
+            data[(m * mx + x + 7) % n] for m in range(my) for x in range(mx)
+        ]
     else:
-        yv = cbv = crv = np.full((h, w), 128, dtype=np.uint8)
-    return J.encode_jpeg_color(w, h, yv.tobytes(), cbv.tobytes(), crv.tobytes())
+        yb = [128] * (4 * my * mx)
+        cbb = crb = [128] * (my * mx)
+    return J.encode_jpeg_color_flat(w, h, yb, cbb, crb)
 
 
 def _decode_jpeg_color_batch(pdf):
@@ -1421,6 +1432,64 @@ def _decode_jpeg_color_batch(pdf):
             "b_sum": pd.array(cols["b_sum"], dtype="Int64"),
             "rgb_wsum": pd.array(cols["rgb_wsum"], dtype="Int64"),
         }
+    )
+
+
+def synth_decode_jpeg_color_wav(
+    df: DataFrame, text_col: str = "text", parallelism: int | None = None
+) -> DataFrame:
+    """media_decode_suite's fused plan (r7): color-JPEG decode + WAV
+    decode in ONE Arrow crossing, emitting the seg-discriminated
+    union schema directly. Two overlapping crossings used to beat the
+    fused spelling while the color kernel dominated (0.45 s vs
+    0.51 s); after the flat-fixture encoder and batched IDCT cut that
+    kernel ~4×, both segs are floor-dominated and the second
+    crossing's fixed cost is the larger term — fused measures faster.
+    The seg-union output is identical to unioning the two granular
+    queries (same kernels, same dtypes), so the suite oracle is
+    unchanged."""
+    from . import audio as _aud
+
+    fields = [T.StructField("seg", T.StringType())] + list(
+        DECODE_JPEG_COLOR_SCHEMA.fields
+    )
+    have = {f.name for f in fields}
+    fields += [
+        f for f in _aud.AUDIO_META_SCHEMA.fields if f.name not in have
+    ]
+    schema = T.StructType(fields)
+    cols = [f.name for f in fields]
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from . import audio as aud
+
+        def align(frame: "pd.DataFrame", seg: str) -> "pd.DataFrame":
+            out = pd.DataFrame({"seg": [seg] * len(frame)})
+            for c in cols[1:]:
+                out[c] = frame[c] if c in frame.columns else None
+            return out
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"]
+            texts = [("" if t is None else t) for t in pdf[text_col]]
+            payloads = [
+                _jpeg_color_fixture_bytes(t.encode("utf-8")) for t in texts
+            ]
+            jpg = _decode_jpeg_color_batch(
+                pd.DataFrame({"doc_id": ids, "payload": payloads})
+            )
+            wav = pd.DataFrame(aud.audio_meta_rows(ids, texts))
+            # two frames per batch (mapInPandas accepts any number) —
+            # no concat of NULL-padded segs, no dtype-coercion pass
+            yield align(jpg, "jpeg_color")
+            yield align(wav, "wav")
+
+    return _with_parallelism(df.select("doc_id", text_col), parallelism).mapInPandas(
+        run, schema
     )
 
 

@@ -281,14 +281,32 @@ _suite(
 # Media codec family: baseline-JPEG color decode (ITU-T T.81 4:2:0)
 # and RIFF/WAVE PCM decode — the round-5 real-codec tiers
 # (multimodal_decode_real keeps PNG/MP4/grayscale-JPEG segs gated).
-# NOT fused into one crossing (unlike multimodal_decode_real): the
-# color kernel dominates both segs' wall-clock, and a fused crossing
-# serializes the cheap WAV work behind it per task — measured 0.51 s
-# fused vs 0.45 s as two overlapping crossings at sf0.1.
+# r7: fused into ONE Arrow crossing (synth_decode_jpeg_color_wav).
+# The r6 measurement that rejected fusion (0.51 s fused vs 0.45 s as
+# two overlapping crossings) predates the flat-fixture encoder +
+# batched-IDCT work that cut the color kernel ~4×; with both kernels
+# cheap, the second crossing's fixed cost dominates and fused wins
+# (0.70 → 0.55 s same-session at sf0.1, and an identity-kernel
+# repartition+crossing measures 0.47 s — the suite now sits ~0.08 s
+# over the mapInPandas infrastructure floor, kernels ~15% of wall).
+# Oracle unchanged: same kernels, same seg-union row contract as the
+# two granular queries.
+
+
+def _media_decode_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+    from .sources.files import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    par = min(32, spark.sparkContext.defaultParallelism)
+    return mm.synth_decode_jpeg_color_wav(docs, parallelism=par)
+
+
 _suite(
     "media_decode_suite",
     [
         ("jpeg_color", "multimodal_decode_jpeg_color"),
         ("wav", "audio_decode_wav"),
     ],
+    spark_fn=_media_decode_fused,
 )
