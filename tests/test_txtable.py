@@ -769,6 +769,60 @@ def test_update_mor_change_feed_and_errors(spark, tmp_path):
     assert t.update(F.col("k") > 10_000, {"v": F.lit(0).cast("long")}) == v
 
 
+def test_log_store_is_swappable(spark, tmp_path):
+    """The commit protocol's ONLY storage primitive is
+    LogStore.put_if_absent: an emulated object-store conditional put
+    (create-if-absent under a mutex, no hard links) drives the full
+    lifecycle, and losing the conditional put surfaces as the same
+    version-race signal the hard-link store produces."""
+    import threading
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        LogStore,
+    )
+
+    class EmulatedObjectStore(LogStore):
+        """S3-style conditional put (If-None-Match: *): existence
+        check + publish made atomic by a mutex, the guarantee the
+        real object store provides server-side."""
+
+        def __init__(self):
+            self.mutex = threading.Lock()
+            self.puts = 0
+            self.conflicts = 0
+
+        def put_if_absent(self, content: bytes, dst: str) -> bool:
+            with self.mutex:
+                if os.path.exists(dst):
+                    self.conflicts += 1
+                    return False
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                tmp = dst + ".staged"
+                with open(tmp, "wb") as f:
+                    f.write(content)
+                os.replace(tmp, dst)
+                self.puts += 1
+                return True
+
+    store = EmulatedObjectStore()
+    p = str(tmp_path / "obj")
+    t = TxTable.create(
+        spark, p, _mk(spark, 0, 20).coalesce(1), log_store=store
+    )
+    t.append(_mk(spark, 20, 30).coalesce(1))
+    t.delete(F.col("k") < 5)
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(5, 30))
+    assert store.puts == 3 and store.conflicts == 0
+    # a lost conditional put is the conflict signal: another handle on
+    # its own store commits version 3 first, ours rebases through the
+    # logical conflict rules (disjoint append) and lands at 4
+    other = TxTable(spark, p)  # default hard-link store, same log
+    _race(t, lambda: other.append(_mk(spark, 100, 105).coalesce(1)))
+    v = t.optimize(target_file_rows=1000)
+    assert v == 4 and store.conflicts == 1
+    assert t.read().count() == 30
+
+
 def _race(t, interleaved):
     """Deterministically lose the version race: the first _try_commit
     of ``t`` runs ``interleaved`` (another writer's commit) first, so

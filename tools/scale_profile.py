@@ -29,6 +29,9 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 QUERIES = [
     "flagship_cfs_pipeline",
     "groupby_multi_agg",
+    # r7 (VERDICT r6 #7): the largest previously-unexplained >2x
+    # material ratio — TPC-H Q3's joins + TakeOrdered
+    "sql_shipping_priority_q3",
     "exists_late_shipments",
     "dedup_exact_fingerprint",
     "minhash_lsh_candidates",
