@@ -207,6 +207,51 @@ def q_txtable_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.change_feed("event_id", v0)
 
 
+_BATCH_CDC_ORACLE = """
+SELECT event_id, event_type, value,
+       'delete' AS _change_type,
+       CAST(1 AS BIGINT) AS _commit_version
+FROM events
+WHERE event_id % 97 = 0
+  AND event_id < CAST(FLOOR(0.5 * (SELECT COUNT(*) FROM events)) AS BIGINT)
+"""
+
+
+@register("txbatch_change_feed_events", _BATCH_CDC_ORACLE)
+def q_txbatch_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC through the DataFrame API (r7):
+    ``spark.read.format("txtable").option("readChangeFeed", "true")``
+    replays a merge-on-read DELETE commit as row-level delete events —
+    the per-commit ``table_changes`` spelling of the driver-side
+    ``change_feed`` gate, exercising the distributed CDC partition
+    taxonomy (here: per-file DV-delta partitions, index-take, no join)
+    under the full value-hash oracle."""
+    from .sources.txbatch import TxTableBatchSource
+
+    spark.dataSource.register(TxTableBatchSource)
+    events = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n = events.count()
+    scratch = tempfile.mkdtemp(prefix="txbcdc_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = os.path.join(scratch, "t")
+    t = TxTable.create(
+        spark,
+        path,
+        events.filter(F.col("event_id") < int(0.5 * n)),
+        stats_columns=["event_id"],
+    )
+    t.delete(F.col("event_id") % 97 == 0, strategy="mor")
+    return (
+        spark.read.format("txtable")
+        .option("readChangeFeed", "true")
+        .option("key", "event_id")
+        .option("startingVersion", "1")
+        .load(path)
+    )
+
+
 _BATCH_ORACLE = """
 SELECT event_id, event_type, value
 FROM events

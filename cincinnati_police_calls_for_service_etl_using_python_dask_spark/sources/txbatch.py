@@ -358,25 +358,81 @@ class TxTableBatchWriter(DataSourceArrowWriter):
                     pass
 
 
+class TxTableChangeFeedBatchReader(DataSourceReader):
+    """BATCH change-data-feed read — Delta's ``table_changes``:
+    ``spark.read.format("txtable").option("readChangeFeed", "true")
+    .option("key", ...).option("startingVersion", v0)
+    [.option("endingVersion", v1)].load(path)`` returns the row-level
+    insert/delete/update_preimage/update_postimage events of every
+    commit in [v0, v1] (default: 0..latest), PER COMMIT — an insert
+    later deleted inside the range yields both events, unlike
+    ``TxTable.change_feed`` which diffs the endpoint snapshots.
+
+    Pure delegation to the streaming reader's partition taxonomy
+    (sources/txstream.py): writer change files / per-file MOR deltas /
+    whole-file / hash-sliced Arrow-join diffs — the same distributed
+    shape and the same log-retention error contract."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        from .txstream import TxTableChangeFeedReader
+
+        self._delegate = TxTableChangeFeedReader(schema, options)
+        opts = {str(k).lower(): v for k, v in options.items()}
+        self._start = int(opts.get("startingversion", 0))
+        end = opts.get("endingversion")
+        self._end = int(end) if end is not None else None
+
+    def partitions(self) -> Sequence[InputPartition]:
+        end = self._end
+        if end is None:
+            end = TxTable(None, self._delegate.table_path).latest_version()
+        return self._delegate.partitions(
+            {"version": self._start - 1}, {"version": end}
+        )
+
+    def read(self, partition) -> Iterator:
+        return self._delegate.read(partition)
+
+
 class TxTableBatchSource(DataSource):
     """``spark.read.format("txtable")`` / ``df.write.format("txtable")``
-    after ``spark.dataSource.register(TxTableBatchSource)``."""
+    after ``spark.dataSource.register(TxTableBatchSource)``. Pass
+    ``readChangeFeed=true`` + ``key=<cols>`` for a batch CDC read."""
 
     @classmethod
     def name(cls) -> str:
         return "txtable"
 
+    def _opts(self) -> dict:
+        return {str(k).lower(): v for k, v in self.options.items()}
+
+    def _cdc(self) -> bool:
+        return str(self._opts().get("readchangefeed", "false")).lower() in (
+            "true", "1", "yes",
+        )
+
     def schema(self) -> T.StructType:
-        opts = {str(k).lower(): v for k, v in self.options.items()}
+        opts = self._opts()
         path = opts.get("path") or opts.get("tablepath")
         if not path:
             raise ValueError("txtable requires a 'path' option")
         version = opts.get("version")
-        return TxTable(None, path).snapshot(
+        base = TxTable(None, path).snapshot(
             int(version) if version is not None else None
         ).schema
+        if not self._cdc():
+            return base
+        return T.StructType(
+            list(base.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_version", T.LongType(), False),
+            ]
+        )
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
+        if self._cdc():
+            return TxTableChangeFeedBatchReader(schema, dict(self.options))
         spark = SparkSession.getActiveSession()
         enabled = (
             spark is not None

@@ -126,3 +126,60 @@ def test_format_write_interops_with_native_paths(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == list(range(10, 100))
     t.optimize(target_file_rows=50, sort_by=["k"])
     assert spark.read.format("txtable").load(p).count() == 90
+
+
+def test_batch_change_feed_read(spark, tmp_path):
+    """readChangeFeed=true on the batch reader: per-commit row-level
+    events over a version range (Delta's table_changes), same
+    partition taxonomy as the streaming feed — and per-commit
+    semantics, so an insert later deleted in the range yields BOTH
+    events, unlike the endpoint-diff change_feed."""
+    p = str(tmp_path / "cdc_b")
+    t = TxTable.create(spark, p, _mk(spark, 0, 20).coalesce(1))       # v0
+    t.delete(F.col("k") < 3, strategy="mor")                          # v1
+    t.update(F.col("k") == 5, {"v": F.lit(999).cast("long")})         # v2
+    t.optimize(target_file_rows=1000)                                 # v3
+    t.append(_mk(spark, 100, 103).coalesce(1))                        # v4
+    t.delete(F.col("k") == 100)                                       # v5
+
+    def feed(**opts):
+        r = (
+            spark.read.format("txtable")
+            .option("readChangeFeed", "true")
+            .option("key", "k")
+        )
+        for kk, vv in opts.items():
+            r = r.option(kk, vv)
+        return {
+            (row["k"], row["_change_type"], row["_commit_version"])
+            for row in r.load(p).collect()
+        }
+
+    ev = feed()
+    assert {(k, "insert", 0) for k in range(20)} <= ev
+    assert {(k, "delete", 1) for k in (0, 1, 2)} <= ev
+    assert (5, "update_preimage", 2) in ev and (5, "update_postimage", 2) in ev
+    assert not any(cv == 3 for _k, _c, cv in ev)  # OPTIMIZE silent
+    # per-commit: k=100 appears as BOTH its insert and its delete
+    assert (100, "insert", 4) in ev and (100, "delete", 5) in ev
+    # range selection
+    assert feed(startingVersion="4", endingVersion="4") == {
+        (100, "insert", 4), (101, "insert", 4), (102, "insert", 4),
+    }
+    assert feed(startingVersion="5") == {(100, "delete", 5)}
+    # writer-CDC table produces the same events through the batch API
+    p2 = str(tmp_path / "cdc_b2")
+    t2 = TxTable.create(
+        spark, p2, _mk(spark, 0, 20).coalesce(1), change_data_feed=True
+    )
+    t2.delete(F.col("k") < 3, strategy="mor")
+    r2 = (
+        spark.read.format("txtable")
+        .option("readChangeFeed", "true")
+        .option("key", "k")
+        .option("startingVersion", "1")
+        .load(p2)
+    )
+    assert {
+        (row["k"], row["_change_type"]) for row in r2.collect()
+    } == {(0, "delete"), (1, "delete"), (2, "delete")}

@@ -113,14 +113,28 @@ def main() -> None:
         )
     n_gated = sum(1 for r in rows if r[3] is not None)
     n_pass = sum(1 for r in rows if r[3] is not None and r[3] <= 2.0)
+    # Aggregate over the PAIRED population only: a Spark query with no
+    # DuckDB oracle (rows-only gates) must not inflate the numerator
+    # of the headline ratio.
+    paired_s = sum(s for name, s, d, _r in rows if d is not None)
+    paired_d = sum(d for _n, _s, d, _r in rows if d is not None)
     print(f"\n{n_pass}/{n_gated} gated queries within 2x; "
-          f"spark total {sum(spk.values()):.2f}s, "
-          f"duckdb total {sum(duck.values()):.2f}s")
+          f"paired aggregate spark {paired_s:.2f}s / duckdb "
+          f"{paired_d:.2f}s = {paired_s / paired_d:.2f}x "
+          f"over {n_gated} paired queries "
+          f"(all-query spark total {sum(spk.values()):.2f}s incl. "
+          f"{len(rows) - n_gated} unpaired)")
     out = {
         "sf_dir": sf_dir,
         "spark": spk,
         "duckdb": duck,
         "ratios": {r[0]: r[3] for r in rows if r[3] is not None},
+        "paired_aggregate": {
+            "spark_sec": round(paired_s, 4),
+            "duckdb_sec": round(paired_d, 4),
+            "ratio": round(paired_s / paired_d, 4),
+            "n_paired": n_gated,
+        },
     }
     with open(os.path.join(os.path.dirname(__file__), "..", "COMPARE.json"), "w") as f:
         json.dump(out, f, indent=1)
