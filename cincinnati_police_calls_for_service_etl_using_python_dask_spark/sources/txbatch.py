@@ -377,8 +377,10 @@ class TxTableChangeFeedBatchReader(DataSourceReader):
         from .txstream import TxTableChangeFeedReader
 
         self._delegate = TxTableChangeFeedReader(schema, options)
+        # startingVersion / startingTimestamp already resolved by the
+        # delegate (mutually exclusive, Delta-style)
+        self._start = self._delegate.starting_version
         opts = {str(k).lower(): v for k, v in options.items()}
-        self._start = int(opts.get("startingversion", 0))
         end = opts.get("endingversion")
         self._end = int(end) if end is not None else None
 

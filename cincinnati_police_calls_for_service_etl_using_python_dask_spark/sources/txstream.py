@@ -88,6 +88,22 @@ def _commit_op(actions: list[dict]) -> str:
     return "UNKNOWN"
 
 
+def _resolve_start(opts: dict, table_path: str) -> int:
+    """First version the stream should read: ``startingVersion``
+    directly, or ``startingTimestamp`` (epoch ms) resolved to the
+    earliest commit at-or-after that time — mutually exclusive, like
+    the public Delta source options."""
+    sv = opts.get("startingversion")
+    st = opts.get("startingtimestamp")
+    if sv is not None and st is not None:
+        raise ValueError(
+            "pass startingVersion OR startingTimestamp, not both"
+        )
+    if st is not None:
+        return TxTable(None, table_path).version_at_or_after(int(st))
+    return int(sv) if sv is not None else 0
+
+
 class TxTableStreamReader(DataSourceStreamReader):
     def __init__(self, schema: T.StructType, options: dict):
         # Spark hands options through a case-insensitive dict whose
@@ -100,7 +116,16 @@ class TxTableStreamReader(DataSourceStreamReader):
         self.ignore_changes = str(
             opts.get("ignorechanges", "false")
         ).lower() in ("true", "1", "yes")
-        self.starting_version = int(opts.get("startingversion", 0))
+        self.starting_version = _resolve_start(opts, self.table_path)
+        # maxVersionsPerTrigger: bound each micro-batch to N commits
+        # (the Delta maxFilesPerTrigger concern at version granularity)
+        # so a long backlog drains as a sequence of bounded batches
+        # instead of one giant one. The base advances with each
+        # PLANNED batch; the first batch after a checkpointed restart
+        # with no pending plan is unbounded (documented caveat — the
+        # single-arg latestOffset API has no start offset to cap from).
+        self.max_versions = int(opts.get("maxversionspertrigger", 0)) or None
+        self._planned = self.starting_version - 1
         self.log = os.path.join(self.table_path, "_txlog")
 
     # -- offsets --------------------------------------------------------
@@ -110,11 +135,15 @@ class TxTableStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         t = TxTable(None, self.table_path)
-        return {"version": t.latest_version()}
+        latest = t.latest_version()
+        if self.max_versions is not None:
+            latest = min(latest, self._planned + self.max_versions)
+        return {"version": latest}
 
     # -- planning (driver) ---------------------------------------------
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._planned = end["version"]
         out: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             actions = _commit_actions(self.log, v)
@@ -325,7 +354,9 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
             raise ValueError("readChangeFeed requires a 'key' option")
         self.keys = [k.strip() for k in str(key).split(",") if k.strip()]
         self.schema = schema  # table schema + _change_type + _commit_version
-        self.starting_version = int(opts.get("startingversion", 0))
+        self.starting_version = _resolve_start(opts, self.table_path)
+        self.max_versions = int(opts.get("maxversionspertrigger", 0)) or None
+        self._planned = self.starting_version - 1
         self.slice_rows = int(
             opts.get("cdcslicerows", self.DEFAULT_SLICE_ROWS)
         )
@@ -335,11 +366,15 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
         return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
-        return {"version": TxTable(None, self.table_path).latest_version()}
+        latest = TxTable(None, self.table_path).latest_version()
+        if self.max_versions is not None:
+            latest = min(latest, self._planned + self.max_versions)
+        return {"version": latest}
 
     # -- planning (driver) ---------------------------------------------
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._planned = end["version"]
         t = TxTable(None, self.table_path)
         out: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):

@@ -600,6 +600,18 @@ class TxTable:
             )
         return best
 
+    def version_at_or_after(self, timestamp_ms: int) -> int:
+        """Earliest version whose commit timestamp is >= ``timestamp_ms``
+        — the streaming ``startingTimestamp`` resolution rule (start
+        from the first commit NOT yet seen at that wall-clock time).
+        Returns latest+1 when every commit predates the timestamp (an
+        empty stream until the next commit). Driver-side walk of
+        commitInfo entries only."""
+        for h in self.history():
+            if h["timestamp"] >= timestamp_ms:
+                return h["version"]
+        return self.latest_version() + 1
+
     def read(
         self,
         version: int | None = None,

@@ -353,6 +353,61 @@ def test_cdc_slice_rows_option_end_to_end(spark, tmp_path):
     }
 
 
+def test_rate_limit_and_starting_timestamp(spark, tmp_path):
+    """maxVersionsPerTrigger bounds each planned micro-batch to N
+    commits (backlogs drain as bounded batches, not one giant one);
+    startingTimestamp resolves to the earliest commit at-or-after the
+    given epoch-ms, mutually exclusive with startingVersion."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txstream import (
+        TxTableStreamReader,
+    )
+
+    p = str(tmp_path / "rl")
+    t = TxTable.create(spark, p, _mk(spark, 0, 5).coalesce(1))   # v0
+    for i in range(4):                                           # v1..v4
+        t.append(_mk(spark, 10 * (i + 1), 10 * (i + 1) + 2).coalesce(1))
+    schema = t.snapshot().schema
+
+    r = TxTableStreamReader(schema, {"path": p, "maxversionspertrigger": "2"})
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 1}      # -1 + 2
+    r.partitions({"version": -1}, {"version": 1})  # plan advances base
+    assert r.latestOffset() == {"version": 3}
+    r.partitions({"version": 1}, {"version": 3})
+    assert r.latestOffset() == {"version": 4}      # capped at latest
+    # unlimited reader still sees everything at once
+    r2 = TxTableStreamReader(schema, {"path": p})
+    assert r2.latestOffset() == {"version": 4}
+
+    # startingTimestamp: at-or-after resolution against commit history
+    hist = {h["version"]: h["timestamp"] for h in t.history()}
+    assert t.version_at_or_after(hist[3]) == 3
+    assert t.version_at_or_after(0) == 0
+    assert t.version_at_or_after(hist[4] + 1) == 5  # beyond latest: empty
+    r3 = TxTableStreamReader(
+        schema, {"path": p, "startingtimestamp": str(hist[3])}
+    )
+    assert r3.initialOffset() == {"version": 2}
+    with pytest.raises(ValueError, match="not both"):
+        TxTableStreamReader(
+            schema,
+            {"path": p, "startingversion": "1", "startingtimestamp": "5"},
+        )
+    # batch CDC reader honours startingTimestamp through the delegate
+    spark.dataSource.register(__import__(
+        "cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txbatch",
+        fromlist=["TxTableBatchSource"],
+    ).TxTableBatchSource)
+    got = (
+        spark.read.format("txtable")
+        .option("readChangeFeed", "true")
+        .option("key", "k")
+        .option("startingTimestamp", str(hist[3]))
+        .load(p)
+    )
+    assert sorted(r["k"] for r in got.collect()) == [30, 31, 40, 41]
+
+
 def test_stream_over_expired_log_fails_clearly(spark, tmp_path):
     """Log retention x streaming (error contract): a stream whose
     startingVersion — or checkpointed offset — fell below the
