@@ -164,6 +164,13 @@ _NEW_R6 = [
     "txbatch_read_events",
 ]
 
+_NEW_R7 = [
+    # batch table_changes through the DataFrame API: per-commit CDC
+    # events via the distributed partition taxonomy (table build +
+    # DELETE run at construction; warm runs time the CDC read itself)
+    "txbatch_change_feed_events",
+]
+
 HEADLINE = (
     [q for q in GATE_PRIORITY if q not in _UNBENCHABLE]
     + _CONTINUITY
@@ -172,6 +179,7 @@ HEADLINE = (
     + _CONTINUITY_R4
     + _CONTINUITY_R6
     + _NEW_R6
+    + _NEW_R7
 )
 
 
@@ -281,6 +289,12 @@ def main() -> None:
         queries=compact_q,
         n_queries=len(times),
         queries_file="BENCH_FULL.json",
+        # COMPLETE per-query record inline (VERDICT r5 #7 / ADVICE r6):
+        # full names don't fit the 2000-char tail window, but a
+        # positional float array does — qtimes[i] is the time of the
+        # i-th query in sorted(name) order, so the round artifact alone
+        # carries every timing (zip(sorted(queries()), qtimes)).
+        qtimes=[compact_q[k] for k in sorted(compact_q)],
     )
     while by_cost and len(json.dumps(headline, separators=(",", ":"))) > budget:
         del headline["queries"][by_cost.pop(0)]
