@@ -1313,11 +1313,13 @@ def synth_decode_media(
             )
             vid = pd.DataFrame(_mp4.video_meta_rows(ids, texts))
             wav = pd.DataFrame(_aud.audio_meta_rows(ids, texts))
-            yield pd.concat(
-                [align(png, "png"), align(jpg, "jpeg"),
-                 align(vid, "video"), align(wav, "wav")],
-                ignore_index=True,
-            )
+            # one frame per seg (mapInPandas accepts any number) — a
+            # concat of NULL-padded segs trips pandas' all-NA dtype
+            # deprecation and pays a coercion pass for nothing
+            yield align(png, "png")
+            yield align(jpg, "jpeg")
+            yield align(vid, "video")
+            yield align(wav, "wav")
 
     return _with_parallelism(df.select("doc_id", text_col), parallelism).mapInPandas(
         run, DECODE_MEDIA_SCHEMA
