@@ -353,6 +353,99 @@ def test_cdc_slice_rows_option_end_to_end(spark, tmp_path):
     }
 
 
+def test_cdc_replay_reconstructs_table(spark, tmp_path):
+    """Replayability invariant over random DML histories: applying the
+    change feed's events, commit by commit, to an empty state must
+    reproduce EXACTLY the table's final content — for writer-CDC and
+    diff-based tables alike, with hash-slicing forced (cdcSliceRows=7)
+    so every partition kind participates. Pre-images and deletes are
+    additionally checked against the replayed state, so a misordered,
+    duplicated or misclassified event cannot slip through."""
+    import random
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txstream import (
+        TxTableChangeFeedReader,
+    )
+
+    def mk(lo, hi):
+        return _mk(spark, lo, hi)
+
+    for seed, cdf in ((7, False), (11, True)):
+        rng = random.Random(seed)
+        p = str(tmp_path / f"replay_{seed}_{int(cdf)}")
+        t = TxTable.create(
+            spark, p, mk(0, 30).repartition(3), change_data_feed=cdf
+        )
+        hi = 30
+        for step in range(7):
+            op = rng.choice(
+                ["append", "delete", "update", "merge", "optimize", "restore"]
+            )
+            strat = rng.choice(["cow", "mor", "auto"])
+            if op == "append":
+                t.append(mk(hi, hi + rng.randrange(1, 8)))
+                hi += 8
+            elif op == "delete":
+                t.delete(F.col("k") % rng.randrange(3, 9) == 1, strategy=strat)
+            elif op == "update":
+                t.update(
+                    F.col("k") % rng.randrange(3, 9) == 2,
+                    {"v": (F.col("v") + 1).cast("long")},
+                    strategy=strat,
+                )
+            elif op == "merge":
+                ks = rng.sample(range(hi + 20), rng.randrange(2, 7))
+                src = spark.createDataFrame(
+                    [
+                        (k, k * 7, "D" if rng.random() < 0.3 else None)
+                        for k in ks
+                    ],
+                    "k long, v long, op string",
+                )
+                t.merge(src, "k")
+            elif op == "optimize":
+                t.optimize(target_file_rows=rng.choice([10, 1000]))
+            else:
+                t.restore(rng.randrange(0, t.latest_version() + 1))
+
+        opts = {
+            "path": p, "key": "k", "readchangefeed": "true",
+            "cdcslicerows": "7",
+        }
+        r = TxTableChangeFeedReader(
+            TxTableStreamSource(opts).schema(), opts
+        )
+        parts = r.partitions(
+            {"version": -1}, {"version": t.latest_version()}
+        )
+        events = [
+            row for part in parts for b in r.read(part)
+            for row in b.to_pylist()
+        ]
+        state: dict = {}
+        by_version: dict[int, list] = {}
+        for ev in events:
+            by_version.setdefault(ev["_commit_version"], []).append(ev)
+        for v in sorted(by_version):
+            evs = by_version[v]
+            # within a commit: verify old-side against pre-commit state,
+            # then apply the new side
+            for ev in evs:
+                if ev["_change_type"] == "delete":
+                    assert state[ev["k"]] == ev["v"], (seed, v, ev)
+                elif ev["_change_type"] == "update_preimage":
+                    assert state[ev["k"]] == ev["v"], (seed, v, ev)
+                elif ev["_change_type"] == "insert":
+                    assert ev["k"] not in state, (seed, v, ev)
+            for ev in evs:
+                if ev["_change_type"] == "delete":
+                    state.pop(ev["k"])
+                elif ev["_change_type"] in ("insert", "update_postimage"):
+                    state[ev["k"]] = ev["v"]
+        actual = {row["k"]: row["v"] for row in t.read().collect()}
+        assert state == actual, f"seed {seed} cdf {cdf}"
+
+
 def test_rate_limit_and_starting_timestamp(spark, tmp_path):
     """maxVersionsPerTrigger bounds each planned micro-batch to N
     commits (backlogs drain as bounded batches, not one giant one);
