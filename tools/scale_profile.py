@@ -50,6 +50,32 @@ TABLES = (
 ).split()
 
 
+# Measured once (r7, ad-hoc harness over sources/txstream.py's reader
+# on events sf0.1: 100k rows, 8 files, one COW UPDATE touching every
+# file); kept here so SCALE.md regeneration preserves the section.
+CDC_NOTE = """## Streaming CDC drain: distribution vs amplification (round 7)
+
+One UPDATE commit rewriting all 8 files of a 100k-row table, drained
+through the change-feed reader (50k update pre+post image pairs):
+
+| table | cdcSliceRows | partitions | serial total | max per-task |
+|---|---|---|---|---|
+| diff (no CDF) | default (4M) | 1 | 0.11 s | 0.110 s |
+| diff (no CDF) | 20k (forced) | 10 | 0.71 s | 0.071 s |
+| change_data_feed=True | — | 16 (one per change file) | 0.07 s | 0.004 s |
+
+Reading: the r6 scale-killer (whole commit in ONE task) is gone. On a
+non-CDF table the keyed diff defaults to one Arrow-join task while the
+estimate fits cdcSliceRows, and hash-slicing divides the PER-TASK
+bound (0.110 → 0.071 s here; rows/slices at scale) at the documented
+read-amplification cost (serial total 0.11 → 0.71 s — every slice
+re-scans the commit's changed files). Writer-side change files beat
+both: cheaper in TOTAL than even the single diff task (0.07 vs
+0.11 s — no re-read of unchanged rows, no join) AND embarrassingly
+parallel, which is why CDF is the scale path for tables that stream
+CDC; the slice fallback exists so a non-CDF table still cannot OOM a
+task."""
+
 # Measured once by tools/dv_profile.py; kept here so SCALE.md
 # regeneration preserves the section.
 DV_NOTE = """## Deletion vectors: DELETE write amplification (round 6)
@@ -206,7 +232,9 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
     )
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n\n" + DV_NOTE + "\n")
+        f.write(
+            "\n".join(lines) + "\n\n" + CDC_NOTE + "\n\n" + DV_NOTE + "\n"
+        )
     print(f"wrote {out}")
 
 
