@@ -72,6 +72,7 @@ from .txtable import (
     TxTable,
     _commit_info,
     _metadata_action,
+    local_path,
 )
 
 # only types whose min/max survive the JSON log round-trip AND compare
@@ -137,7 +138,9 @@ def _col_name(f: Filter) -> str | None:
 class _TxTableScanBase(DataSourceReader):
     def __init__(self, schema: T.StructType, options: dict):
         opts = {str(k).lower(): v for k, v in options.items()}
-        self.table_path = opts.get("path") or opts.get("tablepath")
+        self.table_path = local_path(
+            opts.get("path") or opts.get("tablepath") or ""
+        ) or None
         if not self.table_path:
             raise ValueError("txtable requires a 'path' option")
         self.schema = schema
@@ -236,7 +239,9 @@ class TxTableBatchReader(_TxTableScanBase):
 class TxTableBatchWriter(DataSourceArrowWriter):
     def __init__(self, schema: T.StructType, overwrite: bool, options: dict):
         opts = {str(k).lower(): v for k, v in options.items()}
-        self.table_path = opts.get("path") or opts.get("tablepath")
+        self.table_path = local_path(
+            opts.get("path") or opts.get("tablepath") or ""
+        ) or None
         if not self.table_path:
             raise ValueError("txtable requires a 'path' option")
         self.schema = schema
@@ -415,7 +420,7 @@ class TxTableBatchSource(DataSource):
 
     def schema(self) -> T.StructType:
         opts = self._opts()
-        path = opts.get("path") or opts.get("tablepath")
+        path = local_path(opts.get("path") or opts.get("tablepath") or "") or None
         if not path:
             raise ValueError("txtable requires a 'path' option")
         version = opts.get("version")

@@ -50,7 +50,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from .txtable import TxTable, _version_path
+from .txtable import TxTable, _version_path, local_path
 
 APPEND_OPS = {"CREATE", "APPEND", "STREAM_APPEND"}
 
@@ -109,7 +109,9 @@ class TxTableStreamReader(DataSourceStreamReader):
         # Spark hands options through a case-insensitive dict whose
         # plain-dict copy has LOWERCASED keys — look up accordingly
         opts = {str(k).lower(): v for k, v in options.items()}
-        self.table_path = opts.get("path") or opts.get("tablepath")
+        self.table_path = local_path(
+            opts.get("path") or opts.get("tablepath") or ""
+        ) or None
         if not self.table_path:
             raise ValueError("txtable_stream requires a 'path' option")
         self.schema = schema
@@ -346,7 +348,9 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
 
     def __init__(self, schema: T.StructType, options: dict):
         opts = {str(k).lower(): v for k, v in options.items()}
-        self.table_path = opts.get("path") or opts.get("tablepath")
+        self.table_path = local_path(
+            opts.get("path") or opts.get("tablepath") or ""
+        ) or None
         if not self.table_path:
             raise ValueError("txtable_stream requires a 'path' option")
         key = opts.get("key")
@@ -659,7 +663,7 @@ class TxTableStreamSource(DataSource):
 
     def schema(self) -> T.StructType:
         opts = self._opts()
-        path = opts.get("path") or opts.get("tablepath")
+        path = local_path(opts.get("path") or opts.get("tablepath") or "") or None
         if not path:
             raise ValueError("txtable_stream requires a 'path' option")
         base = TxTable(None, path).snapshot().schema

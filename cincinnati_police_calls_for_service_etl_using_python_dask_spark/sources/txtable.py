@@ -85,6 +85,19 @@ CHECKPOINT_INTERVAL = 10
 _VERSION_DIGITS = 20
 
 
+def local_path(path: str) -> str:
+    """Normalize a ``file:`` URI to a plain filesystem path — the SQL
+    front-end (``CREATE TABLE ... USING txtable OPTIONS (path ...)``)
+    hands sources ``file:/...`` URIs where the Python API passes bare
+    paths; every binding funnels through this so both spellings work."""
+    if path and path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(path)
+        return unquote(parsed.path) or path[len("file:"):]
+    return path
+
+
 class LogStore:
     """The ONE storage primitive the commit protocol needs: an atomic
     PUT-IF-ABSENT of a finished commit file. Everything else in the
@@ -176,8 +189,8 @@ class TxTable:
         log_store: LogStore | None = None,
     ):
         self.spark = spark
-        self.path = path
-        self.log = os.path.join(path, LOG_DIR)
+        self.path = local_path(path)
+        self.log = os.path.join(self.path, LOG_DIR)
         self.log_store = log_store or HardLinkLogStore()
 
     # ------------------------------------------------------------------

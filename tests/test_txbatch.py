@@ -183,3 +183,27 @@ def test_batch_change_feed_read(spark, tmp_path):
     assert {
         (row["k"], row["_change_type"]) for row in r2.collect()
     } == {(0, "delete"), (1, "delete"), (2, "delete")}
+
+
+def test_file_uri_paths_accepted(spark, tmp_path):
+    """Every binding normalizes file: URIs — the spelling SQL-facing
+    layers hand to sources — to plain paths (the native API's form).
+    (CREATE TABLE ... USING txtable itself is not supported: Spark
+    constructs Python DataSource READERS for catalog tables with empty
+    options; register a temp view over read.format("txtable") for a
+    SQL surface.)"""
+    p = str(tmp_path / "uri")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10).coalesce(1))
+    uri = "file:" + p
+    assert TxTable(spark, uri).read().count() == 10
+    got = spark.read.format("txtable").load(uri)
+    assert sorted(r["k"] for r in got.collect()) == list(range(10))
+    got.createOrReplaceTempView("uri_tx")  # the supported SQL spelling
+    assert spark.sql("SELECT count(*) AS n FROM uri_tx").collect()[0]["n"] == 10
+    cdc = (
+        spark.read.format("txtable")
+        .option("readChangeFeed", "true")
+        .option("key", "k")
+        .load(uri)
+    )
+    assert cdc.count() == 10  # v0 inserts
