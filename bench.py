@@ -169,6 +169,9 @@ _NEW_R7 = [
     # events via the distributed partition taxonomy (table build +
     # DELETE run at construction; warm runs time the CDC read itself)
     "txbatch_change_feed_events",
+    # H.264 Annex-B demux + Exp-Golomb SPS parse (bitstream tier of
+    # lossy-video support; slice pixel decode out of scope)
+    "video_h264_metadata",
 ]
 
 HEADLINE = (

@@ -1437,6 +1437,87 @@ def _decode_jpeg_color_batch(pdf):
     )
 
 
+H264_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("profile_idc", T.IntegerType()),
+        T.StructField("level_idc", T.IntegerType()),
+        T.StructField("n_nals", T.IntegerType()),
+        T.StructField("n_idr", T.IntegerType()),
+        T.StructField("n_slices", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+@lru_cache(maxsize=1024)
+def _h264_fixture_bytes(data: bytes) -> bytes:
+    """Deterministic Annex-B fixture: SPS (geometry from nb, with
+    frame cropping whenever nb is not a multiple of 16 px), PPS, one
+    IDR slice and nb%5 non-IDR slices. Slice payloads embed a raw
+    00 00 02 run so emulation prevention is exercised on EVERY doc —
+    the parser must strip the inserted 03 bytes to see the payload."""
+    from . import h264 as H
+
+    nb = len(data)
+    width = 2 * (nb % 16) + 16
+    height = 2 * (nb % 11) + 16
+    n_slices = nb % 5 + 1
+    nals = [
+        (H.NAL_SPS, H.build_sps(width, height)),
+        (H.NAL_PPS, b"\xc8\x42"),
+    ]
+    for k in range(n_slices):
+        body = bytes(
+            data[(k + j) % nb] if nb else 42 for j in range(6)
+        )
+        nals.append(
+            (H.NAL_IDR if k == 0 else H.NAL_SLICE, b"\x00\x00\x02" + body)
+        )
+    return H.build_annexb(nals)
+
+
+def synth_h264_metadata(
+    df: DataFrame, text_col: str = "text", parallelism: int | None = None
+) -> DataFrame:
+    """H.264 bitstream-analysis operator: synthesize the Annex-B
+    fixture per document and recover geometry/profile/NAL census
+    through the REAL demux + Exp-Golomb SPS parser
+    (operators/h264.py). One Arrow crossing, map-side; slice pixel
+    decode is out of scope by the codec-family boundary."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from . import h264 as H
+
+        cols = [f.name for f in H264_META_SCHEMA.fields]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out: dict = {c: [] for c in cols}
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                payload = _h264_fixture_bytes(("" if t is None else t).encode("utf-8"))
+                out["doc_id"].append(doc_id)
+                try:
+                    m = H.stream_metadata(payload)
+                except ValueError:
+                    for c in cols[1:-1]:
+                        out[c].append(None)
+                    out["status"].append("error")
+                    continue
+                for c in cols[1:-1]:
+                    out[c].append(m[c])
+                out["status"].append("h264-parsed")
+            yield pd.DataFrame(out)
+
+    return _with_parallelism(df.select("doc_id", text_col), parallelism).mapInPandas(
+        run, H264_META_SCHEMA
+    )
+
+
 def synth_decode_jpeg_color_wav(
     df: DataFrame, text_col: str = "text", parallelism: int | None = None
 ) -> DataFrame:

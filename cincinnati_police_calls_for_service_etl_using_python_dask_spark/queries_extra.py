@@ -577,6 +577,33 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_h264_metadata",
+    """
+    -- H.264 Annex-B bitstream replay: the fixture's geometry / NAL
+    -- census is a pure function of length(text); the Spark side must
+    -- recover it through REAL start-code demux, emulation-prevention
+    -- removal and Exp-Golomb SPS parsing (operators/h264.py).
+    SELECT doc_id,
+           CAST(2 * (COALESCE(length(text), 0) % 16) + 16 AS INT) AS width,
+           CAST(2 * (COALESCE(length(text), 0) % 11) + 16 AS INT) AS height,
+           CAST(66 AS INT) AS profile_idc,
+           CAST(30 AS INT) AS level_idc,
+           CAST(COALESCE(length(text), 0) % 5 + 3 AS INT) AS n_nals,
+           CAST(1 AS INT) AS n_idr,
+           CAST(COALESCE(length(text), 0) % 5 + 1 AS INT) AS n_slices,
+           'h264-parsed' AS status
+    FROM documents
+    """,
+)
+def q_video_h264_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    par = min(16, spark.sparkContext.defaultParallelism)
+    return mm.synth_h264_metadata(docs, parallelism=par)
+
+
+@register(
     "audio_decode_wav",
     """
     WITH g AS (

@@ -303,3 +303,73 @@ def test_wav_fixture_model_matches_spec():
         assert dur == n * 1_000_000 // rate
         exp = [(text[k % nb] - 128) * 256 for k in range(n)] if nb else [42 * 256] * n
         assert ssum == sum(exp) and energy == sum(x * x for x in exp)
+
+
+# ---------------------------------------------------------------------------
+# H.264 Annex-B bitstream analysis (operators/h264.py)
+# ---------------------------------------------------------------------------
+
+
+def test_h264_sps_geometry_roundtrip():
+    """build_sps → parse_sps recovers exact geometry across crop
+    configurations and profile layouts (baseline and the high-profile
+    chroma branch)."""
+    import random
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import h264 as H
+
+    rng = random.Random(5)
+    for _ in range(100):
+        w, h = 2 * rng.randrange(1, 300), 2 * rng.randrange(1, 200)
+        p = rng.choice([66, 77, 100, 110])
+        info = H.parse_sps(H.build_sps(w, h, profile_idc=p, level_idc=40))
+        assert (info["width"], info["height"], info["profile_idc"],
+                info["level_idc"]) == (w, h, p, 40)
+    with pytest.raises(ValueError, match="even"):
+        H.build_sps(33, 32)
+
+
+def test_h264_annexb_demux_and_emulation_prevention():
+    """Start-code demux survives payloads containing raw start-code
+    and zero runs: emulation prevention inserts 00 00 03 xx on write
+    and the parser strips it, byte-exactly."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import h264 as H
+
+    tricky = b"\x00\x00\x01\x00\x00\x00\x02\x03\x00\x00"
+    nals = [
+        (H.NAL_SPS, H.build_sps(48, 32)),
+        (H.NAL_PPS, b"\xc8\x42"),
+        (H.NAL_IDR, tricky),
+        (H.NAL_SLICE, b"\x7f" * 5),
+    ]
+    data = H.build_annexb(nals)
+    # the wire form must not contain a bare start code inside a NAL
+    body = data[4:]
+    assert b"\x00\x00\x01" not in body.replace(b"\x00\x00\x00\x01", b"")
+    back = H.parse_annexb(data)
+    assert [t for t, _ in back] == [H.NAL_SPS, H.NAL_PPS, H.NAL_IDR, H.NAL_SLICE]
+    assert back[2][1] == tricky
+    meta = H.stream_metadata(data)
+    assert meta == {
+        "profile_idc": 66, "level_idc": 30, "width": 48, "height": 32,
+        "n_nals": 4, "n_idr": 1, "n_slices": 2,
+    }
+
+
+def test_h264_malformed_streams_raise():
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import h264 as H
+
+    good = H.build_annexb([(H.NAL_SPS, H.build_sps(32, 32))])
+    for bad, pat in (
+        (b"", "empty"),
+        (b"junk" + good, "leading start code"),
+        (b"\x00\x00\x01\xff\x00", "forbidden_zero_bit"),
+        (b"\x00\x00\x01", "empty NAL"),
+    ):
+        with pytest.raises(ValueError, match=pat):
+            H.parse_annexb(bad)
+    # no SPS / several SPS
+    with pytest.raises(ValueError, match="exactly one SPS"):
+        H.stream_metadata(H.build_annexb([(H.NAL_PPS, b"\x01")]))
+    with pytest.raises(ValueError, match="truncated"):
+        H.parse_sps(b"\x42\x00")
