@@ -1491,55 +1491,64 @@ def synth_h264_metadata(
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from . import h264 as H
-
-        cols = [f.name for f in H264_META_SCHEMA.fields]
         for pdf in batches:
             if not len(pdf):
                 continue
-            out: dict = {c: [] for c in cols}
-            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
-                payload = _h264_fixture_bytes(("" if t is None else t).encode("utf-8"))
-                out["doc_id"].append(doc_id)
-                try:
-                    m = H.stream_metadata(payload)
-                except ValueError:
-                    for c in cols[1:-1]:
-                        out[c].append(None)
-                    out["status"].append("error")
-                    continue
-                for c in cols[1:-1]:
-                    out[c].append(m[c])
-                out["status"].append("h264-parsed")
-            yield pd.DataFrame(out)
+            texts = [("" if t is None else t) for t in pdf[text_col]]
+            yield pd.DataFrame(h264_meta_rows(pdf["doc_id"], texts))
 
     return _with_parallelism(df.select("doc_id", text_col), parallelism).mapInPandas(
         run, H264_META_SCHEMA
     )
 
 
+def h264_meta_rows(ids, texts) -> dict:
+    """Column dict of H.264 metadata rows for one Arrow batch —
+    shared by the granular query kernel and the media_decode_suite
+    fused crossing. Real demux + Exp-Golomb SPS parse per document;
+    malformed streams degrade to an 'error' row, never an exception."""
+    from . import h264 as H
+
+    cols = [f.name for f in H264_META_SCHEMA.fields]
+    out: dict = {c: [] for c in cols}
+    for doc_id, t in zip(ids, texts):
+        payload = _h264_fixture_bytes(t.encode("utf-8"))
+        out["doc_id"].append(doc_id)
+        try:
+            m = H.stream_metadata(payload)
+        except ValueError:
+            for c in cols[1:-1]:
+                out[c].append(None)
+            out["status"].append("error")
+            continue
+        for c in cols[1:-1]:
+            out[c].append(m[c])
+        out["status"].append("h264-parsed")
+    return out
+
+
 def synth_decode_jpeg_color_wav(
     df: DataFrame, text_col: str = "text", parallelism: int | None = None
 ) -> DataFrame:
-    """media_decode_suite's fused plan (r7): color-JPEG decode + WAV
-    decode in ONE Arrow crossing, emitting the seg-discriminated
-    union schema directly. Two overlapping crossings used to beat the
-    fused spelling while the color kernel dominated (0.45 s vs
-    0.51 s); after the flat-fixture encoder and batched IDCT cut that
-    kernel ~4×, both segs are floor-dominated and the second
-    crossing's fixed cost is the larger term — fused measures faster.
-    The seg-union output is identical to unioning the two granular
-    queries (same kernels, same dtypes), so the suite oracle is
-    unchanged."""
+    """media_decode_suite's fused plan (r7, +h264 seg r8): color-JPEG
+    decode + WAV decode + H.264 bitstream analysis in ONE Arrow
+    crossing, emitting the seg-discriminated union schema directly.
+    Two overlapping crossings used to beat the fused spelling while
+    the color kernel dominated (0.45 s vs 0.51 s); after the
+    flat-fixture encoder and batched IDCT cut that kernel ~4×, all
+    segs are floor-dominated and each extra crossing's fixed cost is
+    the larger term — fused measures faster. The seg-union output is
+    identical to unioning the three granular queries (same kernels,
+    same dtypes), so the suite oracle is unchanged."""
     from . import audio as _aud
 
     fields = [T.StructField("seg", T.StringType())] + list(
         DECODE_JPEG_COLOR_SCHEMA.fields
     )
     have = {f.name for f in fields}
-    fields += [
-        f for f in _aud.AUDIO_META_SCHEMA.fields if f.name not in have
-    ]
+    for extra in (_aud.AUDIO_META_SCHEMA, H264_META_SCHEMA):
+        fields += [f for f in extra.fields if f.name not in have]
+        have = {f.name for f in fields}
     schema = T.StructType(fields)
     cols = [f.name for f in fields]
 
@@ -1566,10 +1575,13 @@ def synth_decode_jpeg_color_wav(
                 pd.DataFrame({"doc_id": ids, "payload": payloads})
             )
             wav = pd.DataFrame(aud.audio_meta_rows(ids, texts))
-            # two frames per batch (mapInPandas accepts any number) —
-            # no concat of NULL-padded segs, no dtype-coercion pass
+            h264 = pd.DataFrame(h264_meta_rows(ids, texts))
+            # one frame per seg per batch (mapInPandas accepts any
+            # number) — no concat of NULL-padded segs, no
+            # dtype-coercion pass
             yield align(jpg, "jpeg_color")
             yield align(wav, "wav")
+            yield align(h264, "h264")
 
     return _with_parallelism(df.select("doc_id", text_col), parallelism).mapInPandas(
         run, schema

@@ -278,8 +278,10 @@ _suite(
     ],
 )
 
-# Media codec family: baseline-JPEG color decode (ITU-T T.81 4:2:0)
-# and RIFF/WAVE PCM decode — the round-5 real-codec tiers
+# Media codec family: baseline-JPEG color decode (ITU-T T.81 4:2:0),
+# RIFF/WAVE PCM decode, and — r8 (VERDICT r7 #1) — the H.264 Annex-B
+# bitstream analyzer, so the round-7 operator's first gate sits inside
+# the driver's 50-query window like every other §2 row
 # (multimodal_decode_real keeps PNG/MP4/grayscale-JPEG segs gated).
 # r7: fused into ONE Arrow crossing (synth_decode_jpeg_color_wav).
 # The r6 measurement that rejected fusion (0.51 s fused vs 0.45 s as
@@ -307,6 +309,7 @@ _suite(
     [
         ("jpeg_color", "multimodal_decode_jpeg_color"),
         ("wav", "audio_decode_wav"),
+        ("h264", "video_h264_metadata"),
     ],
     spark_fn=_media_decode_fused,
 )

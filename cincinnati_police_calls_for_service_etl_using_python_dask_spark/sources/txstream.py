@@ -122,30 +122,48 @@ class TxTableStreamReader(DataSourceStreamReader):
         # maxVersionsPerTrigger: bound each micro-batch to N commits
         # (the Delta maxFilesPerTrigger concern at version granularity)
         # so a long backlog drains as a sequence of bounded batches
-        # instead of one giant one. The base advances with each
-        # PLANNED batch; the first batch after a checkpointed restart
-        # with no pending plan is unbounded (documented caveat — the
-        # single-arg latestOffset API has no start offset to cap from).
+        # instead of one giant one. The cap base (`_planned`) is ONLY
+        # ever set from offsets Spark actually handed us —
+        # initialOffset() (fresh query, no checkpoint) or
+        # partitions() — never guessed from startingVersion in
+        # __init__. On a RESTART Spark skips initialOffset() and
+        # resumes from its checkpointed offset, which the single-arg
+        # latestOffset API never shows us; a startingVersion-derived
+        # base could sit BELOW that checkpoint, and since Spark
+        # compares offsets by equality only, returning it would plan a
+        # batch that REGRESSES the commit log and replays
+        # already-delivered commits. So after a restart the first
+        # batch is unbounded (documented caveat) until partitions()
+        # reveals the true start. `_planned` is monotonic (max-merged)
+        # so latestOffset never moves backwards within a run.
         self.max_versions = int(opts.get("maxversionspertrigger", 0)) or None
-        self._planned = self.starting_version - 1
+        self._planned: int | None = None
         self.log = os.path.join(self.table_path, "_txlog")
 
     # -- offsets --------------------------------------------------------
 
     def initialOffset(self) -> dict:
+        # Called only when the query has no checkpoint — here (and only
+        # here) starting_version - 1 IS the engine's true start, so it
+        # can seed the rate-limit cap base.
+        self._planned = self.starting_version - 1
         return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
         t = TxTable(None, self.table_path)
         latest = t.latest_version()
-        if self.max_versions is not None:
+        if self.max_versions is not None and self._planned is not None:
             latest = min(latest, self._planned + self.max_versions)
         return {"version": latest}
 
     # -- planning (driver) ---------------------------------------------
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        self._planned = end["version"]
+        observed = max(start["version"], end["version"])
+        self._planned = (
+            observed if self._planned is None
+            else max(self._planned, observed)
+        )
         out: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             actions = _commit_actions(self.log, v)
@@ -338,7 +356,15 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
     n_slices), never O(commit); OPTIMIZE commits are skipped (row set
     unchanged by contract). NULL key columns follow SQL join
     semantics (never match — same as the batch ``change_feed``'s
-    full-outer join)."""
+    full-outer join).
+
+    The ``key`` option MUST identify rows uniquely within any one
+    commit's changed files — the read-time diff attributes deletes /
+    inserts / updates by key, and a duplicate would cross-product the
+    join. Duplicates are detected per slice and raise a ``ValueError``
+    naming the commit; tables whose rows have no natural unique key
+    should enable ``change_data_feed=True`` so the writer records
+    exact change files and no diff is needed."""
 
     # One slice task retains ~this many diff rows; at parquet-typical
     # ~100 B/row that is ~400 MB — sized to executor memory, matching
@@ -359,26 +385,36 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
         self.keys = [k.strip() for k in str(key).split(",") if k.strip()]
         self.schema = schema  # table schema + _change_type + _commit_version
         self.starting_version = _resolve_start(opts, self.table_path)
+        # Cap base only ever learned from initialOffset() (fresh
+        # query) or partitions() — see the append reader's comment: a
+        # startingVersion-derived base seeded in __init__ can sit
+        # BELOW a restarted checkpoint and regress the offset.
         self.max_versions = int(opts.get("maxversionspertrigger", 0)) or None
-        self._planned = self.starting_version - 1
+        self._planned: int | None = None
         self.slice_rows = int(
             opts.get("cdcslicerows", self.DEFAULT_SLICE_ROWS)
         )
         self.log = os.path.join(self.table_path, "_txlog")
 
     def initialOffset(self) -> dict:
+        # Fresh query only (no checkpoint) — safe to seed the cap base.
+        self._planned = self.starting_version - 1
         return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
         latest = TxTable(None, self.table_path).latest_version()
-        if self.max_versions is not None:
+        if self.max_versions is not None and self._planned is not None:
             latest = min(latest, self._planned + self.max_versions)
         return {"version": latest}
 
     # -- planning (driver) ---------------------------------------------
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        self._planned = end["version"]
+        observed = max(start["version"], end["version"])
+        self._planned = (
+            observed if self._planned is None
+            else max(self._planned, observed)
+        )
         t = TxTable(None, self.table_path)
         out: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
@@ -584,6 +620,26 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
 
         old_t = gather(partition.old_files, "old")
         new_t = gather(partition.new_files, "new")
+        # The keyed diff REQUIRES 'key' to be unique per row within a
+        # commit's changed files: a duplicated key would turn the
+        # full-outer join into a cross-product and emit inflated /
+        # misclassified change events. Detect it up front (one hash
+        # aggregate per side, O(slice rows)) and fail loudly rather
+        # than stream wrong events.
+        for side_name, side_t in (("pre-image", old_t), ("post-image", new_t)):
+            if len(side_t):
+                n_distinct = side_t.group_by(keys).aggregate([]).num_rows
+                if n_distinct != len(side_t):
+                    raise ValueError(
+                        f"readChangeFeed: key columns {keys} are not "
+                        f"unique in the {side_name} rows of commit "
+                        f"{partition.version} ({len(side_t)} rows, "
+                        f"{n_distinct} distinct keys). The read-time "
+                        f"diff cannot attribute changes to rows without "
+                        f"a unique key — pass a unique 'key', or enable "
+                        f"change_data_feed=True on the table so the "
+                        f"writer records exact change files."
+                    )
         old_t = old_t.append_column(
             "__po", pa.array(np.ones(len(old_t), dtype=np.int8))
         )

@@ -501,6 +501,89 @@ def test_rate_limit_and_starting_timestamp(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == [30, 31, 40, 41]
 
 
+def test_rate_limit_restart_never_regresses_offset(spark, tmp_path):
+    """On a RESTART Spark skips initialOffset() and resumes from its
+    checkpointed offset, which the reader cannot see until
+    partitions() is called. A maxVersionsPerTrigger cap seeded from
+    startingVersion would then return an offset BELOW the checkpoint
+    (Spark compares offsets by equality only → commit-log regression
+    and replayed rows). Contract: until the engine reveals its start,
+    latestOffset() is uncapped; afterwards the cap base max-merges the
+    observed offsets and never moves backwards."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txstream import (
+        TxTableChangeFeedReader,
+        TxTableStreamReader,
+        TxTableStreamSource,
+    )
+
+    p = str(tmp_path / "rr")
+    t = TxTable.create(spark, p, _mk(spark, 0, 5).coalesce(1))   # v0
+    for i in range(7):                                           # v1..v7
+        t.append(_mk(spark, 10 * (i + 1), 10 * (i + 1) + 2).coalesce(1))
+    schema = t.snapshot().schema
+
+    # Simulate a restarted query: checkpoint holds v5, initialOffset
+    # is never called. First latestOffset must NOT be capped at
+    # startingVersion-1+max = 1 (below the checkpoint).
+    r = TxTableStreamReader(schema, {"path": p, "maxversionspertrigger": "2"})
+    assert r.latestOffset() == {"version": 7}       # uncapped pre-plan
+    r.partitions({"version": 5}, {"version": 7})    # engine's real range
+    assert r.latestOffset() == {"version": 7}       # base 7, not 1
+    # cap base is monotonic: a smaller replanned range can't lower it
+    r.partitions({"version": 5}, {"version": 6})
+    assert r.latestOffset() == {"version": 7}
+
+    # Fresh query (initialOffset called) still rate-limits batch one.
+    rf = TxTableStreamReader(schema, {"path": p, "maxversionspertrigger": "2"})
+    assert rf.initialOffset() == {"version": -1}
+    assert rf.latestOffset() == {"version": 1}
+
+    # Same contract for the change-feed reader.
+    opts = {"path": p, "key": "k", "readchangefeed": "true",
+            "maxversionspertrigger": "2"}
+    rc = TxTableChangeFeedReader(TxTableStreamSource(opts).schema(), opts)
+    assert rc.latestOffset() == {"version": 7}      # uncapped pre-plan
+    rc.partitions({"version": 5}, {"version": 7})
+    assert rc.latestOffset() == {"version": 7}
+    rc2 = TxTableChangeFeedReader(TxTableStreamSource(opts).schema(), opts)
+    assert rc2.initialOffset() == {"version": -1}
+    assert rc2.latestOffset() == {"version": 1}
+
+
+def test_cdc_duplicate_key_raises_clear_error(spark, tmp_path):
+    """The read-time CDC diff requires 'key' to be unique per row: a
+    duplicate would cross-product the Arrow full-outer join and emit
+    inflated / misclassified events. The reader detects it and raises
+    a ValueError naming the commit instead of streaming wrong data."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txstream import (
+        TxTableChangeFeedReader,
+        TxTableStreamSource,
+    )
+
+    p = str(tmp_path / "dup")
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (3, 30)], "k long, v long"
+    ).coalesce(1)
+    t = TxTable.create(spark, p, df)                       # v0: k=1 dup'd
+    t.delete(F.col("v") >= 20)                             # v1: COW rewrite
+    opts = {"path": p, "key": "k", "readchangefeed": "true"}
+    r = TxTableChangeFeedReader(TxTableStreamSource(opts).schema(), opts)
+    parts = r.partitions({"version": 0}, {"version": 1})
+    with pytest.raises(ValueError, match="not\\s+unique.*commit\\s+1"):
+        for part in parts:
+            list(r.read(part))
+    # composite key that IS unique diffs fine on the same commits
+    opts2 = {"path": p, "key": "k,v", "readchangefeed": "true"}
+    r2 = TxTableChangeFeedReader(TxTableStreamSource(opts2).schema(), opts2)
+    evs = [
+        row for part in r2.partitions({"version": 0}, {"version": 1})
+        for b in r2.read(part) for row in b.to_pylist()
+    ]
+    assert sorted(
+        (e["k"], e["v"]) for e in evs if e["_change_type"] == "delete"
+    ) == [(2, 20), (3, 30)]
+
+
 def test_stream_over_expired_log_fails_clearly(spark, tmp_path):
     """Log retention x streaming (error contract): a stream whose
     startingVersion — or checkpointed offset — fell below the

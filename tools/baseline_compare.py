@@ -118,10 +118,14 @@ def main() -> None:
     # of the headline ratio.
     paired_s = sum(s for name, s, d, _r in rows if d is not None)
     paired_d = sum(d for _n, _s, d, _r in rows if d is not None)
+    # Guard the zero-paired case (no query had a DuckDB oracle): the
+    # tool must still write COMPARE.json rather than crash on /0.
+    agg_ratio = round(paired_s / paired_d, 4) if paired_d else None
     print(f"\n{n_pass}/{n_gated} gated queries within 2x; "
           f"paired aggregate spark {paired_s:.2f}s / duckdb "
-          f"{paired_d:.2f}s = {paired_s / paired_d:.2f}x "
-          f"over {n_gated} paired queries "
+          f"{paired_d:.2f}s"
+          + (f" = {agg_ratio:.2f}x" if agg_ratio is not None else "")
+          + f" over {n_gated} paired queries "
           f"(all-query spark total {sum(spk.values()):.2f}s incl. "
           f"{len(rows) - n_gated} unpaired)")
     out = {
@@ -132,7 +136,7 @@ def main() -> None:
         "paired_aggregate": {
             "spark_sec": round(paired_s, 4),
             "duckdb_sec": round(paired_d, 4),
-            "ratio": round(paired_s / paired_d, 4),
+            "ratio": agg_ratio,
             "n_paired": n_gated,
         },
     }

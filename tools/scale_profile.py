@@ -33,6 +33,9 @@ QUERIES = [
     # material ratio — TPC-H Q3's joins + TakeOrdered
     "sql_shipping_priority_q3",
     "exists_late_shipments",
+    # r8 (VERDICT r7 #4): the last material >2x with no falling-ratio
+    # evidence — the two-shuffle skew-resistant count-distinct cascade
+    "salted_count_distinct_orders",
     "dedup_exact_fingerprint",
     "minhash_lsh_candidates",
     "substring_span_dedup_docs",
