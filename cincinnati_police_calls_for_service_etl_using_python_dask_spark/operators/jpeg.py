@@ -906,16 +906,13 @@ def encode_jpeg_color_flat(width, height, yb, cbb, crb) -> bytes:
     return _color_flat_header(width, height) + scan + b"\xff\xd9"
 
 
-def decode_jpeg_color(data: bytes) -> tuple:
-    """Decode a baseline 3-component interleaved JPEG (4:2:0 or 4:4:4,
-    one scan, no restart markers) from any conformant encoder of the
-    profile. Returns ``(width, height, rgb_bytes)`` — interleaved RGB,
-    produced by the fixed-point integer transform
-    (:func:`ycbcr_to_rgb_int`), chroma upsampled by replication.
-    Tables come from the file's own DQT/DHT; per-component quant and
-    Huffman selectors from SOF0/SOS. Raises ValueError outside the
+def _parse_color_frame(data: bytes) -> tuple:
+    """Header walk shared by the scalar and batched color decoders:
+    DQT/DHT/SOF0/SOS over a baseline 3-component interleaved JPEG.
+    Returns ``(quant, huff, width, height, comps, scan_sel, scan_pos,
+    hmax, vmax, mcus_x, mcus_y)``; raises ValueError outside the
     profile (progressive, 16-bit tables, restart intervals, component
-    counts other than 3)."""
+    counts other than 3, sampling beyond 4:4:4 / 4:2:0)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -991,10 +988,21 @@ def decode_jpeg_color(data: bytes) -> tuple:
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (width + mcu_w - 1) // mcu_w
     mcus_y = (height + mcu_h - 1) // mcu_h
+    return (quant, huff, width, height, comps, scan_sel, scan_pos,
+            hmax, vmax, mcus_x, mcus_y)
 
-    # Per-component decode destinations as Python row lists (list
-    # stores beat numpy scalar stores in the per-coefficient loop);
-    # Huffman table pairs resolved ONCE per component, not per block.
+
+def _walk_color_scan(
+    data: bytes, scan_pos: int, comps: list, scan_sel: dict,
+    huff: dict, mcus_x: int, mcus_y: int,
+) -> tuple:
+    """Entropy-decode the interleaved scan. Returns ``(rows, counts)``
+    where ``rows`` is the COMPONENT-MAJOR flat list of per-block
+    64-coefficient lists (zigzag order, DC differences resolved) and
+    ``counts`` the per-component block counts. Per-component decode
+    destinations are Python row lists (list stores beat numpy scalar
+    stores in the per-coefficient loop); Huffman table pairs are
+    resolved ONCE per component, not per block."""
     grid_rows: list = []
     comp_tables: list = []
     for cid, ch, cv, tq in comps:
@@ -1040,15 +1048,34 @@ def decode_jpeg_color(data: bytes) -> tuple:
                         bidx = (my * cv + vy) * bw + mx * ch + vx
                         read_block(ci, bidx)
 
+    counts = [len(rs) for rs in grid_rows]
+    return [row for rs in grid_rows for row in rs], counts
+
+
+def decode_jpeg_color(data: bytes) -> tuple:
+    """Decode a baseline 3-component interleaved JPEG (4:2:0 or 4:4:4,
+    one scan, no restart markers) from any conformant encoder of the
+    profile. Returns ``(width, height, rgb_bytes)`` — interleaved RGB,
+    produced by the fixed-point integer transform
+    (:func:`ycbcr_to_rgb_int`), chroma upsampled by replication.
+    Tables come from the file's own DQT/DHT; per-component quant and
+    Huffman selectors from SOF0/SOS. Raises ValueError outside the
+    profile (progressive, 16-bit tables, restart intervals, component
+    counts other than 3)."""
+    (quant, huff, width, height, comps, scan_sel, scan_pos,
+     hmax, vmax, mcus_x, mcus_y) = _parse_color_frame(data)
+    rows, counts = _walk_color_scan(
+        data, scan_pos, comps, scan_sel, huff, mcus_x, mcus_y
+    )
+
     # ONE batched IDCT + round/clip across all three components, as two
     # matmuls rather than a 3-operand einsum (einsum's un-optimized
     # C path cost ~130 µs of fixed overhead per call on thumbnail
-    # batches). Same contraction, bit-identical output — A/B-pinned
-    # against the per-component einsum spelling in the codec tests.
-    counts = [len(rs) for rs in grid_rows]
-    allg = np.array(
-        [row for rs in grid_rows for row in rs], dtype=np.int64
-    )
+    # batches). NOTE: einsum may contract in a different float order,
+    # so the two spellings are NOT guaranteed bit-identical — the
+    # matmul spelling IS the pinned decode behavior (the batched
+    # stats decoder A/B-pins against THIS path in the codec tests).
+    allg = np.array(rows, dtype=np.int64)
     coefs = np.zeros((len(allg), 64), dtype=np.float64)
     coefs[:, ZIGZAG] = allg
     coefs = coefs.reshape(-1, 8, 8)
@@ -1076,3 +1103,116 @@ def decode_jpeg_color(data: bytes) -> tuple:
     r8, g8, b8 = ycbcr_to_rgb_int(*planes)
     rgb = np.stack([r8, g8, b8], axis=-1)
     return width, height, rgb.tobytes()
+
+
+def decode_jpeg_color_stats_many(payloads) -> list:
+    """Batched color decode for the analytics kernel: decode MANY
+    independent JPEGs and return, per file, ``(width, height,
+    px_count, r_sum, g_sum, b_sum, rgb_wsum)`` — or ``None`` for files
+    outside the profile. ``rgb_wsum = Σ (i+1)·(65536·R + 256·G + B)``
+    over raster order, pinning pixel order exactly like the scalar
+    path.
+
+    Why it exists: per-file, the full decode is DOMINATED by numpy
+    fixed costs (dequant/IDCT/clip/upsample/YCbCr on thumbnail-sized
+    arrays — ~70% of wall at sf0.1; the Huffman symbol walk is ~15%).
+    This path keeps the per-file work to the header walk + the scalar
+    entropy decode, then runs every numpy stage ONCE across the whole
+    batch: one dequant (distinct quant tables de-duplicated and
+    gathered per block), one two-matmul IDCT, one round/clip, and —
+    instead of per-file upsample/crop/stack — a per-GEOMETRY-GROUP
+    gather straight from block storage to raster order (the
+    replication upsample is just index arithmetic), one YCbCr
+    conversion and matrix-reduction sums per group. Integer sums are
+    order-independent, and every float op (dequant multiply, matmul
+    IDCT, round) is elementwise-identical to the scalar path, so
+    results match :func:`decode_jpeg_color` exactly — A/B-pinned in
+    the codec tests across geometries, samplings and random images."""
+    n = len(payloads)
+    results: list = [None] * n
+    metas: list = []       # (fi, w, h, hmax, vmax, samp, counts, base)
+    rows_all: list = []    # component-major 64-lists across all files
+    qtabs: list = []       # distinct dequant tables (row-major 64)
+    qkey: dict = {}
+    qidx_runs: list = []   # (table_idx, n_blocks) run-length per comp
+    base = 0
+    for fi in range(n):
+        try:
+            data = bytes(payloads[fi])
+            (quant, huff, width, height, comps, scan_sel, scan_pos,
+             hmax, vmax, mcus_x, mcus_y) = _parse_color_frame(data)
+            rows, counts = _walk_color_scan(
+                data, scan_pos, comps, scan_sel, huff, mcus_x, mcus_y
+            )
+            qis = []
+            for cid, ch, cv, tq in comps:
+                q = quant.get(tq)
+                if q is None:
+                    raise ValueError("missing DQT")
+                k = q.tobytes()
+                if k not in qkey:
+                    qkey[k] = len(qtabs)
+                    qtabs.append(np.ascontiguousarray(q).reshape(64))
+                qis.append(qkey[k])
+        except Exception:
+            continue  # results[fi] stays None — error row
+        rows_all.extend(rows)
+        for ci in range(3):
+            qidx_runs.append((qis[ci], counts[ci]))
+        metas.append((
+            fi, width, height, hmax, vmax,
+            tuple((c[1], c[2]) for c in comps), tuple(counts), base,
+        ))
+        base += sum(counts)
+    if not metas:
+        return results
+
+    # One dequant + IDCT + round/clip over every block of every file.
+    allg = np.array(rows_all, dtype=np.int64)
+    coefs = np.zeros((len(allg), 64), dtype=np.float64)
+    coefs[:, ZIGZAG] = allg
+    qarr = np.stack(qtabs).astype(np.float64)
+    qindex = np.repeat(
+        np.array([t for t, _c in qidx_runs], dtype=np.int64),
+        np.array([c for _t, c in qidx_runs], dtype=np.int64),
+    )
+    coefs *= qarr[qindex]
+    pix = (_A.T @ coefs.reshape(-1, 8, 8)) @ _A + 128.0
+    pixf = np.clip(np.round(pix), 0, 255).astype(np.uint8).reshape(-1)
+
+    # Per geometry group: gather block storage → raster order for all
+    # member files at once (rows = files), convert, reduce.
+    groups: dict = {}
+    for m in metas:
+        groups.setdefault(m[1:7], []).append((m[0], m[7]))
+    for (w, h, hmax, vmax, samp, counts), members in groups.items():
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        comp_off = (0, counts[0], counts[0] + counts[1])
+        yy = np.arange(h, dtype=np.int64)[:, None]
+        xx = np.arange(w, dtype=np.int64)[None, :]
+        rel = []
+        for ci, (ch, cv) in enumerate(samp):
+            bw = mcus_x * ch
+            cy = (yy * cv) // vmax
+            cx = (xx * ch) // hmax
+            r = (((cy >> 3) * bw + (cx >> 3)) + comp_off[ci]) * 64 \
+                + (cy & 7) * 8 + (cx & 7)
+            rel.append(r.ravel())
+        bases = np.array([b for _fi, b in members], dtype=np.int64) * 64
+        yv = pixf[bases[:, None] + rel[0][None, :]]
+        cbv = pixf[bases[:, None] + rel[1][None, :]]
+        crv = pixf[bases[:, None] + rel[2][None, :]]
+        r8, g8, b8 = ycbcr_to_rgb_int(yv, cbv, crv)
+        r64 = r8.astype(np.int64)
+        g64 = g8.astype(np.int64)
+        b64 = b8.astype(np.int64)
+        packed = r64 * 65536 + g64 * 256 + b64
+        li = np.arange(h * w, dtype=np.int64) + 1
+        wsum = packed @ li
+        rs, gs, bs = r64.sum(axis=1), g64.sum(axis=1), b64.sum(axis=1)
+        for j, (fi, _b) in enumerate(members):
+            results[fi] = (
+                w, h, 3 * h * w,
+                int(rs[j]), int(gs[j]), int(bs[j]), int(wsum[j]),
+            )
+    return results

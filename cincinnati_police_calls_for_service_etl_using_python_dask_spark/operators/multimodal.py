@@ -1394,32 +1394,33 @@ def _jpeg_color_fixture_bytes(data: bytes) -> bytes:
 def _decode_jpeg_color_batch(pdf):
     """Color JPEG decode kernel over one Arrow batch: full interleaved
     baseline decode + per-channel sums and an order-pinning packed
-    checksum (rgb_wsum = Σ (li+1)·(65536·R + 256·G + B))."""
-    import numpy as np
+    checksum (rgb_wsum = Σ (li+1)·(65536·R + 256·G + B)). Uses the
+    BATCHED decoder (jpeg.decode_jpeg_color_stats_many): one
+    dequant/IDCT/YCbCr pass across the whole Arrow batch instead of
+    per-file numpy — results A/B-pinned against the scalar decode in
+    the codec tests."""
     import pandas as pd
 
     from . import jpeg as J
 
+    stats = J.decode_jpeg_color_stats_many(list(pdf["payload"]))
     cols = {k: [] for k in ("width", "height", "px_count", "r_sum", "g_sum", "b_sum", "rgb_wsum")}
     statuses = []
-    for b in pdf["payload"]:
-        try:
-            w, h, rgb = J.decode_jpeg_color(bytes(b))
-            arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
-            li = np.arange(len(arr), dtype=np.int64) + 1
-            packed = arr[:, 0] * 65536 + arr[:, 1] * 256 + arr[:, 2]
-            cols["width"].append(w)
-            cols["height"].append(h)
-            cols["px_count"].append(arr.size)
-            cols["r_sum"].append(int(arr[:, 0].sum()))
-            cols["g_sum"].append(int(arr[:, 1].sum()))
-            cols["b_sum"].append(int(arr[:, 2].sum()))
-            cols["rgb_wsum"].append(int((li * packed).sum()))
-            statuses.append("jpeg-color-decoded")
-        except Exception:
+    for s in stats:
+        if s is None:
             for v in cols.values():
                 v.append(None)
             statuses.append("error")
+            continue
+        w, h, px, rs, gs, bs, wsum = s
+        cols["width"].append(w)
+        cols["height"].append(h)
+        cols["px_count"].append(px)
+        cols["r_sum"].append(rs)
+        cols["g_sum"].append(gs)
+        cols["b_sum"].append(bs)
+        cols["rgb_wsum"].append(wsum)
+        statuses.append("jpeg-color-decoded")
     ok = [s == "jpeg-color-decoded" for s in statuses]
     return pd.DataFrame(
         {
@@ -1450,6 +1451,96 @@ H264_META_SCHEMA = T.StructType(
         T.StructField("status", T.StringType()),
     ]
 )
+
+
+AAC_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("aot", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_crc", T.IntegerType()),
+        T.StructField("dur_us", T.LongType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("payload_sum", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+@lru_cache(maxsize=1024)
+def _aac_fixture_bytes(data: bytes) -> bytes:
+    """Deterministic ADTS fixture: nb%5+1 frames sharing one stream
+    config (aot = nb%4+1, freq index nb%13, nb%7+1 channels); frame i
+    carries a (nb+7i)%17+1-byte payload of text bytes and a CRC slot
+    whenever (nb+i)%3 == 0 — so the parser's frame-length walk, CRC
+    skip and config-consistency check are exercised on every doc."""
+    from . import aac as A
+
+    nb = len(data)
+    out = bytearray()
+    for i in range(nb % 5 + 1):
+        plen = (nb + 7 * i) % 17 + 1
+        payload = bytes(
+            data[(i * 5 + k) % nb] if nb else 85 for k in range(plen)
+        )
+        out += A.build_adts_frame(
+            aot=nb % 4 + 1,
+            freq_idx=nb % 13,
+            channels=nb % 7 + 1,
+            payload=payload,
+            protection_absent=(nb + i) % 3 != 0,
+        )
+    return bytes(out)
+
+
+def aac_meta_rows(ids, texts) -> dict:
+    """Column dict of ADTS metadata rows for one Arrow batch — shared
+    by the granular query kernel and the media_decode_suite fused
+    crossing. Real frame-length walk + header decode per document;
+    malformed streams degrade to an 'error' row, never an exception."""
+    from . import aac as A
+
+    cols = [f.name for f in AAC_META_SCHEMA.fields]
+    out: dict = {c: [] for c in cols}
+    for doc_id, t in zip(ids, texts):
+        payload = _aac_fixture_bytes(t.encode("utf-8"))
+        out["doc_id"].append(doc_id)
+        try:
+            m = A.stream_metadata(payload)
+        except ValueError:
+            for c in cols[1:-1]:
+                out[c].append(None)
+            out["status"].append("error")
+            continue
+        for c in cols[1:-1]:
+            out[c].append(m[c])
+        out["status"].append("aac-parsed")
+    return out
+
+
+def synth_aac_metadata(
+    df: DataFrame, text_col: str = "text", parallelism: int | None = None
+) -> DataFrame:
+    """AAC bitstream-analysis operator: synthesize the ADTS fixture
+    per document and recover stream configuration / frame census
+    through the REAL frame-length walk + header decode
+    (operators/aac.py). One Arrow crossing, map-side; spectral sample
+    decode is out of scope by the codec-family boundary."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = [("" if t is None else t) for t in pdf[text_col]]
+            yield pd.DataFrame(aac_meta_rows(pdf["doc_id"], texts))
+
+    return _with_parallelism(df.select("doc_id", text_col), parallelism).mapInPandas(
+        run, AAC_META_SCHEMA
+    )
 
 
 @lru_cache(maxsize=1024)
@@ -1530,23 +1621,24 @@ def h264_meta_rows(ids, texts) -> dict:
 def synth_decode_jpeg_color_wav(
     df: DataFrame, text_col: str = "text", parallelism: int | None = None
 ) -> DataFrame:
-    """media_decode_suite's fused plan (r7, +h264 seg r8): color-JPEG
-    decode + WAV decode + H.264 bitstream analysis in ONE Arrow
-    crossing, emitting the seg-discriminated union schema directly.
-    Two overlapping crossings used to beat the fused spelling while
-    the color kernel dominated (0.45 s vs 0.51 s); after the
-    flat-fixture encoder and batched IDCT cut that kernel ~4×, all
-    segs are floor-dominated and each extra crossing's fixed cost is
-    the larger term — fused measures faster. The seg-union output is
-    identical to unioning the three granular queries (same kernels,
-    same dtypes), so the suite oracle is unchanged."""
+    """media_decode_suite's fused plan (r7; +h264 and +aac segs r8):
+    color-JPEG decode + WAV decode + H.264 and AAC/ADTS bitstream
+    analysis in ONE Arrow crossing, emitting the seg-discriminated
+    union schema directly. Two overlapping crossings used to beat the
+    fused spelling while the color kernel dominated (0.45 s vs
+    0.51 s); after the flat-fixture encoder and batched IDCT cut that
+    kernel ~4×, all segs are floor-dominated and each extra
+    crossing's fixed cost is the larger term — fused measures faster.
+    The seg-union output is identical to unioning the four granular
+    queries (same kernels, same dtypes), so the suite oracle is
+    unchanged."""
     from . import audio as _aud
 
     fields = [T.StructField("seg", T.StringType())] + list(
         DECODE_JPEG_COLOR_SCHEMA.fields
     )
     have = {f.name for f in fields}
-    for extra in (_aud.AUDIO_META_SCHEMA, H264_META_SCHEMA):
+    for extra in (_aud.AUDIO_META_SCHEMA, H264_META_SCHEMA, AAC_META_SCHEMA):
         fields += [f for f in extra.fields if f.name not in have]
         have = {f.name for f in fields}
     schema = T.StructType(fields)
@@ -1576,12 +1668,14 @@ def synth_decode_jpeg_color_wav(
             )
             wav = pd.DataFrame(aud.audio_meta_rows(ids, texts))
             h264 = pd.DataFrame(h264_meta_rows(ids, texts))
+            aac = pd.DataFrame(aac_meta_rows(ids, texts))
             # one frame per seg per batch (mapInPandas accepts any
             # number) — no concat of NULL-padded segs, no
             # dtype-coercion pass
             yield align(jpg, "jpeg_color")
             yield align(wav, "wav")
             yield align(h264, "h264")
+            yield align(aac, "aac")
 
     return _with_parallelism(df.select("doc_id", text_col), parallelism).mapInPandas(
         run, schema

@@ -1196,6 +1196,121 @@ def test_jpeg_color_operator_and_fixture_contract(spark):
         assert r["b_sum"] == int(bb.astype(np.int64).sum())
 
 
+def test_jpeg_color_flat_encoder_bytes_match_generic():
+    """Direct A/B (ADVICE r7): encode_jpeg_color_flat must be
+    BYTE-IDENTICAL to the generic FDCT encoder on block-flat planes —
+    across every fixture geometry class (1..33 × 1..20, partial edge
+    MCUs, single-block, multi-MCU)."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        jpeg as J,
+    )
+
+    rng = np.random.RandomState(7)
+    geoms = [(1, 1), (8, 8), (16, 16), (17, 9), (33, 20), (32, 16),
+             (9, 17), (23, 5), (16, 20), (33, 1)]
+    for w, h in geoms:
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        mx, my = (w + 15) // 16, (h + 15) // 16
+        yg = rng.randint(0, 256, (bh, bw))
+        cbg = rng.randint(0, 256, (my, mx))
+        crg = rng.randint(0, 256, (my, mx))
+        # flat path: padded block grids (clamped edge replication)
+        yb = [
+            int(yg[min(by, bh - 1), min(bx, bw - 1)])
+            for by in range(2 * my) for bx in range(2 * mx)
+        ]
+        cbb = [int(cbg[m, x]) for m in range(my) for x in range(mx)]
+        crb = [int(crg[m, x]) for m in range(my) for x in range(mx)]
+        flat = J.encode_jpeg_color_flat(w, h, yb, cbb, crb)
+        # generic path: materialized full-resolution planes
+        yy = np.arange(h)[:, None]
+        xx = np.arange(w)[None, :]
+        yv = yg[yy // 8, xx // 8].astype(np.uint8)
+        cbv = cbg[yy // 16, xx // 16].astype(np.uint8)
+        crv = crg[yy // 16, xx // 16].astype(np.uint8)
+        generic = J.encode_jpeg_color(
+            w, h, yv.tobytes(), cbv.tobytes(), crv.tobytes()
+        )
+        assert flat == generic, (w, h)
+
+
+def test_jpeg_idct_matmul_spelling_is_pinned():
+    """The two-matmul IDCT ((A.T @ coefs) @ A) is the PINNED decode
+    contraction. An einsum spelling is NOT guaranteed bit-identical
+    (different float contraction order — verified empirically, which
+    is why the docstring no longer claims einsum equivalence); what
+    must hold is that every decode path uses this exact spelling, so
+    batched and scalar decoders agree bit-for-bit (pinned in
+    test_jpeg_color_stats_many_matches_scalar_decode) and the spelling
+    itself is deterministic across invocations."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        jpeg as J,
+    )
+
+    rng = np.random.RandomState(13)
+    A = J._A
+    for n in (1, 7, 64, 301):
+        coefs = rng.randint(-1024, 1025, (n, 8, 8)).astype(np.float64)
+        once = (A.T @ coefs) @ A
+        again = (A.T @ coefs.copy()) @ A
+        assert np.array_equal(once, again), n
+        # and the batched big-stack result equals per-item slices
+        per = np.stack([(A.T @ coefs[i]) @ A for i in range(n)])
+        assert np.array_equal(once, per), n
+
+
+def test_jpeg_color_stats_many_matches_scalar_decode():
+    """A/B (r8): decode_jpeg_color_stats_many — the batched
+    dequant/IDCT/gather/YCbCr analytics decoder — must reproduce the
+    scalar decode_jpeg_color stats EXACTLY across geometries, both
+    samplings, random (non-flat) images, duplicate geometries (group
+    membership > 1), and error payloads interleaved at the right
+    positions."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        jpeg as J,
+        multimodal as mm,
+    )
+
+    rng = np.random.RandomState(29)
+    payloads: list = []
+    # fixture files across geometry classes, incl. repeated geometry
+    for s in ("", "a", "xy", "fused parity doc 0 ", "zzzzz", "a" * 33,
+              "b" * 33, "c" * 52, "d" * 19):
+        payloads.append(mm._jpeg_color_fixture_bytes(s.encode()))
+    # random non-flat images, both samplings
+    for w, h, sub in ((19, 26, False), (33, 20, True), (8, 8, True)):
+        yp, cbp, crp = (
+            rng.randint(0, 256, (h, w), dtype=np.uint8).tobytes()
+            for _ in range(3)
+        )
+        payloads.append(J.encode_jpeg_color(w, h, yp, cbp, crp, subsample=sub))
+    # error payloads interleaved
+    payloads.insert(3, b"\xff\xd8not a jpeg")
+    payloads.insert(0, b"")
+    got = J.decode_jpeg_color_stats_many(payloads)
+    assert len(got) == len(payloads)
+    for i, p in enumerate(payloads):
+        try:
+            w, h, rgb = J.decode_jpeg_color(p)
+        except Exception:
+            assert got[i] is None, i
+            continue
+        arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        li = np.arange(len(arr), dtype=np.int64) + 1
+        packed = arr[:, 0] * 65536 + arr[:, 1] * 256 + arr[:, 2]
+        exp = (
+            w, h, arr.size, int(arr[:, 0].sum()), int(arr[:, 1].sum()),
+            int(arr[:, 2].sum()), int((li * packed).sum()),
+        )
+        assert got[i] == exp, i
+
+
 def test_bm25_bit_exact_vs_oracle_and_semantics(spark, duck):
     """BM25 (round 5): scores must be BIT-exact vs the DuckDB oracle —
     the driver's hash compare tolerates zero float drift. This is the
