@@ -604,6 +604,69 @@ def q_video_h264_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_aac_metadata",
+    """
+    -- AAC/ADTS bitstream replay (r8, the audio twin of the H.264
+    -- row): stream config and the frame/payload census are pure
+    -- functions of length(text); the Spark side must recover them
+    -- through a REAL ADTS frame-length walk, header decode and CRC
+    -- skip (operators/aac.py).
+    WITH g AS (
+      SELECT doc_id, COALESCE(length(text), 0) AS nb FROM documents
+    ), fr AS (
+      SELECT g.doc_id, g.nb, i.i,
+             (g.nb + 7 * i.i) % 17 + 1 AS plen,
+             CASE WHEN (g.nb + i.i) % 3 = 0 THEN 1 ELSE 0 END AS has_crc
+      FROM g, unnest(generate_series(0, g.nb % 5)) AS i(i)
+    ), fagg AS (
+      SELECT doc_id, MAX(nb) AS nb,
+             COUNT(*) AS n_frames,
+             SUM(has_crc) AS n_crc,
+             SUM(plen) AS payload_bytes
+      FROM fr GROUP BY doc_id
+    ), pb AS (
+      SELECT f.doc_id,
+             SUM(CASE WHEN f.nb = 0 THEN 85
+                 ELSE ord(substr(d.text,
+                                 CAST((f.i * 5 + k.k) % f.nb AS INT) + 1, 1))
+                 END) AS payload_sum
+      FROM fr f JOIN documents d USING (doc_id),
+           unnest(generate_series(0, f.plen - 1)) AS k(k)
+      GROUP BY f.doc_id
+    )
+    SELECT a.doc_id,
+           CAST(a.nb % 4 + 1 AS INT) AS aot,
+           CAST(CASE a.nb % 13
+                WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000
+                WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+                WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+                WHEN 9 THEN 12000 WHEN 10 THEN 11025 WHEN 11 THEN 8000
+                ELSE 7350 END AS INT) AS sample_rate,
+           CAST(a.nb % 7 + 1 AS INT) AS channels,
+           CAST(a.n_frames AS INT) AS n_frames,
+           CAST(a.n_crc AS INT) AS n_crc,
+           CAST(a.n_frames * 1024 * 1000000 //
+                CASE a.nb % 13
+                WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000
+                WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+                WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+                WHEN 9 THEN 12000 WHEN 10 THEN 11025 WHEN 11 THEN 8000
+                ELSE 7350 END AS BIGINT) AS dur_us,
+           CAST(a.payload_bytes AS BIGINT) AS payload_bytes,
+           CAST(p.payload_sum AS BIGINT) AS payload_sum,
+           'aac-parsed' AS status
+    FROM fagg a JOIN pb p USING (doc_id)
+    """,
+)
+def q_audio_aac_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    par = min(16, spark.sparkContext.defaultParallelism)
+    return mm.synth_aac_metadata(docs, parallelism=par)
+
+
+@register(
     "audio_decode_wav",
     """
     WITH g AS (

@@ -371,6 +371,9 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
     # spark.sql.files.maxPartitionBytes-scale working sets.
     DEFAULT_SLICE_ROWS = 4_000_000
     MAX_SLICES = 64  # read-amplification cap: slices re-scan the commit
+    # Past this many slices the fallback's read amplification likely
+    # exceeds what writer-side CDC would have cost — warn and nudge.
+    AMPLIFICATION_WARN_SLICES = 4
 
     def __init__(self, schema: T.StructType, options: dict):
         opts = {str(k).lower(): v for k, v in options.items()}
@@ -508,6 +511,23 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
             est += abs(f1[p].get("dvRows", 0) - f0[p].get("dvRows", 0))
         n = max(1, min(self.MAX_SLICES,
                        -(-est // max(1, self.slice_rows))))
+        if n > self.AMPLIFICATION_WARN_SLICES:
+            # Every slice re-scans ALL of the commit's changed files,
+            # so read amplification = n x changed-bytes. Past ~4x the
+            # fallback is paying more I/O than writer-side CDC would
+            # cost up front — surface the trade instead of silently
+            # eating it.
+            import warnings
+
+            warnings.warn(
+                f"txtable_stream CDC: commit {v} (~{est} changed rows) "
+                f"diffs as {n} hash slices, each re-scanning the "
+                f"commit's changed files ({n}x read amplification). "
+                f"Enable change_data_feed=True on the table so the "
+                f"writer records exact change files and the feed "
+                f"reads O(changed rows).",
+                stacklevel=2,
+            )
         return [
             _CdcSlicePartition(v, removed, added, dv_deltas,
                                self.keys, i, n)

@@ -373,3 +373,106 @@ def test_h264_malformed_streams_raise():
         H.stream_metadata(H.build_annexb([(H.NAL_PPS, b"\x01")]))
     with pytest.raises(ValueError, match="truncated"):
         H.parse_sps(b"\x42\x00")
+
+
+def test_aac_adts_roundtrip_and_census():
+    """ADTS framing (ISO/IEC 14496-3): build frames across the config
+    space, parse them back, and check the stream census — including
+    CRC-slot skipping (payload must exclude the 2-byte slot) and the
+    1024-samples-per-block duration model."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import aac as A
+
+    payloads = [b"\x01\x02\x03", b"", b"\xff" * 40, bytes(range(17))]
+    stream = b"".join(
+        A.build_adts_frame(2, 4, 2, p, protection_absent=(i % 2 == 0))
+        for i, p in enumerate(payloads)
+    )
+    frames = A.parse_adts(stream)
+    assert [f["payload"] for f in frames] == payloads
+    assert [f["has_crc"] for f in frames] == [False, True, False, True]
+    assert all(f["aot"] == 2 and f["freq_idx"] == 4 and f["channels"] == 2
+               for f in frames)
+    m = A.stream_metadata(stream)
+    assert m["sample_rate"] == 44100
+    assert m["n_frames"] == 4 and m["n_crc"] == 2
+    assert m["payload_bytes"] == sum(len(p) for p in payloads)
+    assert m["payload_sum"] == sum(sum(p) for p in payloads)
+    assert m["dur_us"] == 4 * 1024 * 1_000_000 // 44100
+
+    # every (aot, freq_idx, channels) cell round-trips its header
+    for aot in (1, 2, 3, 4):
+        for fi in range(13):
+            for ch in (1, 3, 7):
+                f = A.parse_adts(A.build_adts_frame(aot, fi, ch, b"x"))[0]
+                assert (f["aot"], f["freq_idx"], f["channels"]) == (aot, fi, ch)
+
+
+def test_aac_malformed_streams_raise():
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import aac as A
+
+    good = A.build_adts_frame(2, 4, 2, b"abc")
+    with pytest.raises(ValueError, match="empty"):
+        A.parse_adts(b"")
+    with pytest.raises(ValueError, match="syncword"):
+        A.parse_adts(b"\x00" + good)
+    with pytest.raises(ValueError, match="truncated ADTS header"):
+        A.parse_adts(good[:5])
+    with pytest.raises(ValueError, match="truncated ADTS frame"):
+        A.parse_adts(good[:-1])
+    # nonzero layer (flip a layer bit in byte 1)
+    bad = bytearray(good); bad[1] |= 0x02
+    with pytest.raises(ValueError, match="layer"):
+        A.parse_adts(bytes(bad))
+    # reserved sampling_frequency_index (15)
+    bad = bytearray(good); bad[2] = (bad[2] & 0xC3) | (15 << 2)
+    with pytest.raises(ValueError, match="reserved sampling"):
+        A.parse_adts(bytes(bad))
+    # channel_configuration 0 (PCE)
+    bad = bytearray(good); bad[2] &= 0xFE; bad[3] &= 0x3F
+    with pytest.raises(ValueError, match="channel_configuration 0"):
+        A.parse_adts(bytes(bad))
+    # frame_length below header size
+    bad = bytearray(good)
+    bad[3] = (bad[3] & 0xFC); bad[4] = 0; bad[5] = (3 << 5) | (bad[5] & 0x1F)
+    with pytest.raises(ValueError, match="shorter than its header"):
+        A.parse_adts(bytes(bad))
+    # builder argument validation
+    for kw, pat in (
+        (dict(aot=0, freq_idx=0, channels=1), "audioObjectType"),
+        (dict(aot=2, freq_idx=13, channels=1), "sampling_frequency_index"),
+        (dict(aot=2, freq_idx=0, channels=0), "channel_configuration"),
+        (dict(aot=2, freq_idx=0, channels=8), "channel_configuration"),
+    ):
+        with pytest.raises(ValueError, match=pat):
+            A.build_adts_frame(payload=b"", **kw)
+    with pytest.raises(ValueError, match="overflows 13 bits"):
+        A.build_adts_frame(2, 0, 1, b"\x00" * 8200)
+    # mid-stream config change rejected by the census
+    mixed = A.build_adts_frame(2, 4, 2, b"a") + A.build_adts_frame(2, 5, 2, b"b")
+    with pytest.raises(ValueError, match="inconsistent stream configuration"):
+        A.stream_metadata(mixed)
+
+
+def test_aac_fixture_model_matches_spec():
+    """The deterministic ADTS fixture must agree with the oracle's
+    closed-form model (config from length, per-frame payload lengths,
+    CRC cadence) — byte-level, independent of the parser."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        aac as A,
+        multimodal as mm,
+    )
+
+    for s in (b"", b"x", b"hello adts", b"q" * 33, bytes(range(65, 91))):
+        nb = len(s)
+        frames = A.parse_adts(mm._aac_fixture_bytes(s))
+        assert len(frames) == nb % 5 + 1
+        for i, f in enumerate(frames):
+            assert f["aot"] == nb % 4 + 1
+            assert f["freq_idx"] == nb % 13
+            assert f["channels"] == nb % 7 + 1
+            assert f["has_crc"] == ((nb + i) % 3 == 0)
+            plen = (nb + 7 * i) % 17 + 1
+            exp = bytes(
+                s[(i * 5 + k) % nb] if nb else 85 for k in range(plen)
+            )
+            assert f["payload"] == exp

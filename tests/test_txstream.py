@@ -353,6 +353,47 @@ def test_cdc_slice_rows_option_end_to_end(spark, tmp_path):
     }
 
 
+def test_cdc_adaptive_slice_count_and_amplification_warning(spark, tmp_path):
+    """The slice fallback picks n_slices from the commit's changed-row
+    ESTIMATE (log stats: live rows of removed+added files, dv deltas)
+    — not a static partition count — and warns when the resulting
+    read amplification (each slice re-scans the commit) exceeds the
+    ~4x threshold where writer-side CDC would be cheaper."""
+    import warnings
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txstream import (
+        TxTableChangeFeedReader,
+        TxTableStreamSource,
+    )
+
+    p = str(tmp_path / "ad")
+    t = TxTable.create(spark, p, _mk(spark, 0, 60).repartition(4))
+    t.update(F.col("k") >= 0, {"v": (F.col("v") + 1).cast("long")})  # ~120 est
+
+    def plan(slice_rows):
+        opts = {"path": p, "key": "k", "readchangefeed": "true",
+                "cdcslicerows": str(slice_rows)}
+        r = TxTableChangeFeedReader(TxTableStreamSource(opts).schema(), opts)
+        return [q for q in r.partitions({"version": 0}, {"version": 1})
+                if type(q).__name__ == "_CdcSlicePartition"]
+
+    # estimate ~120 rows (60 removed-live + 60 added-live):
+    # slice_rows=50 -> ceil(120/50)=3 slices, under the warn threshold
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning would fail
+        parts = plan(50)
+    assert len(parts) == 3 and all(q.n_slices == 3 for q in parts)
+    # big commit vs small slice budget: amplification warning fires
+    with pytest.warns(UserWarning, match="read amplification"):
+        parts = plan(10)
+    assert len(parts) == 12
+    # one slice: no warning, single Arrow-join task
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        parts = plan(1_000_000)
+    assert len(parts) == 1
+
+
 def test_cdc_replay_reconstructs_table(spark, tmp_path):
     """Replayability invariant over random DML histories: applying the
     change feed's events, commit by commit, to an empty state must

@@ -901,6 +901,78 @@ def test_predicate_dml_conflicts_with_concurrent_append(spark, tmp_path):
         t.delete(F.col("k") < 100)
 
 
+def test_zone_scoped_delete_commutes_with_disjoint_append(spark, tmp_path):
+    """r8 (VERDICT r7 #5): a DELETE that declares its read scope as a
+    zone-map interval commutes with a concurrent blind append whose
+    files are provably outside it (hourly appends vs range-scoped GDPR
+    deletes no longer serialize); an overlapping append still raises,
+    and so does an undeclared-scope DELETE."""
+    p = str(tmp_path / "cc7")
+    t = TxTable.create(
+        spark, p, _mk(spark, 0, 10).coalesce(1), stats_columns=["k"]
+    )
+    t.append(_mk(spark, 10, 20).coalesce(1))
+    other = TxTable(spark, p)
+    # disjoint: append k=100..104, delete scope k in [0, 20]
+    _race(t, lambda: other.append(_mk(spark, 100, 105).coalesce(1)))
+    v = t.delete(F.col("k") == 5, read_interval=("k", 0, 20))
+    assert v == 3  # rebased past the interleaved append at v2
+    assert sorted(r["k"] for r in t.read().collect()) == sorted(
+        (set(range(20)) - {5}) | set(range(100, 105))
+    )
+    # overlapping: append k=15..24 intersects scope [0, 20] -> raise
+    _race(t, lambda: other.append(_mk(spark, 15, 25).coalesce(1)))
+    with pytest.raises(ConcurrentWriteError, match="predicate may match"):
+        t.delete(F.col("k") == 7, read_interval=("k", 0, 20))
+    # no declared scope: conservative conflict, as before
+    _race(t, lambda: other.append(_mk(spark, 200, 205).coalesce(1)))
+    with pytest.raises(ConcurrentWriteError, match="predicate may match"):
+        t.delete(F.col("k") == 8)
+    # validation: non-stats column / NULL bound are caller errors
+    with pytest.raises(ValueError, match="no zone-map stats"):
+        t.delete(F.col("v") == 1, read_interval=("v", 0, 5))
+    with pytest.raises(ValueError, match="non-NULL"):
+        t.delete(F.col("k") == 1, read_interval=("k", None, 5))
+
+
+def test_zone_scoped_update_and_merge_commute_with_disjoint_append(
+    spark, tmp_path
+):
+    """The same zone-map commutation for UPDATE (explicit interval)
+    and MERGE (interval auto-derived from the source's key range)."""
+    p = str(tmp_path / "cc8")
+    t = TxTable.create(
+        spark, p, _mk(spark, 0, 10).coalesce(1), stats_columns=["k"]
+    )
+    t.append(_mk(spark, 10, 20).coalesce(1))
+    other = TxTable(spark, p)
+    _race(t, lambda: other.append(_mk(spark, 100, 105).coalesce(1)))
+    v = t.update(
+        F.col("k") == 5, {"v": F.lit(999).cast("long")},
+        read_interval=("k", 0, 20),
+    )
+    assert v == 3  # rebased past the interleaved append at v2
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[5] == 999 and 100 in got
+    # MERGE derives [min(source.k), max(source.k)] automatically:
+    # source keys 0..3 are disjoint from the appended 300..304
+    _race(t, lambda: other.append(_mk(spark, 300, 305).coalesce(1)))
+    src = spark.createDataFrame(
+        [(k, k * 7, None) for k in range(4)], "k long, v long, op string"
+    )
+    v = t.merge(src, "k")
+    assert v == 5  # rebased past the interleaved append at v4
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[0] == 0 and got[3] == 21 and 300 in got
+    # an overlapping source key range still raises
+    _race(t, lambda: other.append(_mk(spark, 310, 315).coalesce(1)))
+    src2 = spark.createDataFrame(
+        [(312, 1, None)], "k long, v long, op string"
+    )
+    with pytest.raises(ConcurrentWriteError, match="predicate may match"):
+        t.merge(src2, "k")
+
+
 def test_delete_conflicts_with_concurrent_update(spark, tmp_path):
     """An interleaved UPDATE can create rows the predicate would have
     matched, so even file-disjoint UPDATE-vs-DELETE raises."""
