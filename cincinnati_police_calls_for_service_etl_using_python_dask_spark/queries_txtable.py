@@ -288,3 +288,53 @@ def q_txbatch_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .filter((F.col("event_id") >= 1000) & (F.col("event_id") < 2000))
     )
+
+
+_APPLY_ORACLE = """
+SELECT event_id, event_type,
+       CASE WHEN event_type = 'signup' THEN value + 1000.0
+            ELSE value END AS value
+FROM events
+WHERE NOT (event_id % 13 = 0)
+"""
+
+
+@register("txstream_apply_changes", _APPLY_ORACLE)
+def q_txstream_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-APPLY materialization under the full oracle (r8): events
+    land in table A over two commits, take an UPDATE and a DELETE,
+    and ``apply_changes`` (sources/txstream.py) drains A's streaming
+    change feed into table B — last-writer-wins window reduce +
+    file-pruned MERGE per micro-batch, the public Delta foreachBatch
+    pattern. The gate: B's final snapshot must equal the DML script
+    replayed in pure SQL, so the change-feed partition taxonomy, the
+    reduce, and the MERGE all sit under one value hash. (Drain at
+    construction; bench-unbenchable like the streaming family.)"""
+    from .sources.txstream import TxTableStreamSource, apply_changes
+
+    spark.dataSource.register(TxTableStreamSource)
+    events = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="txapply_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    a = TxTable.create(
+        spark,
+        os.path.join(scratch, "a"),
+        events.filter(F.col("event_id") % 2 == 0),
+        stats_columns=["event_id"],
+    )
+    a.append(events.filter(F.col("event_id") % 2 != 0))
+    a.update(
+        F.col("event_type") == "signup", {"value": F.col("value") + 1000.0}
+    )
+    a.delete(F.col("event_id") % 13 == 0, strategy="mor")
+    b = TxTable.create(
+        spark,
+        os.path.join(scratch, "b"),
+        spark.createDataFrame([], "event_id long, event_type string, value double"),
+    )
+    apply_changes(
+        spark, a.path, b, "event_id", os.path.join(scratch, "ckpt")
+    )
+    return b.read()

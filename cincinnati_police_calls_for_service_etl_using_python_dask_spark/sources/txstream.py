@@ -757,3 +757,78 @@ class TxTableStreamSource(DataSource):
         if self._cdc():
             return TxTableChangeFeedReader(schema, dict(self.options))
         return TxTableStreamReader(schema, dict(self.options))
+
+
+def apply_changes(
+    spark,
+    source_path: str,
+    target: "TxTable",
+    key,
+    checkpoint: str,
+    source_options: dict | None = None,
+) -> None:
+    """CDC-APPLY materialization (the public Delta "foreachBatch
+    MERGE" pattern): keep ``target`` in sync with the table at
+    ``source_path`` by draining its streaming change feed and MERGING
+    each micro-batch — upserts for the latest insert/update_postimage
+    per key, deletes for keys whose final event is a delete. After a
+    drain, ``target.read()`` equals the source's current snapshot
+    regardless of how many DML commits the batch spanned.
+
+    Per micro-batch the events reduce to ONE row per key — "last
+    writer wins" by (_commit_version, event kind): update_preimages
+    are discarded, and at the key's final version an insert/postimage
+    beats nothing else (a commit emits at most one terminal event per
+    key). The reduction is a single window-rank shuffle on the key;
+    the merge is the target's file-pruned COW path. Replayed
+    micro-batches (restart between sink commit and source checkpoint
+    advance) re-merge the same reduced rows — MERGE is idempotent on
+    identical input, so the target converges without a txn ledger.
+
+    Scale posture: each batch shuffles only the CHANGED rows (the
+    feed is O(changed) on CDF tables), the rank is one exchange, and
+    the merge rewrites only target files holding affected keys."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def fb(batch_df, _epoch: int) -> None:
+        if not batch_df.take(1):
+            return
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("_commit_version").desc(),
+            # at the final version: terminal events (insert, delete,
+            # update_postimage) outrank the preimage
+            F.when(F.col("_change_type") == "update_preimage", 0)
+            .otherwise(1)
+            .desc(),
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1)
+                    & (F.col("_change_type") != "update_preimage"))
+            .withColumn(
+                "op",
+                F.when(F.col("_change_type") == "delete", F.lit("D"))
+                .otherwise(F.lit(None).cast("string")),
+            )
+            .drop("__rn", "_change_type", "_commit_version")
+        )
+        target.merge(latest, keys if len(keys) > 1 else keys[0])
+
+    reader = (
+        spark.readStream.format("txtable_stream")
+        .option("readChangeFeed", "true")
+        .option("key", ",".join(keys))
+    )
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(source_path)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(fb)
+        .start()
+    )
+    q.awaitTermination()

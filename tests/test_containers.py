@@ -476,3 +476,89 @@ def test_aac_fixture_model_matches_spec():
                 s[(i * 5 + k) % nb] if nb else 85 for k in range(plen)
             )
             assert f["payload"] == exp
+
+
+def test_aac_property_roundtrip():
+    """Property sweep: arbitrary frame sequences (payload bytes, CRC
+    cadence) over any shared stream config must round-trip through the
+    independent build/parse pair, and the census must equal the
+    closed-form aggregates."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import aac as A
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        aot=st.integers(min_value=1, max_value=4),
+        fi=st.integers(min_value=0, max_value=12),
+        ch=st.integers(min_value=1, max_value=7),
+        frames=st.lists(
+            st.tuples(st.binary(min_size=0, max_size=60), st.booleans()),
+            min_size=1,
+            max_size=12,
+        ),
+    )
+    def check(aot, fi, ch, frames):
+        stream = b"".join(
+            A.build_adts_frame(aot, fi, ch, p, protection_absent=not crc)
+            for p, crc in frames
+        )
+        parsed = A.parse_adts(stream)
+        assert [(f["payload"], f["has_crc"]) for f in parsed] == frames
+        m = A.stream_metadata(stream)
+        assert m["aot"] == aot and m["channels"] == ch
+        assert m["sample_rate"] == A.SAMPLE_RATES[fi]
+        assert m["n_frames"] == len(frames)
+        assert m["n_crc"] == sum(1 for _p, crc in frames if crc)
+        assert m["payload_bytes"] == sum(len(p) for p, _c in frames)
+        assert m["payload_sum"] == sum(sum(p) for p, _c in frames)
+        assert m["dur_us"] == len(frames) * 1024 * 1_000_000 // A.SAMPLE_RATES[fi]
+
+    check()
+
+
+def test_h264_property_roundtrip():
+    """Property sweep: arbitrary NAL sequences (payloads designed to
+    hit emulation-prevention runs) with one SPS of any even geometry
+    must round-trip demux + SPS parse through the independent
+    build/parse pair."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import h264 as H
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w2=st.integers(min_value=1, max_value=200),
+        h2=st.integers(min_value=1, max_value=150),
+        profile=st.sampled_from([66, 77, 100]),
+        level=st.sampled_from([10, 30, 41, 51]),
+        slices=st.lists(
+            st.tuples(
+                st.booleans(),  # idr?
+                st.binary(min_size=0, max_size=30),
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+    )
+    def check(w2, h2, profile, level, slices):
+        width, height = 2 * w2, 2 * h2
+        nals = [(H.NAL_SPS, H.build_sps(width, height, profile, level)),
+                (H.NAL_PPS, b"\xc8\x42")]
+        for idr, body in slices:
+            # prepend a raw 00 00 0x run so EP insertion/removal is hit
+            nals.append((H.NAL_IDR if idr else H.NAL_SLICE,
+                         b"\x00\x00\x01" + body))
+        data = H.build_annexb(nals)
+        parsed = H.parse_annexb(data)
+        assert [(t, r) for t, r in parsed] == nals
+        m = H.stream_metadata(data)
+        assert (m["width"], m["height"]) == (width, height)
+        assert (m["profile_idc"], m["level_idc"]) == (profile, level)
+        assert m["n_nals"] == len(nals)
+        assert m["n_idr"] == sum(1 for i, _b in slices if i)
+        assert m["n_slices"] == len(slices)
+
+    check()

@@ -625,6 +625,49 @@ def test_cdc_duplicate_key_raises_clear_error(spark, tmp_path):
     ) == [(2, 20), (3, 30)]
 
 
+def test_apply_changes_materializes_downstream_table(spark, tmp_path):
+    """CDC-APPLY (r8): apply_changes drains the change feed into a
+    downstream TxTable via last-writer-wins reduce + MERGE. After each
+    drain the target equals the source's current snapshot; a second
+    drain with the same checkpoint is incremental (only new commits),
+    and keys deleted then re-inserted across commits land on their
+    final state."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txstream import (
+        apply_changes,
+    )
+
+    src_p = str(tmp_path / "ac_src")
+    tgt_p = str(tmp_path / "ac_tgt")
+    ckpt = str(tmp_path / "ac_ck")
+    t = TxTable.create(spark, src_p, _mk(spark, 0, 20).coalesce(1))  # v0
+    t.update(F.col("k") < 5, {"v": (F.col("v") + 1000).cast("long")})  # v1
+    t.delete(F.col("k") >= 15)                                         # v2
+    tgt = TxTable.create(
+        spark, tgt_p, _mk(spark, 0, 1).limit(0).coalesce(1)
+    )
+    apply_changes(spark, src_p, tgt, "k", ckpt)
+    assert sorted(map(tuple, tgt.read().collect())) == sorted(
+        map(tuple, t.read().collect())
+    )
+    # incremental: delete-then-reinsert across commits -> final state
+    t.delete(F.col("k") == 3)                                          # v3
+    t.append(spark.createDataFrame([(3, 42)], "k long, v long"))       # v4
+    t.update(F.col("k") == 7, {"v": F.lit(-7).cast("long")})           # v5
+    apply_changes(spark, src_p, tgt, "k", ckpt)
+    got = {r["k"]: r["v"] for r in tgt.read().collect()}
+    assert got[3] == 42 and got[7] == -7
+    assert sorted(map(tuple, tgt.read().collect())) == sorted(
+        map(tuple, t.read().collect())
+    )
+    # replaying the SAME batch is idempotent (merge on identical
+    # reduced rows): fresh checkpoint re-applies everything, state
+    # unchanged
+    apply_changes(spark, src_p, tgt, "k", str(tmp_path / "ac_ck2"))
+    assert sorted(map(tuple, tgt.read().collect())) == sorted(
+        map(tuple, t.read().collect())
+    )
+
+
 def test_stream_over_expired_log_fails_clearly(spark, tmp_path):
     """Log retention x streaming (error contract): a stream whose
     startingVersion — or checkpointed offset — fell below the
