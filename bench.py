@@ -178,6 +178,9 @@ _NEW_R8 = [
     # AAC/ADTS frame-walk metadata (bitstream tier of lossy-audio
     # support; spectral sample decode out of scope)
     "audio_aac_metadata",
+    # deterministic corpus shuffle + shard assignment (one hash-window
+    # shuffle, no global sort)
+    "shuffle_shards_docs",
 ]
 
 HEADLINE = (

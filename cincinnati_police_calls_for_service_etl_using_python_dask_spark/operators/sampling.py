@@ -391,3 +391,40 @@ def interleave_by_source(
             .alias("interleave_key"),
         )
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    seed: int = 101,
+) -> DataFrame:
+    """Deterministic global corpus shuffle + shard assignment (r8):
+    the write-side of every training run — rows land in ``n_shards``
+    pseudo-random shards with a reproducible within-shard order,
+    WITHOUT a global sort. ``shard = hash56(id) % n_shards``;
+    ``pos_in_shard`` ranks by the same hash (ties by id), so the
+    order is a pure function of (id, seed): stable under re-runs,
+    retries, repartitioning and cluster size, and re-keyable by just
+    changing the seed between epochs.
+
+    Scale: ONE hash-partitioned shuffle (the per-shard window);
+    each shard's window is independent, so skew is bounded by the
+    hash's balance (uniform over ids), never by data order. The
+    global interleaved read order, when needed, is the pure formula
+    (pos−1)·n_shards + shard — same trick as
+    :func:`interleave_by_source`, no single-partition window."""
+    h = hash56(F.col(id_col).cast("string"), seed=seed)
+    base = df.select(F.col(id_col), h.alias("__h"))
+    w = Window.partitionBy(F.col("__h") % F.lit(n_shards)).orderBy(
+        "__h", id_col
+    )
+    return base.select(
+        id_col,
+        (F.col("__h") % F.lit(n_shards)).cast("int").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    ).withColumn(
+        "shuffle_key",
+        ((F.col("pos_in_shard") - 1) * F.lit(n_shards) + F.col("shard"))
+        .cast("long"),
+    )

@@ -718,3 +718,38 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_exact_dedup(
         docs.filter(F.col("doc_id") >= _INC_SPLIT), hist_fps
     )
+
+
+_SHUF_SHARDS = 16
+_SHUF_SEED = 101
+
+
+def _shuffle_shards_oracle() -> str:
+    from .functions.hashing import duckdb_hash56_sql
+
+    h = duckdb_hash56_sql("CAST(doc_id AS VARCHAR)", seed=_SHUF_SEED)
+    return f"""
+    WITH b AS (SELECT doc_id, {h} AS hk FROM documents)
+    SELECT doc_id,
+           CAST(hk % {_SHUF_SHARDS} AS INT) AS shard,
+           row_number() OVER (
+             PARTITION BY hk % {_SHUF_SHARDS} ORDER BY hk, doc_id
+           )::BIGINT AS pos_in_shard,
+           ((row_number() OVER (
+             PARTITION BY hk % {_SHUF_SHARDS} ORDER BY hk, doc_id
+           ) - 1) * {_SHUF_SHARDS} + hk % {_SHUF_SHARDS})::BIGINT
+             AS shuffle_key
+    FROM b
+    """
+
+
+@register("shuffle_shards_docs", _shuffle_shards_oracle())
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment
+    (operators/sampling.py:shuffle_shards): the reproducible
+    pseudo-random read/write order every training job needs, as one
+    hash-partitioned window — no global sort, re-keyable per epoch by
+    seed."""
+    return sp.shuffle_shards(
+        _docs(spark, sf_dir), n_shards=_SHUF_SHARDS, seed=_SHUF_SEED
+    )

@@ -183,6 +183,11 @@ _suite(
         # r6: the table-format streaming SOURCE → exactly-once sink
         # loop (sources/txstream.py), gated through the same slot
         ("txstream_pipeline", "txstream_events_pipeline"),
+        # r8: CDC-APPLY materialization — change feed -> last-writer-
+        # wins reduce -> MERGE into a downstream table (the Delta
+        # foreachBatch pattern), value-hash-gated against the DML
+        # script replayed in SQL
+        ("cdc_apply", "txstream_apply_changes"),
     ],
 )
 
@@ -252,6 +257,9 @@ _suite(
         ("lm_filter", "lm_perplexity_filter_docs"),
         ("domain_cap", "domain_cap_docs"),
         ("interleave", "interleave_sources_docs"),
+        # r8: deterministic corpus shuffle + shard assignment — the
+        # epoch-reshuffleable read/write order, one hash-window shuffle
+        ("shuffle", "shuffle_shards_docs"),
     ],
 )
 
