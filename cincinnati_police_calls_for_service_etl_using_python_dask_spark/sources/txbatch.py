@@ -61,6 +61,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     WriterCommitMessage,
@@ -126,6 +128,7 @@ class _ShardMessage(WriterCommitMessage):
     path: str
     num_records: int
     stats: dict
+    null_counts: dict | None = None
 
 
 def _col_name(f: Filter) -> str | None:
@@ -185,9 +188,38 @@ class _TxTableScanBase(DataSourceReader):
                 self.keep = sorted(
                     set(self.keep) & set(self._zone_keep(col, None, f.value))
                 )
+            elif isinstance(f, IsNull):
+                self.keep = sorted(
+                    set(self.keep) & set(self._null_keep(col, want_null=True))
+                )
+            elif isinstance(f, IsNotNull):
+                self.keep = sorted(
+                    set(self.keep) & set(self._null_keep(col, want_null=False))
+                )
         # every filter is re-applied by Spark row-exactly: pruning here
         # is file-granular, never row-granular
         return list(filters)
+
+    def _null_keep(self, column: str, want_null: bool) -> list[str]:
+        """Files that can hold a row matching IS [NOT] NULL on
+        ``column``, judged from the per-file nullCounts recorded at
+        write time (r8). Files without the stat (pre-nullCount
+        writers) conservatively stay. Physical counts: a deletion
+        vector can only REMOVE rows, so nullCount == 0 still proves
+        no NULL survives, and nullCount == numRecords still proves no
+        non-NULL does; the mask may only make the keep-set a superset
+        — Spark re-applies the filter row-exactly."""
+        keep = []
+        for p, meta in self.snap.files.items():
+            nc = (meta.get("nullCounts") or {}).get(column)
+            if nc is None:
+                keep.append(p)
+            elif want_null:
+                if nc > 0:
+                    keep.append(p)
+            elif nc < (meta.get("numRecords") or 0):
+                keep.append(p)
+        return keep
 
     def _zone_keep(self, column: str, lower, upper) -> list[str]:
         if column not in self.snap.stats_columns:
@@ -255,6 +287,20 @@ class TxTableBatchWriter(DataSourceArrowWriter):
                 raise SchemaMismatchError(
                     f"schema mismatch: table {want} vs incoming {got}"
                 )
+            if snap.check_constraints:
+                # The batch writer streams Arrow batches through
+                # Python workers, where the constraints' Spark SQL
+                # expressions cannot be evaluated — silently skipping
+                # enforcement would let unvalidated rows into a
+                # constrained table. Reject loudly; the native API
+                # enforces row-level.
+                raise ValueError(
+                    f"table at {self.table_path} carries CHECK "
+                    f"constraints {sorted(snap.check_constraints)} — "
+                    f"the format('txtable') batch writer cannot "
+                    f"enforce them; write through the TxTable API "
+                    f"(append/overwrite/merge), which does"
+                )
             self.create = False
             self.stats_columns = snap.stats_columns
         else:
@@ -286,6 +332,7 @@ class TxTableBatchWriter(DataSourceArrowWriter):
         n = 0
         lo: dict[str, object] = {}
         hi: dict[str, object] = {}
+        nc: dict[str, int] = {c: 0 for c in self.stats_columns}
         try:
             for batch in iterator:
                 if writer is None:
@@ -293,12 +340,14 @@ class TxTableBatchWriter(DataSourceArrowWriter):
                 writer.write_batch(batch)
                 n += batch.num_rows
                 for c in self.stats_columns:
-                    mm = pc.min_max(batch.column(c))
+                    col = batch.column(c)
+                    mm = pc.min_max(col)
                     mn, mx = mm["min"].as_py(), mm["max"].as_py()
                     if mn is not None and (c not in lo or mn < lo[c]):
                         lo[c] = mn
                     if mx is not None and (c not in hi or mx > hi[c]):
                         hi[c] = mx
+                    nc[c] += col.null_count
         finally:
             if writer is not None:
                 writer.close()
@@ -309,23 +358,27 @@ class TxTableBatchWriter(DataSourceArrowWriter):
         }
         # dates etc. must survive the JSON log round-trip
         stats = json.loads(json.dumps(stats, default=str))
-        return _ShardMessage(path=name, num_records=n, stats=stats)
+        return _ShardMessage(
+            path=name, num_records=n, stats=stats,
+            null_counts=nc if self.stats_columns else None,
+        )
 
     # -- driver two-phase commit --------------------------------------
 
     def commit(self, messages) -> None:
         t = TxTable(None, self.table_path)
-        adds = [
-            {
-                "add": {
-                    "path": m.path,
-                    "numRecords": m.num_records,
-                    "stats": m.stats,
-                }
+        adds = []
+        for m in messages:
+            if m is None or not m.path:
+                continue
+            a = {
+                "path": m.path,
+                "numRecords": m.num_records,
+                "stats": m.stats,
             }
-            for m in messages
-            if m is not None and m.path
-        ]
+            if getattr(m, "null_counts", None) is not None:
+                a["nullCounts"] = m.null_counts
+            adds.append({"add": a})
         if self.create:
             actions = [_metadata_action(self.schema, self.stats_columns, {})]
             actions += adds + [_commit_info("CREATE", 0)]

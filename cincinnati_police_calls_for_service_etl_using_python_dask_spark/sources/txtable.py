@@ -177,6 +177,11 @@ class Snapshot:
     # rows under _change_data/ in the same commit, so CDC readers cost
     # O(changed rows) with zero read-time diffing.
     cdc_enabled: bool = False
+    # CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT concept):
+    # {name: SQL expr}. Enforced on every native write path — a row
+    # where an expr is FALSE fails the write (NULL/UNKNOWN passes,
+    # SQL CHECK semantics).
+    check_constraints: dict = field(default_factory=dict)
 
 
 class TxTable:
@@ -238,12 +243,17 @@ class TxTable:
                     snap.stats_columns = list(md.get("statsColumns", []))
                     snap.bloom_spec = dict(md.get("bloomSpec", {}))
                     snap.cdc_enabled = bool(md.get("changeDataFeed", False))
+                    snap.check_constraints = dict(
+                        md.get("checkConstraints", {})
+                    )
                 elif "add" in action:
                     a = action["add"]
                     meta = {
                         "numRecords": a.get("numRecords"),
                         "stats": a.get("stats", {}),
                     }
+                    if a.get("nullCounts") is not None:
+                        meta["nullCounts"] = a["nullCounts"]
                     if a.get("dv"):
                         meta["dv"] = a["dv"]
                         meta["dvRows"] = a.get("dvRows", 0)
@@ -281,6 +291,7 @@ class TxTable:
             snap.files = dict(state["files"])
             snap.txns = dict(state.get("txns", {}))
             snap.cdc_enabled = bool(state.get("changeDataFeed", False))
+            snap.check_constraints = dict(state.get("checkConstraints", {}))
             snap.version = cps[-1]
             start = cps[-1] + 1
         have = set(vs)
@@ -328,6 +339,7 @@ class TxTable:
                 "files": snap.files,
                 "txns": snap.txns,
                 "changeDataFeed": snap.cdc_enabled,
+                "checkConstraints": snap.check_constraints,
             }
             tmp = os.path.join(self.log, f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
@@ -494,7 +506,12 @@ class TxTable:
         back = self.spark.read.parquet(*[os.path.join(self.path, m) for m in moved])
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in stats_columns:
-            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+            aggs += [
+                F.min(c).alias(f"__min_{c}"),
+                F.max(c).alias(f"__max_{c}"),
+                # null count rides the SAME pass: count(*) - count(col)
+                (F.count(F.lit(1)) - F.count(c)).alias(f"__nc_{c}"),
+            ]
         rows = (
             back.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
         )
@@ -512,6 +529,10 @@ class TxTable:
                 c: [r[f"__min_{c}"], r[f"__max_{c}"]] for c in stats_columns
             }
             a = {"path": m, "numRecords": r["__n"], "stats": stats}
+            if stats_columns:
+                a["nullCounts"] = {
+                    c: r[f"__nc_{c}"] for c in stats_columns
+                }
             if m in blooms:
                 a["bloom"] = blooms[m]
             adds.append({"add": a})
@@ -594,6 +615,7 @@ class TxTable:
         bloom_k: int = 3,
         change_data_feed: bool = False,
         log_store: LogStore | None = None,
+        check_constraints: dict | None = None,
     ) -> "TxTable":
         """Create a table at ``path`` from ``df`` (commit 0). Fails if
         a table already exists there.
@@ -621,13 +643,21 @@ class TxTable:
             if bloom_columns
             else {}
         )
+        checks = dict(check_constraints or {})
+        for name, expr in checks.items():
+            # analyze now: a typo'd expression must fail the CREATE,
+            # not the first append
+            df.filter(F.expr(expr))
         actions = [
             _metadata_action(
                 df.schema, stats_columns, bloom_spec,
                 change_data_feed=change_data_feed,
+                check_constraints=checks,
             )
         ]
-        actions += t._write_files(df, stats_columns, bloom_spec)
+        actions += t._write_files(
+            _with_checks(df, checks), stats_columns, bloom_spec
+        )
         actions.append(_commit_info("CREATE", 0))
         if not t._try_commit(0, actions):
             raise ConcurrentWriteError(f"concurrent CREATE at {path}")
@@ -999,13 +1029,17 @@ class TxTable:
                     _metadata_action(
                         widened, snap.stats_columns, snap.bloom_spec,
                         change_data_feed=snap.cdc_enabled,
+                        check_constraints=snap.check_constraints,
                     )
                 )
                 snap.schema = widened
             # align column order to the (possibly widened) table schema
             df = df.select(*[f.name for f in snap.schema.fields])
         self._check_schema(df, snap.schema)
-        adds = self._write_files(df, snap.stats_columns, snap.bloom_spec)
+        adds = self._write_files(
+            _with_checks(df, snap.check_constraints),
+            snap.stats_columns, snap.bloom_spec,
+        )
         if evolve:
             # a schema-evolving append is READ-MODIFY-WRITE: its
             # metaData action was computed against this snapshot, and
@@ -1038,6 +1072,7 @@ class TxTable:
             _metadata_action(
                 target.schema, target.stats_columns, target.bloom_spec,
                 change_data_feed=target.cdc_enabled,
+                check_constraints=target.check_constraints,
             )
         ]
         # entry identity includes the deletion vector: a file present
@@ -1065,11 +1100,80 @@ class TxTable:
         self._maybe_checkpoint(v)
         return v
 
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT (the Delta concept): validate
+        EXISTING data first — one filter-count over the live snapshot;
+        any violating row rejects the constraint — then publish it as
+        a metadata-only commit. Every subsequent native write enforces
+        it row-level (see :func:`_with_checks`). Conflict posture: the
+        commit carries a metaData action, so any concurrent
+        read-modify-write loser sees a table redefinition and raises
+        rather than committing rows validated against the old rules."""
+        snap = self.snapshot()
+        if name in snap.check_constraints:
+            raise ValueError(f"constraint {name!r} already exists")
+        n_bad = self.read().filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"cannot add CHECK constraint {name!r} ({expr}): "
+                f"{n_bad} existing rows violate it"
+            )
+        checks = dict(snap.check_constraints)
+        checks[name] = expr
+        v = snap.version + 1
+        actions = [
+            _metadata_action(
+                snap.schema, snap.stats_columns, snap.bloom_spec,
+                change_data_feed=snap.cdc_enabled,
+                check_constraints=checks,
+            ),
+            _commit_info("SET CONSTRAINTS", v),
+        ]
+        if not self._try_commit(v, actions):
+            raise ConcurrentWriteError(
+                f"ADD CONSTRAINT conflicted at {self.path}"
+            )
+        self._maybe_checkpoint(v)
+        return v
+
+    def drop_check_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT: metadata-only commit removing
+        the named constraint; unknown names raise."""
+        snap = self.snapshot()
+        if name not in snap.check_constraints:
+            raise ValueError(
+                f"no CHECK constraint {name!r} "
+                f"(have {sorted(snap.check_constraints)})"
+            )
+        checks = {
+            k: v for k, v in snap.check_constraints.items() if k != name
+        }
+        v = snap.version + 1
+        actions = [
+            _metadata_action(
+                snap.schema, snap.stats_columns, snap.bloom_spec,
+                change_data_feed=snap.cdc_enabled,
+                check_constraints=checks,
+            ),
+            _commit_info("SET CONSTRAINTS", v),
+        ]
+        if not self._try_commit(v, actions):
+            raise ConcurrentWriteError(
+                f"DROP CONSTRAINT conflicted at {self.path}"
+            )
+        self._maybe_checkpoint(v)
+        return v
+
     def overwrite(self, df: DataFrame) -> int:
         """Replace the whole table content in one commit."""
         snap = self.snapshot()
         self._check_schema(df, snap.schema)
-        adds = self._write_files(df, snap.stats_columns, snap.bloom_spec)
+        adds = self._write_files(
+            _with_checks(df, snap.check_constraints),
+            snap.stats_columns, snap.bloom_spec,
+        )
         v = snap.version + 1
         actions = [{"remove": {"path": p}} for p in snap.files]
         actions += adds + [_commit_info("OVERWRITE", v)]
@@ -1279,7 +1383,8 @@ class TxTable:
                     )
                 sidecar = self._write_dv(newdv)
                 adds = self._write_files(
-                    updated, snap.stats_columns, snap.bloom_spec
+                    _with_checks(updated, snap.check_constraints),
+                    snap.stats_columns, snap.bloom_spec,
                 )
                 actions = []
                 for p in affected:
@@ -1316,7 +1421,8 @@ class TxTable:
                 )
                 self._check_schema(rewritten, snap.schema)
                 adds = self._write_files(
-                    rewritten, snap.stats_columns, snap.bloom_spec
+                    _with_checks(rewritten, snap.check_constraints),
+                    snap.stats_columns, snap.bloom_spec,
                 )
                 actions = [{"remove": {"path": p}} for p in affected] + adds
             if snap.cdc_enabled:
@@ -1362,7 +1468,10 @@ class TxTable:
         }
         base = self._read_snapshot(snap, sorted(affected))
         merged = merge_changes(base, source, keys, op_col=op_col, delete_op=delete_op)
-        adds = self._write_files(merged, snap.stats_columns, snap.bloom_spec)
+        adds = self._write_files(
+            _with_checks(merged, snap.check_constraints),
+            snap.stats_columns, snap.bloom_spec,
+        )
         actions = [{"remove": {"path": p}} for p in sorted(affected)]
         actions += adds
         if snap.cdc_enabled:
@@ -1511,7 +1620,10 @@ class TxTable:
         if epoch <= snap.txns.get(app_id, -1):
             return False
         self._check_schema(df, snap.schema)
-        adds = self._write_files(df, snap.stats_columns, snap.bloom_spec)
+        adds = self._write_files(
+            _with_checks(df, snap.check_constraints),
+            snap.stats_columns, snap.bloom_spec,
+        )
         txn = {"txn": {"appId": app_id, "epoch": epoch}}
         for _ in range(_retries):
             cur = self.snapshot()
@@ -1717,6 +1829,7 @@ def _metadata_action(
     stats_columns: list[str],
     bloom_spec: dict,
     change_data_feed: bool = False,
+    check_constraints: dict | None = None,
 ) -> dict:
     md = {
         "schemaJson": json.dumps(schema.jsonValue()),
@@ -1726,7 +1839,35 @@ def _metadata_action(
         md["bloomSpec"] = bloom_spec
     if change_data_feed:
         md["changeDataFeed"] = True
+    if check_constraints:
+        md["checkConstraints"] = dict(check_constraints)
     return {"metaData": md}
+
+
+def _with_checks(df: DataFrame, checks: dict) -> DataFrame:
+    """Wrap ``df`` so any row violating a CHECK constraint fails the
+    write with an error naming the constraint and the row (SQL CHECK
+    semantics: only FALSE violates — NULL/UNKNOWN passes, hence the
+    coalesce). Inline raise_error in the write's own filter: zero
+    extra jobs, evaluated exactly once per row inside the write scan,
+    and not prunable (the filter gates the rows being written)."""
+    if not checks:
+        return df
+    pred = F.lit(True)
+    for name, expr in checks.items():
+        ok = F.coalesce(F.expr(expr), F.lit(True))
+        pred = pred & F.when(ok, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"CHECK constraint {name!r} ({expr}) violated "
+                        f"by row: "
+                    ),
+                    F.to_json(F.struct(*df.columns)),
+                )
+            )
+        )
+    return df.filter(pred)
 
 
 def _add_action(path: str, meta: dict, dv: str | None = None,
@@ -1747,6 +1888,8 @@ def _add_action(path: str, meta: dict, dv: str | None = None,
         a["dvRows"] = meta.get("dvRows", 0)
     if meta.get("bloom"):
         a["bloom"] = meta["bloom"]
+    if meta.get("nullCounts") is not None:
+        a["nullCounts"] = meta["nullCounts"]
     return {"add": a}
 
 

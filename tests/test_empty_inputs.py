@@ -112,6 +112,12 @@ _CASES = {
     "synth_video_frames": lambda s: _mp4_mod().synth_video_frames(_docs(s)),
     "synth_video_metadata": lambda s: _mp4_mod().synth_video_metadata(_docs(s)),
     "synth_audio_metadata": lambda s: _audio_mod().synth_audio_metadata(_docs(s)),
+    "synth_h264_metadata": lambda s: mm.synth_h264_metadata(_docs(s)),
+    "synth_aac_metadata": lambda s: mm.synth_aac_metadata(_docs(s)),
+    "synth_decode_jpeg_color_wav": lambda s: mm.synth_decode_jpeg_color_wav(
+        _docs(s)
+    ),
+    "shuffle_shards": lambda s: sp.shuffle_shards(_docs(s)),
     "multimodal_pipeline": lambda s: mm.multimodal_pipeline(_docs(s)),
     "brute_force_topk": lambda s: sim.brute_force_topk(
         _emb(s),

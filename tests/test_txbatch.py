@@ -207,3 +207,59 @@ def test_file_uri_paths_accepted(spark, tmp_path):
         .load(uri)
     )
     assert cdc.count() == 10  # v0 inserts
+
+
+def test_null_count_stats_prune_is_null_filters(spark, tmp_path):
+    """r8: per-file nullCounts (recorded in the same one-pass stats
+    job) let IS NULL open only null-bearing files and IS NOT NULL skip
+    all-NULL files; files without the stat conservatively stay, and a
+    deletion vector never un-prunes (physical counts only shrink)."""
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    p = str(tmp_path / "nc1")
+    with_nulls = spark.createDataFrame(
+        [(1, None), (2, 20), (3, None)], "k long, v long"
+    ).coalesce(1)
+    no_nulls = spark.createDataFrame(
+        [(10, 100), (11, 110)], "k long, v long"
+    ).coalesce(1)
+    all_nulls = spark.createDataFrame(
+        [(20, None), (21, None)], "k long, v long"
+    ).coalesce(1)
+    t = TxTable.create(spark, p, with_nulls, stats_columns=["k", "v"])
+    t.append(no_nulls)
+    t.append(all_nulls)
+
+    def n_parts(filters):
+        r = TxTableBatchReader(t.snapshot().schema, {"path": p})
+        r.pushFilters(filters)
+        return len(r.partitions())
+
+    assert n_parts([IsNull(("v",))]) == 2       # with_nulls + all_nulls
+    assert n_parts([IsNotNull(("v",))]) == 2    # with_nulls + no_nulls
+    assert n_parts([IsNull(("k",))]) == 0       # k never NULL anywhere
+    assert n_parts([IsNotNull(("k",))]) == 3
+    # end-to-end row-exactness after Spark re-applies the filter
+    got = (
+        spark.read.format("txtable").load(p).filter(F.col("v").isNull())
+    )
+    assert sorted(r["k"] for r in got.collect()) == [1, 3, 20, 21]
+    got2 = (
+        spark.read.format("txtable").load(p).filter(F.col("v").isNotNull())
+    )
+    assert sorted(r["k"] for r in got2.collect()) == [2, 10, 11]
+    # format-writer shards carry the stat too
+    p2 = str(tmp_path / "nc2")
+    with_nulls.write.format("txtable").option(
+        "statsColumns", "v"
+    ).mode("append").save(p2)
+    no_nulls.write.format("txtable").mode("append").save(p2)
+    t2 = TxTable(spark, p2)
+    ncs = sorted(
+        (m.get("nullCounts") or {}).get("v")
+        for m in t2.snapshot().files.values()
+    )
+    assert ncs == [0, 2]
+    r = TxTableBatchReader(t2.snapshot().schema, {"path": p2})
+    r.pushFilters([IsNull(("v",))])
+    assert len(r.partitions()) == 1

@@ -1059,3 +1059,94 @@ def test_change_data_feed_files_lifecycle(spark, tmp_path):
     gone = t.vacuum(min_age_seconds=0)
     assert any(g.startswith("_change_data/") for g in gone)
     assert len(os.listdir(cdc_dir)) == 0
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """CHECK constraints (r8, the Delta ALTER ADD CONSTRAINT concept):
+    declared at CREATE, enforced row-level on append / overwrite /
+    merge / update — a violating row fails the write naming the
+    constraint; NULL evaluates UNKNOWN and passes (SQL CHECK
+    semantics)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    p = str(tmp_path / "ck1")
+    t = TxTable.create(
+        spark, p, _mk(spark, 0, 10).coalesce(1),
+        check_constraints={"v_nonneg": "v >= 0", "k_small": "k < 1000"},
+    )
+    assert t.snapshot().check_constraints == {
+        "v_nonneg": "v >= 0", "k_small": "k < 1000"
+    }
+    # CREATE itself validates: a violating initial frame never lands
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="v_nonneg"):
+        TxTable.create(
+            spark, str(tmp_path / "ck_bad"),
+            spark.createDataFrame([(1, -5)], "k long, v long"),
+            check_constraints={"v_nonneg": "v >= 0"},
+        )
+    # append: violation raises, nothing committed
+    v_before = t.latest_version()
+    with pytest.raises(Exception, match="v_nonneg"):
+        t.append(spark.createDataFrame([(11, -1)], "k long, v long"))
+    assert t.latest_version() == v_before
+    # NULL passes (UNKNOWN, not FALSE)
+    t.append(spark.createDataFrame([(12, None)], "k long, v long"))
+    assert {r["k"] for r in t.read().collect()} >= {12}
+    # update: an assignment that breaks the constraint raises
+    with pytest.raises(Exception, match="v_nonneg"):
+        t.update(F.col("k") == 3, {"v": F.lit(-99).cast("long")})
+    # merge: violating source rows raise; clean ones commit
+    with pytest.raises(Exception, match="k_small"):
+        t.merge(
+            spark.createDataFrame([(5000, 1, None)],
+                                  "k long, v long, op string"), "k"
+        )
+    t.merge(
+        spark.createDataFrame([(13, 130, None)],
+                              "k long, v long, op string"), "k"
+    )
+    assert {r["k"]: r["v"] for r in t.read().collect()}[13] == 130
+    # overwrite: enforced too
+    with pytest.raises(Exception, match="v_nonneg"):
+        t.overwrite(spark.createDataFrame([(1, -1)], "k long, v long"))
+
+
+def test_check_constraints_alter_lifecycle_and_batch_writer(spark, tmp_path):
+    """add_check_constraint validates EXISTING data before publishing
+    (violating history rejects it), drop_check_constraint removes
+    enforcement, both survive checkpoints, and the format('txtable')
+    batch writer refuses constrained tables instead of silently
+    skipping enforcement."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txbatch import (
+        TxTableBatchSource,
+    )
+
+    p = str(tmp_path / "ck2")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10).coalesce(1))
+    # existing data violates -> rejected, nothing committed
+    with pytest.raises(ValueError, match="5 existing rows violate"):
+        t.add_check_constraint("k_big", "k >= 5")
+    assert t.snapshot().check_constraints == {}
+    t.add_check_constraint("v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_check_constraint("v_nonneg", "v >= 0")
+    with pytest.raises(Exception, match="v_nonneg"):
+        t.append(spark.createDataFrame([(1, -1)], "k long, v long"))
+    # survives checkpoints (cross CHECKPOINT_INTERVAL)
+    for i in range(CHECKPOINT_INTERVAL):
+        t.append(_mk(spark, 100 * (i + 1), 100 * (i + 1) + 2).coalesce(1))
+    assert TxTable(spark, p).snapshot().check_constraints == {
+        "v_nonneg": "v >= 0"
+    }
+    # batch writer refuses the constrained table
+    spark.dataSource.register(TxTableBatchSource)
+    with pytest.raises(Exception, match="cannot\\s+enforce"):
+        _mk(spark, 900, 905).write.format("txtable").mode("append").save(p)
+    # drop -> writes flow again (including previously-violating rows)
+    t.drop_check_constraint("v_nonneg")
+    with pytest.raises(ValueError, match="no CHECK constraint"):
+        t.drop_check_constraint("v_nonneg")
+    t.append(spark.createDataFrame([(1, -1)], "k long, v long"))
+    assert (1, -1) in {(r["k"], r["v"]) for r in t.read().collect()}
