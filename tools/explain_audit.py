@@ -552,13 +552,14 @@ def main() -> None:
         ),
         (
             "media_decode_suite",
-            "BOTH codec segs in ONE Arrow crossing, one exchange",
+            "ALL FOUR codec segs in ONE Arrow crossing, one exchange",
             lambda p: len(re.findall(r"\(\d+\) MapInPandas", p)) == 1
             and count_exchanges(p) <= 1,
-            "r7: color-JPEG + WAV decode fused into a single mapInPandas "
-            "(the second crossing's fixed cost dominated once the flat-"
-            "fixture encoder and batched IDCT cut the color kernel ~4×); "
-            "the one exchange is the work-bound core-count repartition",
+            "r7 fusion, widened r8: color-JPEG + WAV + H.264 + AAC in a "
+            "single mapInPandas (each extra crossing's fixed cost "
+            "dominates the thin kernels; the JPEG decode itself is "
+            "batched across the files of each Arrow batch); the one "
+            "exchange is the work-bound width-16 repartition",
         ),
         (
             "chunk_documents_docs",
@@ -695,6 +696,27 @@ def main() -> None:
             and count_exchanges(p) <= 1,
             "RIFF chunk walk + PCM features in one mapInPandas — no "
             "shuffle, no per-row Python",
+        ),
+        # — round 8 —
+        (
+            "shuffle_shards_docs",
+            "corpus shuffle = exactly one exchange, zero Python, no global sort",
+            lambda p: count_exchanges(p) == 1
+            and "BatchEvalPython" not in p
+            and count_ops(p, "Sort") <= 1,
+            "shard + within-shard order are pure functions of "
+            "hash56(id, seed): one hash-partitioned window, the only "
+            "sort is per-partition inside the window — reshuffling a "
+            "100 TB corpus per epoch costs one shuffle of (id, hash)",
+        ),
+        (
+            "audio_aac_metadata",
+            "ADTS frame walk is ONE Arrow crossing, map-side",
+            lambda p: count_ops(p, "MapInPandas") == 1
+            and "BatchEvalPython" not in p
+            and count_exchanges(p) <= 1,
+            "frame-length walk + header census in one mapInPandas — "
+            "same shape as the WAV/H.264 metadata tiers",
         ),
     ]
 
