@@ -1504,6 +1504,7 @@ class TxTable:
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         zorder_bits: int = 8,
+        where: tuple | None = None,
     ) -> int:
         """Compact the table's live files into ~``target_file_rows``
         files (the lakehouse small-file OPTIMIZE), optionally
@@ -1523,12 +1524,36 @@ class TxTable:
           At 100 TB this turns "point-ish lookups on 2-3 dimensions"
           from full scans into a handful of file opens.
 
+        ``where`` (r8, the Delta ``OPTIMIZE ... WHERE`` concept):
+        ``(stats_column, lower, upper)`` — compact ONLY the files
+        whose zone maps overlap the interval, leaving the rest
+        byte-identical; on a 100 TB table the daily compaction then
+        touches the hot partition-equivalent, never the archive.
+        Files without stats for the column conservatively join the
+        compaction (they MIGHT hold matching rows).
+
         Pure file-level rewrite: row set is unchanged, committed as
-        remove-all + add-new, and time travel to pre-OPTIMIZE versions
-        still reads the old files (until vacuum)."""
+        remove + add over the selected files, and time travel to
+        pre-OPTIMIZE versions still reads the old files (until
+        vacuum)."""
         if sort_by and zorder_by:
             raise ValueError("pass sort_by OR zorder_by, not both")
         snap = self.snapshot()
+        if where is not None:
+            self._check_read_interval(snap, where)
+            col, lo, hi = where
+            picked = {}
+            for p, m in snap.files.items():
+                mn, mx = (m.get("stats") or {}).get(col, [None, None])
+                if mn is None or mx is None or not (mx < lo or mn > hi):
+                    picked[p] = m
+            snap = Snapshot(
+                version=snap.version, schema=snap.schema,
+                stats_columns=snap.stats_columns,
+                bloom_spec=snap.bloom_spec, files=picked,
+                txns=snap.txns, cdc_enabled=snap.cdc_enabled,
+                check_constraints=snap.check_constraints,
+            )
         if not snap.files:
             return snap.version
         total = sum(
@@ -1759,7 +1784,8 @@ class TxTable:
                 gone.append(os.path.basename(_checkpoint_path(self.log, c)))
         return sorted(gone)
 
-    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
+    def vacuum(self, min_age_seconds: float = 3600.0,
+               dry_run: bool = False) -> list[str]:
         """Remove data files invisible to EVERY retained version:
         orphans from crashed writes and files removed by some commit.
         (Time travel to old versions keeps working only for files still
@@ -1772,6 +1798,9 @@ class TxTable:
         entry, so a freshly written unreferenced file may be a commit
         about to happen, not garbage. Only files older than the window
         are deleted; pass 0 only when no writer can be active.
+
+        ``dry_run=True`` returns the would-be-deleted list WITHOUT
+        touching anything (the Delta VACUUM DRY RUN safety valve).
 
         The referenced set is the union of every add-action and
         checkpoint file list EVER written — scanned directly from the
@@ -1805,7 +1834,8 @@ class TxTable:
                 and name not in referenced
                 and os.path.getmtime(full) <= cutoff
             ):
-                os.unlink(full)
+                if not dry_run:
+                    os.unlink(full)
                 gone.append(name)
         # change-data files: referenced by their commit's cdc action
         # only, so once expire_log drops that commit they reclaim here
@@ -1819,7 +1849,8 @@ class TxTable:
                     and rel not in referenced
                     and os.path.getmtime(full) <= cutoff
                 ):
-                    os.unlink(full)
+                    if not dry_run:
+                        os.unlink(full)
                     gone.append(rel)
         return sorted(gone)
 

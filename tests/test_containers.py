@@ -562,3 +562,39 @@ def test_h264_property_roundtrip():
         assert m["n_slices"] == len(slices)
 
     check()
+
+
+def test_bitstream_parsers_never_crash_on_garbage():
+    """Fuzz contract: arbitrary bytes fed to the ADTS / Annex-B / SPS
+    parsers either parse or raise ValueError — never IndexError /
+    struct.error / silent wrong types — so a corrupt document degrades
+    to an 'error' row in the operators instead of killing the task."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        aac as A,
+        h264 as H,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=200))
+    def check(data):
+        for fn in (A.parse_adts, A.stream_metadata,
+                   H.parse_annexb, H.stream_metadata, H.parse_sps):
+            try:
+                fn(data)
+            except ValueError:
+                pass
+
+        # seeded-garbage variant biased toward syncword / start-code
+        # prefixes so the walk gets past the first gate
+        for prefix in (b"\xff\xf1", b"\x00\x00\x00\x01\x67",
+                       b"\x00\x00\x01\x65"):
+            for fn, mod in ((A.parse_adts, A), (H.parse_annexb, H)):
+                try:
+                    fn(prefix + data)
+                except ValueError:
+                    pass
+
+    check()

@@ -1150,3 +1150,55 @@ def test_check_constraints_alter_lifecycle_and_batch_writer(spark, tmp_path):
         t.drop_check_constraint("v_nonneg")
     t.append(spark.createDataFrame([(1, -1)], "k long, v long"))
     assert (1, -1) in {(r["k"], r["v"]) for r in t.read().collect()}
+
+
+def test_optimize_where_compacts_only_overlapping_files(spark, tmp_path):
+    """OPTIMIZE ... WHERE (r8): only files whose zone maps overlap the
+    interval are rewritten; disjoint files survive byte-identical, the
+    row set is unchanged, and files lacking stats conservatively join
+    the compaction."""
+    p = str(tmp_path / "ow1")
+    t = TxTable.create(
+        spark, p, _mk(spark, 0, 100).coalesce(1), stats_columns=["k"]
+    )
+    t.append(_mk(spark, 100, 200).coalesce(1))
+    t.append(_mk(spark, 200, 300).coalesce(1))
+    before = dict(t.snapshot().files)
+    assert len(before) == 3
+    v = t.optimize(target_file_rows=1000, where=("k", 0, 150))
+    after = t.snapshot()
+    survivors = set(after.files) & set(before)
+    # the k=200..299 file was disjoint: untouched
+    assert len(survivors) == 1
+    mn, mx = after.files[next(iter(survivors))]["stats"]["k"]
+    assert (mn, mx) == (200, 299)
+    assert t.read().count() == 300
+    assert [h["operation"] for h in t.history()][v] == "OPTIMIZE"
+    # interval validation reuses the read_interval contract
+    with pytest.raises(ValueError, match="no zone-map stats"):
+        t.optimize(where=("v", 0, 1))
+    # nothing overlaps: version unchanged, no commit
+    assert t.optimize(where=("k", 10_000, 20_000)) == v
+
+
+def test_vacuum_dry_run_deletes_nothing(spark, tmp_path):
+    """vacuum(dry_run=True) returns the would-be-deleted list without
+    touching the filesystem; a real vacuum then removes exactly it."""
+    p = str(tmp_path / "vd1")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10).coalesce(1))
+    t.optimize(target_file_rows=1000)  # old file now unreferenced? no:
+    # still referenced by v0's add — use an orphan instead
+    orphan = os.path.join(p, "deadbeef.parquet")
+    _mk(spark, 0, 3).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "vo")
+    )
+    part = next(
+        f for f in os.listdir(str(tmp_path / "vo")) if f.endswith(".parquet")
+    )
+    os.replace(os.path.join(str(tmp_path / "vo"), part), orphan)
+    would = t.vacuum(min_age_seconds=0, dry_run=True)
+    assert "deadbeef.parquet" in would
+    assert os.path.exists(orphan)  # nothing deleted
+    gone = t.vacuum(min_age_seconds=0)
+    assert gone == would
+    assert not os.path.exists(orphan)
