@@ -15,7 +15,9 @@ the same skipping `read_pruned`/`read_point` give, but driven by the
 optimizer from a plain ``df.filter(...)``. Every filter is also
 returned as remaining so Spark re-applies it row-exactly
 (double-filtering is free; dropped boundary rows are a correctness
-bug). Options: ``path``, ``version`` (time travel).
+bug). Options: ``path``, ``version`` / ``timestampAsOf`` (epoch-ms;
+mutually exclusive — time travel by version or by the Delta
+TIMESTAMP AS OF at-or-before rule).
 
 WRITE (``TxTableBatchWriter``): Spark's two-phase writer protocol IS
 a transactional commit, so it maps 1:1 onto the log — each task
@@ -148,7 +150,14 @@ class _TxTableScanBase(DataSourceReader):
             raise ValueError("txtable requires a 'path' option")
         self.schema = schema
         version = opts.get("version")
+        ts = opts.get("timestampasof")
+        if version is not None and ts is not None:
+            raise ValueError("pass version OR timestampAsOf, not both")
         t = TxTable(None, self.table_path)
+        if ts is not None:
+            # epoch-ms resolved by the Delta TIMESTAMP AS OF rule
+            # (latest commit at-or-before the given time)
+            version = t.version_as_of(int(ts))
         self.snap = t.snapshot(int(version) if version is not None else None)
         self.keep = sorted(self.snap.files)
 

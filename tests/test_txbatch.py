@@ -263,3 +263,32 @@ def test_null_count_stats_prune_is_null_filters(spark, tmp_path):
     r = TxTableBatchReader(t2.snapshot().schema, {"path": p2})
     r.pushFilters([IsNull(("v",))])
     assert len(r.partitions()) == 1
+
+
+def test_timestamp_as_of_option_time_travels(spark, tmp_path):
+    """format('txtable').option('timestampAsOf', epoch_ms): resolved by
+    the at-or-before rule, mutually exclusive with 'version'."""
+    p = str(tmp_path / "ts1")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10).coalesce(1))
+    t.append(_mk(spark, 10, 20).coalesce(1))
+    hist = {h["version"]: h["timestamp"] for h in t.history()}
+    got = (
+        spark.read.format("txtable")
+        .option("timestampAsOf", str(hist[0]))
+        .load(p)
+    )
+    assert got.count() == 10
+    got2 = (
+        spark.read.format("txtable")
+        .option("timestampAsOf", str(hist[1] + 10_000))
+        .load(p)
+    )
+    assert got2.count() == 20
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("txtable")
+            .option("timestampAsOf", str(hist[0]))
+            .option("version", "1")
+            .load(p)
+            .count()
+        )

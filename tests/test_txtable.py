@@ -1202,3 +1202,37 @@ def test_vacuum_dry_run_deletes_nothing(spark, tmp_path):
     gone = t.vacuum(min_age_seconds=0)
     assert gone == would
     assert not os.path.exists(orphan)
+
+
+def test_appends_disjoint_edge_cases():
+    """_appends_disjoint (the zone-map commutation predicate) must be
+    conservative on every ambiguity: no interval, missing stats,
+    one-sided stats, incomparable types -> conflict; all-NULL files
+    and empty files commute; boundary overlap conflicts."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        _appends_disjoint,
+    )
+
+    def add(mn, mx, n=10, with_stats=True):
+        a = {"path": "f", "numRecords": n}
+        a["stats"] = {"k": [mn, mx]} if with_stats else {}
+        return {"add": a}
+
+    iv = ("k", 0, 20)
+    assert not _appends_disjoint([add(5, 30)], None)          # no interval
+    assert _appends_disjoint([add(100, 200)], iv)             # disjoint
+    assert _appends_disjoint([add(-50, -1)], iv)              # below
+    assert not _appends_disjoint([add(15, 25)], iv)           # overlap
+    assert not _appends_disjoint([add(20, 30)], iv)           # boundary
+    assert not _appends_disjoint([add(0, 0)], iv)             # boundary lo
+    assert not _appends_disjoint([add(5, 30, with_stats=False)], iv)
+    assert not _appends_disjoint([add(None, 30)], iv)         # one-sided
+    assert _appends_disjoint([add(None, None)], iv)           # all-NULL col
+    assert _appends_disjoint([add(15, 25, n=0)], iv)          # empty file
+    assert not _appends_disjoint([add("a", "z")], iv)         # TypeError
+    # mixed commit: one overlapping file poisons the whole commit
+    assert not _appends_disjoint([add(100, 200), add(10, 12)], iv)
+    # non-add actions are ignored
+    assert _appends_disjoint(
+        [{"commitInfo": {"operation": "APPEND"}}, add(100, 200)], iv
+    )
