@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..functions.hashing import hash56
@@ -1027,6 +1028,231 @@ def int8_rerank_topk(
     short = (
         scored.withColumn("__r8", F.row_number().over(w8))
         .filter(F.col("__r8") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    rer = (
+        short.join(vectors.select(id_col, vec_col), [id_col])
+        .join(
+            F.broadcast(queries.select(query_id_col, query_vec_col)),
+            [query_id_col],
+        )
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col(query_vec_col), dim).alias("_score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_score"), F.asc(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 8): the memory-scale tier of the ANN
+# family. SQ8 (above) compresses 4× and keeps a full-width integer
+# dot; PQ compresses dim×4 bytes → m bytes (64-dim float32 → 8 bytes
+# at m=8) by vector-quantizing each of m subspaces against a small
+# trained codebook, and scores candidates with an ADC (asymmetric
+# distance computation) table lookup — the FAISS `IVFPQ`/`PQ` scan
+# shape, built here Spark-first:
+#
+# - TRAIN on a bounded driver-side sample (same contract as the IVF
+#   coarse quantizer): per-subspace Lloyd's k-means → a
+#   (m × ksub × dsub) codebook artifact of a few KB, broadcast into
+#   every stage that needs it.
+# - ENCODE the corpus with ONE Arrow crossing (pandas UDF, one BLAS
+#   distance matmul per subspace per batch) → `array<int>` of m codes
+#   per row. No shuffle; the codes column is storable, so a real
+#   deployment writes it once and scans it forever.
+# - SCORE with pure JVM codegen: the per-query lookup tables
+#   (m × ksub inner products, INTEGER-quantized so the m-term sum is
+#   order-independent and bit-deterministic) are a few-hundred-row
+#   broadcast; scoring = posexplode(codes) ⋈ broadcast(LUT) →
+#   map-side partial sum — the exact shape of the proven int8 path
+#   (`int8_rerank_topk`), so no Python touches the corpus-sized side
+#   after encode.
+# - RERANK the ADC shortlist with exact float cosine (ties broken on
+#   vec_id), keeping the approximate tier's output deterministic and
+#   recall-gated in tests against `brute_force_topk`.
+#
+# Scale: corpus crosses Python once (encode); ADC candidate volume is
+# N×m×n_queries JVM rows with map-side combine; the shortlist join is
+# broadcast. Nothing quadratic, nothing driver-sized except the
+# codebook/query artifacts (KBs).
+# ---------------------------------------------------------------------------
+
+# LUT inner products are quantized to integers at this scale so the
+# m-term ADC sum is associative-order-free (bit-deterministic across
+# shuffles). |subspace ip| ≤ 1 on unit vectors, so m=8 partials at
+# 2^24 stay far inside int64.
+_PQ_LUT_SCALE = 1 << 24
+
+
+def train_pq(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 10,
+    seed: int = 7,
+    train_sample: int = 100_000,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train per-subspace PQ codebooks on a bounded driver-side sample.
+
+    Vectors are unit-normalized first (inner-product PQ ≡ cosine on
+    the unit sphere), split into ``m`` equal subspaces, and each
+    subspace runs standard (L2) Lloyd's for ``n_iter`` iterations from
+    a seeded choice of sample rows. Deterministic for a fixed
+    (sample, seed). Returns float64 codebooks of shape
+    ``(m, ksub, dim // m)``; raises if ``dim % m != 0`` or the sample
+    has fewer than ``ksub`` rows.
+    """
+    pdf = vectors.select(vec_col).limit(train_sample).toPandas()
+    if not len(pdf):
+        raise ValueError("train_pq: empty training sample")
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"train_pq: dim {dim} not divisible by m={m}")
+    if len(mat) < ksub:
+        raise ValueError(
+            f"train_pq: sample of {len(mat)} rows < ksub={ksub}"
+        )
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    np.divide(mat, norms, out=mat, where=norms > 0)
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = mat[:, s * dsub:(s + 1) * dsub]
+        cen = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
+        for _ in range(n_iter):
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is rank-free
+            d = -2.0 * (sub @ cen.T) + (cen * cen).sum(axis=1)
+            assign = np.argmin(d, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cen[c] = members.mean(axis=0)
+        books[s] = cen
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): PQ-encode every vector — one Arrow
+    crossing, no shuffle. Rows are unit-normalized before encoding
+    (zero vectors stay zero and take each subspace's deterministic
+    argmin). Ties in the subspace argmin resolve to the lowest code,
+    so encoding is bit-deterministic regardless of batch boundaries."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = codebooks
+    m, ksub, dsub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.divide(mat, norms, out=mat, where=norms > 0)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            sub = mat[:, s * dsub:(s + 1) * dsub]
+            d = -2.0 * (sub @ books[s].T) + (books[s] * books[s]).sum(axis=1)
+            codes[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return vectors.select(id_col, encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 50,
+    n_iter: int = 10,
+    seed: int = 7,
+    train_sample: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int | None = None,
+    index_cache_key: str | None = None,
+) -> DataFrame:
+    """Two-stage PQ retrieval: integer-ADC shortlist over PQ codes →
+    exact float cosine rerank → (query_id, vec_id, rank 1..k).
+
+    The query set is collected driver-side to build the ADC lookup
+    tables — bounded, model-artifact-sized, same contract as the IVF
+    probe set. Codebooks are cached under ``index_cache_key`` in the
+    shared trained-index LRU (see :func:`ivf_ann_topk` for the
+    staleness contract)."""
+    cache_key = (
+        ("pq", index_cache_key, m, ksub, n_iter, seed, train_sample)
+        if index_cache_key is not None
+        else None
+    )
+    books = _ivf_cache_get(cache_key) if cache_key else None
+    if books is None:
+        books = train_pq(
+            vectors, m=m, ksub=ksub, n_iter=n_iter, seed=seed,
+            train_sample=train_sample, vec_col=vec_col,
+        )
+        if cache_key:
+            _ivf_cache_put(cache_key, books)
+    dsub = books.shape[2]
+
+    # Per-query integer LUT: (query_id, sub, code, part). n_q × m × ksub
+    # rows of longs — broadcastable at any corpus size.
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    qmat = np.stack(qpdf[query_vec_col].to_numpy()).astype(np.float64)
+    qnorms = np.linalg.norm(qmat, axis=1, keepdims=True)
+    np.divide(qmat, qnorms, out=qmat, where=qnorms > 0)
+    lut_rows = []
+    # .tolist() converts numpy scalars to Python ones for createDataFrame
+    for qi, qid in enumerate(qpdf[query_id_col].tolist()):
+        for s in range(m):
+            qsub = qmat[qi, s * dsub:(s + 1) * dsub]
+            ips = books[s] @ qsub  # (ksub,)
+            for code, ip in enumerate(ips):
+                lut_rows.append(
+                    (qid, s, code, int(np.rint(ip * _PQ_LUT_SCALE)))
+                )
+    spark = vectors.sparkSession
+    qid_field = queries.select(query_id_col).schema.fields[0]
+    lut_schema = T.StructType([
+        T.StructField(query_id_col, qid_field.dataType, False),
+        T.StructField("__sub", T.IntegerType(), False),
+        T.StructField("__code", T.IntegerType(), False),
+        T.StructField("__part", T.LongType(), False),
+    ])
+    lut = spark.createDataFrame(lut_rows, lut_schema)
+
+    codes = pq_encode(vectors, books, id_col=id_col, vec_col=vec_col)
+    exploded = codes.select(
+        id_col, F.posexplode("codes").alias("__sub", "__code")
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["__sub", "__code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__part").alias("__adc"))
+    )
+    wa = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__adc"), F.asc(id_col)
+    )
+    short = (
+        scored.withColumn("__ra", F.row_number().over(wa))
+        .filter(F.col("__ra") <= shortlist)
         .select(query_id_col, id_col)
     )
     rer = (

@@ -439,6 +439,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_pq_topk", None)  # approximate: rows-only; recall + exact-encode A/B in pytest
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PQ tier: 8-byte codes (32× compression at dim=64), integer-ADC
+    # shortlist scored entirely JVM-side over a broadcast LUT, exact
+    # cosine rerank. See operators/similarity.py train_pq/pq_adc_topk.
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.pq_adc_topk(
+        emb, queries, k=10, m=8, ksub=16, shortlist=50,
+        index_cache_key=sf_dir, dim=64,
+    )
+
+
 @register(
     "embedding_norms",
     """

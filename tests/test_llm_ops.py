@@ -205,6 +205,82 @@ def test_ivf_ann_deterministic_across_runs(spark):
     assert a == b
 
 
+def _pq_reference_encode(mat, books):
+    """Independent loop-spelled PQ encoder (explicit squared-L2 per
+    row per subspace) — the A/B twin for the vectorized Spark kernel."""
+    import numpy as np
+
+    m, ksub, dsub = books.shape
+    out = []
+    for row in mat:
+        n = (row.astype("float64") ** 2).sum() ** 0.5
+        unit = row / n if n > 0 else row.astype("float64")
+        codes = []
+        for s in range(m):
+            sub = unit[s * dsub:(s + 1) * dsub]
+            best, best_d = 0, float("inf")
+            for c in range(ksub):
+                d = float(((sub - books[s][c]) ** 2).sum())
+                if d < best_d - 1e-15:  # strict: ties keep lowest code
+                    best, best_d = c, d
+            codes.append(best)
+        out.append(codes)
+    return out
+
+
+def test_pq_encode_matches_loop_reference(spark):
+    import numpy as np
+
+    emb = read_testdata(spark, SF_SMOKE, "embeddings").limit(40)
+    books = sim.train_pq(emb, m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    got = {r["vec_id"]: list(r["codes"])
+           for r in sim.pq_encode(emb, books).collect()}
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy())
+    want = _pq_reference_encode(mat, books)
+    for vid, codes in zip(pdf["vec_id"].tolist(), want):
+        assert got[vid] == codes, f"vec {vid}: {got[vid]} != {codes}"
+
+
+def test_pq_adc_recall_against_brute_force(spark):
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["vec_id"])
+             for r in sim.brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in sim.pq_adc_topk(emb, queries, k=5, shortlist=50).collect()}
+    # a query's own vector has the maximal ADC self-score, so the
+    # shortlist always contains it and the exact rerank puts it first
+    for q in range(10):
+        assert (q, q) in approx
+    # 8-byte codes (32× compression) + 50-deep exact rerank must beat
+    # the IVF gate: ADC orders by a quantized-but-global score, not a
+    # pruned candidate set
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ-ADC recall degenerated: {recall}"
+
+
+def test_pq_adc_deterministic_across_runs(spark):
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(map(tuple, sim.pq_adc_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, sim.pq_adc_topk(emb, queries, k=5).collect()))
+    assert a == b
+
+
+def test_pq_train_validates_inputs(spark):
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.train_pq(emb, m=7)
+    with pytest.raises(ValueError, match="< ksub"):
+        sim.train_pq(emb.limit(3), m=8, ksub=16)
+
+
 def test_multimodal_decode_stub_contract(spark):
     docs = read_testdata(spark, SF_SMOKE, "documents").limit(20)
     out = mm.decode_metadata(mm.attach_binary_payload(docs))
