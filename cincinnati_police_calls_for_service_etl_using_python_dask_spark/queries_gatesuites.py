@@ -283,6 +283,11 @@ _suite(
         # flat, SCALE.md's falling-ratio panel row) — a constant, not
         # a scale term.
         ("txbatch_read", "txbatch_read_events"),
+        # r8: metadata-only RENAME/DROP COLUMN (column mapping) — the
+        # logical/physical name boundary (read select, write rename,
+        # zone-map keying, predicate translation) value-hash-gated
+        # inside the driver window from day one.
+        ("column_mapping", "txtable_column_mapping_events"),
     ],
 )
 

@@ -338,3 +338,68 @@ def q_txstream_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, a.path, b, "event_id", os.path.join(scratch, "ckpt")
     )
     return b.read()
+
+
+# ---------------------------------------------------------------------------
+# Column mapping lifecycle (r8) — metadata-only RENAME/DROP under the
+# full cross-engine oracle. The callable CREATEs a table from an
+# events slice, RENAMEs value→amount (one log entry, zero data files
+# touched — files keep the stable physical name), APPENDs more rows
+# THROUGH the mapping (new files also store physical 'value'),
+# UPDATEs and DELETEs with predicates spelled in the NEW logical name
+# (zone-map consultation crosses the mapping), DROPs event_type
+# (physical name retired), and returns the final two-column snapshot.
+# The oracle replays the same algebra in pure SQL with the rename as
+# a plain alias — so the logical/physical boundary (read select,
+# write rename, stats keys, predicate translation) is value-hash
+# gated end-to-end, not just unit-tested.
+# ---------------------------------------------------------------------------
+
+_CM_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n FROM events),
+base AS (
+  SELECT event_id, event_type, value AS amount FROM events, n
+  WHERE event_id < CAST(FLOOR(0.5 * n.n) AS BIGINT)
+),
+upd AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN amount * 3.0
+              ELSE amount END AS amount
+  FROM base
+)
+SELECT event_id, amount FROM upd
+WHERE NOT COALESCE(event_type = 'error' AND amount < 1.0, FALSE)
+"""
+
+
+@register("txtable_column_mapping_events", _CM_ORACLE)
+def q_txtable_column_mapping_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n = events.count()
+    c1, c2 = int(0.3 * n), int(0.5 * n)
+    scratch = tempfile.mkdtemp(prefix="txtable_cm_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = os.path.join(scratch, "events_cm")
+    t = TxTable.create(
+        spark,
+        path,
+        events.filter(F.col("event_id") < c1),
+        stats_columns=["event_id", "value"],
+    )
+    t.rename_column("value", "amount")  # metadata-only: zero files
+    t.append(
+        events.filter(
+            (F.col("event_id") >= c1) & (F.col("event_id") < c2)
+        ).withColumnRenamed("value", "amount")
+    )
+    t.update(
+        F.col("event_type") == "purchase",
+        {"amount": F.col("amount") * 3.0},
+    )
+    t.delete((F.col("event_type") == "error") & (F.col("amount") < 1.0))
+    t.drop_column("event_type")  # metadata-only: physical name retired
+    return t.read()

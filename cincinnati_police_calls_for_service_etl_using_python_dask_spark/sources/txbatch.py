@@ -105,15 +105,20 @@ def read_masked_table(file: str, dv: str | None):
     return table
 
 
-def align_to(table, want):
+def align_to(table, want, physical: dict | None = None):
     """Cast/NULL-fill an arrow table to the arrow schema ``want``
-    (pre-evolution files lack late columns, like the batch reader)."""
+    (pre-evolution files lack late columns, like the batch reader).
+    ``physical`` maps a wanted LOGICAL field name to the PHYSICAL
+    parquet column that stores it (column mapping — see
+    txtable.Snapshot.column_mapping); absent entries mean identity."""
     import pyarrow as pa
 
+    physical = physical or {}
     cols = []
     for f in want:
-        if f.name in table.column_names:
-            cols.append(table.column(f.name).cast(f.type))
+        src = physical.get(f.name, f.name)
+        if src in table.column_names:
+            cols.append(table.column(src).cast(f.type))
         else:
             cols.append(pa.nulls(len(table), f.type))
     return pa.Table.from_arrays(cols, schema=want)
@@ -218,9 +223,10 @@ class _TxTableScanBase(DataSourceReader):
         no NULL survives, and nullCount == numRecords still proves no
         non-NULL does; the mask may only make the keep-set a superset
         — Spark re-applies the filter row-exactly."""
+        pcol = self.snap.phys(column)
         keep = []
         for p, meta in self.snap.files.items():
-            nc = (meta.get("nullCounts") or {}).get(column)
+            nc = (meta.get("nullCounts") or {}).get(pcol)
             if nc is None:
                 keep.append(p)
             elif want_null:
@@ -233,9 +239,10 @@ class _TxTableScanBase(DataSourceReader):
     def _zone_keep(self, column: str, lower, upper) -> list[str]:
         if column not in self.snap.stats_columns:
             return list(self.snap.files)  # no stats: cannot skip
+        pcol = self.snap.phys(column)  # file stats are keyed physical
         keep = []
         for p, meta in self.snap.files.items():
-            mn, mx = meta["stats"].get(column, [None, None])
+            mn, mx = meta["stats"].get(pcol, [None, None])
             if mn is None or mx is None:
                 keep.append(p)
             elif (upper is None or not (mn > upper)) and (
@@ -264,7 +271,9 @@ class _TxTableScanBase(DataSourceReader):
 
         want = to_arrow_schema(self.schema)
         table = read_masked_table(partition.file, partition.dv)
-        yield from align_to(table, want).to_batches()
+        yield from align_to(
+            table, want, physical=self.snap.column_mapping
+        ).to_batches()
 
 
 class TxTableBatchReader(_TxTableScanBase):
@@ -312,8 +321,10 @@ class TxTableBatchWriter(DataSourceArrowWriter):
                 )
             self.create = False
             self.stats_columns = snap.stats_columns
+            self.column_mapping = dict(snap.column_mapping)
         else:
             self.create = True
+            self.column_mapping = {}
             self.stats_columns = [
                 c.strip()
                 for c in str(opts.get("statscolumns", "")).split(",")
@@ -339,16 +350,25 @@ class TxTableBatchWriter(DataSourceArrowWriter):
         full = os.path.join(self.table_path, name)
         writer = None
         n = 0
+        mapping = self.column_mapping
+        # file bytes and file-level stats keys are PHYSICAL (column
+        # mapping); incoming batches arrive under logical names
+        stats_cols = [(c, mapping.get(c, c)) for c in self.stats_columns]
         lo: dict[str, object] = {}
         hi: dict[str, object] = {}
-        nc: dict[str, int] = {c: 0 for c in self.stats_columns}
+        nc: dict[str, int] = {p: 0 for _c, p in stats_cols}
         try:
             for batch in iterator:
+                if mapping:
+                    batch = pa.RecordBatch.from_arrays(
+                        list(batch.columns),
+                        names=[mapping.get(c, c) for c in batch.schema.names],
+                    )
                 if writer is None:
                     writer = pq.ParquetWriter(full, batch.schema)
                 writer.write_batch(batch)
                 n += batch.num_rows
-                for c in self.stats_columns:
+                for _c, c in stats_cols:
                     col = batch.column(c)
                     mm = pc.min_max(col)
                     mn, mx = mm["min"].as_py(), mm["max"].as_py()
@@ -363,7 +383,7 @@ class TxTableBatchWriter(DataSourceArrowWriter):
         if writer is None:  # empty task: no shard at all
             return _ShardMessage(path="", num_records=0, stats={})
         stats = {
-            c: [lo.get(c), hi.get(c)] for c in self.stats_columns
+            p: [lo.get(p), hi.get(p)] for _c, p in stats_cols
         }
         # dates etc. must survive the JSON log round-trip
         stats = json.loads(json.dumps(stats, default=str))

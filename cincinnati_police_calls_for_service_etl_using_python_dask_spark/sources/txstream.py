@@ -139,6 +139,14 @@ class TxTableStreamReader(DataSourceStreamReader):
         self.max_versions = int(opts.get("maxversionspertrigger", 0)) or None
         self._planned: int | None = None
         self.log = os.path.join(self.table_path, "_txlog")
+        # column mapping: files store PHYSICAL names; resolution by
+        # any snapshot's mapping is stable (physical names never move)
+        try:
+            self.column_mapping = dict(
+                TxTable(None, self.table_path).snapshot().column_mapping
+            )
+        except FileNotFoundError:
+            self.column_mapping = {}
 
     # -- offsets --------------------------------------------------------
 
@@ -199,8 +207,9 @@ class TxTableStreamReader(DataSourceStreamReader):
         table = pq.read_table(partition.path)
         cols = []
         for f in want:
-            if f.name in table.column_names:
-                cols.append(table.column(f.name).cast(f.type))
+            src_name = self.column_mapping.get(f.name, f.name)
+            if src_name in table.column_names:
+                cols.append(table.column(src_name).cast(f.type))
             else:
                 # pre-evolution file: NULL-fill, like the batch reader
                 cols.append(pa.nulls(len(table), f.type))
@@ -398,6 +407,14 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
             opts.get("cdcslicerows", self.DEFAULT_SLICE_ROWS)
         )
         self.log = os.path.join(self.table_path, "_txlog")
+        # logical->physical column mapping (stable physical names):
+        # data and change files store PHYSICAL columns, the feed's
+        # schema is LOGICAL — resolve at align time. Any snapshot's
+        # mapping works for resolution because physical names never
+        # change once assigned; latest is the cheapest to build.
+        self.column_mapping = dict(
+            TxTable(None, self.table_path).snapshot().column_mapping
+        )
 
     def initialOffset(self) -> dict:
         # Fresh query only (no checkpoint) — safe to seed the cap base.
@@ -569,7 +586,8 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
         want, tbl_schema = self._arrow_schemas()
 
         if isinstance(partition, _CdcInsertPartition):
-            t = align_to(read_masked_table(partition.file, None), tbl_schema)
+            t = align_to(read_masked_table(partition.file, None), tbl_schema,
+                         physical=self.column_mapping)
             yield from self._emit(
                 t, "insert", partition.version, want
             ).to_batches()
@@ -580,7 +598,8 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
             # file carries _change_type + table columns at write-time
             # schema — align the table part, keep the recorded type
             raw = pq.read_table(partition.path)
-            body = align_to(raw.drop_columns(["_change_type"]), tbl_schema)
+            body = align_to(raw.drop_columns(["_change_type"]), tbl_schema,
+                            physical=self.column_mapping)
             out = body.append_column(
                 "_change_type", raw.column("_change_type").cast(pa.string())
             ).append_column(
@@ -592,7 +611,8 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
 
         if isinstance(partition, _CdcWholeFilePartition):
             t = align_to(
-                read_masked_table(partition.file, partition.dv), tbl_schema
+                read_masked_table(partition.file, partition.dv), tbl_schema,
+                physical=self.column_mapping,
             )
             yield from self._emit(
                 t, partition.change_type, partition.version, want
@@ -606,7 +626,8 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
             if len(masked) == 0:
                 return
             t = align_to(
-                pq.read_table(partition.file).take(masked), tbl_schema
+                pq.read_table(partition.file).take(masked), tbl_schema,
+                physical=self.column_mapping,
             )
             yield from self._emit(
                 t, "delete", partition.version, want
@@ -620,7 +641,8 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
         def gather(files, delta_side):
             chunks = []
             for f, dv in files:
-                t = align_to(read_masked_table(f, dv), tbl_schema)
+                t = align_to(read_masked_table(f, dv), tbl_schema,
+                             physical=self.column_mapping)
                 chunks.append(_slice_filter(
                     t, keys, partition.slice_idx, partition.n_slices
                 ))
@@ -630,7 +652,8 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
                 take = (np.setdiff1d(new_pos, old_pos) if delta_side == "old"
                         else np.setdiff1d(old_pos, new_pos))
                 if len(take):
-                    t = align_to(pq.read_table(f).take(take), tbl_schema)
+                    t = align_to(pq.read_table(f).take(take), tbl_schema,
+                                 physical=self.column_mapping)
                     chunks.append(_slice_filter(
                         t, keys, partition.slice_idx, partition.n_slices
                     ))

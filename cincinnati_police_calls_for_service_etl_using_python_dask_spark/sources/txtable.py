@@ -182,6 +182,60 @@ class Snapshot:
     # where an expr is FALSE fails the write (NULL/UNKNOWN passes,
     # SQL CHECK semantics).
     check_constraints: dict = field(default_factory=dict)
+    # COLUMN MAPPING (the Delta columnMapping concept, r8): logical
+    # column name -> PHYSICAL parquet column name. Physical names are
+    # assigned once at column birth and never change, so RENAME COLUMN
+    # and DROP COLUMN are metadata-only commits — zero data files
+    # rewritten at any table size. Identity entries are omitted; an
+    # empty dict means every column is stored under its logical name
+    # (the pre-mapping layout, bit-compatible with old logs). All
+    # FILE-LEVEL metadata (zone-map stats, nullCounts, bloom bitmaps,
+    # parquet column names, CDC files) is keyed PHYSICAL; everything
+    # user-facing (schema, statsColumns, bloomSpec columns, CHECK
+    # exprs, predicates) is LOGICAL, translated at the boundary.
+    column_mapping: dict = field(default_factory=dict)
+    # physical names of DROPPED columns — retired forever, so a later
+    # schema evolution adding a same-named logical column gets a fresh
+    # generated physical name instead of resurrecting old file data
+    retired_physical: list = field(default_factory=list)
+
+    # -- logical <-> physical boundary helpers -------------------------
+
+    def phys(self, logical: str) -> str:
+        """Physical parquet name of a logical column."""
+        return self.column_mapping.get(logical, logical)
+
+    def physical_schema(self) -> T.StructType:
+        """The snapshot schema with every field under its PHYSICAL
+        name — what the parquet files actually contain."""
+        if not self.column_mapping:
+            return self.schema
+        return T.StructType([
+            T.StructField(self.phys(f.name), f.dataType, f.nullable)
+            for f in self.schema.fields
+        ])
+
+    def to_physical(self, df: DataFrame) -> DataFrame:
+        """Rename a logical-named frame to physical names for writing.
+        One simultaneous select (not sequential renames): a rename
+        CHAIN can map some logical name onto another column's retired
+        spelling, which sequential renaming would collide on."""
+        if not self.column_mapping:
+            return df
+        return df.select(
+            *[F.col(c).alias(self.column_mapping.get(c, c)) for c in df.columns]
+        )
+
+    def to_logical(self, df: DataFrame, extra: list[str] = ()) -> DataFrame:
+        """Inverse of :meth:`to_physical` for frames read back from
+        parquet; ``extra`` names pass-through columns (``__file``,
+        ``_change_type``, ...) that are not part of the mapping."""
+        if not self.column_mapping:
+            return df
+        inv = {p: l for l, p in self.column_mapping.items()}
+        return df.select(
+            *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
+        )
 
 
 class TxTable:
@@ -246,6 +300,10 @@ class TxTable:
                     snap.check_constraints = dict(
                         md.get("checkConstraints", {})
                     )
+                    snap.column_mapping = dict(md.get("columnMapping", {}))
+                    snap.retired_physical = list(
+                        md.get("retiredPhysical", [])
+                    )
                 elif "add" in action:
                     a = action["add"]
                     meta = {
@@ -292,6 +350,8 @@ class TxTable:
             snap.txns = dict(state.get("txns", {}))
             snap.cdc_enabled = bool(state.get("changeDataFeed", False))
             snap.check_constraints = dict(state.get("checkConstraints", {}))
+            snap.column_mapping = dict(state.get("columnMapping", {}))
+            snap.retired_physical = list(state.get("retiredPhysical", []))
             snap.version = cps[-1]
             start = cps[-1] + 1
         have = set(vs)
@@ -340,6 +400,8 @@ class TxTable:
                 "txns": snap.txns,
                 "changeDataFeed": snap.cdc_enabled,
                 "checkConstraints": snap.check_constraints,
+                "columnMapping": snap.column_mapping,
+                "retiredPhysical": snap.retired_physical,
             }
             tmp = os.path.join(self.log, f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
@@ -415,6 +477,11 @@ class TxTable:
         set — same trust model as Delta's compile-time partition
         predicate); MERGE derives it from the source's key range."""
         predicate_read = op in ("DELETE", "UPDATE", "MERGE")
+        if read_interval is not None:
+            # interleaved add-actions key their zone maps by PHYSICAL
+            # name; the caller declared the interval in logical terms
+            _c, _lo, _hi = read_interval
+            read_interval = (snap.phys(_c), _lo, _hi)
         v = snap.version + 1
         for _ in range(retries):
             ci = _commit_info(op, v)
@@ -482,6 +549,7 @@ class TxTable:
         df: DataFrame,
         stats_columns: list[str],
         bloom_spec: dict | None = None,
+        mapping: dict | None = None,
     ) -> list[dict]:
         """Write ``df`` as new immutable parquet files in the table
         root and return their add-actions. Stats (numRecords + min/max
@@ -489,7 +557,24 @@ class TxTable:
         ``input_file_name`` — no per-file jobs. When the table carries
         a ``bloom_spec``, one ADDITIONAL map-combined pass packs
         per-file Bloom bitmaps for the spec'd columns (all columns in
-        the same job)."""
+        the same job).
+
+        ``df``, ``stats_columns`` and ``bloom_spec`` arrive LOGICAL;
+        with a non-empty column ``mapping`` the frame is renamed to
+        physical before writing and every file-level stat/bloom key in
+        the returned add-actions is PHYSICAL (the file-metadata
+        invariant — see Snapshot.column_mapping)."""
+        mapping = mapping or {}
+        if mapping:
+            df = df.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+            )
+            stats_columns = [mapping.get(c, c) for c in stats_columns]
+            if bloom_spec:
+                bloom_spec = dict(
+                    bloom_spec,
+                    columns=[mapping.get(c, c) for c in bloom_spec["columns"]],
+                )
         staging = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         moved = []
@@ -710,8 +795,12 @@ class TxTable:
         if any(snap.files.get(p, {}).get("dv") for p in use):
             # merge-on-read: mask deletion-vector positions
             return self._read_snapshot_meta(snap, use).drop("__file", "__pos")
-        return self.spark.read.schema(snap.schema).parquet(
-            *[os.path.join(self.path, p) for p in use]
+        # scan under PHYSICAL names (what the files contain), surface
+        # LOGICAL ones — a no-op select when the table is unmapped
+        return snap.to_logical(
+            self.spark.read.schema(snap.physical_schema()).parquet(
+                *[os.path.join(self.path, p) for p in use]
+            )
         )
 
     def _read_snapshot_meta(self, snap: Snapshot, paths: list[str] | None = None) -> DataFrame:
@@ -735,15 +824,17 @@ class TxTable:
         )
         if not use:
             return self.spark.createDataFrame([], meta_schema)
-        df = self.spark.read.schema(snap.schema).parquet(
-            *[os.path.join(self.path, p) for p in use]
-        ).select(
-            "*",
-            # substring_index, not split: no per-row array allocation
-            F.substring_index(
-                F.col("_metadata.file_path"), "/", -1
-            ).alias("__file"),
-            F.col("_metadata.row_index").alias("__pos"),
+        df = snap.to_logical(
+            self.spark.read.schema(snap.physical_schema()).parquet(
+                *[os.path.join(self.path, p) for p in use]
+            ).select(
+                "*",
+                # substring_index, not split: no per-row array allocation
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/", -1
+                ).alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
         )
         by_sidecar: dict[str, list[str]] = {}
         for p in use:
@@ -785,7 +876,7 @@ class TxTable:
         os.rmdir(staging)
         return name
 
-    def _write_cdc(self, cdc: DataFrame) -> list[dict]:
+    def _write_cdc(self, cdc: DataFrame, mapping: dict | None = None) -> list[dict]:
         """Write writer-side CHANGE DATA FEED files (the public Delta
         CDF design: DML commits persist their classified change rows
         under ``_change_data/`` so CDC consumers never re-diff the
@@ -799,6 +890,13 @@ class TxTable:
         O(changed rows) spread across the cluster."""
         cdc_dir = os.path.join(self.path, CDC_DIR)
         os.makedirs(cdc_dir, exist_ok=True)
+        if mapping:
+            # change files share the file-metadata invariant: stored
+            # PHYSICAL (so they stay readable across later renames);
+            # _change_type is not a table column and passes through
+            cdc = cdc.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in cdc.columns]
+            )
         staging = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
         cdc.write.mode("overwrite").parquet(staging)
         moved = []
@@ -923,9 +1021,10 @@ class TxTable:
             raise ValueError(
                 f"{column!r} carries no zone-map stats (have {snap.stats_columns})"
             )
+        pcol = snap.phys(column)  # file stats are keyed physical
         keep = []
         for p, meta in snap.files.items():
-            mn, mx = meta["stats"].get(column, [None, None])
+            mn, mx = meta["stats"].get(pcol, [None, None])
             if mn is None or mx is None:  # stat-less file: cannot skip
                 keep.append(p)
             elif not (mx < lower or mn > upper):
@@ -965,9 +1064,10 @@ class TxTable:
         h1 = h % m
         h2 = ((h >> 28) % (1 << 28)) * 2 + 1
         pos = [(h1 + j * h2) % m for j in range(k)]
+        pcol = snap.phys(column)  # file bloom bitmaps are keyed physical
         keep = []
         for p, meta in snap.files.items():
-            words = (meta.get("bloom") or {}).get(column)
+            words = (meta.get("bloom") or {}).get(pcol)
             if words is None or all(
                 words[q // 32] >> (q % 32) & 1 for q in pos
             ):
@@ -1025,20 +1125,32 @@ class TxTable:
                     list(snap.schema.fields)
                     + [T.StructField(f.name, f.dataType, True) for f in new_cols]
                 )
+                # a new column's physical name defaults to its logical
+                # name UNLESS that spelling is already taken by some
+                # other column's physical storage or was retired by a
+                # DROP — then it gets a fresh generated name so old
+                # file data can never resurrect under the new column
+                used_phys = {
+                    snap.phys(f.name) for f in snap.schema.fields
+                } | set(snap.retired_physical)
+                mapping = dict(snap.column_mapping)
+                for f in new_cols:
+                    if f.name in used_phys:
+                        mapping[f.name] = f"col-{uuid.uuid4().hex[:12]}"
                 evolve.append(
-                    _metadata_action(
-                        widened, snap.stats_columns, snap.bloom_spec,
-                        change_data_feed=snap.cdc_enabled,
-                        check_constraints=snap.check_constraints,
+                    _snapshot_metadata_action(
+                        snap, schema=widened, column_mapping=mapping
                     )
                 )
                 snap.schema = widened
+                snap.column_mapping = mapping
             # align column order to the (possibly widened) table schema
             df = df.select(*[f.name for f in snap.schema.fields])
         self._check_schema(df, snap.schema)
         adds = self._write_files(
             _with_checks(df, snap.check_constraints),
             snap.stats_columns, snap.bloom_spec,
+            mapping=snap.column_mapping,
         )
         if evolve:
             # a schema-evolving append is READ-MODIFY-WRITE: its
@@ -1068,13 +1180,7 @@ class TxTable:
         target = self.snapshot(version)
         cur = self.snapshot()
         v = cur.version + 1
-        actions: list[dict] = [
-            _metadata_action(
-                target.schema, target.stats_columns, target.bloom_spec,
-                change_data_feed=target.cdc_enabled,
-                check_constraints=target.check_constraints,
-            )
-        ]
+        actions: list[dict] = [_snapshot_metadata_action(target)]
         # entry identity includes the deletion vector: a file present
         # in both versions but pointing at a different (or no) sidecar
         # must be re-pointed, not skipped
@@ -1124,11 +1230,7 @@ class TxTable:
         checks[name] = expr
         v = snap.version + 1
         actions = [
-            _metadata_action(
-                snap.schema, snap.stats_columns, snap.bloom_spec,
-                change_data_feed=snap.cdc_enabled,
-                check_constraints=checks,
-            ),
+            _snapshot_metadata_action(snap, check_constraints=checks),
             _commit_info("SET CONSTRAINTS", v),
         ]
         if not self._try_commit(v, actions):
@@ -1152,16 +1254,137 @@ class TxTable:
         }
         v = snap.version + 1
         actions = [
-            _metadata_action(
-                snap.schema, snap.stats_columns, snap.bloom_spec,
-                change_data_feed=snap.cdc_enabled,
-                check_constraints=checks,
-            ),
+            _snapshot_metadata_action(snap, check_constraints=checks),
             _commit_info("SET CONSTRAINTS", v),
         ]
         if not self._try_commit(v, actions):
             raise ConcurrentWriteError(
                 f"DROP CONSTRAINT conflicted at {self.path}"
+            )
+        self._maybe_checkpoint(v)
+        return v
+
+    # ------------------------------------------------------------------
+    # column mapping DDL (metadata-only — zero data files touched)
+    # ------------------------------------------------------------------
+
+    def _constraint_refs(self, snap: Snapshot, column: str) -> list[str]:
+        """CHECK constraints whose expression mentions ``column`` as a
+        bare identifier — conservative token match (a quoted string
+        literal containing the name also counts; renaming under it is
+        merely refused, never silently wrong)."""
+        import re as _re
+
+        pat = _re.compile(rf"\b{_re.escape(column)}\b")
+        return sorted(
+            name for name, expr in snap.check_constraints.items()
+            if pat.search(expr)
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (the
+        Delta column-mapping concept): the parquet files keep the
+        column's stable PHYSICAL name; only the logical schema and the
+        logical→physical mapping change — at 100 TB this is one JSON
+        log entry, not a table rewrite. Zone maps / blooms / CDC files
+        are keyed physical, so every stats-driven skip keeps working
+        across the rename, and time travel to pre-rename versions
+        reads back under the old logical name.
+
+        Refused when ``old`` is referenced by a CHECK constraint
+        (drop the constraint first, as Delta requires) or when ``new``
+        collides with a live logical column. Conflicts like any other
+        table redefinition: concurrent writers raise."""
+        snap = self.snapshot()
+        names = [f.name for f in snap.schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if not new.isidentifier():
+            raise ValueError(f"invalid column name {new!r}")
+        refs = self._constraint_refs(snap, old)
+        if refs:
+            raise ValueError(
+                f"cannot rename {old!r}: referenced by CHECK "
+                f"constraint(s) {refs} — drop them first"
+            )
+        mapping = dict(snap.column_mapping)
+        physical = mapping.pop(old, old)
+        if new != physical:
+            mapping[new] = physical
+        schema = T.StructType([
+            T.StructField(new if f.name == old else f.name,
+                          f.dataType, f.nullable)
+            for f in snap.schema.fields
+        ])
+        stats_columns = [new if c == old else c for c in snap.stats_columns]
+        bloom_spec = snap.bloom_spec
+        if bloom_spec:
+            bloom_spec = dict(
+                bloom_spec,
+                columns=[new if c == old else c for c in bloom_spec["columns"]],
+            )
+        v = snap.version + 1
+        actions = [
+            _snapshot_metadata_action(
+                snap, schema=schema, stats_columns=stats_columns,
+                bloom_spec=bloom_spec, column_mapping=mapping,
+            ),
+            _commit_info("RENAME COLUMN", v),
+        ]
+        if not self._try_commit(v, actions):
+            raise ConcurrentWriteError(
+                f"RENAME COLUMN conflicted at {self.path}"
+            )
+        self._maybe_checkpoint(v)
+        return v
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the
+        column vanishes from the logical schema; its bytes stay in the
+        immutable files (reclaimed only by a later OPTIMIZE rewrite,
+        the Delta trade). The physical name is RETIRED so a future
+        schema evolution re-adding the same logical name maps to a
+        fresh generated physical name — old file data can never
+        resurrect under the new column. Refused while a CHECK
+        constraint references the column, and for the table's last
+        column."""
+        snap = self.snapshot()
+        names = [f.name for f in snap.schema.fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r} (have {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the table's only column")
+        refs = self._constraint_refs(snap, name)
+        if refs:
+            raise ValueError(
+                f"cannot drop {name!r}: referenced by CHECK "
+                f"constraint(s) {refs} — drop them first"
+            )
+        mapping = dict(snap.column_mapping)
+        physical = mapping.pop(name, name)
+        retired = list(snap.retired_physical) + [physical]
+        schema = T.StructType(
+            [f for f in snap.schema.fields if f.name != name]
+        )
+        stats_columns = [c for c in snap.stats_columns if c != name]
+        bloom_spec = snap.bloom_spec
+        if bloom_spec:
+            cols = [c for c in bloom_spec["columns"] if c != name]
+            bloom_spec = dict(bloom_spec, columns=cols) if cols else {}
+        v = snap.version + 1
+        actions = [
+            _snapshot_metadata_action(
+                snap, schema=schema, stats_columns=stats_columns,
+                bloom_spec=bloom_spec, column_mapping=mapping,
+                retired_physical=retired,
+            ),
+            _commit_info("DROP COLUMN", v),
+        ]
+        if not self._try_commit(v, actions):
+            raise ConcurrentWriteError(
+                f"DROP COLUMN conflicted at {self.path}"
             )
         self._maybe_checkpoint(v)
         return v
@@ -1173,6 +1396,7 @@ class TxTable:
         adds = self._write_files(
             _with_checks(df, snap.check_constraints),
             snap.stats_columns, snap.bloom_spec,
+            mapping=snap.column_mapping,
         )
         v = snap.version + 1
         actions = [{"remove": {"path": p}} for p in snap.files]
@@ -1277,7 +1501,8 @@ class TxTable:
                     ~F.coalesce(predicate, F.lit(False))
                 ).drop("__file", "__pos")
                 adds = self._write_files(
-                    keep_rows, snap.stats_columns, snap.bloom_spec
+                    keep_rows, snap.stats_columns, snap.bloom_spec,
+                    mapping=snap.column_mapping,
                 )
                 actions = [{"remove": {"path": p}} for p in affected] + adds
             if snap.cdc_enabled:
@@ -1287,7 +1512,8 @@ class TxTable:
                     self._read_snapshot_meta(snap, affected)
                     .filter(predicate)
                     .drop("__file", "__pos")
-                    .withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_change_type", F.lit("delete")),
+                    mapping=snap.column_mapping,
                 )
             return self._commit_rmw(
                 snap, actions, "DELETE", set(affected),
@@ -1385,6 +1611,7 @@ class TxTable:
                 adds = self._write_files(
                     _with_checks(updated, snap.check_constraints),
                     snap.stats_columns, snap.bloom_spec,
+                    mapping=snap.column_mapping,
                 )
                 actions = []
                 for p in affected:
@@ -1423,11 +1650,13 @@ class TxTable:
                 adds = self._write_files(
                     _with_checks(rewritten, snap.check_constraints),
                     snap.stats_columns, snap.bloom_spec,
+                    mapping=snap.column_mapping,
                 )
                 actions = [{"remove": {"path": p}} for p in affected] + adds
             if snap.cdc_enabled:
                 actions += self._write_cdc(
-                    self._update_cdc_rows(snap, hits, assignments)
+                    self._update_cdc_rows(snap, hits, assignments),
+                    mapping=snap.column_mapping,
                 )
             return self._commit_rmw(
                 snap, actions, "UPDATE", set(affected),
@@ -1471,6 +1700,7 @@ class TxTable:
         adds = self._write_files(
             _with_checks(merged, snap.check_constraints),
             snap.stats_columns, snap.bloom_spec,
+            mapping=snap.column_mapping,
         )
         actions = [{"remove": {"path": p}} for p in sorted(affected)]
         actions += adds
@@ -1478,7 +1708,8 @@ class TxTable:
             actions += self._write_cdc(
                 self._merge_cdc_rows(
                     snap, base, source, keys, op_col, delete_op
-                )
+                ),
+                mapping=snap.column_mapping,
             )
         # MERGE's read scope is exactly the source's key set, so when
         # the (single) key carries zone maps the conflict check can
@@ -1542,9 +1773,10 @@ class TxTable:
         if where is not None:
             self._check_read_interval(snap, where)
             col, lo, hi = where
+            pcol = snap.phys(col)
             picked = {}
             for p, m in snap.files.items():
-                mn, mx = (m.get("stats") or {}).get(col, [None, None])
+                mn, mx = (m.get("stats") or {}).get(pcol, [None, None])
                 if mn is None or mx is None or not (mx < lo or mn > hi):
                     picked[p] = m
             snap = Snapshot(
@@ -1553,6 +1785,8 @@ class TxTable:
                 bloom_spec=snap.bloom_spec, files=picked,
                 txns=snap.txns, cdc_enabled=snap.cdc_enabled,
                 check_constraints=snap.check_constraints,
+                column_mapping=snap.column_mapping,
+                retired_physical=snap.retired_physical,
             )
         if not snap.files:
             return snap.version
@@ -1576,7 +1810,8 @@ class TxTable:
             )
         else:
             df = df.coalesce(n_out)
-        adds = self._write_files(df, snap.stats_columns, snap.bloom_spec)
+        adds = self._write_files(df, snap.stats_columns, snap.bloom_spec,
+                                 mapping=snap.column_mapping)
         actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
         actions += adds
         # file-level op: rebases over blind appends and file-disjoint
@@ -1648,6 +1883,7 @@ class TxTable:
         adds = self._write_files(
             _with_checks(df, snap.check_constraints),
             snap.stats_columns, snap.bloom_spec,
+            mapping=snap.column_mapping,
         )
         txn = {"txn": {"appId": app_id, "epoch": epoch}}
         for _ in range(_retries):
@@ -1712,15 +1948,28 @@ class TxTable:
         added = sorted(
             p for p, m in s1.files.items() if _differs(m, s0.files.get(p))
         )
-        old = self._read_snapshot(s0, removed)
-        new = self._read_snapshot(s1, added)
+        # Align the two sides by PHYSICAL column identity: a RENAME
+        # COLUMN between the versions keeps the physical name stable,
+        # so diffing in physical space makes renamed columns line up
+        # (and the rename itself, touching no files, yields an empty
+        # feed). Output relabels to the END version's logical names
+        # (s0-only columns keep their s0 names). For unmapped tables
+        # every step below is the identity, i.e. the original
+        # name-union behavior.
+        old = s0.to_physical(self._read_snapshot(s0, removed))
+        new = s1.to_physical(self._read_snapshot(s1, added))
+        keys = [s1.phys(k) for k in keys]
+        relabel = {p: l for l, p in s0.column_mapping.items()}
+        relabel.update({p: l for l, p in s1.column_mapping.items()})
         # the window may SPAN a schema evolution (or a restore across
         # one): align both sides to the union of the two schemas,
         # NULL-filling the columns a side predates — a row whose only
         # difference is an evolved-in NULL column still cancels.
-        union_fields: list[T.StructField] = list(s1.schema.fields)
+        union_fields: list[T.StructField] = list(s1.physical_schema().fields)
         have = {f.name for f in union_fields}
-        union_fields += [f for f in s0.schema.fields if f.name not in have]
+        union_fields += [
+            f for f in s0.physical_schema().fields if f.name not in have
+        ]
 
         def _align(df: DataFrame) -> DataFrame:
             present = {f.name for f in df.schema.fields}
@@ -1750,7 +1999,12 @@ class TxTable:
         )
         pre = upd.select(*keys, "__o.*", F.lit("update_preimage").alias("_change_type"))
         post = upd.select(*keys, "__n.*", F.lit("update_postimage").alias("_change_type"))
-        return ins.unionByName(del_).unionByName(pre).unionByName(post)
+        out = ins.unionByName(del_).unionByName(pre).unionByName(post)
+        if relabel:
+            out = out.select(
+                *[F.col(c).alias(relabel.get(c, c)) for c in out.columns]
+            )
+        return out
 
     def expire_log(self, before_version: int | None = None) -> list[str]:
         """Log retention: delete commit files (and checkpoints)
@@ -1861,6 +2115,8 @@ def _metadata_action(
     bloom_spec: dict,
     change_data_feed: bool = False,
     check_constraints: dict | None = None,
+    column_mapping: dict | None = None,
+    retired_physical: list | None = None,
 ) -> dict:
     md = {
         "schemaJson": json.dumps(schema.jsonValue()),
@@ -1872,7 +2128,34 @@ def _metadata_action(
         md["changeDataFeed"] = True
     if check_constraints:
         md["checkConstraints"] = dict(check_constraints)
+    # a metaData action REPLACES table metadata wholesale (the Delta
+    # rule), so every emitter must thread the live mapping through or
+    # it would silently un-map the table — `_snapshot_metadata_action`
+    # is the safe spelling for commits that keep it unchanged
+    if column_mapping:
+        md["columnMapping"] = dict(column_mapping)
+    if retired_physical:
+        md["retiredPhysical"] = list(retired_physical)
     return {"metaData": md}
+
+
+def _snapshot_metadata_action(
+    snap: Snapshot, schema: T.StructType | None = None, **overrides
+) -> dict:
+    """metaData action carrying ``snap``'s full table metadata
+    (optionally with a replacement schema / field overrides) — the
+    one safe way to emit metadata from a commit that only changes
+    PART of it."""
+    kw = dict(
+        stats_columns=snap.stats_columns,
+        bloom_spec=snap.bloom_spec,
+        change_data_feed=snap.cdc_enabled,
+        check_constraints=snap.check_constraints,
+        column_mapping=snap.column_mapping,
+        retired_physical=snap.retired_physical,
+    )
+    kw.update(overrides)
+    return _metadata_action(schema if schema is not None else snap.schema, **kw)
 
 
 def _with_checks(df: DataFrame, checks: dict) -> DataFrame:

@@ -1236,3 +1236,154 @@ def test_appends_disjoint_edge_cases():
     assert _appends_disjoint(
         [{"commitInfo": {"operation": "APPEND"}}, add(100, 200)], iv
     )
+
+
+# ---------------------------------------------------------------------------
+# Column mapping (r8): metadata-only RENAME / DROP COLUMN
+# ---------------------------------------------------------------------------
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    p = str(tmp_path / "cm1")
+    t = TxTable.create(spark, p, _mk(spark, 0, 50), stats_columns=["k", "v"])
+    files_before = set(t.snapshot().files)
+    t.rename_column("v", "val")
+    snap = t.snapshot()
+    assert set(snap.files) == files_before          # zero files touched
+    assert [f.name for f in snap.schema.fields] == ["k", "val"]
+    assert snap.column_mapping == {"val": "v"}      # physical name stable
+    got = t.read()
+    assert got.columns == ["k", "val"]
+    assert _rows(got) == _rows(_mk(spark, 0, 50))
+    # stats follow the rename: zone-map pruning works on the NEW name
+    assert t.read_pruned("val", 10, 19).count() == 10
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("v", "x")                   # old name is gone
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("val", "k")
+    # time travel reads back under the OLD logical name
+    assert t.read(version=0).columns == ["k", "v"]
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["CREATE", "RENAME COLUMN"]
+
+
+def test_rename_then_write_paths_and_checkpoint(spark, tmp_path):
+    p = str(tmp_path / "cm2")
+    t = TxTable.create(spark, p, _mk(spark, 0, 30), stats_columns=["k"])
+    t.rename_column("v", "val")
+    new = spark.range(30, 40).select(
+        F.col("id").alias("k"), F.col("id").cast("long").alias("val")
+    )
+    t.append(new)                                   # physical files under old name
+    assert t.read().count() == 40
+    t.update(F.col("k") == 3, {"val": F.lit(999)})
+    assert t.read().filter(F.col("k") == 3).first()["val"] == 999
+    t.delete(F.col("val") == 999)
+    assert t.read().count() == 39
+    # enough commits to cross a checkpoint; the mapping must survive
+    for i in range(CHECKPOINT_INTERVAL + 1):
+        t.append(
+            spark.range(100 + i, 101 + i).select(
+                F.col("id").alias("k"), F.col("id").cast("long").alias("val")
+            )
+        )
+    reloaded = TxTable(spark, p).snapshot()
+    assert reloaded.column_mapping == {"val": "v"}
+    assert reloaded.schema.fieldNames() == ["k", "val"]
+
+
+def test_drop_column_retires_physical_name(spark, tmp_path):
+    p = str(tmp_path / "cm3")
+    t = TxTable.create(spark, p, _mk(spark, 0, 20), stats_columns=["k", "v"])
+    t.drop_column("v")
+    snap = t.snapshot()
+    assert snap.schema.fieldNames() == ["k"]
+    assert snap.retired_physical == ["v"]
+    assert snap.stats_columns == ["k"]              # dropped from the spec
+    assert t.read().columns == ["k"]
+    # re-adding the same logical name maps to a FRESH physical name:
+    # the old files' 'v' bytes must never resurrect under the new column
+    t.append(
+        spark.range(20, 25).select(
+            F.col("id").alias("k"), F.lit(7).cast("long").alias("v")
+        ),
+        merge_schema=True,
+    )
+    snap2 = t.snapshot()
+    assert snap2.column_mapping["v"].startswith("col-")
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[0] is None and got[20] == 7
+    with pytest.raises(ValueError, match="only column"):
+        tx = TxTable.create(
+            spark, str(tmp_path / "cm3b"),
+            spark.range(3).select(F.col("id").alias("a")),
+        )
+        tx.drop_column("a")
+
+
+def test_rename_refused_under_check_constraint(spark, tmp_path):
+    p = str(tmp_path / "cm4")
+    t = TxTable.create(
+        spark, p, _mk(spark, 0, 10),
+        check_constraints={"v_pos": "v >= 0"},
+    )
+    with pytest.raises(ValueError, match="CHECK"):
+        t.rename_column("v", "val")
+    with pytest.raises(ValueError, match="CHECK"):
+        t.drop_column("v")
+    t.drop_check_constraint("v_pos")
+    t.rename_column("v", "val")                     # now allowed
+    assert t.read().columns == ["k", "val"]
+
+
+def test_change_feed_spans_rename_via_physical_identity(spark, tmp_path):
+    p = str(tmp_path / "cm5")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10))     # v0
+    t.rename_column("v", "val")                         # v1 (no files)
+    t.append(
+        spark.range(10, 12).select(
+            F.col("id").alias("k"), F.col("id").cast("long").alias("val")
+        )
+    )                                                   # v2
+    # the rename alone contributes nothing; the feed shows the insert
+    # under the END version's logical name
+    feed = t.change_feed("k", v_from=0).collect()
+    assert {r["_change_type"] for r in feed} == {"insert"}
+    assert sorted(r["k"] for r in feed) == [10, 11]
+    assert "val" in feed[0].asDict()
+    # a window ending BEFORE the rename keeps the old logical name
+    assert t.change_feed("k", v_from=0, v_to=0).count() == 0
+
+
+def test_bloom_skipping_survives_rename(spark, tmp_path):
+    p = str(tmp_path / "cm6")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("tag")
+    ).repartition(4)
+    t = TxTable.create(spark, p, base, bloom_columns=["tag"])
+    t.rename_column("tag", "label")
+    keep = t.bloom_keep_files("label", "42")
+    assert 1 <= len(keep) < len(t.snapshot().files)
+    got = t.read_point("label", "42")
+    assert got.count() == 1 and got.first()["k"] == 42
+
+
+def test_batch_datasource_reads_renamed_table(spark, tmp_path):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txbatch import (
+        TxTableBatchSource,
+    )
+
+    p = str(tmp_path / "cm7")
+    t = TxTable.create(spark, p, _mk(spark, 0, 25), stats_columns=["v"])
+    t.rename_column("v", "val")
+    t.append(
+        spark.range(25, 30).select(
+            F.col("id").alias("k"), F.col("id").cast("long").alias("val")
+        )
+    )
+    spark.dataSource.register(TxTableBatchSource)
+    got = spark.read.format("txtable").load(p)
+    assert got.columns == ["k", "val"]
+    assert got.count() == 30
+    # zone-map pushdown still prunes on the renamed column
+    assert got.filter(F.col("val") >= 25).count() == 5
