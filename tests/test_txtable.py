@@ -1387,3 +1387,26 @@ def test_batch_datasource_reads_renamed_table(spark, tmp_path):
     assert got.count() == 30
     # zone-map pushdown still prunes on the renamed column
     assert got.filter(F.col("val") >= 25).count() == 5
+
+
+def test_optimize_reclaims_dropped_column_bytes(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "cm8")
+    t = TxTable.create(spark, p, _mk(spark, 0, 40), stats_columns=["k"])
+    t.rename_column("v", "val")
+    t.drop_column("val")
+    # files still physically carry 'v' (metadata-only drop)...
+    snap = t.snapshot()
+    assert all(
+        "v" in pq.read_schema(os.path.join(p, f)).names
+        for f in snap.files
+    )
+    # ...until OPTIMIZE rewrites through the current logical schema
+    t.optimize(target_file_rows=1000)
+    snap2 = t.snapshot()
+    assert all(
+        pq.read_schema(os.path.join(p, f)).names == ["k"]
+        for f in snap2.files
+    )
+    assert _rows(t.read()) == [(i,) for i in range(40)]

@@ -101,3 +101,77 @@ def test_random_commit_sequences_match_model(spark, tmp_path, seed):
     t.vacuum(min_age_seconds=0)
     for v, st in states.items():
         assert _table_rows(t, version=v) == set(st.items()), f"post-vacuum v{v}"
+
+
+@pytest.mark.parametrize("seed", [11, 43])
+def test_random_commit_sequences_with_renames_match_model(spark, tmp_path, seed):
+    """Model check with metadata-only RENAME COLUMN mixed into the
+    history: every operation goes through the CURRENT logical name,
+    every recorded version must time-travel back under the name it
+    had THEN (metaData replay), and RESTORE must revive the target
+    version's name+mapping along with its rows."""
+    rng = random.Random(seed)
+    p = str(tmp_path / f"prop_ren_{seed}")
+
+    def mk(pairs, vname):
+        return spark.createDataFrame(
+            [(int(k), int(v)) for k, v in pairs], f"k long, {vname} long"
+        ).coalesce(1)
+
+    def rows_at(version, vname):
+        return {
+            (r["k"], r[vname]) for r in t.read(version).collect()
+        }
+
+    model: dict[int, int] = {k: k for k in range(20)}
+    vname = "v"
+    n_renames = 0
+    t = TxTable.create(spark, p, mk(model.items(), vname), stats_columns=["k"])
+    states = {t.latest_version(): (dict(model), vname)}
+
+    for _ in range(7):
+        op = rng.choice(
+            ["append", "delete", "update", "rename", "rename", "restore"]
+        )
+        if op == "append":
+            base = rng.randrange(100, 10_000)
+            rows = {base + i: rng.randrange(1000) for i in range(rng.randrange(1, 6))}
+            rows = {k: v for k, v in rows.items() if k not in model}
+            if not rows:
+                continue
+            t.append(mk(rows.items(), vname))
+            model.update(rows)
+        elif op == "delete":
+            cut = rng.randrange(0, 5000)
+            t.delete(
+                F.col("k") < cut,
+                strategy=rng.choice(["cow", "mor", "auto"]),
+            )
+            model = {k: v for k, v in model.items() if not k < cut}
+        elif op == "update":
+            cut = rng.randrange(0, 5000)
+            delta = rng.randrange(1, 100)
+            t.update(F.col(vname).isNotNull() & (F.col("k") < cut),
+                     {vname: F.col(vname) + delta})
+            model = {
+                k: (v + delta if k < cut else v) for k, v in model.items()
+            }
+        elif op == "rename":
+            n_renames += 1
+            new = f"v{n_renames}"
+            t.rename_column(vname, new)
+            vname = new
+        elif op == "restore":
+            target = rng.choice(sorted(states))
+            t.restore(target)
+            model, vname = dict(states[target][0]), states[target][1]
+        states[t.latest_version()] = (dict(model), vname)
+        assert rows_at(None, vname) == set(model.items()), f"after {op}"
+        assert t.read().columns == ["k", vname], f"columns after {op}"
+
+    for v, (st, name) in states.items():
+        assert t.read(version=v).columns == ["k", name], f"v{v} name"
+        assert rows_at(v, name) == set(st.items()), f"version {v}"
+    t.vacuum(min_age_seconds=0)
+    for v, (st, name) in states.items():
+        assert rows_at(v, name) == set(st.items()), f"post-vacuum v{v}"
