@@ -105,13 +105,30 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partial re-aggregation, not native CUBE: count/sum decompose, so
+    # the finest groupBy scans the data ONCE and the three coarser
+    # tiers fold its ~15-row result — native CUBE's Expand materializes
+    # 4× every input row before aggregating, the one RISING ratio in
+    # SCALE.md's r8 panel (0.57 → 0.39 s at sf0.1, slope = plain
+    # groupBy). Sums stay DECIMAL until the final round/cast so the
+    # re-aggregated tiers are bit-identical to the single-pass answer.
+    from .functions.scalar import dec2
+
     orders = read_testdata(spark, sf_dir, "orders")
-    return ag.cube_agg(
+    return ag.cube_from_partials(
         orders,
         keys=["o_orderstatus", "o_orderpriority"],
-        aggs={
+        partials={
             "n_orders": F.count(F.lit(1)),
-            "sum_price": money_sum("o_totalprice"),
+            "__sum_dec": F.sum(dec2("o_totalprice")),
+        },
+        reaggs={
+            "n_orders": F.sum("n_orders"),
+            "__sum_dec": F.sum("__sum_dec").cast("decimal(28,2)"),
+        },
+        finalize={
+            "n_orders": F.col("n_orders"),
+            "sum_price": F.round("__sum_dec", 2).cast("double"),
         },
     )
 

@@ -194,9 +194,11 @@ def main() -> None:
         ),
         (
             "cube_orders_status_priority",
-            "cube via Expand (single scan)",
-            lambda p: "Expand" in p,
-            "grouping sets expand map-side; input scanned once",
+            "cube from partials (no Expand; scan x1)",
+            lambda p: "Expand" not in p,
+            "finest groupBy scans data once; coarser tiers re-aggregate "
+            "its tiny result — native CUBE's Expand materializes 2^n "
+            "copies of every row (r8: the one RISING panel ratio)",
         ),
         (
             "topk_orders",

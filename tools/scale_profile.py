@@ -36,6 +36,11 @@ QUERIES = [
     # r8 (VERDICT r7 #4): the last material >2x with no falling-ratio
     # evidence — the two-shuffle skew-resistant count-distinct cascade
     "salted_count_distinct_orders",
+    # r8: the two ratios that joined the material->2x list in the r8
+    # COMPARE — CUBE's 4x grouping-set expansion over one scan, and
+    # the color-JPEG Arrow-crossing decode
+    "cube_orders_status_priority",
+    "multimodal_decode_jpeg_color",
     "dedup_exact_fingerprint",
     "minhash_lsh_candidates",
     "substring_span_dedup_docs",
