@@ -71,7 +71,10 @@ from pyspark.sql.datasource import (
 )
 
 from .txtable import (
+    READER_VERSION,
+    WRITER_VERSION,
     ConcurrentWriteError,
+    ProtocolError,
     SchemaMismatchError,
     TxTable,
     _commit_info,
@@ -299,6 +302,12 @@ class TxTableBatchWriter(DataSourceArrowWriter):
         t = TxTable(None, self.table_path)
         if t.exists():
             snap = t.snapshot()
+            if snap.protocol.get("minWriterVersion", 1) > WRITER_VERSION:
+                raise ProtocolError(
+                    f"table at {self.table_path} requires writer version "
+                    f"{snap.protocol['minWriterVersion']}; this library "
+                    f"implements {WRITER_VERSION}"
+                )
             got = [(f.name, f.dataType) for f in schema.fields]
             want = [(f.name, f.dataType) for f in snap.schema.fields]
             if got != want:
@@ -409,7 +418,15 @@ class TxTableBatchWriter(DataSourceArrowWriter):
                 a["nullCounts"] = m.null_counts
             adds.append({"add": a})
         if self.create:
-            actions = [_metadata_action(self.schema, self.stats_columns, {})]
+            actions = [
+                {
+                    "protocol": {
+                        "minReaderVersion": READER_VERSION,
+                        "minWriterVersion": WRITER_VERSION,
+                    }
+                },
+                _metadata_action(self.schema, self.stats_columns, {}),
+            ]
             actions += adds + [_commit_info("CREATE", 0)]
             if not t._try_commit(0, actions):
                 raise ConcurrentWriteError(

@@ -147,6 +147,26 @@ class SchemaMismatchError(ValueError):
     """Incoming DataFrame schema differs from the table schema."""
 
 
+class ProtocolError(RuntimeError):
+    """The table's log requires a newer reader/writer than this
+    library implements — reading could silently misinterpret actions
+    (e.g. an unknown masking concept), writing could corrupt
+    invariants. Fail loudly instead (the Delta protocol-versioning
+    rule)."""
+
+
+# Protocol implemented by THIS library (the Delta minReaderVersion /
+# minWriterVersion concept): a table whose log declares a HIGHER
+# requirement must be refused, not half-understood — forward
+# compatibility is an explicit error, never a silent misread. Bump
+# reader when a change makes old readers return WRONG results (new
+# action kinds that affect visible rows); bump writer when old
+# writers would break new invariants. Logs with no protocol action
+# (pre-r8) are version-1 tables.
+READER_VERSION = 1
+WRITER_VERSION = 1
+
+
 def _version_path(log: str, v: int) -> str:
     return os.path.join(log, f"{v:0{_VERSION_DIGITS}d}.json")
 
@@ -198,6 +218,11 @@ class Snapshot:
     # schema evolution adding a same-named logical column gets a fresh
     # generated physical name instead of resurrecting old file data
     retired_physical: list = field(default_factory=list)
+    # protocol requirement declared by the log (Delta's
+    # minReaderVersion/minWriterVersion); absent action = version-1
+    protocol: dict = field(
+        default_factory=lambda: {"minReaderVersion": 1, "minWriterVersion": 1}
+    )
 
     # -- logical <-> physical boundary helpers -------------------------
 
@@ -325,6 +350,17 @@ class TxTable:
                     snap.txns[tx["appId"]] = max(
                         tx["epoch"], snap.txns.get(tx["appId"], -1)
                     )
+                elif "protocol" in action:
+                    snap.protocol = dict(action["protocol"])
+                    # refuse IMMEDIATELY: actions after an unreadable
+                    # protocol bump may carry concepts whose omission
+                    # silently changes visible rows
+                    if snap.protocol.get("minReaderVersion", 1) > READER_VERSION:
+                        raise ProtocolError(
+                            f"table at {self.path} requires reader version "
+                            f"{snap.protocol['minReaderVersion']}; this "
+                            f"library implements {READER_VERSION}"
+                        )
         snap.version = v
 
     def snapshot(self, version: int | None = None) -> Snapshot:
@@ -352,6 +388,18 @@ class TxTable:
             snap.check_constraints = dict(state.get("checkConstraints", {}))
             snap.column_mapping = dict(state.get("columnMapping", {}))
             snap.retired_physical = list(state.get("retiredPhysical", []))
+            snap.protocol = dict(
+                state.get(
+                    "protocol",
+                    {"minReaderVersion": 1, "minWriterVersion": 1},
+                )
+            )
+            if snap.protocol.get("minReaderVersion", 1) > READER_VERSION:
+                raise ProtocolError(
+                    f"table at {self.path} requires reader version "
+                    f"{snap.protocol['minReaderVersion']}; this library "
+                    f"implements {READER_VERSION}"
+                )
             snap.version = cps[-1]
             start = cps[-1] + 1
         have = set(vs)
@@ -402,6 +450,7 @@ class TxTable:
                 "checkConstraints": snap.check_constraints,
                 "columnMapping": snap.column_mapping,
                 "retiredPhysical": snap.retired_physical,
+                "protocol": snap.protocol,
             }
             tmp = os.path.join(self.log, f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
@@ -423,6 +472,16 @@ class TxTable:
             )
         if lo is None or hi is None:
             raise ValueError("read_interval bounds must be non-NULL")
+
+    def _assert_writable(self, snap: Snapshot) -> None:
+        """Refuse to write a table whose log demands a newer writer —
+        old writers could break invariants the new protocol added."""
+        if snap.protocol.get("minWriterVersion", 1) > WRITER_VERSION:
+            raise ProtocolError(
+                f"table at {self.path} requires writer version "
+                f"{snap.protocol['minWriterVersion']}; this library "
+                f"implements {WRITER_VERSION}"
+            )
 
     def _commit_rmw(
         self,
@@ -477,6 +536,7 @@ class TxTable:
         set — same trust model as Delta's compile-time partition
         predicate); MERGE derives it from the source's key range."""
         predicate_read = op in ("DELETE", "UPDATE", "MERGE")
+        self._assert_writable(snap)
         if read_interval is not None:
             # interleaved add-actions key their zone maps by PHYSICAL
             # name; the caller declared the interval in logical terms
@@ -734,11 +794,17 @@ class TxTable:
             # not the first append
             df.filter(F.expr(expr))
         actions = [
+            {
+                "protocol": {
+                    "minReaderVersion": READER_VERSION,
+                    "minWriterVersion": WRITER_VERSION,
+                }
+            },
             _metadata_action(
                 df.schema, stats_columns, bloom_spec,
                 change_data_feed=change_data_feed,
                 check_constraints=checks,
-            )
+            ),
         ]
         actions += t._write_files(
             _with_checks(df, checks), stats_columns, bloom_spec
@@ -748,14 +814,33 @@ class TxTable:
             raise ConcurrentWriteError(f"concurrent CREATE at {path}")
         return t
 
-    def version_as_of(self, timestamp_ms: int) -> int:
-        """Latest version whose commit timestamp is <= ``timestamp_ms``
-        (epoch milliseconds) — the TIMESTAMP AS OF resolution rule.
-        Driver-side walk of commitInfo entries only."""
-        best = None
+    def _monotonic_history(self) -> list[tuple[int, int]]:
+        """(version, effective_timestamp) pairs with timestamps CLAMPED
+        monotonically non-decreasing in version order (the Delta
+        in-commit-timestamp adjustment, applied at READ time): commit
+        wall-clocks come from whichever writer won the race, so clock
+        skew can stamp version N+1 EARLIER than N — resolving a
+        TIMESTAMP AS OF against raw stamps could then pick the LATER
+        version for an earlier time (time travel jumping forward).
+        Clamping ts_v = max(ts_v, ts_{v-1}) restores the invariant
+        time-ordering-by-version that both resolution rules assume;
+        raw stamps stay untouched in the log/history."""
+        out: list[tuple[int, int]] = []
+        prev: int | None = None
         for h in self.history():
-            if h["timestamp"] <= timestamp_ms:
-                best = h["version"]
+            ts = h["timestamp"] if prev is None else max(h["timestamp"], prev)
+            out.append((h["version"], ts))
+            prev = ts
+        return out
+
+    def version_as_of(self, timestamp_ms: int) -> int:
+        """Latest version whose (monotonized) commit timestamp is <=
+        ``timestamp_ms`` (epoch milliseconds) — the TIMESTAMP AS OF
+        resolution rule. Driver-side walk of commitInfo entries only."""
+        best = None
+        for v, ts in self._monotonic_history():
+            if ts <= timestamp_ms:
+                best = v
         if best is None:
             raise ValueError(
                 f"no commit at or before {timestamp_ms} at {self.path}"
@@ -763,15 +848,15 @@ class TxTable:
         return best
 
     def version_at_or_after(self, timestamp_ms: int) -> int:
-        """Earliest version whose commit timestamp is >= ``timestamp_ms``
-        — the streaming ``startingTimestamp`` resolution rule (start
-        from the first commit NOT yet seen at that wall-clock time).
-        Returns latest+1 when every commit predates the timestamp (an
-        empty stream until the next commit). Driver-side walk of
-        commitInfo entries only."""
-        for h in self.history():
-            if h["timestamp"] >= timestamp_ms:
-                return h["version"]
+        """Earliest version whose (monotonized) commit timestamp is >=
+        ``timestamp_ms`` — the streaming ``startingTimestamp``
+        resolution rule (start from the first commit NOT yet seen at
+        that wall-clock time). Returns latest+1 when every commit
+        predates the timestamp (an empty stream until the next
+        commit). Driver-side walk of commitInfo entries only."""
+        for v, ts in self._monotonic_history():
+            if ts >= timestamp_ms:
+                return v
         return self.latest_version() + 1
 
     def read(
@@ -1099,6 +1184,7 @@ class TxTable:
         retyping existing columns is still rejected (that would be a
         silent data loss / corruption path, not evolution)."""
         snap = self.snapshot()
+        self._assert_writable(snap)
         evolve: list[dict] = []
         if merge_schema:
             have = {f.name: f.dataType for f in snap.schema.fields}
@@ -1179,6 +1265,7 @@ class TxTable:
         restore commit just re-points the live set)."""
         target = self.snapshot(version)
         cur = self.snapshot()
+        self._assert_writable(cur)
         v = cur.version + 1
         actions: list[dict] = [_snapshot_metadata_action(target)]
         # entry identity includes the deletion vector: a file present
@@ -1216,6 +1303,7 @@ class TxTable:
         read-modify-write loser sees a table redefinition and raises
         rather than committing rows validated against the old rules."""
         snap = self.snapshot()
+        self._assert_writable(snap)
         if name in snap.check_constraints:
             raise ValueError(f"constraint {name!r} already exists")
         n_bad = self.read().filter(
@@ -1244,6 +1332,7 @@ class TxTable:
         """ALTER TABLE DROP CONSTRAINT: metadata-only commit removing
         the named constraint; unknown names raise."""
         snap = self.snapshot()
+        self._assert_writable(snap)
         if name not in snap.check_constraints:
             raise ValueError(
                 f"no CHECK constraint {name!r} "
@@ -1296,6 +1385,7 @@ class TxTable:
         collides with a live logical column. Conflicts like any other
         table redefinition: concurrent writers raise."""
         snap = self.snapshot()
+        self._assert_writable(snap)
         names = [f.name for f in snap.schema.fields]
         if old not in names:
             raise ValueError(f"no column {old!r} (have {names})")
@@ -1351,6 +1441,7 @@ class TxTable:
         constraint references the column, and for the table's last
         column."""
         snap = self.snapshot()
+        self._assert_writable(snap)
         names = [f.name for f in snap.schema.fields]
         if name not in names:
             raise ValueError(f"no column {name!r} (have {names})")
@@ -1392,6 +1483,7 @@ class TxTable:
     def overwrite(self, df: DataFrame) -> int:
         """Replace the whole table content in one commit."""
         snap = self.snapshot()
+        self._assert_writable(snap)
         self._check_schema(df, snap.schema)
         adds = self._write_files(
             _with_checks(df, snap.check_constraints),
@@ -1877,6 +1969,7 @@ class TxTable:
         advanced is therefore deduplicated when the engine replays it.
         Returns True if this call committed, False if skipped."""
         snap = self.snapshot()
+        self._assert_writable(snap)
         if epoch <= snap.txns.get(app_id, -1):
             return False
         self._check_schema(df, snap.schema)

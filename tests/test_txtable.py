@@ -147,8 +147,8 @@ def test_concurrent_append_rebase_and_conflicts(spark, tmp_path):
     orig = TxTable._write_files
     fired = {"done": False}
 
-    def racing(self, df, stats, bloom_spec=None):
-        adds = orig(self, df, stats, bloom_spec)
+    def racing(self, df, stats, bloom_spec=None, **kw):
+        adds = orig(self, df, stats, bloom_spec, **kw)
         if not fired["done"]:
             fired["done"] = True
             TxTable(spark, p).append(_mk(spark, 30, 35))
@@ -397,8 +397,8 @@ def test_schema_evolving_append_conflict_raises(spark, tmp_path):
     orig = TxTable._write_files
     fired = {"done": False}
 
-    def racing(self, df, stats, bloom_spec=None):
-        adds = orig(self, df, stats, bloom_spec)
+    def racing(self, df, stats, bloom_spec=None, **kw):
+        adds = orig(self, df, stats, bloom_spec, **kw)
         if not fired["done"]:
             fired["done"] = True
             TxTable(spark, p).append(_mk(spark, 50, 55))
@@ -1410,3 +1410,124 @@ def test_optimize_reclaims_dropped_column_bytes(spark, tmp_path):
         for f in snap2.files
     )
     assert _rows(t.read()) == [(i,) for i in range(40)]
+
+
+# ---------------------------------------------------------------------------
+# Protocol versioning + monotonic timestamp resolution (r8)
+# ---------------------------------------------------------------------------
+
+
+def _bump_protocol(p, min_reader, min_writer):
+    """Append a commit whose protocol action demands newer versions —
+    simulating a table written by a future library."""
+    import json
+
+    log = os.path.join(p, "_txlog")
+    vs = sorted(
+        int(n[:-5]) for n in os.listdir(log)
+        if n.endswith(".json") and not n.endswith(".checkpoint.json")
+    )
+    v = vs[-1] + 1
+    with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": min_reader, "minWriterVersion": min_writer,
+        }}) + "\n")
+        f.write(json.dumps({"commitInfo": {
+            "operation": "UPGRADE PROTOCOL", "version": v,
+            "timestamp": 9_999_999_999_999,
+        }}) + "\n")
+
+
+def test_protocol_action_written_and_version1_default(spark, tmp_path):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        READER_VERSION,
+        WRITER_VERSION,
+    )
+
+    p = str(tmp_path / "proto1")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10))
+    snap = t.snapshot()
+    assert snap.protocol == {
+        "minReaderVersion": READER_VERSION,
+        "minWriterVersion": WRITER_VERSION,
+    }
+    # pre-protocol logs (no action) read as version-1 tables: strip the
+    # protocol line from commit 0 and re-read
+    import json
+
+    f0 = os.path.join(p, "_txlog", f"{0:020d}.json")
+    lines = [
+        line for line in open(f0) if "protocol" not in json.loads(line)
+    ]
+    with open(f0, "w") as f:
+        f.writelines(lines)
+    assert TxTable(spark, p).snapshot().protocol["minReaderVersion"] == 1
+
+
+def test_future_reader_version_refuses_reads(spark, tmp_path):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        ProtocolError,
+    )
+
+    p = str(tmp_path / "proto2")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10))
+    _bump_protocol(p, min_reader=99, min_writer=99)
+    with pytest.raises(ProtocolError, match="reader version 99"):
+        t.read()
+    with pytest.raises(ProtocolError, match="reader version 99"):
+        t.snapshot()
+
+
+def test_future_writer_version_refuses_writes_allows_reads(spark, tmp_path):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        ProtocolError,
+    )
+
+    p = str(tmp_path / "proto3")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10))
+    _bump_protocol(p, min_reader=1, min_writer=99)
+    assert t.read().count() == 10            # reads stay fine
+    with pytest.raises(ProtocolError, match="writer version 99"):
+        t.append(_mk(spark, 10, 12))
+    with pytest.raises(ProtocolError, match="writer version 99"):
+        t.delete(F.col("k") < 2)
+    with pytest.raises(ProtocolError, match="writer version 99"):
+        t.rename_column("v", "val")
+    with pytest.raises(ProtocolError, match="writer version 99"):
+        t.overwrite(_mk(spark, 0, 5))
+
+
+def test_timestamp_travel_monotonizes_skewed_clocks(spark, tmp_path):
+    import json
+
+    p = str(tmp_path / "proto4")
+    t = TxTable.create(spark, p, _mk(spark, 0, 5))     # v0
+    t.append(_mk(spark, 5, 10))                        # v1
+    t.append(_mk(spark, 10, 15))                       # v2
+    log = os.path.join(p, "_txlog")
+
+    def set_ts(v, ts):
+        f = os.path.join(log, f"{v:020d}.json")
+        lines = []
+        for line in open(f):
+            a = json.loads(line)
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+            lines.append(json.dumps(a, sort_keys=True) + "\n")
+        with open(f, "w") as fh:
+            fh.writelines(lines)
+
+    # v1's writer had a FAST clock, v2's a slow one: raw stamps are
+    # 1000, 5000, 2000 — non-monotonic
+    set_ts(0, 1000)
+    set_ts(1, 5000)
+    set_ts(2, 2000)
+    # effective stamps monotonize to 1000, 5000, 5000: asking for
+    # t=3000 must resolve to v0 (the last state fully visible by then),
+    # never to the skew-stamped v2
+    assert t.version_as_of(3000) == 0
+    assert t.version_as_of(5000) == 2      # ties resolve to the latest
+    assert t.version_as_of(1000) == 0
+    # streaming start rule under the same skew
+    assert t.version_at_or_after(3000) == 1
+    assert t.version_at_or_after(6000) == 3  # nothing yet: latest+1
