@@ -1273,3 +1273,135 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA / whitening (round 8): dimensionality reduction for
+# embedding columns — the standard pre-step before clustering /
+# SemDeDup / ANN on high-dim vectors (and the whitening transform that
+# makes cosine structure isotropic). Spark-first shape, the same
+# allreduce pattern as the distributed k-means trainer above:
+#
+# - FIT in ONE corpus pass: executors stream Arrow batches through
+#   mapInPandas and reduce each PARTITION to (count, Σx, XᵀX) — a
+#   (dim+1)×dim block of doubles; only those partials cross to the
+#   driver (kilobytes per partition at any corpus size), are combined
+#   in deterministic partition order, and the driver eigendecomposes
+#   the dim×dim covariance (dim is model-sized: 64–4096; eigh of that
+#   is microseconds-to-ms). No shuffle at all.
+# - TRANSFORM map-side: (x−μ)Wᵀ as one BLAS matmul per Arrow batch,
+#   optional 1/√λ whitening. No shuffle, no driver data.
+#
+# Sign convention: each component's largest-|loading| coordinate is
+# made positive, so the fitted basis is deterministic (eigh returns
+# eigenvectors up to sign).
+# ---------------------------------------------------------------------------
+
+
+def pca_fit(
+    vectors: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> dict:
+    """Fit a PCA model over an embedding column in ONE distributed
+    pass (partial sufficient statistics, driver combine+eigh).
+    Returns {"mean": (dim,), "components": (k, dim),
+    "explained_variance": (k,)} — a model artifact of KBs."""
+    import pandas as pd  # executor-side import mirrors kernel use
+
+    partial_schema = "pid long, cnt double, xsum array<double>, xtx array<double>"
+
+    def partials(batches):
+        cnt = 0.0
+        xsum = None
+        xtx = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if xsum is None:
+                xsum = np.zeros(mat.shape[1])
+                xtx = np.zeros((mat.shape[1], mat.shape[1]))
+            cnt += len(mat)
+            xsum += mat.sum(axis=0)
+            xtx += mat.T @ mat
+        if xsum is None:
+            return
+        from pyspark import TaskContext
+
+        yield pd.DataFrame(
+            {
+                "pid": [TaskContext.get().partitionId()],
+                "cnt": [cnt],
+                "xsum": [xsum],
+                "xtx": [xtx.reshape(-1)],
+            }
+        )
+
+    agg = (
+        vectors.select(vec_col)
+        .mapInPandas(partials, partial_schema)
+        .toPandas()
+        .sort_values("pid", kind="mergesort")  # deterministic combine order
+    )
+    if not len(agg):
+        raise ValueError("pca_fit: empty input")
+    n = float(agg["cnt"].sum())
+    xsum = np.sum(np.stack(agg["xsum"].to_numpy()), axis=0)
+    d = len(xsum)
+    if dim is not None and dim != d:
+        raise ValueError(f"pca_fit: dim {d} != declared {dim}")
+    if k > d:
+        raise ValueError(f"pca_fit: k={k} > dim={d}")
+    if n < 2:
+        raise ValueError("pca_fit: need at least 2 rows")
+    xtx = np.sum(np.stack(agg["xtx"].to_numpy()), axis=0).reshape(d, d)
+    mean = xsum / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1.0)
+    evals, evecs = np.linalg.eigh((cov + cov.T) / 2.0)  # symmetrize
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, dim)
+    # deterministic sign: largest-|loading| coordinate positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_variance": np.maximum(evals[order], 0.0),
+    }
+
+
+def pca_transform(
+    vectors: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Project the embedding column onto the fitted components —
+    map-side, one BLAS matmul per Arrow batch, no shuffle. With
+    ``whiten=True`` each projected coordinate is scaled by 1/√λ
+    (unit-variance, isotropic output)."""
+    from pyspark.sql.functions import pandas_udf
+
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comps = np.asarray(model["components"], dtype=np.float64)
+    scale = (
+        1.0 / np.sqrt(np.maximum(model["explained_variance"], eps))
+        if whiten
+        else None
+    )
+
+    @pandas_udf("array<double>")
+    def project(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        out = (mat - mean) @ comps.T
+        if scale is not None:
+            out = out * scale
+        return pd.Series(list(out))
+
+    return vectors.withColumn(out_col, project(F.col(vec_col)))

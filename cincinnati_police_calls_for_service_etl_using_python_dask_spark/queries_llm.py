@@ -439,6 +439,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_pca_whiten", None)  # eigendecomposition: rows-only; numpy A/B in pytest
+def q_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed PCA fit (one corpus pass, partial XtX allreduce) +
+    # whitened projection (map-side matmul). See similarity.py:pca_fit.
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    model = sim.pca_fit(emb, k=8)
+    return sim.pca_transform(emb, model, whiten=True).select("vec_id", "pca")
+
+
 @register("ann_pq_topk", None)  # approximate: rows-only; recall + exact-encode A/B in pytest
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PQ tier: 8-byte codes (32× compression at dim=64), integer-ADC

@@ -138,6 +138,20 @@ _CASES = {
     "interleave_by_source": lambda s: sp.interleave_by_source(
         _docs(s).select("doc_id", F.lit("s").alias("source"))
     ),
+    # PQ/PCA (r8): the TRAINED artifacts cannot come from an empty
+    # corpus (train_pq/pca_fit raise, pinned in test_llm_ops) — the
+    # empty-input contract applies to the transform stages given a model
+    "pq_encode": lambda s: sim.pq_encode(
+        _emb(s), __import__("numpy").zeros((8, 16, 8))
+    ),
+    "pca_transform": lambda s: sim.pca_transform(
+        _emb(s),
+        {
+            "mean": __import__("numpy").zeros(64),
+            "components": __import__("numpy").eye(4, 64),
+            "explained_variance": __import__("numpy").ones(4),
+        },
+    ),
     "sessionize": lambda s: ao.sessionize(_events(s), key=["user_id"]),
     "user_event_gaps_native": lambda s: pe.user_event_gaps_native(_events(s)),
     "interpolate_daily": lambda s: _temporal_mod().interpolate_daily(

@@ -874,3 +874,54 @@ def test_int8_null_embedding_degrades_not_poisons(spark):
     hits = sim.int8_rerank_topk(corpus, queries, k=5, shortlist=10).collect()
     assert all(r["vec_id"] != 9_000_002 for r in hits)
     assert {r["query_id"] for r in hits} == {0, 1, 2}  # queries unaffected
+
+
+def test_pca_fit_matches_numpy_reference(spark):
+    import numpy as np
+
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    model = sim.pca_fit(emb, k=8)
+    assert model["components"].shape == (8, 64)
+    # independent reference: numpy covariance + eigh on collected rows
+    mat = np.stack(emb.toPandas()["embedding"].to_numpy()).astype(np.float64)
+    ref_mean = mat.mean(axis=0)
+    assert np.allclose(model["mean"], ref_mean, rtol=1e-9, atol=1e-12)
+    cov = np.cov(mat, rowvar=False)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:8]
+    assert np.allclose(model["explained_variance"], evals, rtol=1e-7)
+    # each fitted component must be (up to sign) an eigenvector:
+    # Cv = λv
+    for comp, lam in zip(model["components"], model["explained_variance"]):
+        assert np.allclose(cov @ comp, lam * comp, atol=1e-8)
+    # orthonormal basis, variance sorted descending
+    gram = model["components"] @ model["components"].T
+    assert np.allclose(gram, np.eye(8), atol=1e-10)
+    ev = model["explained_variance"]
+    assert all(ev[i] >= ev[i + 1] >= 0 for i in range(len(ev) - 1))
+
+
+def test_pca_transform_and_whitening(spark):
+    import numpy as np
+
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    model = sim.pca_fit(emb, k=4)
+    out = sim.pca_transform(emb, model, whiten=True).select("vec_id", "pca")
+    proj = np.stack(out.toPandas()["pca"].to_numpy())
+    assert proj.shape[1] == 4
+    # whitened projection: zero mean, unit variance per coordinate
+    assert np.allclose(proj.mean(axis=0), 0.0, atol=1e-9)
+    assert np.allclose(proj.var(axis=0, ddof=1), 1.0, rtol=1e-6)
+
+
+def test_pca_fit_deterministic_and_validates(spark):
+    import numpy as np
+
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    a = sim.pca_fit(emb, k=3)
+    b = sim.pca_fit(emb, k=3)
+    assert np.array_equal(a["components"], b["components"])
+    assert np.array_equal(a["mean"], b["mean"])
+    with pytest.raises(ValueError, match="k=99 > dim"):
+        sim.pca_fit(emb, k=99)
+    with pytest.raises(ValueError, match="at least 2"):
+        sim.pca_fit(emb.limit(1), k=2)
