@@ -1,0 +1,94 @@
+"""Graph operators: fixed-iteration PageRank over a DataFrame edge
+list — the ITERATIVE-ALGORITHM family, engineered to stay inside the
+driver's exact cross-engine oracle.
+
+Iterative jobs (PageRank, label propagation, connected components)
+are usually the poster child for "not SQL-expressible"; with a FIXED
+iteration count and INTEGER arithmetic they unroll into plain SQL
+exactly. This module's PageRank keeps every rank in integer
+micro-units and every update as integer floor ops:
+
+    contrib(v) = Σ_{u→v} rank(u) DIV outdeg(u)
+    rank'(v)   = scale·(den−num) DIV den  +  num·contrib(v) DIV den
+
+Integer sums are associative in any execution order, so — unlike the
+float spelling, where per-engine summation order flips last-ulp bits
+— Spark and DuckDB produce BIT-IDENTICAL ranks, and the whole
+iteration is value-hash-gated, not just rows-checked. The float
+PageRank is the limit scale→∞ of this one; at scale=10⁶ the ranks
+carry ~6 exact decimal digits, plenty for ordering/thresholding in a
+data-curation pipeline (e.g. ranking documents by citation graph).
+
+Scale shape per iteration: one groupBy(dst) shuffle over the edge
+list (the unavoidable message aggregation), with the rank table
+joined in by key — outdeg is precomputed once. N iterations = N
+shuffles over edges; ranks/outdeg stay (node, long) tables. No
+driver-side collection of anything data-sized.
+
+Reference note: the reference has no graph surface (app.py is a flat
+ETL); this extends the engine along BASELINE.json's
+training-data-pipeline axis (citation/link-graph document scoring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank_fixed"]
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer PageRank with a fixed iteration count.
+
+    ``edges`` is a DIRECTED edge list; a node's rank starts at
+    ``scale`` and updates as above. Nodes = distinct src ∪ dst.
+    Dangling nodes (no out-edges) simply leak their mass — callers
+    that need the classic redistribution should add reverse edges
+    (an undirected graph has no dangling nodes by construction).
+
+    Returns (node, rank long). Deterministic and bit-identical across
+    engines: every step is integer floor arithmetic.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = int(scale) * (damping_den - damping_num) // damping_den
+    ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                # SQL `div`: exact integer division — never a double in
+                # the loop, so no float-rounding reasoning is needed
+                F.expr("rank div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST({base} + ({damping_num} * coalesce(contrib, 0)) "
+                f"div {damping_den} AS BIGINT)"
+            ).alias("rank"),
+        )
+    return ranks

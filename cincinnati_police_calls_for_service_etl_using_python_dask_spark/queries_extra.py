@@ -853,3 +853,80 @@ def q_ann_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=8,  # probe every list => exhaustive => exact
         dim=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration integer PageRank (r8) — the iterative-algorithm
+# family under the FULL value-hash oracle: integer micro-unit ranks
+# make every Spark/DuckDB sum bit-identical, and a fixed iteration
+# count unrolls into plain SQL (operators/graph.py). Graph: the
+# undirected customer↔supplier bipartite graph induced by lineitems.
+# ---------------------------------------------------------------------------
+
+_PAGERANK_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM pairs
+  UNION
+  SELECT dst AS src, src AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+c1 AS (
+  SELECT e.dst AS node, SUM(r.rank // d.deg) AS contrib
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN outdeg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT n.node, CAST(150000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c1 c ON n.node = c.node
+),
+c2 AS (
+  SELECT e.dst AS node, SUM(r.rank // d.deg) AS contrib
+  FROM edges e JOIN r1 r ON e.src = r.node JOIN outdeg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT n.node, CAST(150000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c2 c ON n.node = c.node
+),
+c3 AS (
+  SELECT e.dst AS node, SUM(r.rank // d.deg) AS contrib
+  FROM edges e JOIN r2 r ON e.src = r.node JOIN outdeg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT n.node, CAST(150000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c3 c ON n.node = c.node
+)
+SELECT node, rank FROM r3
+"""
+
+
+@register("pagerank_customer_supplier", _PAGERANK_ORACLE)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as gr
+
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return gr.pagerank_fixed(edges, iterations=3)

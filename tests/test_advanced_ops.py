@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
@@ -370,3 +371,78 @@ def test_interpolate_daily_hand_computed(spark):
     assert out[(2, "2024-02-02")] == (-1_000_000 + 3_000_000 // 2, "interp")
     assert out[(3, "2024-03-05")] == (7_250_000, "observed")
     assert len(out) == 4 + 3 + 1
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration integer PageRank (r8, operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_hand_graph_exact_values(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        graph as gr,
+    )
+
+    # a -> b, a -> c, b -> c, c -> a  (the classic 3-node example)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in gr.pagerank_fixed(edges, iterations=2).collect()
+    }
+    # hand-computed with the integer recurrence (scale 1e6, 85/100):
+    # iter1: contrib(a)=1000000; contrib(b)=1000000 div 2 = 500000;
+    #        contrib(c)=500000+1000000=1500000
+    # r1:    a=1000000, b=575000, c=1425000
+    # iter2: contrib(a)=1425000; contrib(b)=1000000 div 2=500000;
+    #        contrib(c)=500000+575000=1075000
+    # r2:    a=150000+(85*1425000) div 100 = 1361250
+    #        b=150000+425000=575000, c=150000+913750=1063750
+    assert got == {"a": 1361250, "b": 575000, "c": 1063750}
+
+
+def test_pagerank_dangling_and_zero_iterations(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        graph as gr,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b")], "src string, dst string"
+    )
+    # 0 iterations: every node at the initial scale
+    got0 = {r["node"]: r["rank"]
+            for r in gr.pagerank_fixed(edges, iterations=0).collect()}
+    assert got0 == {"a": 1_000_000, "b": 1_000_000}
+    # b is dangling (no out-edges): its mass leaks, a keeps only base
+    got1 = {r["node"]: r["rank"]
+            for r in gr.pagerank_fixed(edges, iterations=1).collect()}
+    assert got1 == {"a": 150_000, "b": 1_000_000}
+    with pytest.raises(ValueError):
+        gr.pagerank_fixed(edges, iterations=-1)
+
+
+def test_pagerank_undirected_mass_conserved_and_deterministic(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        graph as gr,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "y"), ("c", "z")],
+        "src string, dst string",
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    a = sorted(map(tuple, gr.pagerank_fixed(edges, iterations=3).collect()))
+    b = sorted(map(tuple, gr.pagerank_fixed(edges, iterations=3).collect()))
+    assert a == b                       # deterministic (integer ops)
+    total = sum(r for _n, r in a)
+    # undirected graph: no dangling nodes, so total mass stays within
+    # integer-floor loss of n*scale (each div loses < 1 unit per edge)
+    n = len(a)
+    assert n * 1_000_000 - total < n * 200_000  # only floor + damping loss
+    # y (degree 2) must outrank z (degree 1)
+    ranks = dict(a)
+    assert ranks["y"] > ranks["z"]
