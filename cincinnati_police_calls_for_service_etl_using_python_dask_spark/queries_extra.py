@@ -929,4 +929,4 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return gr.pagerank_fixed(edges, iterations=3)
+    return gr.pagerank_fixed(edges, iterations=3, edge_partitions=8)

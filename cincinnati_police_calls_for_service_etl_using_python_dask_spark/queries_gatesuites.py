@@ -260,6 +260,11 @@ _suite(
         # r8: deterministic corpus shuffle + shard assignment — the
         # epoch-reshuffleable read/write order, one hash-window shuffle
         ("shuffle", "shuffle_shards_docs"),
+        # r8: link-graph document scoring (fixed-iteration INTEGER
+        # PageRank, bit-exact across engines) joins the curation
+        # family so the iterative-algorithm row's first gate sits
+        # inside the driver window like every other §2 row
+        ("pagerank", "pagerank_customer_supplier"),
     ],
 )
 

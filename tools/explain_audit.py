@@ -201,6 +201,16 @@ def main() -> None:
             "copies of every row (r8: the one RISING panel ratio)",
         ),
         (
+            "pagerank_customer_supplier",
+            "iterative joins stay hash-based, zero Python",
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p
+            and "BatchEvalPython" not in p
+            and "ArrowEvalPython" not in p,
+            "3 unrolled iterations = equi-joins + hash aggregates only; "
+            "integer ops keep the whole loop codegen, no UDF anywhere",
+        ),
+        (
             "topk_orders",
             "top-k as TakeOrderedAndProject",
             lambda p: "TakeOrderedAndProject" in p,
