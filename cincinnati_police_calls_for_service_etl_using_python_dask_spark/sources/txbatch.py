@@ -314,6 +314,17 @@ class TxTableBatchWriter(DataSourceArrowWriter):
                 raise SchemaMismatchError(
                     f"schema mismatch: table {want} vs incoming {got}"
                 )
+            if snap.generated_columns:
+                # same boundary as CHECK constraints: the Arrow write
+                # path cannot evaluate Spark SQL expressions, and
+                # skipping materialization/verification would write
+                # rows violating the column's definition
+                raise ValueError(
+                    f"table at {self.table_path} carries generated "
+                    f"columns {sorted(snap.generated_columns)} — the "
+                    f"format('txtable') batch writer cannot compute or "
+                    f"verify them; write through the TxTable API"
+                )
             if snap.check_constraints:
                 # The batch writer streams Arrow batches through
                 # Python workers, where the constraints' Spark SQL

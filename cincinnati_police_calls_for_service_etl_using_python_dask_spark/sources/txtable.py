@@ -218,6 +218,15 @@ class Snapshot:
     # schema evolution adding a same-named logical column gets a fresh
     # generated physical name instead of resurrecting old file data
     retired_physical: list = field(default_factory=list)
+    # GENERATED COLUMNS (the Delta concept): {col: SQL expr}. A
+    # generated column is BY DEFINITION expr(row): writes that omit it
+    # compute it; writes that supply it are verified row-level (a
+    # mismatching supplied value fails the write); DML rewrites
+    # recompute it after applying changes. Zone maps on generated
+    # columns then skip files for derived predicates (e.g. a date
+    # bucket of a timestamp) — the partition-pruning use case without
+    # hive partitioning.
+    generated_columns: dict = field(default_factory=dict)
     # protocol requirement declared by the log (Delta's
     # minReaderVersion/minWriterVersion); absent action = version-1
     protocol: dict = field(
@@ -329,6 +338,9 @@ class TxTable:
                     snap.retired_physical = list(
                         md.get("retiredPhysical", [])
                     )
+                    snap.generated_columns = dict(
+                        md.get("generatedColumns", {})
+                    )
                 elif "add" in action:
                     a = action["add"]
                     meta = {
@@ -388,6 +400,7 @@ class TxTable:
             snap.check_constraints = dict(state.get("checkConstraints", {}))
             snap.column_mapping = dict(state.get("columnMapping", {}))
             snap.retired_physical = list(state.get("retiredPhysical", []))
+            snap.generated_columns = dict(state.get("generatedColumns", {}))
             snap.protocol = dict(
                 state.get(
                     "protocol",
@@ -450,6 +463,7 @@ class TxTable:
                 "checkConstraints": snap.check_constraints,
                 "columnMapping": snap.column_mapping,
                 "retiredPhysical": snap.retired_physical,
+                "generatedColumns": snap.generated_columns,
                 "protocol": snap.protocol,
             }
             tmp = os.path.join(self.log, f".tmp-{uuid.uuid4().hex}.json")
@@ -761,6 +775,7 @@ class TxTable:
         change_data_feed: bool = False,
         log_store: LogStore | None = None,
         check_constraints: dict | None = None,
+        generated_columns: dict | None = None,
     ) -> "TxTable":
         """Create a table at ``path`` from ``df`` (commit 0). Fails if
         a table already exists there.
@@ -793,6 +808,12 @@ class TxTable:
             # analyze now: a typo'd expression must fail the CREATE,
             # not the first append
             df.filter(F.expr(expr))
+        gen = dict(generated_columns or {})
+        if gen:
+            # generated columns join the schema: compute the missing
+            # ones now (analyzing every expression), verify supplied
+            # ones on write like any other path
+            df = _materialize_generated(df, gen)
         actions = [
             {
                 "protocol": {
@@ -804,6 +825,7 @@ class TxTable:
                 df.schema, stats_columns, bloom_spec,
                 change_data_feed=change_data_feed,
                 check_constraints=checks,
+                generated_columns=gen,
             ),
         ]
         actions += t._write_files(
@@ -1185,6 +1207,7 @@ class TxTable:
         silent data loss / corruption path, not evolution)."""
         snap = self.snapshot()
         self._assert_writable(snap)
+        df = _materialize_generated(df, snap.generated_columns)
         evolve: list[dict] = []
         if merge_schema:
             have = {f.name: f.dataType for f in snap.schema.fields}
@@ -1370,6 +1393,21 @@ class TxTable:
             if pat.search(expr)
         )
 
+    def _generated_refs(self, snap: Snapshot, column: str) -> list[str]:
+        """Generated columns whose expression mentions ``column`` as a
+        bare identifier, plus ``column`` itself when it IS generated —
+        same conservative token match as CHECK constraints."""
+        import re as _re
+
+        pat = _re.compile(rf"\b{_re.escape(column)}\b")
+        out = [
+            g for g, expr in snap.generated_columns.items()
+            if pat.search(expr)
+        ]
+        if column in snap.generated_columns and column not in out:
+            out.append(column)
+        return sorted(out)
+
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (the
         Delta column-mapping concept): the parquet files keep the
@@ -1398,6 +1436,12 @@ class TxTable:
             raise ValueError(
                 f"cannot rename {old!r}: referenced by CHECK "
                 f"constraint(s) {refs} — drop them first"
+            )
+        grefs = self._generated_refs(snap, old)
+        if grefs:
+            raise ValueError(
+                f"cannot rename {old!r}: generated column(s) {grefs} "
+                f"are defined over it (or it is one)"
             )
         mapping = dict(snap.column_mapping)
         physical = mapping.pop(old, old)
@@ -1453,6 +1497,17 @@ class TxTable:
                 f"cannot drop {name!r}: referenced by CHECK "
                 f"constraint(s) {refs} — drop them first"
             )
+        grefs = [
+            g for g in self._generated_refs(snap, name) if g != name
+        ]
+        if grefs:
+            raise ValueError(
+                f"cannot drop {name!r}: generated column(s) {grefs} "
+                f"are defined over it"
+            )
+        generated = {
+            g: e for g, e in snap.generated_columns.items() if g != name
+        }
         mapping = dict(snap.column_mapping)
         physical = mapping.pop(name, name)
         retired = list(snap.retired_physical) + [physical]
@@ -1469,7 +1524,7 @@ class TxTable:
             _snapshot_metadata_action(
                 snap, schema=schema, stats_columns=stats_columns,
                 bloom_spec=bloom_spec, column_mapping=mapping,
-                retired_physical=retired,
+                retired_physical=retired, generated_columns=generated,
             ),
             _commit_info("DROP COLUMN", v),
         ]
@@ -1484,6 +1539,7 @@ class TxTable:
         """Replace the whole table content in one commit."""
         snap = self.snapshot()
         self._assert_writable(snap)
+        df = _materialize_generated(df, snap.generated_columns)
         self._check_schema(df, snap.schema)
         adds = self._write_files(
             _with_checks(df, snap.check_constraints),
@@ -1700,6 +1756,9 @@ class TxTable:
                         ).filter(F.col("file").isin(files_for))
                     )
                 sidecar = self._write_dv(newdv)
+                updated = _recompute_generated(
+                    updated, snap.generated_columns
+                )
                 adds = self._write_files(
                     _with_checks(updated, snap.check_constraints),
                     snap.stats_columns, snap.bloom_spec,
@@ -1739,6 +1798,9 @@ class TxTable:
                     ]
                 )
                 self._check_schema(rewritten, snap.schema)
+                rewritten = _recompute_generated(
+                    rewritten, snap.generated_columns
+                )
                 adds = self._write_files(
                     _with_checks(rewritten, snap.check_constraints),
                     snap.stats_columns, snap.bloom_spec,
@@ -1789,6 +1851,7 @@ class TxTable:
         }
         base = self._read_snapshot(snap, sorted(affected))
         merged = merge_changes(base, source, keys, op_col=op_col, delete_op=delete_op)
+        merged = _recompute_generated(merged, snap.generated_columns)
         adds = self._write_files(
             _with_checks(merged, snap.check_constraints),
             snap.stats_columns, snap.bloom_spec,
@@ -1972,6 +2035,7 @@ class TxTable:
         self._assert_writable(snap)
         if epoch <= snap.txns.get(app_id, -1):
             return False
+        df = _materialize_generated(df, snap.generated_columns)
         self._check_schema(df, snap.schema)
         adds = self._write_files(
             _with_checks(df, snap.check_constraints),
@@ -2210,6 +2274,7 @@ def _metadata_action(
     check_constraints: dict | None = None,
     column_mapping: dict | None = None,
     retired_physical: list | None = None,
+    generated_columns: dict | None = None,
 ) -> dict:
     md = {
         "schemaJson": json.dumps(schema.jsonValue()),
@@ -2229,6 +2294,8 @@ def _metadata_action(
         md["columnMapping"] = dict(column_mapping)
     if retired_physical:
         md["retiredPhysical"] = list(retired_physical)
+    if generated_columns:
+        md["generatedColumns"] = dict(generated_columns)
     return {"metaData": md}
 
 
@@ -2246,6 +2313,7 @@ def _snapshot_metadata_action(
         check_constraints=snap.check_constraints,
         column_mapping=snap.column_mapping,
         retired_physical=snap.retired_physical,
+        generated_columns=snap.generated_columns,
     )
     kw.update(overrides)
     return _metadata_action(schema if schema is not None else snap.schema, **kw)
@@ -2275,6 +2343,48 @@ def _with_checks(df: DataFrame, checks: dict) -> DataFrame:
             )
         )
     return df.filter(pred)
+
+
+def _materialize_generated(df: DataFrame, gen: dict) -> DataFrame:
+    """For a USER-supplied frame: add each missing generated column as
+    its defining expression; verify supplied ones row-level (inline
+    raise, same zero-extra-jobs shape as _with_checks). NULL-safe
+    equality: a supplied NULL only passes where the expression is
+    NULL."""
+    if not gen:
+        return df
+    have = set(df.columns)
+    for col, expr in gen.items():
+        if col not in have:
+            df = df.withColumn(col, F.expr(expr))
+    pred = F.lit(True)
+    for col, expr in gen.items():
+        if col in have:
+            ok = F.col(col).eqNullSafe(F.expr(expr))
+            pred = pred & F.when(ok, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"generated column {col!r} = ({expr}) "
+                            f"violated by supplied value in row: "
+                        ),
+                        F.to_json(F.struct(*df.columns)),
+                    )
+                )
+            )
+    return df.filter(pred)
+
+
+def _recompute_generated(df: DataFrame, gen: dict) -> DataFrame:
+    """For an ENGINE-internal DML rewrite: a generated column is
+    expr(row) by definition, so after UPDATE/MERGE changed the source
+    columns, just recompute it (identity on unchanged rows)."""
+    if not gen:
+        return df
+    out = df
+    for col, expr in gen.items():
+        out = out.withColumn(col, F.expr(expr))
+    return out.select(*df.columns)
 
 
 def _add_action(path: str, meta: dict, dv: str | None = None,

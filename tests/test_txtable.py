@@ -1531,3 +1531,101 @@ def test_timestamp_travel_monotonizes_skewed_clocks(spark, tmp_path):
     # streaming start rule under the same skew
     assert t.version_at_or_after(3000) == 1
     assert t.version_at_or_after(6000) == 3  # nothing yet: latest+1
+
+
+# ---------------------------------------------------------------------------
+# Generated columns (r8)
+# ---------------------------------------------------------------------------
+
+
+def _gen_table(spark, tmp_path, name):
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 100).cast("long").alias("v"),
+    )
+    return TxTable.create(
+        spark, str(tmp_path / name), df,
+        stats_columns=["k", "bucket"],
+        generated_columns={"bucket": "k div 10"},
+    )
+
+
+def test_generated_column_computed_on_create_and_append(spark, tmp_path):
+    t = _gen_table(spark, tmp_path, "g1")
+    got = {r["k"]: r["bucket"] for r in t.read().collect()}
+    assert got[0] == 0 and got[15] == 1 and got[29] == 2
+    assert t.read().columns == ["k", "v", "bucket"]
+    # append WITHOUT the column: computed
+    t.append(spark.range(30, 32).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")))
+    assert {r["bucket"] for r in t.read().filter(F.col("k") >= 30).collect()} == {3}
+    # append WITH a correct value: verified, passes
+    t.append(spark.createDataFrame([(40, 0, 4)], "k long, v long, bucket long"))
+    assert t.read().count() == 33
+    # append WITH a wrong value: write fails loudly
+    import py4j.protocol
+
+    with pytest.raises(Exception, match="generated column"):
+        t.append(spark.createDataFrame(
+            [(50, 0, 99)], "k long, v long, bucket long"))
+    assert t.read().count() == 33  # nothing committed
+
+
+def test_generated_column_zone_maps_prune_derived_predicates(spark, tmp_path):
+    t = _gen_table(spark, tmp_path, "g2")
+    for lo in (100, 200, 300):
+        t.append(spark.range(lo, lo + 10).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v")))
+    # bucket carries zone maps: a derived-range read opens only the
+    # files whose bucket interval overlaps — the partition-pruning use
+    # case without hive partitioning
+    snap = t.snapshot()
+    pruned = t.read_pruned("bucket", 10, 10)
+    assert pruned.count() == 10
+    keep = [
+        p for p, m in snap.files.items()
+        if m["stats"].get("bucket") and not (
+            m["stats"]["bucket"][1] < 10 or m["stats"]["bucket"][0] > 10
+        )
+    ]
+    assert len(keep) < len(snap.files)
+
+
+def test_generated_column_recomputed_by_update_and_merge(spark, tmp_path):
+    t = _gen_table(spark, tmp_path, "g3")
+    # UPDATE moves k; bucket recomputes (user does not touch it)
+    t.update(F.col("k") == 5, {"k": F.lit(25)})
+    got = {r["k"]: r["bucket"] for r in t.read().collect()}
+    assert 5 not in got and got[25] == 2
+    # MERGE upserts recompute too
+    src = spark.createDataFrame(
+        [(100, 1, 0, "U")], "k long, v long, bucket long, op string"
+    )
+    t.merge(src, "k")
+    assert t.read().filter(F.col("k") == 100).first()["bucket"] == 10
+    # history stays consistent: every row satisfies the definition
+    bad = t.read().filter(~F.col("bucket").eqNullSafe(F.expr("k div 10")))
+    assert bad.count() == 0
+
+
+def test_generated_column_blocks_rename_drop_and_batch_writer(spark, tmp_path):
+    t = _gen_table(spark, tmp_path, "g4")
+    with pytest.raises(ValueError, match="generated"):
+        t.rename_column("k", "key")         # bucket is defined over k
+    with pytest.raises(ValueError, match="generated"):
+        t.drop_column("k")
+    with pytest.raises(ValueError, match="generated"):
+        t.rename_column("bucket", "b2")     # the generated col itself
+    t.drop_column("v")                       # unrelated col still drops
+    assert t.read().columns == ["k", "bucket"]
+    # the Arrow batch writer refuses generated tables (cannot evaluate
+    # SQL exprs executor-side) — same boundary as CHECK constraints
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txbatch import (
+        TxTableBatchSource,
+    )
+
+    spark.dataSource.register(TxTableBatchSource)
+    with pytest.raises(Exception, match="generated"):
+        spark.range(3).select(
+            F.col("id").alias("k"), F.expr("id div 10").alias("bucket")
+        ).write.format("txtable").mode("append").save(str(tmp_path / "g4"))
