@@ -192,6 +192,8 @@ _NEW_R8 = [
     "embedding_pca_whiten",
     # 3-iteration integer PageRank over the customer-supplier graph
     "pagerank_customer_supplier",
+    # IVF-PQ composition (coarse restriction + integer-ADC + rerank)
+    "ann_ivf_pq_topk",
 ]
 
 HEADLINE = (

@@ -1405,3 +1405,159 @@ def pca_transform(
         return pd.Series(list(out))
 
     return vectors.withColumn(out_col, project(F.col(vec_col)))
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 50,
+    n_iter: int = 8,
+    pq_iter: int = 10,
+    seed: int = 7,
+    train_sample: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int | None = None,
+    index_cache_key: str | None = None,
+) -> DataFrame:
+    """IVF-PQ: the FAISS ``IVFPQ`` composition, Spark-first — the
+    coarse quantizer restricts candidates to ``n_probe`` inverted
+    lists, PQ integer-ADC scores ONLY those candidates against a
+    broadcast LUT, and the shortlist reranks with exact cosine.
+
+    vs :func:`pq_adc_topk`: ADC volume drops from N×m×n_q rows to
+    ~(n_probe/n_lists)·N×m×n_q — the memory story of PQ with the
+    candidate story of IVF, which is how billion-vector indexes are
+    actually shaped. Both trained artifacts share the index LRU under
+    ``index_cache_key``. Recall trades via (n_probe, shortlist);
+    gated against brute force in tests like the other tiers."""
+    from pyspark.sql.functions import pandas_udf
+
+    # --- coarse quantizer (same contract as ivf_ann_topk) ----------
+    ckey = (
+        ("ivfpq-coarse", index_cache_key, n_lists, train_sample, n_iter, seed)
+        if index_cache_key is not None
+        else None
+    )
+    centroids = _ivf_cache_get(ckey) if ckey else None
+    if centroids is None:
+        sample = np.stack(
+            vectors.select(vec_col).limit(train_sample).toPandas()[vec_col].to_numpy()
+        ).astype(np.float64)
+        centroids = _train_spherical_kmeans(sample, n_lists, n_iter, seed)
+        if ckey:
+            _ivf_cache_put(ckey, centroids)
+
+    @pandas_udf("int")
+    def assign_list(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.divide(mat, norms, out=mat, where=norms > 0)
+        return pd.Series(np.argmax(mat @ centroids.T, axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probe_lists(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.divide(mat, norms, out=mat, where=norms > 0)
+        top = np.argsort(-(mat @ centroids.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    # --- PQ codebooks + integer LUTs (same contract as pq_adc_topk) -
+    pkey = (
+        ("ivfpq-books", index_cache_key, m, ksub, pq_iter, seed, train_sample)
+        if index_cache_key is not None
+        else None
+    )
+    books = _ivf_cache_get(pkey) if pkey else None
+    if books is None:
+        books = train_pq(
+            vectors, m=m, ksub=ksub, n_iter=pq_iter, seed=seed,
+            train_sample=train_sample, vec_col=vec_col,
+        )
+        if pkey:
+            _ivf_cache_put(pkey, books)
+    dsub = books.shape[2]
+
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    qmat = np.stack(qpdf[query_vec_col].to_numpy()).astype(np.float64)
+    qnorms = np.linalg.norm(qmat, axis=1, keepdims=True)
+    np.divide(qmat, qnorms, out=qmat, where=qnorms > 0)
+    lut_rows = []
+    for qi, qid in enumerate(qpdf[query_id_col].tolist()):
+        for s in range(m):
+            ips = books[s] @ qmat[qi, s * dsub:(s + 1) * dsub]
+            for code, ip in enumerate(ips):
+                lut_rows.append(
+                    (qid, s, code, int(np.rint(ip * _PQ_LUT_SCALE)))
+                )
+    spark = vectors.sparkSession
+    qid_field = queries.select(query_id_col).schema.fields[0]
+    lut = spark.createDataFrame(
+        lut_rows,
+        T.StructType([
+            T.StructField(query_id_col, qid_field.dataType, False),
+            T.StructField("__sub", T.IntegerType(), False),
+            T.StructField("__code", T.IntegerType(), False),
+            T.StructField("__part", T.LongType(), False),
+        ]),
+    )
+
+    # --- candidate restriction THEN integer-ADC, all JVM-side -------
+    indexed = vectors.withColumn("_list", assign_list(F.col(vec_col)))
+    codes = pq_encode(indexed, books, id_col=id_col, vec_col=vec_col)
+    # codes joined back by id would shuffle; recompute the list id on
+    # the codes side instead? No: keep ONE Arrow crossing — carry the
+    # list id THROUGH the encode by encoding the indexed frame's two
+    # columns together via a join-free select: pq_encode preserves only
+    # (id, codes), so join codes to the (id, _list) pair — both sides
+    # are the same scan and AQE broadcasts the small probe instead.
+    cand_ids = indexed.select(id_col, "_list").join(
+        F.broadcast(
+            queries.select(
+                query_id_col,
+                F.explode(probe_lists(F.col(query_vec_col))).alias("_list"),
+            )
+        ),
+        "_list",
+    ).select(query_id_col, id_col)
+    exploded = codes.select(
+        id_col, F.posexplode("codes").alias("__sub", "__code")
+    )
+    scored = (
+        cand_ids.join(exploded, [id_col])
+        .join(F.broadcast(lut), [query_id_col, "__sub", "__code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__part").alias("__adc"))
+    )
+    wa = Window.partitionBy(query_id_col).orderBy(F.desc("__adc"), F.asc(id_col))
+    short = (
+        scored.withColumn("__ra", F.row_number().over(wa))
+        .filter(F.col("__ra") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    rer = (
+        short.join(vectors.select(id_col, vec_col), [id_col])
+        .join(
+            F.broadcast(queries.select(query_id_col, query_vec_col)),
+            [query_id_col],
+        )
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col(query_vec_col), dim).alias("_score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_score"), F.asc(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank")
+    )

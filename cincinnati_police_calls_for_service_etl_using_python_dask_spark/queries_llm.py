@@ -448,6 +448,21 @@ def q_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pca_transform(emb, model, whiten=True).select("vec_id", "pca")
 
 
+@register("ann_ivf_pq_topk", None)  # approximate: rows-only; recall + PQ-equivalence in pytest
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-PQ composition: coarse-quantizer candidate restriction, then
+    # integer-ADC over 8-byte codes, then exact rerank — the
+    # billion-vector index shape. See similarity.py:ivf_pq_topk.
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.ivf_pq_topk(
+        emb, queries, k=10, n_lists=16, n_probe=4, m=8, ksub=16,
+        shortlist=50, index_cache_key=sf_dir, dim=64,
+    )
+
+
 @register("ann_pq_topk", None)  # approximate: rows-only; recall + exact-encode A/B in pytest
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PQ tier: 8-byte codes (32× compression at dim=64), integer-ADC

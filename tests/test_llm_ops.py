@@ -925,3 +925,41 @@ def test_pca_fit_deterministic_and_validates(spark):
         sim.pca_fit(emb, k=99)
     with pytest.raises(ValueError, match="at least 2"):
         sim.pca_fit(emb.limit(1), k=2)
+
+
+def test_ivf_pq_recall_against_brute_force(spark):
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["vec_id"])
+             for r in sim.brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in sim.ivf_pq_topk(
+                  emb, queries, k=5, n_lists=8, n_probe=4, shortlist=50
+              ).collect()}
+    # the query's own vector: nearest list probed first, maximal ADC
+    # self-score keeps it in the shortlist, exact rerank ranks it #1
+    for q in range(10):
+        assert (q, q) in approx
+    # candidate restriction (half the lists) stacked on 8-byte codes
+    # must still hold the IVF gate thanks to the 50-deep exact rerank
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, f"IVF-PQ recall degenerated: {recall}"
+
+
+def test_ivf_pq_deterministic_and_subsets_probed_lists(spark):
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(map(tuple, sim.ivf_pq_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, sim.ivf_pq_topk(emb, queries, k=5).collect()))
+    assert a == b
+    # probing EVERY list makes the candidate set exhaustive: IVF-PQ
+    # then equals plain PQ-ADC with the same codebooks/shortlist
+    full = sorted(map(tuple, sim.ivf_pq_topk(
+        emb, queries, k=5, n_lists=8, n_probe=8, shortlist=50).collect()))
+    pq_only = sorted(map(tuple, sim.pq_adc_topk(
+        emb, queries, k=5, shortlist=50).collect()))
+    assert full == pq_only
