@@ -101,6 +101,10 @@ def _resolve_start(opts: dict, table_path: str) -> int:
         )
     if st is not None:
         return TxTable(None, table_path).version_at_or_after(int(st))
+    if isinstance(sv, str) and sv.strip().lower() == "latest":
+        # the Delta 'latest' spelling: only changes committed AFTER
+        # stream start — skip the whole existing history
+        return TxTable(None, table_path).latest_version() + 1
     return int(sv) if sv is not None else 0
 
 

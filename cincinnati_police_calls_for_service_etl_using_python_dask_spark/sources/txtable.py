@@ -2195,6 +2195,81 @@ class TxTable:
                 gone.append(os.path.basename(_checkpoint_path(self.log, c)))
         return sorted(gone)
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL (the Delta concept): one driver-side dict of
+        table facts from the snapshot + log metadata — no data read.
+        ``sizeInBytes``/``numRecords`` cover the LIVE file set (DV'd
+        rows excluded from numRecords via dvRows)."""
+        snap = self.snapshot()
+        size = 0
+        for p in snap.files:
+            try:
+                size += os.path.getsize(os.path.join(self.path, p))
+            except OSError:
+                pass
+        hist = self.history()
+        return {
+            "format": "txtable/parquet",
+            "location": self.path,
+            "version": snap.version,
+            "numFiles": len(snap.files),
+            "sizeInBytes": size,
+            "numRecords": sum(
+                (m.get("numRecords") or 0) - m.get("dvRows", 0)
+                for m in snap.files.values()
+            ),
+            "createdAt": hist[0]["timestamp"] if hist else None,
+            "lastModified": hist[-1]["timestamp"] if hist else None,
+            "minReaderVersion": snap.protocol.get("minReaderVersion", 1),
+            "minWriterVersion": snap.protocol.get("minWriterVersion", 1),
+            "statsColumns": list(snap.stats_columns),
+            "bloomColumns": list(snap.bloom_spec.get("columns", [])),
+            "checkConstraints": dict(snap.check_constraints),
+            "generatedColumns": dict(snap.generated_columns),
+            "columnMapping": dict(snap.column_mapping),
+            "changeDataFeed": snap.cdc_enabled,
+            "numDeletionVectors": sum(
+                1 for m in snap.files.values() if m.get("dv")
+            ),
+        }
+
+    def generate_symlink_manifest(self) -> str:
+        """Write a Presto/Trino-style symlink manifest — a text file
+        under ``_symlink_format_manifest/`` listing the LIVE data
+        files' absolute paths, one per line — so engines that speak
+        raw parquet (DuckDB, Trino external tables) can read the
+        current snapshot without understanding the log. Refused while
+        any live file carries a deletion vector (an external reader
+        cannot apply the mask and would resurrect deleted rows — the
+        same restriction Delta places on manifest generation) and
+        while a column mapping is active (external readers would see
+        PHYSICAL column names). Returns the manifest path; each call
+        atomically replaces the previous manifest."""
+        snap = self.snapshot()
+        dvd = sorted(p for p, m in snap.files.items() if m.get("dv"))
+        if dvd:
+            raise ValueError(
+                f"cannot generate a symlink manifest: {len(dvd)} live "
+                f"file(s) carry deletion vectors an external reader "
+                f"cannot apply (e.g. {dvd[0]}) — run OPTIMIZE to purge "
+                f"them first"
+            )
+        if snap.column_mapping:
+            raise ValueError(
+                "cannot generate a symlink manifest: the table has an "
+                "active column mapping — external readers would see "
+                "physical column names"
+            )
+        mdir = os.path.join(self.path, "_symlink_format_manifest")
+        os.makedirs(mdir, exist_ok=True)
+        dst = os.path.join(mdir, "manifest")
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            for p in sorted(snap.files):
+                f.write(os.path.join(self.path, p) + "\n")
+        os.replace(tmp, dst)
+        return dst
+
     def vacuum(self, min_age_seconds: float = 3600.0,
                dry_run: bool = False) -> list[str]:
         """Remove data files invisible to EVERY retained version:

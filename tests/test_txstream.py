@@ -690,3 +690,31 @@ def test_stream_over_expired_log_fails_clearly(spark, tmp_path):
     # CDC flavor honours the same contract
     with pytest.raises(StreamingQueryException, match="expired by log retention"):
         _cdc_drain(spark, p, str(tmp_path / "exp_ck3"), startingVersion="1")
+
+
+def test_starting_version_latest_skips_history(spark, tmp_path):
+    """startingVersion='latest' (the Delta spelling): the stream sees
+    only commits made AFTER it was constructed."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txstream import (
+        TxTableStreamReader,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    p = str(tmp_path / "latest1")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.col("id").cast("long").alias("v")
+    )
+    t = TxTable.create(spark, p, df)
+    t.append(df)                      # history the stream must skip
+    schema = t.snapshot().schema
+    r = TxTableStreamReader(schema, {"path": p, "startingversion": "latest"})
+    start = r.initialOffset()
+    assert start == {"version": t.latest_version()}   # nothing pending
+    assert r.latestOffset() == start
+    # a commit AFTER stream start becomes visible
+    t.append(df)
+    assert r.latestOffset() == {"version": t.latest_version()}
+    parts = r.partitions(start, r.latestOffset())
+    assert len(parts) >= 1            # exactly the new commit's files

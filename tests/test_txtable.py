@@ -1629,3 +1629,68 @@ def test_generated_column_blocks_rename_drop_and_batch_writer(spark, tmp_path):
         spark.range(3).select(
             F.col("id").alias("k"), F.expr("id div 10").alias("bucket")
         ).write.format("txtable").mode("append").save(str(tmp_path / "g4"))
+
+
+# ---------------------------------------------------------------------------
+# DESCRIBE DETAIL + symlink manifest + startingVersion="latest" (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_detail_reports_table_facts(spark, tmp_path):
+    p = str(tmp_path / "det1")
+    t = TxTable.create(
+        spark, p, _mk(spark, 0, 50), stats_columns=["k"],
+        check_constraints={"k_pos": "k >= 0"},
+    )
+    t.append(_mk(spark, 50, 60))
+    t.delete(F.col("k") >= 55, strategy="mor")
+    d = t.detail()
+    assert d["format"] == "txtable/parquet"
+    assert d["version"] == 2
+    assert d["numFiles"] == len(t.snapshot().files)
+    assert d["numRecords"] == 55            # DV'd rows excluded
+    assert d["numDeletionVectors"] >= 1
+    assert d["minReaderVersion"] == 1 and d["minWriterVersion"] == 1
+    assert d["checkConstraints"] == {"k_pos": "k >= 0"}
+    assert d["statsColumns"] == ["k"]
+    assert d["sizeInBytes"] > 0
+    assert d["createdAt"] <= d["lastModified"]
+
+
+def test_symlink_manifest_cross_engine_read_parity(spark, tmp_path):
+    import duckdb
+
+    p = str(tmp_path / "man1")
+    t = TxTable.create(spark, p, _mk(spark, 0, 40), stats_columns=["k"])
+    t.append(_mk(spark, 40, 50))
+    t.delete(F.col("k") >= 45, strategy="cow")   # COW: no DVs remain
+    mf = t.generate_symlink_manifest()
+    files = [line.strip() for line in open(mf) if line.strip()]
+    assert files and all(f.endswith(".parquet") for f in files)
+    # an external engine reading ONLY the manifest must see exactly
+    # the snapshot
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT k, v FROM read_parquet(?) ORDER BY k", [files]
+    ).fetchall()
+    want = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == want
+    # regeneration replaces atomically after new commits
+    t.append(_mk(spark, 100, 101))
+    t.generate_symlink_manifest()
+    files2 = [line.strip() for line in open(mf) if line.strip()]
+    assert len(files2) > len(files)
+
+
+def test_symlink_manifest_refuses_dv_and_mapping(spark, tmp_path):
+    p = str(tmp_path / "man2")
+    t = TxTable.create(spark, p, _mk(spark, 0, 40), stats_columns=["k"])
+    t.delete(F.col("k") % 7 == 0, strategy="mor")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.generate_symlink_manifest()
+    # purge the DV via OPTIMIZE -> manifest works again
+    t.optimize(target_file_rows=1000)
+    t.generate_symlink_manifest()
+    t.rename_column("v", "val")
+    with pytest.raises(ValueError, match="column mapping"):
+        t.generate_symlink_manifest()
