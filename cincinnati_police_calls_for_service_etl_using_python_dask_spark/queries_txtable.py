@@ -367,7 +367,7 @@ upd AS (
               ELSE amount END AS amount
   FROM base
 )
-SELECT event_id, amount FROM upd
+SELECT event_id, amount, event_id // 1000 AS ebucket FROM upd
 WHERE NOT COALESCE(event_type = 'error' AND amount < 1.0, FALSE)
 """
 
@@ -389,6 +389,10 @@ def q_txtable_column_mapping_events(
         path,
         events.filter(F.col("event_id") < c1),
         stats_columns=["event_id", "value"],
+        # GENERATED COLUMN under the same gate (r8): computed at
+        # create, computed again for the append that omits it,
+        # recomputed by UPDATE — the oracle mirrors the definition
+        generated_columns={"ebucket": "event_id div 1000"},
     )
     t.rename_column("value", "amount")  # metadata-only: zero files
     t.append(
