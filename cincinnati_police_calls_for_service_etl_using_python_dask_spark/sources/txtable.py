@@ -1281,6 +1281,14 @@ class TxTable:
                 return v
         raise ConcurrentWriteError(f"APPEND lost {_retries} version races at {self.path}")
 
+    def restore_to_timestamp(self, timestamp_ms: int) -> int:
+        """RESTORE ... TIMESTAMP AS OF: roll back to the latest
+        version committed at-or-before ``timestamp_ms`` (resolved
+        against the monotonized commit timestamps, so clock skew
+        between racing writers cannot restore a LATER state than the
+        asked instant — see :meth:`_monotonic_history`)."""
+        return self.restore(self.version_as_of(timestamp_ms))
+
     def restore(self, version: int) -> int:
         """Roll the table back to ``version`` AS A NEW COMMIT (the
         audit-friendly undo: history is preserved, time travel still

@@ -1694,3 +1694,34 @@ def test_symlink_manifest_refuses_dv_and_mapping(spark, tmp_path):
     t.rename_column("v", "val")
     with pytest.raises(ValueError, match="column mapping"):
         t.generate_symlink_manifest()
+
+
+def test_restore_to_timestamp_uses_monotonized_clock(spark, tmp_path):
+    import json
+
+    p = str(tmp_path / "rts1")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10))    # v0
+    t.append(_mk(spark, 10, 20))                       # v1
+    t.append(_mk(spark, 20, 30))                       # v2
+    log = os.path.join(p, "_txlog")
+
+    def set_ts(v, ts):
+        f = os.path.join(log, f"{v:020d}.json")
+        lines = []
+        for line in open(f):
+            a = json.loads(line)
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+            lines.append(json.dumps(a, sort_keys=True) + "\n")
+        with open(f, "w") as fh:
+            fh.writelines(lines)
+
+    set_ts(0, 1000)
+    set_ts(1, 5000)
+    set_ts(2, 2000)   # skewed: earlier stamp than v1
+    # t=3000 resolves to v0 under the monotonized clock (v2's raw
+    # stamp would wrongly qualify), so the restore lands on 10 rows
+    v = t.restore_to_timestamp(3000)
+    assert t.read().count() == 10
+    ops = [h["operation"] for h in t.history()]
+    assert ops[-1] == "RESTORE" and v == 3
