@@ -1725,3 +1725,16 @@ def test_restore_to_timestamp_uses_monotonized_clock(spark, tmp_path):
     assert t.read().count() == 10
     ops = [h["operation"] for h in t.history()]
     assert ops[-1] == "RESTORE" and v == 3
+
+
+def test_detail_reflects_mapping_and_generated(spark, tmp_path):
+    p = str(tmp_path / "det2")
+    t = TxTable.create(
+        spark, p, _mk(spark, 0, 10),
+        generated_columns={"bucket": "k div 5"},
+    )
+    t.rename_column("v", "val")
+    d = t.detail()
+    assert d["columnMapping"] == {"val": "v"}
+    assert d["generatedColumns"] == {"bucket": "k div 5"}
+    assert d["numRecords"] == 10 and d["numDeletionVectors"] == 0
