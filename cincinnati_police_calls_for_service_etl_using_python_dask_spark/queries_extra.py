@@ -908,8 +908,16 @@ SELECT node, rank FROM r3
 """
 
 
-@register("pagerank_customer_supplier", _PAGERANK_ORACLE)
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_customer_supplier_df(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shared builder for the gated query AND the plan audit.
+
+    tools/explain_audit.py calls this directly (NOT through the
+    registry's memoizing wrapper) so its threshold=-1 probe constructs
+    a fresh plan under that conf — pagerank_fixed's measured-count
+    broadcast gate reads the threshold at construction time.
+    """
     from .operators import graph as gr
 
     orders = read_testdata(spark, sf_dir, "orders").select(
@@ -930,3 +938,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return gr.pagerank_fixed(edges, iterations=3, edge_partitions=8)
+
+
+@register("pagerank_customer_supplier", _PAGERANK_ORACLE)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank_customer_supplier_df(spark, sf_dir)

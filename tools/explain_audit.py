@@ -124,6 +124,24 @@ def main() -> None:
     spark = get_spark(app_name="explain_audit", shuffle_partitions=8)
     qs = spark_queries()
 
+    # Plan-only builders for queries whose construction must re-run
+    # under the probe conf: the registry memoizes DataFrames per
+    # (session, sf_dir), but pagerank's measured-count broadcast gate
+    # reads autoBroadcastJoinThreshold at CONSTRUCTION time — a
+    # memoized plan built under the default threshold would carry its
+    # hints into the @nobroadcast probe. Direct builders bypass the
+    # memoization so each mode constructs fresh.
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.queries_extra import (
+        pagerank_customer_supplier_df,
+    )
+
+    plan_builders = {
+        "pagerank_customer_supplier": pagerank_customer_supplier_df,
+    }
+
+    def build(name):
+        return plan_builders.get(name, qs[name])
+
     # (query, property, predicate over formatted plan, why-it-matters)
     checks = [
         (
@@ -209,6 +227,19 @@ def main() -> None:
             and "ArrowEvalPython" not in p,
             "3 unrolled iterations = equi-joins + hash aggregates only; "
             "integer ops keep the whole loop codegen, no UDF anywhere",
+        ),
+        (
+            "pagerank_customer_supplier",
+            "node-sized tables: NO broadcast at disabled threshold@nobroadcast",
+            lambda p: "BroadcastExchange" not in p,
+            "ranks/outdeg/contrib are (node, long) tables that GROW with "
+            "the graph — an unconditional hint would force billions of "
+            "nodes onto every executor at 100 TB. pagerank_fixed's gate "
+            "broadcasts only when the MEASURED node count fits "
+            "autoBroadcastJoinThreshold (AQE's rule with exact "
+            "cardinality); with the threshold disabled no "
+            "BroadcastExchange appears anywhere in the plan — the same "
+            "no-blind-hint discipline incremental_dedup_docs pins",
         ),
         (
             "topk_orders",
@@ -758,7 +789,7 @@ def main() -> None:
                     # registry caches DataFrames, whose executedPlan is
                     # memoized from whatever conf was active first.
                     plans[(name, mode)] = plan_of(
-                        qs[name](spark, SF_DIR).select("*"), mode
+                        build(name)(spark, SF_DIR).select("*"), mode
                     )
                 finally:
                     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -769,12 +800,12 @@ def main() -> None:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
                 try:
                     plans[(name, mode)] = plan_of(
-                        qs[name](spark, SF_DIR).select("*"), "formatted"
+                        build(name)(spark, SF_DIR).select("*"), "formatted"
                     )
                 finally:
                     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             else:
-                plans[(name, mode)] = plan_of(qs[name](spark, SF_DIR), mode)
+                plans[(name, mode)] = plan_of(build(name)(spark, SF_DIR), mode)
         ok = bool(pred(plans[(name, mode)]))
         failures += not ok
         lines.append(f"| {name} | {prop} | {'✅' if ok else '❌'} | {why} |")
