@@ -260,10 +260,11 @@ class Snapshot:
             *[F.col(c).alias(self.column_mapping.get(c, c)) for c in df.columns]
         )
 
-    def to_logical(self, df: DataFrame, extra: list[str] = ()) -> DataFrame:
+    def to_logical(self, df: DataFrame) -> DataFrame:
         """Inverse of :meth:`to_physical` for frames read back from
-        parquet; ``extra`` names pass-through columns (``__file``,
-        ``_change_type``, ...) that are not part of the mapping."""
+        parquet. Columns outside the mapping (``__file``,
+        ``_change_type``, ...) pass through unrenamed: the inverse
+        dict only rewrites names it knows."""
         if not self.column_mapping:
             return df
         inv = {p: l for l, p in self.column_mapping.items()}
@@ -1933,6 +1934,9 @@ class TxTable:
         if sort_by and zorder_by:
             raise ValueError("pass sort_by OR zorder_by, not both")
         snap = self.snapshot()
+        # fail fast BEFORE the compaction rewrite (commit would refuse
+        # anyway via _commit_rmw, but only after writing the files)
+        self._assert_writable(snap)
         if where is not None:
             self._check_read_interval(snap, where)
             col, lo, hi = where
@@ -1950,6 +1954,13 @@ class TxTable:
                 check_constraints=snap.check_constraints,
                 column_mapping=snap.column_mapping,
                 retired_physical=snap.retired_physical,
+                # carry protocol + generated columns into the filtered
+                # copy: _commit_rmw's _assert_writable gates on
+                # snap.protocol, so dropping it would let OPTIMIZE WHERE
+                # bypass the minWriterVersion check that plain OPTIMIZE
+                # honors (ADVICE r8)
+                generated_columns=snap.generated_columns,
+                protocol=snap.protocol,
             )
         if not snap.files:
             return snap.version
@@ -2166,8 +2177,29 @@ class TxTable:
         post = upd.select(*keys, "__n.*", F.lit("update_postimage").alias("_change_type"))
         out = ins.unionByName(del_).unionByName(pre).unionByName(post)
         if relabel:
+            # Physical→logical relabel can COLLIDE when the window
+            # spans DROP COLUMN followed by re-adding the same logical
+            # name: the s0-era physical (identity-mapped 'a', or an
+            # s0-mapped physical) and s1's fresh physical ('col-…')
+            # would both relabel to 'a'. Disambiguate the s0-only
+            # column with a '__dropped' suffix so the feed keeps both
+            # the dropped column's final values and the new column's,
+            # under unambiguous names (ADVICE r8).
+            s1_phys = {f.name for f in s1.physical_schema().fields}
+            live = {
+                relabel.get(c, c)
+                for c in out.columns
+                if c in s1_phys or c == "_change_type"
+            }
+            final = {}
+            for c in out.columns:
+                logical = relabel.get(c, c)
+                if c not in s1_phys and c != "_change_type":
+                    while logical in live or logical in final.values():
+                        logical += "__dropped"
+                final[c] = logical
             out = out.select(
-                *[F.col(c).alias(relabel.get(c, c)) for c in out.columns]
+                *[F.col(c).alias(final[c]) for c in out.columns]
             )
         return out
 

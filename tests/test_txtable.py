@@ -1738,3 +1738,43 @@ def test_detail_reflects_mapping_and_generated(spark, tmp_path):
     assert d["columnMapping"] == {"val": "v"}
     assert d["generatedColumns"] == {"bucket": "k div 5"}
     assert d["numRecords"] == 10 and d["numDeletionVectors"] == 0
+
+
+def test_optimize_where_honors_protocol_gate(spark, tmp_path):
+    """ADVICE r9: the where-filtered snapshot copy must carry the
+    table's protocol so OPTIMIZE ... WHERE can't bypass the
+    minWriterVersion gate plain OPTIMIZE honors."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        ProtocolError,
+    )
+
+    p = str(tmp_path / "proto_optw")
+    t = TxTable.create(spark, p, _mk(spark, 0, 20), stats_columns=["k"])
+    t.append(_mk(spark, 20, 40))
+    _bump_protocol(p, min_reader=1, min_writer=99)
+    with pytest.raises(ProtocolError, match="writer version 99"):
+        t.optimize(where=("k", 0, 5))
+    with pytest.raises(ProtocolError, match="writer version 99"):
+        t.optimize()
+
+
+def test_change_feed_drop_readd_no_duplicate_columns(spark, tmp_path):
+    """ADVICE r9: a feed window spanning DROP COLUMN v + re-adding
+    logical v must not emit two 'v' output columns — the s0-era
+    physical disambiguates to 'v__dropped'."""
+    p = str(tmp_path / "cdf_dropreadd")
+    t = TxTable.create(spark, p, _mk(spark, 0, 3), stats_columns=["k"])
+    t.drop_column("v")
+    t.append(
+        spark.range(10, 13).select(
+            F.col("id").alias("k"), F.lit(7).cast("long").alias("v")
+        ),
+        merge_schema=True,
+    )
+    feed = t.change_feed("k", 0)
+    assert len(feed.columns) == len(set(feed.columns)), feed.columns
+    assert sorted(feed.columns) == ["_change_type", "k", "v", "v__dropped"]
+    rows = {(r["k"], r["_change_type"]): r for r in feed.collect()}
+    # the appended rows surface as inserts with the NEW column set
+    assert rows[(10, "insert")]["v"] == 7
+    assert rows[(10, "insert")]["v__dropped"] is None

@@ -40,6 +40,11 @@ QUERIES = [
     # COMPARE — CUBE's 4x grouping-set expansion over one scan, and
     # the color-JPEG Arrow-crossing decode
     "cube_orders_status_priority",
+    # r9 (VERDICT r8 #6): the remaining material >2x ratios with no
+    # falling-ratio evidence on file — grouping sets (Expand-based
+    # until the r9 partials respelling) and the PII regex scan
+    "grouping_sets_orders",
+    "pii_redact_docs",
     "multimodal_decode_jpeg_color",
     "dedup_exact_fingerprint",
     "minhash_lsh_candidates",
