@@ -252,6 +252,82 @@ def cube_from_partials(
     return out
 
 
+def grouping_sets_from_partials(
+    df: DataFrame,
+    keys: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    partials: Mapping[str, Column],
+    reaggs: Mapping[str, Column],
+    finalize: Mapping[str, Column] | None = None,
+    grouping_cols: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Arbitrary ``GROUPING SETS`` over DECOMPOSABLE aggregates via
+    partial re-aggregation — :func:`cube_from_partials` generalized
+    from "all subsets" to an explicit set list (VERDICT r8 #3).
+
+    Native ``GROUPING SETS`` plans an Expand that materializes one
+    copy of EVERY input row per requested set before the partial
+    aggregate, so the data-proportional term is ``len(sets) × scan``.
+    Here ONE plain groupBy over ``keys`` (the union of all sets)
+    computes the finest tier — scan × 1 — and each REQUESTED set
+    re-aggregates that few-hundred-row result, so the extra tiers
+    cost kilobytes, fixed, data-free. Same bit-exactness contract as
+    the cube: keep ``partials`` unrounded/decimal until ``finalize``.
+
+    ``grouping_cols`` optionally maps key → output column name for
+    SQL's ``GROUPING(key)`` indicator (bigint 0/1): in the partials
+    spelling each tier's indicators are compile-time literals — 0 when
+    the key is in the tier's set, 1 when it's a subtotal NULL — which
+    is exactly the semantics (a genuine NULL key value keeps
+    indicator 0 in tiers that group by it). A set equal to ``keys``
+    reuses the finest frame directly (no re-aggregation).
+    """
+    keys = list(keys)
+    key_types = dict(
+        (f.name, f.dataType) for f in df.select(*keys).schema.fields
+    )
+    for s in sets:
+        unknown = [k for k in s if k not in keys]
+        if unknown:
+            raise ValueError(
+                f"grouping set {list(s)} uses non-key column(s) {unknown}"
+            )
+    finest = df.groupBy(*keys).agg(
+        *[c.alias(n) for n, c in partials.items()]
+    )
+    part_names = list(partials)
+    gcols = dict(grouping_cols or {})
+    frames = []
+    for s in sets:
+        subset = [k for k in keys if k in set(s)]  # canonical key order
+        if len(subset) == len(keys):
+            tier = finest
+        else:
+            tier = finest.groupBy(*subset).agg(
+                *[c.alias(n) for n, c in reaggs.items()]
+            )
+        sel = [
+            F.col(k) if k in subset
+            else F.lit(None).cast(key_types[k]).alias(k)
+            for k in keys
+        ]
+        sel += [
+            F.lit(0 if k in subset else 1).cast("long").alias(n)
+            for k, n in gcols.items()
+        ]
+        frames.append(tier.select(*sel, *part_names))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    if finalize:
+        out = out.select(
+            *keys,
+            *gcols.values(),
+            *[c.alias(n) for n, c in finalize.items()],
+        )
+    return out
+
+
 def percentiles_cents(
     df: DataFrame,
     value_col: str,

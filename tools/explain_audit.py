@@ -249,9 +249,12 @@ def main() -> None:
         ),
         (
             "grouping_sets_orders",
-            "grouping sets via Expand (single scan)",
-            lambda p: "Expand" in p,
-            "all subtotal combinations from one pass over the fact",
+            "grouping sets from partials (no Expand; scan x1)",
+            lambda p: "Expand" not in p,
+            "native GROUPING SETS would Expand one copy of every row "
+            "per set (3x scan); the finest groupBy scans once and each "
+            "requested set re-aggregates its tiny result (r9, same "
+            "treatment CUBE got in r8)",
         ),
         (
             "sql_top_revenue_nations",
