@@ -13,10 +13,12 @@ That is exactly how production tokenizer trainers scale to terabyte
 corpora, and it is the 100 TB posture here: corpus text is touched
 once; rounds touch |vocab| rows.
 
-Per round, the argmax pair is ONE driver-side row fetch (the merge
-table is the model artifact — driver-side by nature, like bm25's
-index stats or the IVF centroids); the merge itself is a codegen
-``regexp_replace`` on the word representations. Greedy left-to-right
+Per round, the top candidate pairs are ONE bounded driver-side fetch
+(the merge table is the model artifact — driver-side by nature, like
+bm25's index stats or the IVF centroids), and the longest
+provably-safe prefix of them merges in the same pass (see
+:func:`bpe_train` for the exact-parity batching argument); each merge
+is a codegen ``regexp_replace`` on the word representations. Greedy left-to-right
 non-overlapping application is pinned by a pure-Python reference
 implementation in tests/test_curation_ops.py (exact merge-table and
 segmentation equality at sf0.01).
@@ -100,33 +102,78 @@ def bpe_train(
     df: DataFrame,
     num_merges: int = 8,
     text_col: str = "text",
+    batch_candidates: int = 64,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus; returns the
     ordered merge table [(rank 1.., left, right, pair_count)].
     Deterministic: ties break on (left asc, right asc). Stops early
-    when no pair remains."""
+    when no pair remains.
+
+    BATCHED rounds (r9, VERDICT r8 #5): instead of one Spark
+    round-trip per merge rank, each round fetches the top
+    ``batch_candidates`` pairs and applies the longest provably-safe
+    prefix in ONE pass — EXACTLY the serial greedy result (pinned by
+    the pure-Python reference parity test), with the job count
+    divided by the per-round acceptance. The safety argument:
+
+    - merging pair p cannot change the count of any pair sharing NO
+      symbol with p (the merge rewrites only adjacencies that overlap
+      an occurrence of p), so a pairwise-disjoint prefix of the
+      ranked candidates keeps its counts through the batch;
+    - every pair a merge CREATES or changes is bounded by the old
+      count of some pair that OVERLAPS the accepted symbols, and the
+      highest such count is the first overlapping candidate in the
+      ranked list (or the last collected count when the list is full
+      — unseen pairs are bounded by it). Accepting only disjoint
+      candidates whose count is STRICTLY above that boundary
+      guarantees no created/changed pair can outrank them (ties are
+      excluded because a created pair with an equal count could win
+      the (left, right) tie-break);
+    - the ranked order of the accepted prefix is the serial
+      tie-break order, so the emitted ranks match merge-by-merge.
+
+    The round-1 argmax is always safe, so every round accepts ≥ 1
+    merge and progress is guaranteed; ``batch_candidates=1``
+    degenerates to the serial loop. A 32k-vocab run is therefore
+    ~32k/acceptance serial rounds (2 jobs each) instead of 64k jobs —
+    still driver-sequenced (the merge table is inherently ordered);
+    for corpora whose top pairs heavily share symbols the worst case
+    remains one merge per round.
+    """
     words = _word_table(df, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, num_merges + 1):
-        top = (
+    k = max(2, batch_candidates)
+    while len(merges) < num_merges:
+        cand = (
             _pair_counts(words)
             .orderBy(
                 F.desc("pair_count"), F.asc("left"), F.asc("right")
             )
-            .limit(1)
+            .limit(k)
             .collect()
         )
-        if not top:
+        if not cand:
             break
-        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
-        merges.append((rank, left, right, int(cnt)))
-        merged = (left + right).replace("\\", "\\\\").replace("$", "\\$")
-        words = words.withColumn(
-            "repr",
-            F.regexp_replace(
-                F.col("repr"), _merge_pattern(left, right), merged
-            ),
-        ).localCheckpoint(eager=True)
+        # boundary: max count any created/changed pair could reach
+        boundary = cand[-1]["pair_count"] if len(cand) == k else -1
+        syms: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for row in cand:
+            left, right, cnt = row["left"], row["right"], row["pair_count"]
+            if left in syms or right in syms:
+                boundary = max(boundary, cnt)
+                break
+            accepted.append((left, right, int(cnt)))
+            syms.add(left)
+            syms.add(right)
+        safe = [accepted[0]] + [p for p in accepted[1:] if p[2] > boundary]
+        safe = safe[: num_merges - len(merges)]
+        col = F.col("repr")
+        for left, right, cnt in safe:
+            merges.append((len(merges) + 1, left, right, cnt))
+            merged = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+            col = F.regexp_replace(col, _merge_pattern(left, right), merged)
+        words = words.withColumn("repr", col).localCheckpoint(eager=True)
     return merges
 
 

@@ -1674,3 +1674,53 @@ def test_incremental_dedup_no_broadcast_of_index(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_bpe_train_batched_parity_at_64_merges(spark):
+    """r9 (VERDICT r8 #5): the batched rounds must reproduce the
+    serial greedy merge table EXACTLY — 64 merges against the
+    pure-Python reference, plus the degenerate near-serial batch."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        tokenizer as tk,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.files import (
+        read_testdata,
+    )
+    from .conftest import SF_ORACLE
+
+    docs = read_testdata(spark, SF_ORACLE, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    ref_merges, _ = _ref_bpe(texts, 64)
+    got = tk.bpe_train(docs, num_merges=64)
+    assert got == ref_merges
+    # a tiny candidate window (max batch 2) must yield the same table
+    got_small = tk.bpe_train(docs, num_merges=12, batch_candidates=2)
+    assert got_small == ref_merges[:12]
+
+
+def test_bpe_train_batched_accepts_disjoint_merges_in_one_round(spark):
+    """On a distribution with symbol-disjoint top pairs and strictly
+    separated counts, one batched round must accept several merges
+    (the job-count win), still matching the serial reference."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        tokenizer as tk,
+    )
+
+    # counts: (a,b)=9 > (c,d)=7 > (e,f)=5 — pairwise disjoint symbols
+    text = " ".join(["ab"] * 9 + ["cd"] * 7 + ["ef"] * 5)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ref_merges, _ = _ref_bpe([text], 3)
+    orig = tk._pair_counts
+    calls = [0]
+
+    def counting(*a, **k):
+        calls[0] += 1
+        return orig(*a, **k)
+
+    tk._pair_counts = counting
+    try:
+        got = tk.bpe_train(docs, num_merges=3)
+    finally:
+        tk._pair_counts = orig
+    assert got == ref_merges
+    assert calls[0] == 1, f"expected 1 batched round, got {calls[0]}"
