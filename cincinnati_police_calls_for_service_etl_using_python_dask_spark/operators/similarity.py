@@ -668,19 +668,67 @@ def ivf_index_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     dim: int | None = None,
+    probe: str = "driver",
 ) -> DataFrame:
     """Probe a :func:`build_ivf_index` index. Only the probed lists'
     partitions are READ (`.where(_list IN ...)` prunes the
     ``partitionBy`` directories — assert `PartitionFilters` in the
     scan node); candidates are exactly cosine-reranked as in
-    :func:`ivf_ann_topk`. Centroids load from the tiny sidecar table,
-    probe selection is one driver-side matmul over the (small, already
-    driver-held) query set."""
+    :func:`ivf_ann_topk`. Centroids load from the tiny sidecar table.
+
+    ``probe`` picks where probe selection runs (VERDICT r8 #7):
+
+    - ``"driver"`` (default): one driver-side matmul over the query
+      set, probes shipped as a VALUES LocalRelation broadcast — right
+      for interactive top-k probes (bounded, artifact-sized query
+      sets), and the only path that avoids a per-action probe job.
+    - ``"join"``: the query set stays a DataFrame at ANY size — an
+      Arrow-batched kernel assigns each query its ``n_probe`` lists
+      (broadcast-captured centroids, map-side), probes explode to
+      (query, _list) rows, and the candidate join shuffles probes BY
+      ``_list`` so each list's queries co-locate with that list's
+      postings scan (AQE splits skewed lists). The only driver-side
+      collections are the centroids and the ≤ ``n_lists`` distinct
+      probed list ids that drive partition pruning — nothing scales
+      with the query table. Row-identical to the driver path
+      (parity-tested)."""
     cent_rows = sorted(
         spark.read.parquet(f"{path}/centroids").collect(),
         key=lambda r: r["list_id"],
     )
     centroids = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+
+    if probe == "join":
+        from pyspark.sql.functions import pandas_udf
+
+        cen = centroids
+
+        @pandas_udf("array<int>")
+        def probe_lists(v: pd.Series) -> pd.Series:
+            mat = np.stack(v.to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            np.divide(mat, norms, out=mat, where=norms > 0)
+            top = np.argsort(-(mat @ cen.T), axis=1)[:, :n_probe]
+            return pd.Series(list(top.astype(np.int32)))
+
+        probes = queries.select(
+            query_id_col,
+            query_vec_col,
+            F.explode(probe_lists(F.col(query_vec_col))).alias("_list"),
+        )
+        # bounded: ≤ n_lists ints — partition pruning needs literals
+        probed_lists = sorted(
+            r["_list"] for r in probes.select("_list").distinct().collect()
+        )
+        postings = spark.read.parquet(f"{path}/postings").where(
+            F.col("_list").isin(probed_lists)
+        )
+        candidates = postings.join(probes, on="_list", how="inner")
+        return _ivf_rank_topk(
+            candidates, k, id_col, vec_col, query_id_col, query_vec_col, dim
+        )
+    if probe != "driver":
+        raise ValueError(f"probe must be 'driver' or 'join', got {probe!r}")
 
     q_rows = queries.select(query_id_col, query_vec_col).collect()
     q_mat = np.stack(
@@ -715,6 +763,21 @@ def ivf_index_topk(
         F.col("_list").isin(probed_lists)
     )
     candidates = postings.join(F.broadcast(probes), on="_list", how="inner")
+    return _ivf_rank_topk(
+        candidates, k, id_col, vec_col, query_id_col, query_vec_col, dim
+    )
+
+
+def _ivf_rank_topk(
+    candidates: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    dim: int | None,
+) -> DataFrame:
+    """Shared exact-cosine rerank tail of the IVF index probe paths."""
     scored = candidates.select(
         F.col(query_id_col),
         F.col(id_col),
