@@ -958,7 +958,9 @@ class TxTable:
         for sidecar, files_for in sorted(by_sidecar.items()):
             parts.append(
                 self.spark.read.parquet(os.path.join(self.path, sidecar))
-                .filter(F.col("file").isin(files_for))
+                .filter(F.col("file").isin(
+                    [os.path.basename(x) for x in files_for]
+                ))
             )
         dvdf = parts[0]
         for d in parts[1:]:
@@ -1325,6 +1327,72 @@ class TxTable:
         self._maybe_checkpoint(v)
         return v
 
+    def clone(
+        self,
+        target: str,
+        log_store: "LogStore | None" = None,
+        version: int | None = None,
+    ) -> "TxTable":
+        """SHALLOW CLONE (r9, the Delta ``CLONE`` concept): create a
+        NEW independent table at ``target`` whose commit 0 references
+        this table's data files (at ``version``, default latest) by
+        ABSOLUTE path — metadata-only, zero bytes copied; cloning a
+        100 TB table costs one JSON log write.
+
+        Mechanics: every read-path join in this module (and the batch/
+        stream DataSources) is ``os.path.join(table_root, p)``, and
+        ``join`` returns ``p`` unchanged when it is absolute — so
+        external references flow through scans, zone-map/bloom
+        pruning, DV masks (the sidecar reference is made absolute
+        too), OPTIMIZE, RESTORE, CDC and the manifest without special
+        cases. The clone's own writes land as ordinary LOCAL files,
+        so it diverges from the source without ever touching it:
+
+        - DML on the clone rewrites/masks via its OWN log — COW
+          rewrites materialize local copies, MOR DVs are local
+          sidecars over the shared parquet;
+        - ``vacuum`` on the clone only ever scans the clone's
+          directory listing, so shared source files are structurally
+          un-deletable from the clone side;
+        - the source does NOT know about clones (the Delta caveat,
+          documented there too): vacuuming the SOURCE can reclaim
+          files a clone still references once the source's own log
+          drops them — treat source retention as covering its clones.
+
+        Carried into the clone: schema, stats columns, bloom spec,
+        CDF flag, CHECK constraints, column mapping + retired names,
+        generated columns, and the source's PROTOCOL requirement (a
+        clone of a future-writer table stays write-gated). NOT
+        carried: streaming txn watermarks (exactly-once idempotence
+        is per-table) and history (the clone starts at version 0 —
+        time travel below the clone point belongs to the source).
+        """
+        snap = self.snapshot(version)
+        t = TxTable(self.spark, target, log_store=log_store)
+        if t.exists():
+            raise FileExistsError(
+                f"transactional table already exists at {t.path}"
+            )
+        os.makedirs(t.path, exist_ok=True)
+        src_root = os.path.abspath(self.path)
+        actions: list[dict] = [
+            {"protocol": dict(snap.protocol)},
+            _snapshot_metadata_action(snap),
+        ]
+        for p, m in sorted(snap.files.items()):
+            meta = dict(m)
+            if meta.get("dv") and not os.path.isabs(meta["dv"]):
+                meta["dv"] = os.path.join(src_root, meta["dv"])
+            ap = p if os.path.isabs(p) else os.path.join(src_root, p)
+            actions.append(_add_action(ap, meta))
+        info = _commit_info("CLONE", 0)
+        info["commitInfo"]["sourceTable"] = src_root
+        info["commitInfo"]["sourceVersion"] = snap.version
+        actions.append(info)
+        if not t._try_commit(0, actions):
+            raise ConcurrentWriteError(f"concurrent CREATE at {t.path}")
+        return t
+
     def add_check_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT (the Delta concept): validate
         EXISTING data first — one filter-count over the live snapshot;
@@ -1603,8 +1671,9 @@ class TxTable:
         live = self._read_snapshot_meta(snap)
         hits = live.filter(predicate).select("__file", "__pos").persist()
         try:
+            bmap = _basename_keys(snap)
             per_file = {
-                r["__file"]: r["__n"]
+                bmap[r["__file"]]: r["__n"]
                 for r in hits.groupBy("__file")
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .collect()
@@ -1634,7 +1703,9 @@ class TxTable:
                     newdv = newdv.unionByName(
                         self.spark.read.parquet(
                             os.path.join(self.path, sidecar)
-                        ).filter(F.col("file").isin(files_for))
+                        ).filter(F.col("file").isin(
+                    [os.path.basename(x) for x in files_for]
+                ))
                     )
                 sidecar = self._write_dv(newdv)
                 actions = []
@@ -1720,8 +1791,9 @@ class TxTable:
         live = self._read_snapshot_meta(snap)
         hits = live.filter(predicate).persist()
         try:
+            bmap = _basename_keys(snap)
             per_file = {
-                r["__file"]: r["__n"]
+                bmap[r["__file"]]: r["__n"]
                 for r in hits.groupBy("__file")
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .collect()
@@ -1762,7 +1834,9 @@ class TxTable:
                     newdv = newdv.unionByName(
                         self.spark.read.parquet(
                             os.path.join(self.path, sidecar)
-                        ).filter(F.col("file").isin(files_for))
+                        ).filter(F.col("file").isin(
+                    [os.path.basename(x) for x in files_for]
+                ))
                     )
                 sidecar = self._write_dv(newdv)
                 updated = _recompute_generated(
@@ -1851,8 +1925,9 @@ class TxTable:
         # deletion vectors are already masked, so a DV'd row can
         # neither pin its file into the rewrite nor resurrect below
         cur = self._read_snapshot_meta(snap)
+        bmap = _basename_keys(snap)
         affected = {
-            r["__file"]
+            bmap[r["__file"]]
             for r in cur.join(source.select(*keys).distinct(), keys, "left_semi")
             .select("__file")
             .distinct()
@@ -2500,6 +2575,26 @@ def _recompute_generated(df: DataFrame, gen: dict) -> DataFrame:
     for col, expr in gen.items():
         out = out.withColumn(col, F.expr(expr))
     return out.select(*df.columns)
+
+
+def _basename_keys(snap: "Snapshot") -> dict[str, str]:
+    """basename → snapshot file key. The scan-side ``__file`` column
+    is the file BASENAME (matching DV sidecars' ``file`` column),
+    while a shallow CLONE's snapshot keys are ABSOLUTE source paths —
+    this map reconciles the two. Basenames are uuid-generated and
+    therefore unique per snapshot; a collision (conceivable only if
+    external references from different roots shared a name) raises
+    rather than silently mis-attributing rows to files."""
+    out: dict[str, str] = {}
+    for p in snap.files:
+        b = os.path.basename(p)
+        if b in out:
+            raise ValueError(
+                f"file basename collision in snapshot: {b!r} "
+                f"({out[b]!r} vs {p!r})"
+            )
+        out[b] = p
+    return out
 
 
 def _add_action(path: str, meta: dict, dv: str | None = None,

@@ -1778,3 +1778,111 @@ def test_change_feed_drop_readd_no_duplicate_columns(spark, tmp_path):
     # the appended rows surface as inserts with the NEW column set
     assert rows[(10, "insert")]["v"] == 7
     assert rows[(10, "insert")]["v__dropped"] is None
+
+
+# ---------------------------------------------------------------------------
+# Shallow CLONE (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_clone_is_metadata_only_and_reads_identically(spark, tmp_path):
+    src = str(tmp_path / "clsrc")
+    t = TxTable.create(spark, src, _mk(spark, 0, 30), stats_columns=["k"])
+    t.append(_mk(spark, 30, 50))
+    c = t.clone(str(tmp_path / "clone1"))
+    assert _rows(c.read()) == _rows(t.read())
+    # zero data copied: the clone directory holds only the log
+    local = [n for n in os.listdir(c.path) if n.endswith(".parquet")]
+    assert local == []
+    # history starts fresh at version 0 with a CLONE commit
+    h = c.history()
+    assert len(h) == 1 and h[0]["operation"] == "CLONE"
+    assert h[0]["sourceVersion"] == t.latest_version()
+    # stats survive: zone-map pruning works on the clone
+    assert len(c.read_pruned("k", 0, 5).inputFiles()) < len(c.read().inputFiles())
+
+
+def test_clone_diverges_without_touching_source(spark, tmp_path):
+    src = str(tmp_path / "clsrc2")
+    t = TxTable.create(spark, src, _mk(spark, 0, 20), stats_columns=["k"])
+    c = t.clone(str(tmp_path / "clone2"))
+    # clone-side append + COW delete: local files, source untouched
+    c.append(_mk(spark, 100, 110))
+    c.delete(F.col("k") < 5)
+    assert c.read().count() == 25
+    assert t.read().count() == 20
+    # source-side delete after the clone: clone still sees the old rows
+    t.delete(F.col("k") >= 10)
+    assert t.read().count() == 10
+    assert c.read().count() == 25
+    # clone-side MOR delete: sidecar is LOCAL, shared parquet untouched
+    v = c.delete(F.col("k") == 7, strategy="mor")
+    assert c.read().count() == 24
+    dvs = [m["dv"] for m in c.snapshot().files.values() if m.get("dv")]
+    assert dvs and all(not os.path.isabs(d) for d in dvs)
+    assert t.snapshot(0).version == 0 and v > 0
+
+
+def test_clone_vacuum_never_deletes_source_files(spark, tmp_path):
+    src = str(tmp_path / "clsrc3")
+    t = TxTable.create(spark, src, _mk(spark, 0, 20))
+    c = t.clone(str(tmp_path / "clone3"))
+    # drop every external reference from the clone's live set
+    c.overwrite(_mk(spark, 0, 5))
+    gone = c.vacuum(min_age_seconds=0.0)
+    # nothing external reclaimed; source still fully readable
+    assert all(not os.path.isabs(g) for g in gone)
+    assert t.read().count() == 20
+    assert c.read().count() == 5
+
+
+def test_clone_carries_metadata_and_protocol(spark, tmp_path):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        ProtocolError,
+    )
+
+    src = str(tmp_path / "clsrc4")
+    t = TxTable.create(
+        spark, src, _mk(spark, 0, 10),
+        stats_columns=["k", "v"],
+        check_constraints={"v_ok": "v >= 0"},
+    )
+    c = t.clone(str(tmp_path / "clone4"))
+    assert "v_ok" in c.snapshot().check_constraints   # constraint carried
+    with pytest.raises(Exception, match="CHECK|v_ok"):
+        c.append(spark.range(1).select(
+            F.col("id").alias("k"), F.lit(-5).cast("long").alias("v")))
+    # column mapping carried: rename on a constraint-free source
+    src2 = str(tmp_path / "clsrc4b")
+    t2 = TxTable.create(spark, src2, _mk(spark, 0, 10), stats_columns=["k"])
+    t2.rename_column("v", "val")
+    c2 = t2.clone(str(tmp_path / "clone4b"))
+    assert c2.read().columns == ["k", "val"]          # mapping carried
+    # clone at an explicit earlier version (pre-rename names)
+    c0 = t2.clone(str(tmp_path / "clone4v0"), version=0)
+    assert c0.read().columns == ["k", "v"]
+    # protocol requirement survives: writer-gated clone refuses writes
+    _bump_protocol(src, min_reader=1, min_writer=99)
+    c99 = TxTable(spark, src).clone(str(tmp_path / "clone4p"))
+    assert c99.read().count() == 10
+    with pytest.raises(ProtocolError, match="writer version 99"):
+        c99.append(_mk(spark, 10, 12))
+    # existing target refused
+    with pytest.raises(FileExistsError):
+        t.clone(str(tmp_path / "clone4"))
+
+
+def test_clone_readable_through_batch_datasource(spark, tmp_path):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txbatch import (
+        TxTableBatchSource,
+    )
+
+    spark.dataSource.register(TxTableBatchSource)
+    src = str(tmp_path / "clsrc5")
+    t = TxTable.create(spark, src, _mk(spark, 0, 15), stats_columns=["k"])
+    t.delete(F.col("k") < 3, strategy="mor")   # absolute dv reference
+    c = t.clone(str(tmp_path / "clone5"))
+    got = sorted(
+        r["k"] for r in spark.read.format("txtable").load(c.path).collect()
+    )
+    assert got == list(range(3, 15))
