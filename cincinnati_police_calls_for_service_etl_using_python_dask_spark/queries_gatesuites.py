@@ -293,6 +293,10 @@ _suite(
         # zone-map keying, predicate translation) value-hash-gated
         # inside the driver window from day one.
         ("column_mapping", "txtable_column_mapping_events"),
+        # r9: shallow CLONE — zero-copy table whose reads mix external
+        # parquet + external DV sidecar + local divergence, isolation
+        # from post-clone source writes pinned by the oracle.
+        ("shallow_clone", "txtable_clone_events"),
     ],
 )
 

@@ -121,6 +121,75 @@ def q_txtable_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+_CLONE_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n FROM events),
+base AS (
+  SELECT event_id, event_type, value FROM events, n
+  WHERE event_id < CAST(FLOOR(0.8 * n.n) AS BIGINT)
+),
+after_mor AS (
+  SELECT * FROM base
+  WHERE NOT COALESCE(event_id % 11 = 0 AND event_type = 'click', FALSE)
+),
+after_del AS (
+  SELECT * FROM after_mor WHERE NOT COALESCE(value < 2.0, FALSE)
+),
+appended AS (
+  SELECT event_id, event_type, value * 3 AS value FROM events, n
+  WHERE event_id >= CAST(FLOOR(0.8 * n.n) AS BIGINT)
+    AND event_id < CAST(FLOOR(0.9 * n.n) AS BIGINT)
+)
+SELECT event_id, event_type, value FROM after_del
+UNION ALL
+SELECT event_id, event_type, value FROM appended
+"""
+
+
+@register("txtable_clone_events", _CLONE_ORACLE)
+def q_txtable_clone_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow-CLONE lifecycle (r9) under the full oracle: a source
+    table (two commits + a sparse MOR delete, so the clone inherits an
+    ABSOLUTE deletion-vector reference) is cloned without copying a
+    byte; the SOURCE then deletes every 'view' row — which must NOT
+    appear in the result, pinning isolation — while the CLONE diverges
+    with its own COW delete and an appended value*3 slice. The
+    returned read is the CLONE's final snapshot: external parquet +
+    external DV sidecar + local files all in one plan, value-hash-
+    gated against the same algebra in pure SQL."""
+    events = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n = events.count()
+    c1, c2, c3 = int(0.6 * n), int(0.8 * n), int(0.9 * n)
+    scratch = tempfile.mkdtemp(prefix="txclone_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    src = TxTable.create(
+        spark,
+        os.path.join(scratch, "source_table"),
+        events.filter(F.col("event_id") < c1),
+        stats_columns=["event_id"],
+    )
+    src.append(
+        events.filter((F.col("event_id") >= c1) & (F.col("event_id") < c2))
+    )
+    src.delete(
+        (F.col("event_id") % 11 == 0) & (F.col("event_type") == "click"),
+        strategy="mor",
+    )
+    clone = src.clone(os.path.join(scratch, "clone_table"))
+    # source-side divergence AFTER the clone: invisible to the result
+    src.delete(F.col("event_type") == "view")
+    # clone-side divergence: local COW rewrite over shared parquet,
+    # then a local append
+    clone.delete(F.col("value") < 2.0)
+    clone.append(
+        events.filter(
+            (F.col("event_id") >= c2) & (F.col("event_id") < c3)
+        ).withColumn("value", F.col("value") * 3)
+    )
+    return clone.read()
+
+
 _STREAM_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
