@@ -55,6 +55,18 @@ from .txtable import TxTable, _version_path, local_path
 APPEND_OPS = {"CREATE", "APPEND", "STREAM_APPEND"}
 
 
+def _clone_dv_adds(op: str, actions: list[dict]) -> bool:
+    """True when a CLONE commit carries deletion-vector'd external
+    references (r9): its raw files contain rows the mask hides, so the
+    per-file append read would resurrect them — such a clone is not
+    representable as an insert stream (OPTIMIZE the clone to purge the
+    DVs, or stream the SOURCE instead). A DV-less CLONE is exactly a
+    CREATE: the initial snapshot as adds-only inserts."""
+    return op == "CLONE" and any(
+        a.get("add", {}).get("dv") for a in actions
+    )
+
+
 class _FilePartition(InputPartition):
     """One newly-added data file of one commit."""
 
@@ -180,14 +192,18 @@ class TxTableStreamReader(DataSourceStreamReader):
         for v in range(start["version"] + 1, end["version"] + 1):
             actions = _commit_actions(self.log, v)
             op = _commit_op(actions)
-            if op not in APPEND_OPS:
+            if (op not in APPEND_OPS and op != "CLONE") or _clone_dv_adds(
+                op, actions
+            ):
                 if self.ignore_changes:
                     continue
                 raise RuntimeError(
-                    f"txtable_stream: commit {v} is {op}, which rewrites "
-                    f"existing rows — an append stream cannot represent "
-                    f"it. Set ignoreChanges=true to skip such commits "
-                    f"(downstream will miss the rewritten rows)."
+                    f"txtable_stream: commit {v} is {op}"
+                    f"{' with deletion-vector references' if op == 'CLONE' else ''},"
+                    f" which rewrites existing rows — an append stream "
+                    f"cannot represent it. Set ignoreChanges=true to "
+                    f"skip such commits (downstream will miss the "
+                    f"rewritten rows)."
                 )
             for a in actions:
                 if "add" in a and (a["add"].get("numRecords") or 0) > 0:
@@ -444,7 +460,15 @@ class TxTableChangeFeedReader(DataSourceStreamReader):
         for v in range(start["version"] + 1, end["version"] + 1):
             actions = _commit_actions(self.log, v)
             op = _commit_op(actions)
-            if op in APPEND_OPS:
+            if op == "CLONE" and _clone_dv_adds(op, actions):
+                raise RuntimeError(
+                    f"txtable_stream CDC: commit {v} is a CLONE carrying "
+                    f"deletion-vector references — its raw files hold "
+                    f"masked rows, so per-file inserts would resurrect "
+                    f"them. OPTIMIZE the clone to purge the DVs, or "
+                    f"stream the source table's CDC instead."
+                )
+            if op in APPEND_OPS or op == "CLONE":
                 for a in actions:
                     if "add" in a and (a["add"].get("numRecords") or 0) > 0:
                         out.append(

@@ -718,3 +718,39 @@ def test_starting_version_latest_skips_history(spark, tmp_path):
     assert r.latestOffset() == {"version": t.latest_version()}
     parts = r.partitions(start, r.latestOffset())
     assert len(parts) >= 1            # exactly the new commit's files
+
+
+def test_stream_reads_shallow_clone(spark, tmp_path):
+    """r9: the streaming source works over a shallow CLONE — commit 0's
+    absolute external references stream like local files, and the
+    clone's own appends flow incrementally from the same checkpoint."""
+    p = str(tmp_path / "clsrc")
+    t = TxTable.create(spark, p, _mk(spark, 0, 30))
+    t.append(_mk(spark, 30, 50))
+    c = t.clone(str(tmp_path / "clstream"))
+    ckpt = str(tmp_path / "clckpt")
+    got = _drain(spark, c.path, ckpt)
+    assert sorted(r["k"] for r in got) == list(range(50))
+    # clone-side append: only the new commit streams; a post-clone
+    # SOURCE append must NOT leak into the clone's stream
+    t.append(_mk(spark, 500, 510))
+    c.append(_mk(spark, 100, 110))
+    got = _drain(spark, c.path, ckpt)
+    assert sorted(r["k"] for r in got) == list(range(100, 110))
+
+
+def test_stream_rejects_dv_carrying_clone(spark, tmp_path):
+    """A CLONE whose external references carry deletion vectors is NOT
+    representable as an insert stream (raw files hold masked rows) —
+    it must raise with guidance; ignoreChanges skips it whole."""
+    p = str(tmp_path / "cldvsrc")
+    t = TxTable.create(spark, p, _mk(spark, 0, 30).coalesce(1))
+    t.delete(F.col("k") < 5, strategy="mor")
+    c = t.clone(str(tmp_path / "cldv"))
+    with pytest.raises(StreamingQueryException, match="CLONE"):
+        _drain(spark, c.path, str(tmp_path / "cldvck1"))
+    c.append(_mk(spark, 100, 105))
+    got = _drain(
+        spark, c.path, str(tmp_path / "cldvck2"), ignoreChanges="true"
+    )
+    assert sorted(r["k"] for r in got) == list(range(100, 105))
