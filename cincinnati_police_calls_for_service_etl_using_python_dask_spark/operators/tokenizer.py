@@ -129,6 +129,28 @@ def bpe_train(
       guarantees no created/changed pair can outrank them (ties are
       excluded because a created pair with an equal count could win
       the (left, right) tie-break);
+    - ALIASING (r10, closes the r9 advisory): the old-count bound
+      fails when an accepted merge's concatenation ``left+right``
+      spells a symbol that ALREADY EXISTS in the corpus via a
+      different merge history (e.g. 'ab'+'c' after 'abc' was minted
+      by 'a'+'bc'): pairs containing that symbol gain occurrences,
+      so their post-merge count is old+created — not bounded by any
+      old count. The trainer therefore keeps a driver-side symbol
+      vocabulary (distinct chars at start, + every applied
+      concatenation; a superset — symbols whose occurrences are all
+      consumed stay listed, which only makes the check more
+      conservative). When an accepted candidate's concatenation hits
+      the vocabulary, it becomes the LAST accept of the round: it is
+      safe at its own position (only non-aliasing merges precede
+      it), but nothing ranked after it can be soundly admitted. The
+      created symbol also joins ``syms`` so later candidates naming
+      it count as overlapping for the boundary scan;
+    - SELF-PAIRS (r10): an accepted ``(l, l)`` merge creates pairs
+      (e.g. ``(ll, l)`` from odd runs) out of its OWN occurrences;
+      they are bounded by ``floor(count/2)`` of the accepted pair,
+      not by the boundary, so once a self-pair with count c is
+      accepted, only candidates with count strictly above ``c // 2``
+      may follow it in the batch;
     - the ranked order of the accepted prefix is the serial
       tie-break order, so the emitted ranks match merge-by-merge.
 
@@ -141,6 +163,18 @@ def bpe_train(
     remains one merge per round.
     """
     words = _word_table(df, text_col).localCheckpoint(eager=True)
+    # Driver-side symbol vocabulary for the aliasing guard: distinct
+    # characters at start (one tiny job — alphabet-sized), plus every
+    # applied concatenation. A SUPERSET of the live corpus symbols,
+    # which is the conservative direction for the alias check.
+    vocab: set[str] = {
+        r["__sym"]
+        for r in words.select(
+            F.explode(F.split(F.col("repr"), " ")).alias("__sym")
+        )
+        .distinct()
+        .collect()
+    }
     merges: list[tuple[int, str, str, int]] = []
     k = max(2, batch_candidates)
     while len(merges) < num_merges:
@@ -158,19 +192,53 @@ def bpe_train(
         boundary = cand[-1]["pair_count"] if len(cand) == k else -1
         syms: set[str] = set()
         accepted: list[tuple[str, str, int]] = []
+        accepting = True
+        # SELF-PAIR cap (r10): merging (l, l) over a run "l l l"
+        # creates the pair (ll, l) out of the accepted pair's OWN
+        # occurrences — no non-accepted old pair bounds it, so the
+        # boundary argument does not cover it. A run of n contributes
+        # n-1 to count(l,l) and at most (n-1)/2 created pairs, so any
+        # single created pair is bounded by floor(count/2); later
+        # accepts must be STRICTLY above that (a tie could win the
+        # (left, right) tie-break).
+        created_cap: int | None = None
         for row in cand:
             left, right, cnt = row["left"], row["right"], row["pair_count"]
             if left in syms or right in syms:
                 boundary = max(boundary, cnt)
                 break
+            if not accepting:
+                # boundary-scan only: an aliasing or self-pair-cap
+                # stop ended the acceptance phase; keep walking the
+                # ranked list until the first candidate overlapping
+                # the accepted symbols fixes the boundary (counts are
+                # descending, so any later overlap is bounded too).
+                continue
+            if created_cap is not None and cnt <= created_cap:
+                accepting = False
+                continue
             accepted.append((left, right, int(cnt)))
             syms.add(left)
             syms.add(right)
+            if left == right:
+                cap = int(cnt) // 2
+                created_cap = cap if created_cap is None else max(created_cap, cap)
+            concat = left + right
+            # Later candidates naming the freshly minted symbol must
+            # read as overlapping (their old counts are still valid
+            # boundary material; they just can't be accepted).
+            syms.add(concat)
+            if concat in vocab:
+                # Aliasing an existing symbol: pairs containing it
+                # gain occurrences (old+created), unbounded by any
+                # old count — nothing after this accept is sound.
+                accepting = False
         safe = [accepted[0]] + [p for p in accepted[1:] if p[2] > boundary]
         safe = safe[: num_merges - len(merges)]
         col = F.col("repr")
         for left, right, cnt in safe:
             merges.append((len(merges) + 1, left, right, cnt))
+            vocab.add(left + right)
             merged = (left + right).replace("\\", "\\\\").replace("$", "\\$")
             col = F.regexp_replace(col, _merge_pattern(left, right), merged)
         words = words.withColumn("repr", col).localCheckpoint(eager=True)

@@ -1724,3 +1724,38 @@ def test_bpe_train_batched_accepts_disjoint_merges_in_one_round(spark):
         tk._pair_counts = orig
     assert got == ref_merges
     assert calls[0] == 1, f"expected 1 batched round, got {calls[0]}"
+
+
+def test_bpe_train_batched_self_pair_cap_regression(spark):
+    """r10 (closes the r9 advisory, plus a deeper hole found while
+    fixing it): a batched round must NOT accept a candidate at or
+    below floor(count/2) of an already-accepted SELF-pair (l, l) —
+    merging (c,c) over runs like "ccc" creates the pair (cc,c) out of
+    the accepted pair's own occurrences, bounded only by its own
+    count. These corpora made the r9 batching diverge from the serial
+    greedy result (found by randomized search); pinned here against
+    the pure-Python reference.
+
+    The aliasing case the advisory named (a concatenation spelling an
+    existing symbol minted by a different merge history) is guarded
+    by the same driver-side vocabulary check; greedy global
+    replacement makes it near-impossible to trigger end-to-end, so
+    the guard is defensive and this test pins the reachable hole.
+    """
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        tokenizer as tk,
+    )
+
+    corpora = [
+        # (c,c)=18 accepted; (a,a)=7 <= 18//2=9 must wait for round 2
+        # (serial: (cc,c)=9 outranks (a,a)=7 after the (c,c) merge).
+        ("bbaa " * 6 + "ccc " * 9 + "aabc", 7),
+        ("bba " * 3 + "abcca " * 6 + "ccc " * 15 + "cba " * 4, 6),
+        ("bccccd bccccd cbbb " + "dd " * 9 + "aabbb " * 5, 5),
+    ]
+    for text, nm in corpora:
+        text = text.strip()
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        ref_merges, _ = _ref_bpe([text], nm)
+        got = tk.bpe_train(docs, num_merges=nm)
+        assert got == ref_merges, f"batched != serial on {text!r}"
