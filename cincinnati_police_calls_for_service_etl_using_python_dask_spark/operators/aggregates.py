@@ -286,6 +286,11 @@ def grouping_sets_from_partials(
     key_types = dict(
         (f.name, f.dataType) for f in df.select(*keys).schema.fields
     )
+    if not sets:
+        raise ValueError(
+            "grouping_sets_from_partials requires at least one grouping "
+            "set (pass [[]] for the grand-total-only tier)"
+        )
     for s in sets:
         unknown = [k for k in s if k not in keys]
         if unknown:

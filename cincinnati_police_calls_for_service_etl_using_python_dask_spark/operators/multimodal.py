@@ -18,9 +18,13 @@ Video/audio (round 5): REAL container parsing lives in sibling
 modules — :mod:`.mp4` (ISO-BMFF box walk + stts/stsc/stsz/stco sample
 resolution feeding frame sampling) and :mod:`.audio` (RIFF/WAVE PCM
 decode). The byte-length stubs here (:func:`frame_sample`,
-:func:`extract_features`) remain as the codec-free fixture tier;
-LOSSY av codecs (H.264, AAC — ffmpeg-class work) are explicitly out
-of scope in this container.
+:func:`extract_features`) remain as the codec-free fixture tier.
+Lossy av codecs (r7/r8): :mod:`.h264` (Annex-B/AVCC NAL walk, SPS
+parse, AU/slice structure) and :mod:`.aac` (ADTS frame walk, config
+parse) cover the BITSTREAM-STRUCTURE tier — their real boundary,
+stated in each module's own docstring, is parse-yes / pixel-and-
+sample-reconstruction-no (ffmpeg-class entropy decode stays out of
+scope in this container).
 """
 
 from __future__ import annotations

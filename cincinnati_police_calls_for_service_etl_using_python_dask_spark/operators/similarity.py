@@ -87,9 +87,17 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity of two float-array columns, computed in
     double. Pass ``dim`` when the embedding width is known (it always
     is for a real corpus) to get the malformed-row NULL contract (see
-    :func:`dot`)."""
+    :func:`dot`).
+
+    A zero-norm vector yields NULL (r10, r9 advisory family): cosine
+    is undefined there, and under Spark's ANSI mode the bare division
+    would otherwise be a hard DIVIDE_BY_ZERO error mid-scan. NULL
+    scores sort last under the rankers' ``desc`` (both engines
+    default DESC to NULLS LAST), so degenerate rows rank purely by
+    the id tie-break instead of poisoning or aborting the query."""
     ad, bd = _to_double(a), _to_double(b)
-    raw = dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+    denom = l2_norm(ad) * l2_norm(bd)
+    raw = F.when(denom != 0.0, dot(ad, bd) / denom)
     if dim is None:
         return raw
     return F.when((F.size(a) == dim) & (F.size(b) == dim), raw)
@@ -248,10 +256,14 @@ def hyperplane_matrix(num_planes: int, dim: int):
     previous per-element md5 spelling cost planes×dim interpreter-bound
     hash calls — 16.7M for a 4096×4096 matrix — and stalled the driver;
     judged in VERDICT r2.) Still model-free and reproducible anywhere:
-    md5 and PCG64 are both published, seed-stable algorithms. The
-    planes only ever live driver-side and ship to executors in the UDF
-    closure, so cross-engine SQL parity is not required here (the
-    LSH tier is recall-gated, not hash-gated).
+    md5 and PCG64 are both published, seed-stable algorithms.
+
+    BIT-STABILITY IS LOAD-BEARING (r9): :func:`hyperplane_bucket_sql`
+    embeds these exact coefficients as SQL literals so the DuckDB
+    oracles for ``ann_lsh_topk`` and ``dedup_embedding_cosine_lsh``
+    replay the same buckets — the LSH tiers are HASH-gated, not just
+    recall-gated. Any change to the seed derivation or draw order
+    silently breaks those oracles; don't refactor it.
     """
     import hashlib
 
@@ -760,7 +772,12 @@ def ivf_index_topk(
     q_mat = np.stack(
         [np.asarray(r[query_vec_col], dtype=np.float64) for r in q_rows]
     )
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # same zero-norm guard as the 'join' probe kernel: an all-zero
+    # query vector must stay zero (arbitrary-but-defined probe order),
+    # not NaN-poison its argsort — keeps the two probe modes
+    # row-identical on degenerate inputs (r10, r9 advisory).
+    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    np.divide(q_mat, q_norms, out=q_mat, where=q_norms > 0)
     probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
     probed_lists = sorted({int(l) for row in probe for l in row})
 

@@ -1368,7 +1368,14 @@ class TxTable:
         time travel below the clone point belongs to the source).
         """
         snap = self.snapshot(version)
-        t = TxTable(self.spark, target, log_store=log_store)
+        # Inherit the source's LogStore by default (r10, r9 advisory):
+        # a table created with a non-default store keeps its atomicity
+        # guarantees on the clone unless explicitly overridden.
+        t = TxTable(
+            self.spark,
+            target,
+            log_store=log_store if log_store is not None else self.log_store,
+        )
         if t.exists():
             raise FileExistsError(
                 f"transactional table already exists at {t.path}"

@@ -528,3 +528,8 @@ def test_grouping_sets_from_partials_matches_native(spark):
             df, keys=["k1"], sets=[["k2"]],
             partials={"n": F.count(F.lit(1))}, reaggs={"n": F.sum("n")},
         )
+    with pytest.raises(ValueError, match="at least one"):
+        ag.grouping_sets_from_partials(
+            df, keys=["k1"], sets=[],
+            partials={"n": F.count(F.lit(1))}, reaggs={"n": F.sum("n")},
+        )

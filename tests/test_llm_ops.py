@@ -1029,3 +1029,26 @@ def test_ivf_index_join_probe_matches_driver_probe(spark, tmp_path):
     assert "PartitionFilters" in plan and "_list" in plan
     with pytest.raises(ValueError, match="driver.*join"):
         sim.ivf_index_topk(spark, path, queries, probe="bogus")
+
+
+def test_ivf_index_probe_modes_agree_on_zero_norm_query(spark, tmp_path):
+    """r10 (r9 advisory): an all-zero query vector must not NaN-poison
+    the driver probe's argsort — both probe modes normalize with the
+    same where=norm>0 guard and stay row-identical on it."""
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    zq = spark.createDataFrame(
+        [(9001, [0.0] * dim)], "query_id long, query_vec array<float>"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    ).unionByName(zq)
+    path = str(tmp_path / "ivfz")
+    sim.build_ivf_index(emb, path, n_lists=4, n_iter=3, seed=7)
+    drv = sorted(map(tuple, sim.ivf_index_topk(
+        spark, path, queries, k=3, n_probe=2, probe="driver").collect()))
+    jnd = sorted(map(tuple, sim.ivf_index_topk(
+        spark, path, queries, k=3, n_probe=2, probe="join").collect()))
+    assert drv == jnd
+    assert all(r == r for t in drv for r in t if isinstance(r, float))  # no NaN

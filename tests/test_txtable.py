@@ -1872,6 +1872,38 @@ def test_clone_carries_metadata_and_protocol(spark, tmp_path):
         t.clone(str(tmp_path / "clone4"))
 
 
+def test_clone_inherits_source_log_store(spark, tmp_path):
+    """r10 (r9 advisory): clone() defaults to the SOURCE's LogStore so
+    a non-default store's atomicity guarantees carry to the clone; an
+    explicit override still wins."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        HardLinkLogStore,
+    )
+
+    class CountingStore(HardLinkLogStore):
+        def __init__(self):
+            self.puts = 0
+
+        def put_if_absent(self, content: bytes, dst: str) -> bool:
+            self.puts += 1
+            return super().put_if_absent(content, dst)
+
+    store = CountingStore()
+    src = str(tmp_path / "clsrc6")
+    t = TxTable.create(
+        spark, src, _mk(spark, 0, 10).coalesce(1), log_store=store
+    )
+    before = store.puts
+    c = t.clone(str(tmp_path / "clone6"))
+    assert c.log_store is store and store.puts == before + 1
+    c.append(_mk(spark, 10, 15).coalesce(1))
+    assert store.puts == before + 2
+    # explicit override still wins
+    other = CountingStore()
+    c2 = t.clone(str(tmp_path / "clone6b"), log_store=other)
+    assert c2.log_store is other and other.puts == 1
+
+
 def test_clone_readable_through_batch_datasource(spark, tmp_path):
     from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txbatch import (
         TxTableBatchSource,
