@@ -1052,3 +1052,62 @@ def test_ivf_index_probe_modes_agree_on_zero_norm_query(spark, tmp_path):
         spark, path, queries, k=3, n_probe=2, probe="join").collect()))
     assert drv == jnd
     assert all(r == r for t in drv for r in t if isinstance(r, float))  # no NaN
+
+
+def test_pq_adc_join_probe_matches_driver_probe(spark):
+    """r10 (VERDICT r9 #1): pq_adc_topk(probe='join') keeps the query
+    set a DataFrame (executor-side per-Arrow-batch LUTs) and must be
+    row-identical to the driver LUT path — both draw their integers
+    from the shared _pq_luts builder."""
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    drv = sorted(map(tuple, sim.pq_adc_topk(
+        emb, queries, k=5, shortlist=40, probe="driver").collect()))
+    jnd = sorted(map(tuple, sim.pq_adc_topk(
+        emb, queries, k=5, shortlist=40, probe="join").collect()))
+    assert drv == jnd and len(drv) > 0
+    with pytest.raises(ValueError, match="driver.*join"):
+        sim.pq_adc_topk(emb, queries, probe="bogus")
+
+
+def test_ivf_pq_join_probe_matches_driver_probe(spark):
+    """r10 (VERDICT r9 #1): ivf_pq_topk(probe='join') — probe lists
+    from a pandas_udf over query rows, candidates via the _list join,
+    executor-side ADC — must be row-identical to the driver path."""
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 41 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    kw = dict(k=5, n_lists=8, n_probe=3, shortlist=40)
+    drv = sorted(map(tuple, sim.ivf_pq_topk(
+        emb, queries, probe="driver", **kw).collect()))
+    jnd = sorted(map(tuple, sim.ivf_pq_topk(
+        emb, queries, probe="join", **kw).collect()))
+    assert drv == jnd and len(drv) > 0
+    with pytest.raises(ValueError, match="driver.*join"):
+        sim.ivf_pq_topk(emb, queries, probe="bogus")
+
+
+def test_pq_adc_join_probe_zero_norm_query_parity(spark):
+    """Degenerate input: an all-zero query vector must produce the
+    same rows on both ADC probe paths (NULL cosine ranks by id
+    tie-break; LUT integers are rint(0×scale)=0 on both)."""
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    zq = spark.createDataFrame(
+        [(9001, [0.0] * dim)], "query_id long, query_vec array<float>"
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    ).unionByName(zq)
+    drv = sorted(map(tuple, sim.pq_adc_topk(
+        emb, queries, k=3, probe="driver").collect()))
+    jnd = sorted(map(tuple, sim.pq_adc_topk(
+        emb, queries, k=3, probe="join").collect()))
+    assert drv == jnd
+    assert {q for q, _, _ in drv} == {0, 1, 2, 9001}
