@@ -12,6 +12,7 @@ from .relational import (
 from .aggregates import (
     group_agg,
     group_agg_single_distinct,
+    group_agg_split_distinct,
     null_profile,
     pivot_count_distinct,
     value_counts,
@@ -25,6 +26,7 @@ __all__ = [
     "bucketed_range_join",
     "group_agg",
     "group_agg_single_distinct",
+    "group_agg_split_distinct",
     "hash_sample",
     "hash_split",
     "keep_columns",

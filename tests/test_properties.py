@@ -17,6 +17,7 @@ from cincinnati_police_calls_for_service_etl_using_python_dask_spark.functions.h
 )
 from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.aggregates import (
     group_agg_single_distinct,
+    group_agg_split_distinct,
 )
 from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.dedup import (
     latest_per_key,
@@ -83,6 +84,24 @@ def test_single_distinct_fast_path_property(spark, rows):
     )
     key = lambda r: (r["k"] is not None, r["k"])
     assert sorted(fast.collect(), key=key) == sorted(ref.collect(), key=key)
+
+
+@_SETTINGS
+@given(_rows)
+def test_split_distinct_property(spark, rows):
+    # r10: the split-branch spelling equals the built-in plan for ANY
+    # small frame (NULL keys pair through the null-safe join).
+    df = spark.createDataFrame(rows, "k string, d string, m double")
+    split = group_agg_split_distinct(
+        df, keys=["k"], distinct_col="d", avg=["m"], count_alias="n_rows"
+    )
+    ref = df.groupBy("k").agg(
+        F.countDistinct("d").alias("nunique_d"),
+        F.round(F.avg("m"), 4).alias("avg_m"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    key = lambda r: (r["k"] is not None, r["k"])
+    assert sorted(split.collect(), key=key) == sorted(ref.collect(), key=key)
 
 
 _dedup_rows = st.lists(

@@ -179,6 +179,15 @@ def main() -> None:
         ),
         (
             "groupby_multi_agg",
+            "split distinct: no Expand, wide payload never shuffles",
+            lambda p: "Expand" not in p,
+            "r10 (VERDICT r9 #3): the sum/avg branch collapses map-side "
+            "to ~|groups| rows and the distinct branch shuffles only "
+            "(keys, orderkey) triples — neither Spark's Expand rewrite "
+            "nor the cascade's 73%-cardinality wide level-1 shuffle",
+        ),
+        (
+            "groupby_multi_agg",
             "whole-stage codegen spans@codegen",
             # formatted plans under AQE omit codegen ids; the codegen
             # explain mode reports "Found N WholeStageCodegen subtrees".
