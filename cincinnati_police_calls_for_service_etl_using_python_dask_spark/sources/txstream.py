@@ -61,7 +61,18 @@ def _clone_dv_adds(op: str, actions: list[dict]) -> bool:
     per-file append read would resurrect them — such a clone is not
     representable as an insert stream (OPTIMIZE the clone to purge the
     DVs, or stream the SOURCE instead). A DV-less CLONE is exactly a
-    CREATE: the initial snapshot as adds-only inserts."""
+    CREATE: the initial snapshot as adds-only inserts.
+
+    Clone-boundary contract (r10, VERDICT r9 #6): a clone RENUMBERS
+    history from version 0 (the CLONE commit) — the source's
+    pre-clone change history is not addressable through the clone, so
+    never repoint an existing checkpoint (whose offsets are source
+    version numbers) at a clone path; start a fresh checkpoint. Once
+    the clone's own expire_log cuts above the clone point, a
+    startingVersion reaching below the cut fails with the standard
+    log-retention error (pinned in tests/test_txstream.py::
+    test_cdc_starting_below_clone_retention_cut_fails_clearly) —
+    never a silent empty stream."""
     return op == "CLONE" and any(
         a.get("add", {}).get("dv") for a in actions
     )

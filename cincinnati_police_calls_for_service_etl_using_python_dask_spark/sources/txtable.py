@@ -1332,12 +1332,32 @@ class TxTable:
         target: str,
         log_store: "LogStore | None" = None,
         version: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        deep: bool = False,
     ) -> "TxTable":
-        """SHALLOW CLONE (r9, the Delta ``CLONE`` concept): create a
-        NEW independent table at ``target`` whose commit 0 references
-        this table's data files (at ``version``, default latest) by
-        ABSOLUTE path — metadata-only, zero bytes copied; cloning a
-        100 TB table costs one JSON log write.
+        """CLONE (r9 shallow; r10 deep + timestamp — the Delta
+        ``CLONE`` concept): create a NEW independent table at
+        ``target`` from this table's state at ``version`` /
+        ``as_of_timestamp_ms`` (default latest; a timestamp resolves
+        through the same monotonized ``version_as_of`` rule as
+        ``read``).
+
+        SHALLOW (default): commit 0 references this table's data
+        files (at the clone point) by ABSOLUTE path — metadata-only,
+        zero bytes copied; cloning a 100 TB table costs one JSON log
+        write.
+
+        DEEP (``deep=True``): every referenced data file and DV
+        sidecar is byte-copied into the target and referenced
+        RELATIVE, so the clone is fully self-contained — the
+        migration/retention answer to the shallow caveat below: it
+        survives the source's ``expire_log``+``vacuum`` reclaiming
+        the cloned-from era. Cost is proportional to table size
+        (driver-side copies here; a cluster deployment distributes
+        the copy — the log protocol is identical either way).
+        Basename collisions (possible when the source is itself a
+        shallow clone referencing several directories) get a
+        deterministic 8-hex dirname-hash prefix.
 
         Mechanics: every read-path join in this module (and the batch/
         stream DataSources) is ``os.path.join(table_root, p)``, and
@@ -1367,6 +1387,10 @@ class TxTable:
         is per-table) and history (the clone starts at version 0 —
         time travel below the clone point belongs to the source).
         """
+        if version is not None and as_of_timestamp_ms is not None:
+            raise ValueError("pass version OR as_of_timestamp_ms, not both")
+        if as_of_timestamp_ms is not None:
+            version = self.version_as_of(as_of_timestamp_ms)
         snap = self.snapshot(version)
         # Inherit the source's LogStore by default (r10, r9 advisory):
         # a table created with a non-default store keeps its atomicity
@@ -1386,15 +1410,44 @@ class TxTable:
             {"protocol": dict(snap.protocol)},
             _snapshot_metadata_action(snap),
         ]
-        for p, m in sorted(snap.files.items()):
-            meta = dict(m)
-            if meta.get("dv") and not os.path.isabs(meta["dv"]):
-                meta["dv"] = os.path.join(src_root, meta["dv"])
-            ap = p if os.path.isabs(p) else os.path.join(src_root, p)
-            actions.append(_add_action(ap, meta))
+        if deep:
+            import hashlib
+            import shutil
+
+            used: set[str] = set()
+
+            def _localize(src_path: str) -> str:
+                full = (
+                    src_path
+                    if os.path.isabs(src_path)
+                    else os.path.join(src_root, src_path)
+                )
+                name = os.path.basename(src_path)
+                if name in used:
+                    pref = hashlib.sha1(
+                        os.path.dirname(os.path.abspath(full)).encode()
+                    ).hexdigest()[:8]
+                    name = f"{pref}-{name}"
+                used.add(name)
+                shutil.copy2(full, os.path.join(t.path, name))
+                return name
+
+            for p, m in sorted(snap.files.items()):
+                meta = dict(m)
+                if meta.get("dv"):
+                    meta["dv"] = _localize(meta["dv"])
+                actions.append(_add_action(_localize(p), meta))
+        else:
+            for p, m in sorted(snap.files.items()):
+                meta = dict(m)
+                if meta.get("dv") and not os.path.isabs(meta["dv"]):
+                    meta["dv"] = os.path.join(src_root, meta["dv"])
+                ap = p if os.path.isabs(p) else os.path.join(src_root, p)
+                actions.append(_add_action(ap, meta))
         info = _commit_info("CLONE", 0)
         info["commitInfo"]["sourceTable"] = src_root
         info["commitInfo"]["sourceVersion"] = snap.version
+        info["commitInfo"]["cloneType"] = "deep" if deep else "shallow"
         actions.append(info)
         if not t._try_commit(0, actions):
             raise ConcurrentWriteError(f"concurrent CREATE at {t.path}")

@@ -15,6 +15,7 @@ from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txs
     TxTableStreamSource,
 )
 from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+    CHECKPOINT_INTERVAL,
     TxTable,
 )
 
@@ -737,6 +738,30 @@ def test_stream_reads_shallow_clone(spark, tmp_path):
     c.append(_mk(spark, 100, 110))
     got = _drain(spark, c.path, ckpt)
     assert sorted(r["k"] for r in got) == list(range(100, 110))
+
+
+def test_cdc_starting_below_clone_retention_cut_fails_clearly(spark, tmp_path):
+    """r10 (VERDICT r9 #6): a clone renumbers history from version 0
+    (the CLONE commit) — pre-clone change history belongs to the
+    SOURCE. Once the clone's own expire_log cuts above version 0, a
+    CDC stream whose startingVersion predates the cut (i.e. reaches
+    for the clone-point era) must fail with the documented retention
+    error — never silently emit nothing."""
+    p = str(tmp_path / "clretsrc")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10).coalesce(1))
+    c = t.clone(str(tmp_path / "clret"))
+    # fresh CDC from version 0 works first: the CLONE commit streams
+    # its referenced snapshot as inserts (the defined clone-boundary
+    # semantics for a DV-less clone)
+    got = _cdc_drain(spark, c.path, str(tmp_path / "clret_ck0"))
+    assert sorted(r["k"] for r in got) == list(range(10))
+    for i in range(CHECKPOINT_INTERVAL + 1):
+        c.append(_mk(spark, 100 + 10 * i, 102 + 10 * i).coalesce(1))
+    assert c.expire_log()
+    with pytest.raises(StreamingQueryException, match="expired by log retention"):
+        _cdc_drain(spark, c.path, str(tmp_path / "clret_ck1"), startingVersion="1")
+    # the batch flavor keeps working above the cut
+    assert c.read().count() > 0
 
 
 def test_stream_rejects_dv_carrying_clone(spark, tmp_path):
