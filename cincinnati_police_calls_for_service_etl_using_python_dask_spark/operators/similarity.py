@@ -301,6 +301,375 @@ def hyperplane_bucket_sql(num_planes: int, dim: int, vec_expr: str) -> str:
     )
 
 
+def pca_whiten_replay_sql(
+    parquet_path: str,
+    k: int = 8,
+    scale_factor: float = 10000.0,
+    vec_expr: str = "embedding",
+) -> str:
+    """DuckDB oracle SQL for the whitened-PCA projection (r10, VERDICT
+    r9 #2): replay :func:`pca_fit`'s exact math in numpy over the
+    SAME parquet the oracle engine reads, embed the fitted model as
+    SQL literals, and emit each projected coordinate as a
+    left-to-right fold, quantized to a fixed grid.
+
+    Same oracle doctrine as :func:`hyperplane_bucket_sql`, extended to
+    a DATA-DEPENDENT artifact: the model is a deterministic function
+    of the dataset, so replaying the fit (single-batch sufficient
+    statistics — bit-identical to the distributed fit whenever the
+    table reads as one Arrow batch, which holds for the sf0.01 oracle
+    contract) yields the same literals the Spark query uses. The grid
+    (``floor(coord × scale_factor)``) absorbs the fold-vs-BLAS
+    last-ulp difference (~1e-13 relative; measured boundary margin at
+    sf0.01 is ~1e-8 absolute — five orders of magnitude).
+
+    Output shape: (vec_id, comp INT 0-based, q BIGINT) via one UNION
+    ALL branch per component.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT {vec_expr} FROM read_parquet('{parquet_path}')"
+    ).df()
+    con.close()
+    mat = np.stack(pdf[vec_expr].to_numpy()).astype(np.float64)
+    n, d = mat.shape
+    xsum = mat.sum(axis=0)
+    xtx = mat.T @ mat
+    mean = xsum / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1.0)
+    evals, evecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    scale = 1.0 / np.sqrt(np.maximum(np.maximum(evals[order], 0.0), 1e-12))
+
+    branches = []
+    for c in range(k):
+        fold = " + ".join(
+            f"(CAST({vec_expr}[{i + 1}] AS DOUBLE) - {float(mean[i])!r})"
+            f"*{float(comps[c, i])!r}"
+            for i in range(d)
+        )
+        branches.append(
+            f"SELECT vec_id, CAST({c} AS INTEGER) AS comp, "
+            f"CAST(FLOOR(({fold}) * {float(scale[c])!r}"
+            f" * {float(scale_factor)!r}) AS BIGINT) AS q "
+            f"FROM embeddings"
+        )
+    return " UNION ALL ".join(branches)
+
+
+def _replay_corpus_matrix(parquet_path: str) -> np.ndarray:
+    """Read the embeddings parquet in FILE ROW ORDER (the same order
+    the Spark scan feeds the sample trainers) as a float64 matrix."""
+    import duckdb
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT embedding FROM read_parquet('{parquet_path}')"
+    ).df()
+    con.close()
+    return np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+
+
+def _replay_env_cte(dim: int) -> str:
+    """Normalized-corpus CTE body shared by the ANN replay oracles
+    (zero-norm guard matches the kernels' where=norm>0)."""
+    norm_fold = " + ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE)*CAST(embedding[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    )
+    return (
+        "SELECT vec_id, embedding, list_transform(embedding, x -> "
+        "CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE)/nrm ELSE 0.0 END) AS nv "
+        f"FROM (SELECT vec_id, embedding, sqrt({norm_fold}) AS nrm "
+        "FROM embeddings)"
+    )
+
+
+def _centroid_dot(centroids: np.ndarray, l: int, src: str) -> str:
+    return " + ".join(
+        f"{src}[{i + 1}]*{float(centroids[l, i])!r}"
+        for i in range(centroids.shape[1])
+    )
+
+
+def _replay_assign_cte(centroids: np.ndarray) -> str:
+    """assign CTE: each corpus row takes its argmax-similarity
+    centroid (ties -> lowest index, matching np.argmax)."""
+    structs = ", ".join(
+        "{'l': " + str(l) + ", 'd': (" + _centroid_dot(centroids, l, "nv") + ")}"
+        for l in range(centroids.shape[0])
+    )
+    return f"""assign AS (
+  SELECT vec_id, l AS lst FROM (
+    SELECT vec_id, u.l AS l,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY u.d DESC, u.l ASC
+           ) AS rn
+    FROM env, UNNEST([{structs}]) AS t(u)
+  ) WHERE rn = 1
+)"""
+
+
+def _replay_centroid_ctes(
+    centroids: np.ndarray, n_probe: int, query_pred: str
+) -> str:
+    """assign/q/probes CTE chain for a coarse quantizer: corpus rows
+    take their argmax-similarity list (ties -> lowest list, matching
+    np.argmax); queries take their ``n_probe`` best lists by
+    (dot DESC, list ASC)."""
+    n_lists = centroids.shape[0]
+
+    def cdot(l: int, src: str) -> str:
+        return _centroid_dot(centroids, l, src)
+
+    qstructs = ", ".join(
+        "{'l': " + str(l) + ", 'd': (" + cdot(l, "qnv") + ")}"
+        for l in range(n_lists)
+    )
+    return f"""
+{_replay_assign_cte(centroids)},
+q AS (
+  SELECT vec_id AS query_id, nv AS qnv,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM env WHERE {query_pred}
+),
+probes AS (
+  SELECT query_id, l FROM (
+    SELECT query_id, u.l AS l,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY u.d DESC, u.l ASC
+           ) AS pr
+    FROM q, UNNEST([{qstructs}]) AS t(u)
+  ) WHERE pr <= {n_probe}
+)"""
+
+
+def ivf_ann_replay_sql(
+    parquet_path: str,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 8,
+    seed: int = 7,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB oracle SQL for :func:`ivf_ann_topk` (r10, VERDICT r9
+    #2): replay the sample-path spherical-k-means trainer over the
+    same parquet (shared :func:`_train_spherical_kmeans` core, file
+    row order) and express assignment → probe restriction →
+    exact-cosine rerank in SQL with centroid literals. Rank-stable:
+    list selection margins dwarf fold-vs-BLAS ulps, ties break
+    (dot DESC, list ASC) on both engines, and the rerank is the same
+    (score DESC, vec_id ASC) window both tiers already hash-gate."""
+    mat = _replay_corpus_matrix(parquet_path)
+    centroids = _train_spherical_kmeans(mat, n_lists, n_iter, seed)
+    dim = mat.shape[1]
+    return f"""
+WITH env AS ({_replay_env_cte(dim)}),
+{_replay_centroid_ctes(centroids, n_probe, query_pred)},
+rer AS (
+  SELECT p.query_id, a.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(
+                      list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                      q.qv) DESC,
+                    a.vec_id ASC
+         ) AS rank
+  FROM assign a
+  JOIN probes p ON a.lst = p.l
+  JOIN q ON q.query_id = p.query_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+FROM rer WHERE rank <= {k}
+"""
+
+
+def pq_adc_replay_sql(
+    parquet_path: str,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 50,
+    n_iter: int = 10,
+    seed: int = 7,
+    query_pred: str = "vec_id < 5",
+    n_lists: int | None = None,
+    n_probe: int = 4,
+    coarse_iter: int = 8,
+) -> str:
+    """DuckDB oracle SQL for the PQ ADC retrieval tier (r10, VERDICT
+    r9 #2): replay :func:`train_pq`'s sample path over the SAME
+    parquet (file row order == the Spark scan's row order; the shared
+    :func:`_train_pq_numpy` core makes the codebooks bit-identical),
+    embed them as SQL literals, and express the ENTIRE pipeline —
+    normalize → per-subspace argmin encode → per-query integer LUTs
+    (``round(ip × 2^24)``) → ADC shortlist → exact-cosine rerank — as
+    one SQL query.
+
+    Determinism doctrine: every data-proportional comparison either
+    happens in EXACT int64 (the ADC sums and their (score, vec_id)
+    shortlist order) or is rank-stable under the measured float
+    margins (the encode argmins and rint boundaries sit many orders
+    of magnitude away from the fold-vs-BLAS last-ulp differences for
+    this model family; ties in the argmin resolve to the LOWEST code
+    on both engines). ``(books*books).sum`` norms are embedded as
+    literals so the distance expressions share the kernel's exact
+    constants.
+
+    ``n_lists`` switches on the IVF-PQ composition
+    (:func:`ivf_pq_topk`'s replay): a replayed coarse quantizer
+    restricts the ADC join to each query's ``n_probe`` probed lists
+    before scoring — the same assign/probe CTEs the float-IVF oracle
+    uses (:func:`_replay_centroid_ctes`).
+    """
+    mat = _replay_corpus_matrix(parquet_path)
+    books = _train_pq_numpy(
+        mat.copy(), m=m, ksub=ksub, n_iter=n_iter, seed=seed
+    )
+    dsub = books.shape[2]
+    bn = (books * books).sum(axis=2)  # (m, ksub) literal norms
+    env = _replay_env_cte(dsub * m)
+
+    def nv(i: int, src: str = "nv") -> str:
+        return f"{src}[{i + 1}]"
+
+    def dot(s: int, c: int, src: str = "nv") -> str:
+        return " + ".join(
+            f"{nv(s * dsub + i, src)}*{float(books[s, c, i])!r}"
+            for i in range(dsub)
+        )
+
+    # per-subspace code: argmin distance, ties -> lowest code
+    dist_cols = ", ".join(
+        f"(-2.0*({dot(s, c)}) + {float(bn[s, c])!r}) AS d{s}_{c}"
+        for s in range(m)
+        for c in range(ksub)
+    )
+    code_cases = ", ".join(
+        "CASE "
+        + " ".join(
+            f"WHEN d{s}_{c} = LEAST({', '.join(f'd{s}_{cc}' for cc in range(ksub))}) THEN {c}"
+            for c in range(ksub)
+        )
+        + f" END AS c{s}"
+        for s in range(m)
+    )
+    # per-query integer LUT lists (16 entries per subspace)
+    lut_lists = ", ".join(
+        "["
+        + ", ".join(
+            f"CAST(ROUND(({dot(s, c, 'qnv')}) * 16777216.0) AS BIGINT)"
+            for c in range(ksub)
+        )
+        + f"] AS lut{s}"
+        for s in range(m)
+    )
+    adc_sum = " + ".join(f"l.lut{s}[c.c{s} + 1]" for s in range(m))
+
+    if n_lists is not None:
+        centroids = _train_spherical_kmeans(
+            mat.copy(), n_lists, coarse_iter, seed
+        )
+        coarse = _replay_centroid_ctes(centroids, n_probe, query_pred)
+        adc_cte = f"""adc AS (
+  SELECT p.query_id, c.vec_id, {adc_sum} AS score
+  FROM codes c
+  JOIN assign a ON a.vec_id = c.vec_id
+  JOIN probes p ON a.lst = p.l
+  JOIN luts l ON l.query_id = p.query_id
+)"""
+        q_chain = coarse.lstrip() + ","
+    else:
+        adc_cte = f"""adc AS (
+  SELECT l.query_id, c.vec_id, {adc_sum} AS score
+  FROM codes c CROSS JOIN luts l
+)"""
+        q_chain = f"""q AS (
+  SELECT vec_id AS query_id, nv AS qnv,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM env WHERE {query_pred}
+),"""
+
+    return f"""
+WITH env AS ({env}),
+codes AS (
+  SELECT vec_id, {code_cases}
+  FROM (SELECT vec_id, {dist_cols} FROM env)
+),
+{q_chain}
+luts AS (SELECT query_id, qv, {lut_lists} FROM q),
+{adc_cte},
+short AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+         ) AS ra
+  FROM adc
+),
+rer AS (
+  SELECT s.query_id, s.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.query_id
+           ORDER BY list_cosine_similarity(
+                      list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                      l.qv) DESC,
+                    s.vec_id ASC
+         ) AS rank
+  FROM short s
+  JOIN embeddings e USING (vec_id)
+  JOIN luts l USING (query_id)
+  WHERE s.ra <= {shortlist}
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+FROM rer WHERE rank <= {k}
+"""
+
+
+def semdedup_clusters_replay_sql(
+    parquet_path: str,
+    threshold: float,
+    n_clusters: int = 8,
+    n_iter: int = 8,
+    seed: int = 7,
+) -> str:
+    """DuckDB oracle SQL for the CLUSTERED SemDeDup tier (r10,
+    VERDICT r9 #2): replay the sample-path spherical-k-means trainer
+    (shared :func:`_train_spherical_kmeans` core, file row order),
+    assign every row to its argmax-similarity centroid via literal
+    dots, and apply the exact tier's min-id-first drop rule WITHIN
+    each cluster — the same pair SQL the exact-tier oracle already
+    hash-gates, restricted by the replayed assignment."""
+    mat = _replay_corpus_matrix(parquet_path)
+    centroids = _train_spherical_kmeans(mat, n_clusters, n_iter, seed)
+    dim = mat.shape[1]
+    return f"""
+WITH env AS ({_replay_env_cte(dim)}),
+{_replay_assign_cte(centroids)},
+vd AS (
+  SELECT a.vec_id, a.lst,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM assign a JOIN embeddings e USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM vd a JOIN vd b ON a.lst = b.lst AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {threshold!r}
+)
+SELECT v.vec_id, CAST(v.lst AS BIGINT) AS cluster_id,
+       CASE WHEN d.vec_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS status
+FROM vd v LEFT JOIN dropped d USING (vec_id)
+"""
+
+
 def hyperplane_bits(
     vec: Column, num_planes: int = 16, dim: int = 64
 ) -> Column:
@@ -1237,6 +1606,15 @@ def train_pq(
     if not len(pdf):
         raise ValueError("train_pq: empty training sample")
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return _train_pq_numpy(mat, m=m, ksub=ksub, n_iter=n_iter, seed=seed)
+
+
+def _train_pq_numpy(
+    mat: np.ndarray, m: int, ksub: int, n_iter: int, seed: int
+) -> np.ndarray:
+    """The sample trainer's numpy core, shared verbatim with the
+    oracle replay (:func:`pq_adc_replay_sql`) so both produce
+    BIT-IDENTICAL codebooks from the same row matrix."""
     dim = mat.shape[1]
     if dim % m:
         raise ValueError(f"train_pq: dim {dim} not divisible by m={m}")

@@ -166,7 +166,17 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sqls() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _ordered().items() if sql is not None}
+    # An oracle may be registered as a zero-arg callable for SQL that
+    # embeds DATA-DEPENDENT literals (e.g. the replayed PCA model,
+    # similarity.py:pca_whiten_replay_sql) — building it requires
+    # reading the oracle-contract parquet, which must not happen at
+    # import time. Resolved (and memoized by the builder's lru_cache)
+    # here.
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_, sql) in _ordered().items()
+        if sql is not None
+    }
 
 
 _LOADED = False

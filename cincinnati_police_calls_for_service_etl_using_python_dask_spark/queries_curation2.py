@@ -10,6 +10,8 @@ oracle-gated by tests/test_oracle_parity.py.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -149,7 +151,19 @@ def q_semdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semdedup(emb, threshold=_SEM_THRESHOLD)
 
 
-@register("semdedup_clusters", None)  # rows-only: k-means tier
+@functools.lru_cache(maxsize=1)
+def _semdedup_clusters_oracle() -> str:
+    # Full replay oracle (r10, VERDICT r9 #2): replayed k-means
+    # centroids as SQL literals + the exact tier's min-id-first drop
+    # rule scoped per cluster. See similarity.py:
+    # semdedup_clusters_replay_sql.
+    return sim.semdedup_clusters_replay_sql(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        _SEM_THRESHOLD, n_clusters=8, n_iter=8, seed=7,
+    )
+
+
+@register("semdedup_clusters", _semdedup_clusters_oracle)  # FULL oracle (r10): replayed-centroid SemDeDup in SQL
 def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings")
     return sim.semdedup(
