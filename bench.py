@@ -51,6 +51,26 @@ _UNBENCHABLE = {
     "streaming_suite",
 }
 
+# _CONSTRUCTION_EAGER (r10, VERDICT r9 #8): benchable queries whose
+# DataFrame CONSTRUCTION runs eager Spark work that warm runs then
+# reuse — pagerank_customer_supplier localCheckpoints its edge/outdeg
+# inputs (GC-scoped; the 3 unrolled iterations stay lazy and ARE
+# timed), and the trained-index ANN tiers (ann_ivf_topk,
+# ann_pq_topk, ann_ivf_pq_topk, semdedup_clusters, the persistent-
+# index probes) train their model artifact once per (session, sf_dir)
+# via the registry cache / index LRU. Warm numbers for these measure
+# the PROBE/ITERATION tail, not index build — the right cost model
+# for a train-once-probe-many deployment, but don't read their
+# round-over-round deltas as covering training. (The fully
+# construction-drained set is _UNBENCHABLE above.)
+_CONSTRUCTION_EAGER = {
+    "pagerank_customer_supplier",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "semdedup_clusters",
+}
+
 # Round-over-round continuity: granular queries benched since r1/r2
 # whose timings anchor regression tracking even though their gate
 # moved into a consolidated suite.

@@ -55,6 +55,14 @@ QUERIES = [
     # and the format-API pushdown read
     "txtable_merge_events",
     "txbatch_read_events",
+    # r10 (VERDICT r9 #4): the r9 newcomers — the broadcast-gated
+    # integer PageRank (its edge build is construction-eager via
+    # localCheckpoint, so warm timings cover the iteration tail —
+    # same caveat as bench.py's _CONSTRUCTION_EAGER note), the full
+    # IVF-PQ ADC composition, and the shallow-clone snapshot read.
+    "pagerank_customer_supplier",
+    "ann_ivf_pq_topk",
+    "txtable_clone_events",
 ]
 
 TABLES = (
