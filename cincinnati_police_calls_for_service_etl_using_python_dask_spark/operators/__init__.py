@@ -18,6 +18,15 @@ from .aggregates import (
     value_counts,
 )
 from .dedup import latest_per_key
+from .ivm import (
+    delta_state,
+    distinct_delta_state,
+    distinct_state_of,
+    finalize_distinct,
+    finalize_state,
+    merge_states,
+    state_of,
+)
 from .packing import pack_sequences
 from .sampling import hash_sample, hash_split, stratified_hash_sample
 
@@ -27,6 +36,13 @@ __all__ = [
     "group_agg",
     "group_agg_single_distinct",
     "group_agg_split_distinct",
+    "delta_state",
+    "distinct_delta_state",
+    "distinct_state_of",
+    "finalize_distinct",
+    "finalize_state",
+    "merge_states",
+    "state_of",
     "hash_sample",
     "hash_split",
     "keep_columns",

@@ -1,0 +1,200 @@
+"""Incremental view maintenance (r10) — keep aggregate VIEWS current
+from a row-level CHANGE FEED instead of recomputing them from the
+table: the Delta-Live-Tables / materialized-view refresh shape, built
+on the engine's own CDC reader (sources/txtable.py:change_feed,
+sources/txstream.py CDC).
+
+Why this is the 100 TB answer: a nightly GROUP BY over a 100 TB fact
+table costs a full scan per refresh; folding the feed costs
+O(changed rows) — the view's state is a tiny keyed relation and every
+refresh is one map-side delta aggregate + one co-partitioned merge.
+
+Algebra (classic IVM over the multiset semiring): every change row
+carries a WEIGHT — +1 for ``insert``/``update_postimage``, −1 for
+``delete``/``update_preimage`` — and a decomposable aggregate is
+maintained by summing weighted contributions:
+
+    count   : Σ w
+    sum(c)  : Σ w·c          (NULL c contributes nothing, like SUM)
+    count(c): Σ w·[c IS NOT NULL]
+    avg(c)  : sum(c) / count(c)   — derived at finalize, never stored
+    countDistinct(c): maintain the VALUE-level state (keys+c, Σw) and
+        count its live rows at finalize — exactly maintainable, the
+        two-level trick MIN/MAX lacks.
+
+MIN/MAX are deliberately NOT offered: they are not incrementally
+maintainable under deletes without an auxiliary per-key value store
+(deleting the current max requires knowing the runner-up) — callers
+that need them should recompute those columns from the snapshot.
+
+Exactness: weights and counts are exact integers; measures should be
+integer/decimal-encoded (e.g. cents — functions/scalar.py's money
+doctrine) for bit-exact parity with a from-scratch recompute. Float
+measures maintain correctly up to summation reassociation (documented
+ulp caveat).
+
+State relations are plain DataFrames (storable in a TxTable), so the
+refresh loop is: read feed slice → :func:`delta_state` →
+:func:`merge_states` with the stored state → write back. All three
+are one shuffle each on the view keys at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CHANGE_TYPE_COL = "_change_type"
+_ADD_TYPES = ("insert", "update_postimage")
+_DEL_TYPES = ("delete", "update_preimage")
+
+
+def _weight() -> Column:
+    return (
+        F.when(F.col(CHANGE_TYPE_COL).isin(*_ADD_TYPES), F.lit(1))
+        .when(F.col(CHANGE_TYPE_COL).isin(*_DEL_TYPES), F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("ivm: unknown _change_type "),
+                    F.col(CHANGE_TYPE_COL),
+                )
+            ).cast("int")
+        )
+        .cast("long")
+    )
+
+
+def _state_aggs(sums: Sequence[str]) -> list[Column]:
+    aggs = [F.sum("__ivm_w").alias("__w")]
+    for c in sums:
+        aggs.append(
+            F.sum(F.col("__ivm_w") * F.col(c)).alias(f"__s_{c}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col(c).isNotNull(), F.col("__ivm_w")).otherwise(0)
+            ).alias(f"__c_{c}")
+        )
+    return aggs
+
+
+def state_of(
+    df: DataFrame, keys: Sequence[str], sums: Sequence[str] = ()
+) -> DataFrame:
+    """Base state from a SNAPSHOT (the one full scan a view ever
+    needs): (keys..., __w count, __s_<c> sum, __c_<c> non-null count
+    per measure). One partial/final hash aggregate."""
+    return (
+        df.withColumn("__ivm_w", F.lit(1).cast("long"))
+        .groupBy(*keys)
+        .agg(*_state_aggs(sums))
+    )
+
+
+def delta_state(
+    changes: DataFrame, keys: Sequence[str], sums: Sequence[str] = ()
+) -> DataFrame:
+    """Per-key DELTA state from a change-feed slice (rows carrying
+    ``_change_type``). Same schema as :func:`state_of`; costs one
+    aggregate over O(changed rows). An update arrives as its
+    pre+post image pair, so an update that doesn't touch the view's
+    columns cancels to zero and an update that moves a row between
+    groups transfers its weight — no special-casing."""
+    return (
+        changes.withColumn("__ivm_w", _weight())
+        .groupBy(*keys)
+        .agg(*_state_aggs(sums))
+    )
+
+
+def merge_states(
+    base: DataFrame, delta: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Fold a delta into a base state: co-partitioned union-aggregate
+    on the view keys (NULL keys group, as everywhere in the engine);
+    keys whose live count reaches zero leave the state. For a
+    consistent feed a zero-count key has all-zero sums, so dropping
+    the row loses nothing."""
+    cols = [c for c in base.columns if c not in keys]
+    if set(base.columns) != set(delta.columns):
+        raise ValueError(
+            f"state schemas differ: {sorted(base.columns)} vs "
+            f"{sorted(delta.columns)}"
+        )
+    merged = (
+        base.unionByName(delta)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in cols])
+    )
+    return merged.filter(F.col("__w") != 0)
+
+
+def finalize_state(
+    state: DataFrame,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    avgs: Sequence[str] = (),
+    avg_scale: int | None = 4,
+    count_alias: str = "n_rows",
+) -> DataFrame:
+    """Present a state as the view relation: (keys..., count,
+    sum_<c>, avg_<c>). ``avgs`` must be a subset of ``sums`` (avg is
+    derived Σ/​count at read time, never stored — the IVM invariant
+    that keeps every stored column additive)."""
+    bad = [c for c in avgs if c not in sums]
+    if bad:
+        raise ValueError(f"avgs {bad} not maintained in sums")
+    out: list[Column] = [F.col(k) for k in keys]
+    out.append(F.col("__w").alias(count_alias))
+    for c in sums:
+        # SUM over an all-NULL group is NULL (not 0) — the stored
+        # additive state can't distinguish, the non-null count can
+        out.append(
+            F.when(F.col(f"__c_{c}") > 0, F.col(f"__s_{c}")).alias(
+                f"sum_{c}"
+            )
+        )
+    for c in avgs:
+        # a live group whose measure is all-NULL has __c = 0: AVG is
+        # NULL there (F.avg semantics), not a division error
+        a = F.when(
+            F.col(f"__c_{c}") > 0, F.col(f"__s_{c}") / F.col(f"__c_{c}")
+        )
+        if avg_scale is not None:
+            a = F.round(a, avg_scale)
+        out.append(a.alias(f"avg_{c}"))
+    return state.select(*out)
+
+
+def distinct_delta_state(
+    changes: DataFrame, keys: Sequence[str], col: str
+) -> DataFrame:
+    """Value-level delta for an exactly-maintained COUNT DISTINCT:
+    state over (keys..., col) with live multiplicities. NULL values
+    are excluded up front (countDistinct semantics)."""
+    return delta_state(
+        changes.filter(F.col(col).isNotNull()), [*keys, col], sums=()
+    )
+
+
+def distinct_state_of(
+    df: DataFrame, keys: Sequence[str], col: str
+) -> DataFrame:
+    """Value-level base state for COUNT DISTINCT maintenance."""
+    return state_of(
+        df.filter(F.col(col).isNotNull()), [*keys, col], sums=()
+    )
+
+
+def finalize_distinct(
+    state: DataFrame, keys: Sequence[str], col: str, alias: str | None = None
+) -> DataFrame:
+    """COUNT DISTINCT view from a value-level state: count the live
+    (multiplicity > 0) values per key — merge_states already dropped
+    dead ones, so this is a plain second-level count."""
+    return state.groupBy(*keys).agg(
+        F.count(F.col(col)).alias(alias or f"nunique_{col}")
+    )

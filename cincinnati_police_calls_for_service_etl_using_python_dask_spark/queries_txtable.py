@@ -476,3 +476,138 @@ def q_txtable_column_mapping_events(
     t.delete((F.col("event_type") == "error") & (F.col("amount") < 1.0))
     t.drop_column("event_type")  # metadata-only: physical name retired
     return t.read()
+
+
+_IVM_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n FROM events),
+base AS (
+  SELECT event_id, event_type, value FROM events, n
+  WHERE event_id < CAST(FLOOR(0.8 * n.n) AS BIGINT)
+),
+chg AS (
+  SELECT event_id, event_type, value * 2 AS value,
+         CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events, n
+  WHERE event_id >= CAST(FLOOR(0.7 * n.n) AS BIGINT)
+    AND event_id < CAST(FLOOR(0.9 * n.n) AS BIGINT)
+),
+merged AS (
+  SELECT b.event_id, b.event_type, b.value
+  FROM base b ANTI JOIN chg c USING (event_id)
+  UNION ALL
+  SELECT event_id, event_type, value FROM chg WHERE op <> 'D'
+),
+updated AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_type = 'signup' THEN value + 1000.0
+              ELSE value END AS value
+  FROM merged
+),
+final AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM updated
+  WHERE NOT COALESCE(event_type = 'click' AND value < 5.0, FALSE)
+)
+SELECT event_type,
+       COUNT(*)                                   AS n_rows,
+       CAST(SUM(vc) AS BIGINT)                    AS sum_vc,
+       ROUND(SUM(vc) / (100.0 * COUNT(vc)), 4)    AS avg_value,
+       COUNT(DISTINCT vc)                         AS nunique_vc
+FROM final
+GROUP BY event_type
+"""
+
+
+@register("ivm_maintained_view_events", _IVM_ORACLE)
+def q_ivm_maintained_view_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incrementally maintained aggregate view (operators/ivm.py,
+    r10): ONE full aggregate at version 0, then every subsequent
+    commit's changes fold into the state through the CDC feed —
+    refresh cost O(changed rows), the materialized-view shape a
+    100 TB fact table needs. The DML history reuses the merge-suite
+    algebra (append, MERGE with deletes, UPDATE); the value measure
+    maintains in exact integer cents, the distinct-count column
+    maintains through the two-level value state, and the oracle
+    recomputes the FINAL view directly in SQL — so the maintained
+    state being value-hash-equal to a from-scratch recompute IS the
+    gate."""
+    from .operators import ivm
+
+    events = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n = events.count()
+    c1, c2, m1, m2 = (
+        int(0.6 * n),
+        int(0.8 * n),
+        int(0.7 * n),
+        int(0.9 * n),
+    )
+    scratch = tempfile.mkdtemp(prefix="txtable_ivm_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    t = TxTable.create(
+        spark,
+        os.path.join(scratch, "events_ivm"),
+        events.filter(F.col("event_id") < c1),
+        stats_columns=["event_id"],
+    )
+
+    def vc(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "vc",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        )
+
+    keys = ["event_type"]
+    base_snap = vc(t.read(version=0))
+    state = ivm.state_of(base_snap, keys, sums=["vc"])
+    vstate = ivm.distinct_state_of(base_snap, keys, "vc")
+
+    t.append(
+        events.filter((F.col("event_id") >= c1) & (F.col("event_id") < c2))
+    )
+    src = events.filter(
+        (F.col("event_id") >= m1) & (F.col("event_id") < m2)
+    ).select(
+        "event_id",
+        "event_type",
+        (F.col("value") * 2).alias("value"),
+        F.when(F.col("event_id") % 7 == 0, "D").otherwise("U").alias("op"),
+    )
+    t.merge(src, "event_id")
+    t.update(
+        F.col("event_type") == "signup",
+        {"value": F.col("value") + 1000.0},
+    )
+    t.delete((F.col("event_type") == "click") & (F.col("value") < 5.0))
+
+    feed = vc(t.change_feed("event_id", 0, t.latest_version()))
+    state = ivm.merge_states(
+        state, ivm.delta_state(feed, keys, sums=["vc"]), keys
+    )
+    vstate = ivm.merge_states(
+        vstate, ivm.distinct_delta_state(feed, keys, "vc"), [*keys, "vc"]
+    )
+    # present straight from the state (finalize_state's SUM/AVG NULL
+    # semantics inlined, plus the cents->dollars scaling); the
+    # distinct column joins null-safely so a NULL group key would
+    # still pair with its value-level state
+    view = state.select(
+        *keys,
+        F.col("__w").alias("n_rows"),
+        F.when(F.col("__c_vc") > 0, F.col("__s_vc")).alias("sum_vc"),
+        F.when(
+            F.col("__c_vc") > 0,
+            F.round(
+                F.col("__s_vc") / (F.lit(100.0) * F.col("__c_vc")), 4
+            ),
+        ).alias("avg_value"),
+    )
+    nuniq = ivm.finalize_distinct(vstate, keys, "vc")
+    cond = view["event_type"].eqNullSafe(nuniq["event_type"])
+    return view.join(nuniq, cond).select(
+        view["event_type"], "n_rows", "sum_vc", "avg_value", "nunique_vc"
+    )

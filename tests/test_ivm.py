@@ -1,0 +1,136 @@
+"""Incremental view maintenance (operators/ivm.py, r10): maintained
+aggregate views over the CDC feed equal a from-scratch recompute at
+every version, for exact integer measures, NULL keys/values, group
+moves, and key death."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+    ivm,
+)
+from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+    TxTable,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, g string, v long")
+
+
+def _recompute(snapshot_df):
+    return snapshot_df.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("v").alias("sum_v"),
+        F.round(F.sum("v") / F.count("v"), 4).alias("avg_v"),
+    )
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((x is not None, x) for x in t),
+    )
+
+
+def test_maintained_view_equals_recompute_at_every_version(spark, tmp_path):
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "ivm1"),
+        _mk(
+            spark,
+            [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, None, 7),
+             (5, "b", None)],
+        ).coalesce(1),
+    )
+    state = ivm.state_of(t.read(version=0), ["g"], sums=["v"])
+    # v1: append (new group c, more a)
+    t.append(_mk(spark, [(6, "c", 100), (7, "a", 30)]).coalesce(1))
+    # v2: update moves a row BETWEEN groups and changes its value
+    t.update(F.col("k") == 3, {"g": F.lit("a"), "v": F.lit(50)})
+    # v3: delete kills group c entirely (count -> 0, key leaves state)
+    t.delete(F.col("g") == "c")
+    # v4: update touching only non-view columns cancels to zero delta
+    t.update(F.col("k") == 1, {"k": F.col("k") + 100})
+    for v in range(1, t.latest_version() + 1):
+        feed = t.change_feed("k", v - 1, v)
+        state = ivm.merge_states(
+            state, ivm.delta_state(feed, ["g"], sums=["v"]), ["g"]
+        )
+        view = ivm.finalize_state(
+            state, ["g"], sums=["v"], avgs=["v"]
+        )
+        want = _recompute(t.read(version=v))
+        assert _rows(view) == _rows(want), f"divergence at version {v}"
+    # group c is GONE from the state (not a zero row)
+    assert state.filter(F.col("g") == "c").count() == 0
+
+
+def test_single_fold_over_whole_history(spark, tmp_path):
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "ivm2"),
+        _mk(spark, [(i, "g" + str(i % 3), i * 10) for i in range(30)]).coalesce(1),
+    )
+    base = ivm.state_of(t.read(version=0), ["g"], sums=["v"])
+    t.delete(F.col("k") % 5 == 0)
+    t.update(F.col("k") % 7 == 1, {"v": F.col("v") + 1})
+    t.append(_mk(spark, [(100, "g0", 999), (101, "g9", 1)]).coalesce(1))
+    delta = ivm.delta_state(
+        t.change_feed("k", 0, t.latest_version()), ["g"], sums=["v"]
+    )
+    view = ivm.finalize_state(
+        ivm.merge_states(base, delta, ["g"]), ["g"], sums=["v"], avgs=["v"]
+    )
+    assert _rows(view) == _rows(_recompute(t.read()))
+
+
+def test_distinct_count_maintenance(spark, tmp_path):
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "ivm3"),
+        _mk(
+            spark,
+            [(1, "a", 1), (2, "a", 1), (3, "a", 2), (4, "b", None),
+             (5, "b", 3)],
+        ).coalesce(1),
+    )
+    vstate = ivm.distinct_state_of(t.read(version=0), ["g"], "v")
+    # delete one of the duplicate v=1 rows (distinct count unchanged),
+    # then the second (drops), then add a fresh value to b
+    t.delete(F.col("k") == 1)
+    t.delete(F.col("k") == 2)
+    t.append(_mk(spark, [(6, "b", 9)]).coalesce(1))
+    vstate = ivm.merge_states(
+        vstate,
+        ivm.distinct_delta_state(
+            t.change_feed("k", 0, t.latest_version()), ["g"], "v"
+        ),
+        ["g", "v"],
+    )
+    got = {
+        r["g"]: r["nunique_v"]
+        for r in ivm.finalize_distinct(vstate, ["g"], "v").collect()
+    }
+    want = {
+        r["g"]: r["n"]
+        for r in t.read()
+        .groupBy("g")
+        .agg(F.countDistinct("v").alias("n"))
+        .collect()
+    }
+    assert got == want == {"a": 1, "b": 2}
+
+
+def test_ivm_validation_and_unknown_change_type(spark):
+    df = _mk(spark, [(1, "a", 1)])
+    state = ivm.state_of(df, ["g"], sums=["v"])
+    with pytest.raises(ValueError, match="not maintained"):
+        ivm.finalize_state(state, ["g"], sums=[], avgs=["v"])
+    with pytest.raises(ValueError, match="schemas differ"):
+        ivm.merge_states(state, ivm.state_of(df, ["g"]), ["g"])
+    bad = df.withColumn("_change_type", F.lit("bogus"))
+    with pytest.raises(Exception, match="unknown _change_type"):
+        ivm.delta_state(bad, ["g"], sums=["v"]).collect()
