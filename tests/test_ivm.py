@@ -134,3 +134,48 @@ def test_ivm_validation_and_unknown_change_type(spark):
     bad = df.withColumn("_change_type", F.lit("bogus"))
     with pytest.raises(Exception, match="unknown _change_type"):
         ivm.delta_state(bad, ["g"], sums=["v"]).collect()
+
+
+def test_streaming_cdc_feeds_maintained_view(spark, tmp_path):
+    """The streaming CDC source drives the SAME fold: each micro-batch
+    of change rows maintains the state via foreachBatch — the
+    continuously-maintained materialized view shape. State after the
+    drain equals a from-scratch recompute."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txstream import (
+        TxTableStreamSource,
+    )
+
+    spark.dataSource.register(TxTableStreamSource)
+    path = str(tmp_path / "ivm_stream")
+    t = TxTable.create(
+        spark,
+        path,
+        _mk(spark, [(i, "g" + str(i % 2), i) for i in range(12)]).coalesce(1),
+    )
+    holder = {"state": ivm.state_of(t.read(version=0), ["g"], sums=["v"])}
+    t.delete(F.col("k") < 3)
+    t.update(F.col("k") == 5, {"v": F.lit(500)})
+    t.append(_mk(spark, [(50, "g0", 7)]).coalesce(1))
+
+    def fold(batch_df, _epoch):
+        # batches arrive per commit range; the fold is associative so
+        # any batching maintains the same state
+        delta = ivm.delta_state(batch_df, ["g"], sums=["v"])
+        holder["state"] = ivm.merge_states(
+            holder["state"], delta, ["g"]
+        ).localCheckpoint(eager=True)
+
+    q = (
+        spark.readStream.format("txtable_stream")
+        .option("readChangeFeed", "true")
+        .option("key", "k")
+        .option("startingVersion", "1")
+        .load(path)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ivm_ck"))
+        .foreachBatch(fold)
+        .start()
+    )
+    q.awaitTermination()
+    got = ivm.finalize_state(holder["state"], ["g"], sums=["v"], avgs=["v"])
+    assert _rows(got) == _rows(_recompute(t.read()))
