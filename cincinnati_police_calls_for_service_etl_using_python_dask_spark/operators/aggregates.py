@@ -190,9 +190,16 @@ def group_agg_split_distinct(
     # NULL grouping keys form groups in both branches and must pair up,
     # so the join is null-safe (both branches group the same rows by
     # the same keys — the key sets are identical, inner is exact).
+    # The distinct branch's keys are renamed first: both branches share
+    # the source frame's lineage, and same-name references would
+    # resolve ambiguously (Spark warns "trivially true predicate").
+    dist = dist.select(
+        *[F.col(kcol).alias(f"__dk_{i}") for i, kcol in enumerate(keys)],
+        f"nunique_{distinct_col}",
+    )
     cond = None
-    for kcol in keys:
-        c = nond[kcol].eqNullSafe(dist[kcol])
+    for i, kcol in enumerate(keys):
+        c = nond[kcol].eqNullSafe(F.col(f"__dk_{i}"))
         cond = c if cond is None else (cond & c)
     out = nond.join(dist, cond, "inner")
     order = (
