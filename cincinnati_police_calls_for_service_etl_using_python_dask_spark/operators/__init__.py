@@ -23,6 +23,7 @@ from .ivm import (
     distinct_delta_state,
     distinct_state_of,
     finalize_distinct,
+    finalize_minmax,
     finalize_state,
     merge_states,
     state_of,
@@ -40,6 +41,7 @@ __all__ = [
     "distinct_delta_state",
     "distinct_state_of",
     "finalize_distinct",
+    "finalize_minmax",
     "finalize_state",
     "merge_states",
     "state_of",

@@ -22,10 +22,12 @@ maintained by summing weighted contributions:
         count its live rows at finalize — exactly maintainable, the
         two-level trick MIN/MAX lacks.
 
-MIN/MAX are deliberately NOT offered: they are not incrementally
-maintainable under deletes without an auxiliary per-key value store
-(deleting the current max requires knowing the runner-up) — callers
-that need them should recompute those columns from the snapshot.
+MIN/MAX are not maintainable from the ADDITIVE state alone (deleting
+the current max requires knowing the runner-up), which is exactly why
+:func:`finalize_state` does not offer them — but the VALUE-LEVEL
+state used for countDistinct IS the auxiliary store the textbook
+asks for, so :func:`finalize_minmax` derives exact MIN/MAX from live
+value multiplicities at read time.
 
 Exactness: weights and counts are exact integers; measures should be
 integer/decimal-encoded (e.g. cents — functions/scalar.py's money
@@ -187,6 +189,29 @@ def distinct_state_of(
     return state_of(
         df.filter(F.col(col).isNotNull()), [*keys, col], sums=()
     )
+
+
+def finalize_minmax(
+    state: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    want_min: bool = True,
+    want_max: bool = True,
+) -> DataFrame:
+    """Exact MIN/MAX view from a value-level state: min/max over the
+    LIVE values (multiplicity > 0) per key — deleting the current
+    extreme simply uncovers the runner-up, because the state retains
+    every live value with its count. Same O(changed rows) refresh as
+    the distinct count; the read is a second-level aggregate over the
+    (small) per-key value sets."""
+    if not (want_min or want_max):
+        raise ValueError("finalize_minmax: request at least one of min/max")
+    aggs = []
+    if want_min:
+        aggs.append(F.min(F.col(col)).alias(f"min_{col}"))
+    if want_max:
+        aggs.append(F.max(F.col(col)).alias(f"max_{col}"))
+    return state.groupBy(*keys).agg(*aggs)
 
 
 def finalize_distinct(

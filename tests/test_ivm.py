@@ -179,3 +179,43 @@ def test_streaming_cdc_feeds_maintained_view(spark, tmp_path):
     q.awaitTermination()
     got = ivm.finalize_state(holder["state"], ["g"], sums=["v"], avgs=["v"])
     assert _rows(got) == _rows(_recompute(t.read()))
+
+
+def test_minmax_maintenance_via_value_state(spark, tmp_path):
+    """Deleting the current max uncovers the runner-up: the value-level
+    state IS the auxiliary store MIN/MAX need under deletes."""
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "ivm4"),
+        _mk(
+            spark,
+            [(1, "a", 9), (2, "a", 9), (3, "a", 4), (4, "a", 1),
+             (5, "b", 7)],
+        ).coalesce(1),
+    )
+    vstate = ivm.distinct_state_of(t.read(version=0), ["g"], "v")
+    t.delete(F.col("k") == 1)   # one of two v=9 rows: max stays 9
+    t.delete(F.col("k") == 2)   # last v=9 row: max falls to 4
+    t.delete(F.col("k") == 4)   # min rises to 4
+    vstate = ivm.merge_states(
+        vstate,
+        ivm.distinct_delta_state(
+            t.change_feed("k", 0, t.latest_version()), ["g"], "v"
+        ),
+        ["g", "v"],
+    )
+    got = {
+        r["g"]: (r["min_v"], r["max_v"])
+        for r in ivm.finalize_minmax(vstate, ["g"], "v").collect()
+    }
+    assert got == {"a": (4, 4), "b": (7, 7)}
+    want = {
+        r["g"]: (r["mn"], r["mx"])
+        for r in t.read()
+        .groupBy("g")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="at least one"):
+        ivm.finalize_minmax(vstate, ["g"], "v", want_min=False, want_max=False)
