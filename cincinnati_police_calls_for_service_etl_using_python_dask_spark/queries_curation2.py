@@ -682,7 +682,82 @@ def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 8
 
 
-@register("bpe_train_merges", None)  # rows-only: iterative trainer
+@functools.lru_cache(maxsize=1)
+def _bpe_train_oracle() -> str:
+    """Replay oracle (r10): an INDEPENDENT pure-Python serial-greedy
+    BPE (the same reference implementation the pytest parity gate
+    uses) trains over the oracle-contract parquet read through
+    DuckDB; the resulting merge table embeds as a VALUES relation.
+    The artifact IS the query's entire output (a trained model has no
+    further SQL to run), so the oracle's value is the independent
+    recomputation, exactly as with the replayed
+    codebook/centroid/PCA literals — here the replay is a different
+    ALGORITHM implementation (serial greedy loop vs the engine's
+    batched provably-safe-prefix rounds), making this the strongest
+    check of the family."""
+    import re as _re
+    from collections import Counter
+
+    import duckdb
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.execute(
+            "SELECT text FROM "
+            "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    wc: Counter = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in _re.split(r"\s+", t.strip().lower()):
+            if w:
+                wc[w] += 1
+    reprs = {w: list(w) for w in wc}
+    merges = []
+    for rank in range(1, _BPE_MERGES + 1):
+        pc: Counter = Counter()
+        for w, syms in reprs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, cnt))
+        for w, syms in reprs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            reprs[w] = out
+
+    def q(x: str) -> str:
+        return "'" + x.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({r}, {q(l)}, {q(rt)}, {c})" for r, l, rt, c in merges
+    )
+    return (
+        "SELECT CAST(col0 AS BIGINT) AS rank, col1 AS left, "
+        "col2 AS right, CAST(col3 AS BIGINT) AS pair_count "
+        f"FROM (VALUES {vals}) t(col0, col1, col2, col3)"
+    )
+
+
+@register("bpe_train_merges", _bpe_train_oracle)  # FULL oracle (r10): independent serial-greedy replay
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import tokenizer as tk
 
