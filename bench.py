@@ -216,6 +216,13 @@ _NEW_R8 = [
     "ann_ivf_pq_topk",
 ]
 
+_NEW_R10 = [
+    # incrementally maintained aggregate view: the table build + DML
+    # history run at construction; warm runs time the REFRESH read
+    # path (feed scan -> delta aggregate -> state merge -> finalize)
+    "ivm_maintained_view_events",
+]
+
 HEADLINE = (
     [q for q in GATE_PRIORITY if q not in _UNBENCHABLE]
     + _CONTINUITY
@@ -226,6 +233,7 @@ HEADLINE = (
     + _NEW_R6
     + _NEW_R7
     + _NEW_R8
+    + _NEW_R10
 )
 
 
