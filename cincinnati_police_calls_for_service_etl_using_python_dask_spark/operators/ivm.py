@@ -223,3 +223,70 @@ def finalize_distinct(
     return state.groupBy(*keys).agg(
         F.count(F.col(col)).alias(alias or f"nunique_{col}")
     )
+
+
+def refresh_view(
+    spark,
+    source,
+    view_path: str,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    feed_key: str | Sequence[str] = (),
+    app_id: str | None = None,
+    measure_fn=None,
+    log_store=None,
+):
+    """CRASH-SAFE incremental materialized-view refresh (r10): fold
+    the source TxTable's change feed since the last refresh into a
+    state stored in its OWN TxTable — the complete
+    Delta-Live-Tables-style loop, exactly-once.
+
+    The watermark is transactional: every view commit carries a
+    ``txn`` action recording the SOURCE VERSION it reflects (the same
+    mechanism as the exactly-once streaming sink), so:
+
+    - a refresh that crashed AFTER committing but BEFORE its driver
+      acknowledged simply no-ops on re-run (epoch ≤ high-water mark);
+    - a refresh that crashed BEFORE committing left no partial state
+      (the fold is computed lazily and lands in one atomic commit);
+    - concurrent duplicate refreshers race on the commit version and
+      the loser's replay no-ops.
+
+    First call initializes: ONE full aggregate of the source snapshot
+    (the only table-sized scan the view ever pays), stamped with that
+    snapshot's version. Every later call reads only the feed between
+    the watermark and the source head — O(changed rows).
+
+    ``measure_fn`` optionally derives measure columns from raw rows
+    (e.g. integer cents) — it must be applied identically to snapshot
+    and feed rows, so it is a function here, not a pre-derived frame.
+    Returns the source version now reflected, or None if already
+    current.
+    """
+    from ..sources.txtable import TxTable
+
+    app_id = app_id or f"ivm:{view_path}"
+    src_v = source.latest_version()
+    view = TxTable(spark, view_path, log_store=log_store)
+
+    def prep(df: DataFrame) -> DataFrame:
+        return measure_fn(df) if measure_fn is not None else df
+
+    if not view.exists():
+        state = state_of(prep(source.read(version=src_v)), keys, sums)
+        TxTable.create(spark, view_path, state, txn=(app_id, src_v))
+        return src_v
+    wm = view.snapshot().txns.get(app_id, -1)
+    if wm < 0:
+        raise ValueError(
+            f"table at {view_path} exists but carries no {app_id!r} "
+            f"watermark — it is not this view's state table"
+        )
+    if src_v <= wm:
+        return None
+    feed = prep(source.change_feed(feed_key, wm, src_v))
+    merged = merge_states(
+        view.read(), delta_state(feed, keys, sums), keys
+    )
+    view.overwrite(merged, txn=(app_id, src_v))
+    return src_v

@@ -777,9 +777,12 @@ class TxTable:
         log_store: LogStore | None = None,
         check_constraints: dict | None = None,
         generated_columns: dict | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> "TxTable":
         """Create a table at ``path`` from ``df`` (commit 0). Fails if
-        a table already exists there.
+        a table already exists there. ``txn=(app_id, epoch)`` stamps
+        commit 0 with a transaction watermark (the IVM-initialization
+        contract — see operators/ivm.py:refresh_view).
 
         ``bloom_columns`` enables per-file BLOOM FILTERS for equality
         skipping: zone maps only skip point lookups when the column is
@@ -832,6 +835,8 @@ class TxTable:
         actions += t._write_files(
             _with_checks(df, checks), stats_columns, bloom_spec
         )
+        if txn is not None:
+            actions.append({"txn": {"appId": txn[0], "epoch": txn[1]}})
         actions.append(_commit_info("CREATE", 0))
         if not t._try_commit(0, actions):
             raise ConcurrentWriteError(f"concurrent CREATE at {path}")
@@ -1672,10 +1677,22 @@ class TxTable:
         self._maybe_checkpoint(v)
         return v
 
-    def overwrite(self, df: DataFrame) -> int:
-        """Replace the whole table content in one commit."""
+    def overwrite(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int:
+        """Replace the whole table content in one commit.
+
+        ``txn=(app_id, epoch)`` makes the overwrite IDEMPOTENT under
+        replay (r10, the IVM refresh contract): the commit carries a
+        ``txn`` action exactly like :meth:`stream_epoch_append`, and
+        an epoch at or below the table's recorded high-water mark for
+        ``app_id`` is a NO-OP returning the current version — a
+        refresh job that crashed after committing but before its
+        driver acknowledged re-runs without double-applying."""
         snap = self.snapshot()
         self._assert_writable(snap)
+        if txn is not None and txn[1] <= snap.txns.get(txn[0], -1):
+            return snap.version
         df = _materialize_generated(df, snap.generated_columns)
         self._check_schema(df, snap.schema)
         adds = self._write_files(
@@ -1685,7 +1702,10 @@ class TxTable:
         )
         v = snap.version + 1
         actions = [{"remove": {"path": p}} for p in snap.files]
-        actions += adds + [_commit_info("OVERWRITE", v)]
+        actions += adds
+        if txn is not None:
+            actions.append({"txn": {"appId": txn[0], "epoch": txn[1]}})
+        actions.append(_commit_info("OVERWRITE", v))
         if not self._try_commit(v, actions):
             raise ConcurrentWriteError(f"OVERWRITE conflicted at {self.path}")
         self._maybe_checkpoint(v)

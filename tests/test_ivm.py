@@ -219,3 +219,85 @@ def test_minmax_maintenance_via_value_state(spark, tmp_path):
     assert got == want
     with pytest.raises(ValueError, match="at least one"):
         ivm.finalize_minmax(vstate, ["g"], "v", want_min=False, want_max=False)
+
+
+def test_refresh_view_lifecycle_exactly_once(spark, tmp_path):
+    """The stored-view loop: init = one full aggregate stamped with
+    the source version; each refresh folds only the feed since the
+    watermark, lands atomically, and replays no-op."""
+    src = TxTable.create(
+        spark,
+        str(tmp_path / "rv_src"),
+        _mk(spark, [(i, "g" + str(i % 3), i * 10) for i in range(24)]).coalesce(1),
+    )
+    vpath = str(tmp_path / "rv_view")
+
+    def check():
+        got = ivm.finalize_state(
+            ivm.merge_states(  # no-op merge: just read the stored state
+                TxTable(spark, vpath).read(),
+                TxTable(spark, vpath).read().limit(0),
+                ["g"],
+            ),
+            ["g"], sums=["v"], avgs=["v"],
+        )
+        assert _rows(got) == _rows(_recompute(src.read()))
+
+    # init: full aggregate at the current source version
+    v0 = ivm.refresh_view(spark, src, vpath, ["g"], sums=["v"], feed_key="k")
+    assert v0 == src.latest_version()
+    check()
+    # already current -> no-op
+    assert ivm.refresh_view(spark, src, vpath, ["g"], sums=["v"], feed_key="k") is None
+    # DML, then an incremental refresh
+    src.delete(F.col("k") % 4 == 0)
+    src.update(F.col("k") == 5, {"v": F.lit(5000)})
+    src.append(_mk(spark, [(900, "gX", 3)]).coalesce(1))
+    v1 = ivm.refresh_view(spark, src, vpath, ["g"], sums=["v"], feed_key="k")
+    assert v1 == src.latest_version() > v0
+    check()
+    # crash-after-commit replay: a stale-epoch overwrite is a NO-OP
+    view = TxTable(spark, vpath)
+    before = sorted(map(tuple, view.read().collect()))
+    bogus = view.read().limit(1)
+    v_now = view.overwrite(bogus, txn=(f"ivm:{vpath}", v1))
+    assert v_now == view.latest_version()
+    assert sorted(map(tuple, view.read().collect())) == before
+    # a table without the watermark is refused
+    other = str(tmp_path / "rv_other")
+    TxTable.create(spark, other, _mk(spark, [(1, "a", 1)]).coalesce(1))
+    with pytest.raises(ValueError, match="watermark"):
+        ivm.refresh_view(spark, src, other, ["g"], sums=["v"], feed_key="k")
+
+
+def test_refresh_view_measure_fn_cents(spark, tmp_path):
+    """measure_fn derives the maintained measure identically on the
+    snapshot (init) and feed (refresh) paths — integer cents here."""
+    rows = [(1, "a", 101), (2, "a", 250), (3, "b", 999)]
+    src = TxTable.create(
+        spark, str(tmp_path / "rvc_src"), _mk(spark, rows).coalesce(1)
+    )
+    vpath = str(tmp_path / "rvc_view")
+
+    def cents(df):
+        return df.withColumn("vc", (F.col("v") * 100).cast("long"))
+
+    ivm.refresh_view(
+        spark, src, vpath, ["g"], sums=["vc"], feed_key="k", measure_fn=cents
+    )
+    src.append(_mk(spark, [(4, "b", 1)]).coalesce(1))
+    src.delete(F.col("k") == 1)
+    ivm.refresh_view(
+        spark, src, vpath, ["g"], sums=["vc"], feed_key="k", measure_fn=cents
+    )
+    got = {
+        r["g"]: r["sum_vc"]
+        for r in ivm.finalize_state(
+            TxTable(spark, vpath).read(), ["g"], sums=["vc"]
+        ).collect()
+    }
+    want = {
+        r["g"]: r["s"]
+        for r in cents(src.read()).groupBy("g").agg(F.sum("vc").alias("s")).collect()
+    }
+    assert got == want == {"a": 25000, "b": 100000}
