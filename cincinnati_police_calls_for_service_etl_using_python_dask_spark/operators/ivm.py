@@ -39,6 +39,9 @@ State relations are plain DataFrames (storable in a TxTable), so the
 refresh loop is: read feed slice → :func:`delta_state` →
 :func:`merge_states` with the stored state → write back. All three
 are one shuffle each on the view keys at any scale.
+:func:`refresh_view` packages the loop crash-safe and exactly-once:
+the view lives in its own TxTable and every refresh commit carries
+the folded SOURCE VERSION as a transactional watermark.
 """
 
 from __future__ import annotations

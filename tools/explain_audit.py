@@ -251,6 +251,15 @@ def main() -> None:
             "no-blind-hint discipline incremental_dedup_docs pins",
         ),
         (
+            "ivm_maintained_view_events",
+            "maintained-view fold: hash joins + aggregates only",
+            lambda p: "CartesianProduct" not in p and "Expand" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+            "r10: the refresh read path is delta aggregate + "
+            "co-partitioned state merge — no row multiplication, "
+            "nothing quadratic; work is O(changed rows) + O(|state|)",
+        ),
+        (
             "topk_orders",
             "top-k as TakeOrderedAndProject",
             lambda p: "TakeOrderedAndProject" in p,
