@@ -44,8 +44,15 @@ def _suite(name: str, members: list[tuple[str, str]], spark_fn=None) -> None:
     if no_oracle:
         raise RuntimeError(f"suite {name}: members lack oracles: {no_oracle}")
 
+    # an oracle may be a zero-arg callable (r10 replay oracles) —
+    # resolve before composing, so a future suite member with one
+    # can't silently embed a function repr in the SQL
+    def _sql(m: str) -> str:
+        o = REGISTRY[m][1]
+        return o() if callable(o) else o
+
     oracle = "\nUNION ALL BY NAME\n".join(
-        f"SELECT '{seg}' AS seg, * FROM ({REGISTRY[m][1]})" for seg, m in members
+        f"SELECT '{seg}' AS seg, * FROM ({_sql(m)})" for seg, m in members
     )
 
     if spark_fn is not None:
