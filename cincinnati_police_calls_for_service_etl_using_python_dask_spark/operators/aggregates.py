@@ -482,6 +482,18 @@ def salted_count_distinct(
     the true count (unlike row-random salting, which double-counts).
     Two shuffles, both skew-free; nulls are counted by neither phase,
     matching ``countDistinct``.
+
+    Honest measurement note (r10): for countDistinct specifically,
+    modern Spark's own distinct rewrite already shuffles phase 1 on
+    (key, value) — itself skew-free — and phase 2 arrives map-side
+    pre-counted, so the explicit salt buys nothing and costs one agg
+    level (0.78 s vs 0.64 s native at sf0.1). The salting pattern
+    EARNS its keep where the per-key reduction is NOT decomposable
+    with map-side partials — collect_set/collect_list payloads, exact
+    per-key medians, UDAF state — i.e. when a hot key's whole value
+    set otherwise serializes through one reducer. This operator stays
+    as the pattern's exact-correctness reference (value-hash-gated
+    against plain COUNT DISTINCT).
     """
     out = out_col or f"nunique_{distinct_col}"
     salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(salt_buckets))
