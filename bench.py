@@ -69,6 +69,11 @@ _CONSTRUCTION_EAGER = {
     "ann_pq_topk",
     "ann_ivf_pq_topk",
     "semdedup_clusters",
+    # r11 (VERDICT r10 #6): the scratch-table build + DML history run
+    # once at construction; warm runs measure the VIEW READ + FOLD
+    # (base-state scan -> CDC feed delta aggregate -> state merge ->
+    # finalize), not the table DML.
+    "ivm_maintained_view_events",
 }
 
 # Round-over-round continuity: granular queries benched since r1/r2

@@ -214,7 +214,33 @@ def finalize_minmax(
         aggs.append(F.min(F.col(col)).alias(f"min_{col}"))
     if want_max:
         aggs.append(F.max(F.col(col)).alias(f"max_{col}"))
-    return state.groupBy(*keys).agg(*aggs)
+    # merge_states drops __w == 0, but a NEGATIVE multiplicity (an
+    # inconsistent feed, or a delta folded twice outside refresh_view's
+    # txn guard) would otherwise count as a live value — fail loudly
+    # instead of silently resurrecting a deleted extreme (ADVICE r10).
+    return _live_values(state).groupBy(*keys).agg(*aggs)
+
+
+def _live_values(state: DataFrame) -> DataFrame:
+    """Keep only LIVE rows (multiplicity > 0) and raise on a negative
+    multiplicity: a consistent feed never produces one (every delete is
+    preceded by its insert), so __w < 0 means the state was corrupted —
+    an inconsistent feed or a delta folded twice outside
+    :func:`refresh_view`'s transactional guard. Counting such a row as
+    live would silently corrupt distinct/min/max views; erroring at
+    read time surfaces the operational bug instead (ADVICE r10)."""
+    w = F.col("__w")
+    return state.filter(
+        F.when(
+            w < 0,
+            F.raise_error(
+                F.lit(
+                    "ivm: negative multiplicity in value-level state — "
+                    "feed is inconsistent or a delta was folded twice"
+                )
+            ).cast("boolean"),
+        ).otherwise(w > 0)
+    )
 
 
 def finalize_distinct(
@@ -222,8 +248,8 @@ def finalize_distinct(
 ) -> DataFrame:
     """COUNT DISTINCT view from a value-level state: count the live
     (multiplicity > 0) values per key — merge_states already dropped
-    dead ones, so this is a plain second-level count."""
-    return state.groupBy(*keys).agg(
+    zero-count ones; :func:`_live_values` guards against negatives."""
+    return _live_values(state).groupBy(*keys).agg(
         F.count(F.col(col)).alias(alias or f"nunique_{col}")
     )
 
@@ -260,6 +286,13 @@ def refresh_view(
     snapshot's version. Every later call reads only the feed between
     the watermark and the source head — O(changed rows).
 
+    ``feed_key`` is REQUIRED: it is the source table's row identity,
+    which ``change_feed`` diffs versions on — an empty key would
+    degenerate that diff into a keyless full-outer join. Validated up
+    front (even on the init path, where the feed isn't read yet) so a
+    misconfigured pipeline fails at wiring time, not at its second
+    refresh (ADVICE r10).
+
     ``measure_fn`` optionally derives measure columns from raw rows
     (e.g. integer cents) — it must be applied identically to snapshot
     and feed rows, so it is a function here, not a pre-derived frame.
@@ -268,6 +301,13 @@ def refresh_view(
     """
     from ..sources.txtable import TxTable
 
+    if isinstance(feed_key, str):
+        feed_key = (feed_key,)
+    if not feed_key:
+        raise ValueError(
+            "refresh_view: feed_key (the source table's row-identity "
+            "columns, which change_feed diffs on) must be non-empty"
+        )
     app_id = app_id or f"ivm:{view_path}"
     src_v = source.latest_version()
     view = TxTable(spark, view_path, log_store=log_store)

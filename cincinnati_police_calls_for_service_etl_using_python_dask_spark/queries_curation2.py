@@ -20,7 +20,7 @@ from .operators import sampling as sp
 from .operators import similarity as sim
 from .operators import text as tx
 from .queries import register
-from .sources.files import read_testdata
+from .sources.files import oracle_sf_dir, read_testdata
 
 # Shared parameters, embedded identically in the Spark plans and the
 # DuckDB oracles.
@@ -158,7 +158,7 @@ def _semdedup_clusters_oracle() -> str:
     # rule scoped per cluster. See similarity.py:
     # semdedup_clusters_replay_sql.
     return sim.semdedup_clusters_replay_sql(
-        "/root/testdata/sf0.01/embeddings.parquet",
+        f"{oracle_sf_dir()}/embeddings.parquet",
         _SEM_THRESHOLD, n_clusters=8, n_iter=8, seed=7,
     )
 
@@ -705,7 +705,7 @@ def _bpe_train_oracle() -> str:
         r[0]
         for r in con.execute(
             "SELECT text FROM "
-            "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+            f"read_parquet('{oracle_sf_dir()}/documents.parquet')"
         ).fetchall()
     ]
     con.close()

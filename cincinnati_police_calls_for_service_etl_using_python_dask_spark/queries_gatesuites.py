@@ -304,6 +304,14 @@ _suite(
         # parquet + external DV sidecar + local divergence, isolation
         # from post-clone source writes pinned by the oracle.
         ("shallow_clone", "txtable_clone_events"),
+        # r11 (VERDICT r10 #2/#7): the incrementally maintained
+        # aggregate view — CDC feed folded into a stored state
+        # (operators/ivm.py), including exact MIN/MAX maintained
+        # through a DELETE of the current extremum — joins the gated
+        # slot so the materialized-view fold is value-hash-gated in
+        # the driver window, not just locally. The oracle recomputes
+        # the final view from scratch over the same DML script.
+        ("ivm", "ivm_maintained_view_events"),
     ],
 )
 

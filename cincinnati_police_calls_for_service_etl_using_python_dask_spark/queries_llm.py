@@ -23,7 +23,7 @@ from .operators import multimodal as mm
 from .operators import similarity as sim
 from .operators import text as tx
 from .queries import register
-from .sources.files import read_testdata
+from .sources.files import oracle_sf_dir, read_testdata
 
 # DuckDB fragments shared by several oracles — kept in one place so the
 # tokenization semantics stay pinned to operators/text.py.
@@ -468,7 +468,7 @@ def _ann_ivf_oracle() -> str:
     # _train_spherical_kmeans core over the oracle-contract parquet;
     # assignment/probe/rerank in SQL with centroid literals.
     return sim.ivf_ann_replay_sql(
-        "/root/testdata/sf0.01/embeddings.parquet",
+        f"{oracle_sf_dir()}/embeddings.parquet",
         k=10, n_lists=16, n_probe=4, n_iter=8,
     )
 
@@ -494,7 +494,7 @@ def _pca_whiten_oracle() -> str:
     # See similarity.py:pca_whiten_replay_sql for the doctrine and
     # the quantization-margin argument.
     return sim.pca_whiten_replay_sql(
-        "/root/testdata/sf0.01/embeddings.parquet", k=8
+        f"{oracle_sf_dir()}/embeddings.parquet", k=8
     )
 
 
@@ -524,7 +524,7 @@ def _ann_ivf_pq_oracle() -> str:
     # quantizer's probe restriction switched on — the complete
     # billion-vector index shape, value-hash-gated end-to-end.
     return sim.pq_adc_replay_sql(
-        "/root/testdata/sf0.01/embeddings.parquet",
+        f"{oracle_sf_dir()}/embeddings.parquet",
         k=10, m=8, ksub=16, shortlist=50,
         n_lists=16, n_probe=4, coarse_iter=8,
     )
@@ -552,7 +552,7 @@ def _ann_pq_oracle() -> str:
     # parquet; encode/LUT/ADC/rerank expressed in SQL. See
     # similarity.py:pq_adc_replay_sql for the determinism doctrine.
     return sim.pq_adc_replay_sql(
-        "/root/testdata/sf0.01/embeddings.parquet",
+        f"{oracle_sf_dir()}/embeddings.parquet",
         k=10, m=8, ksub=16, shortlist=50,
     )
 

@@ -34,6 +34,17 @@ _NANOS_TO_NTZ = (
 )
 
 
+def oracle_sf_dir() -> str:
+    """SF directory the ORACLE contract reads (the driver runs oracle
+    SQL at sf0.01; tests/conftest.py honours the same env var for local
+    parity runs). Replay oracles — zero-arg callables embedding
+    DATA-DEPENDENT literals (replayed PCA model, k-means centroids,
+    BPE merges) — must derive their parquet paths from here, never a
+    string literal, so running parity at another SF replays the model
+    from the SAME data the rest of the oracle SQL reads (ADVICE r10)."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan. Catalyst pushes filters into row-group pruning and
     prunes columns at the footer level — the manual projection/predicate

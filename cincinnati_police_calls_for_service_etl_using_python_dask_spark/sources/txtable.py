@@ -1418,7 +1418,21 @@ class TxTable:
         if deep:
             import hashlib
             import shutil
+            import uuid
 
+            # Byte-copies are STAGED in a hidden per-attempt directory
+            # and renamed into place only once every copy succeeded
+            # (ADVICE r10): a process dying mid-copy leaves its strays
+            # confined to an identifiable `.clone-staging-*` dir (never
+            # loose in the table root where a later create would
+            # inherit them), and a lost commit race removes the moved
+            # files before raising. Readers are never exposed to a
+            # half-copied file: the rename barrier precedes the commit
+            # that publishes the names.
+            staging = os.path.join(
+                t.path, f".clone-staging-{uuid.uuid4().hex[:8]}"
+            )
+            os.makedirs(staging)
             used: set[str] = set()
 
             def _localize(src_path: str) -> str:
@@ -1434,14 +1448,23 @@ class TxTable:
                     ).hexdigest()[:8]
                     name = f"{pref}-{name}"
                 used.add(name)
-                shutil.copy2(full, os.path.join(t.path, name))
+                shutil.copy2(full, os.path.join(staging, name))
                 return name
 
-            for p, m in sorted(snap.files.items()):
-                meta = dict(m)
-                if meta.get("dv"):
-                    meta["dv"] = _localize(meta["dv"])
-                actions.append(_add_action(_localize(p), meta))
+            try:
+                for p, m in sorted(snap.files.items()):
+                    meta = dict(m)
+                    if meta.get("dv"):
+                        meta["dv"] = _localize(meta["dv"])
+                    actions.append(_add_action(_localize(p), meta))
+            except BaseException:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+            for name in sorted(used):
+                os.replace(
+                    os.path.join(staging, name), os.path.join(t.path, name)
+                )
+            os.rmdir(staging)
         else:
             for p, m in sorted(snap.files.items()):
                 meta = dict(m)
@@ -1455,6 +1478,12 @@ class TxTable:
         info["commitInfo"]["cloneType"] = "deep" if deep else "shallow"
         actions.append(info)
         if not t._try_commit(0, actions):
+            if deep:
+                for name in sorted(used):
+                    try:
+                        os.remove(os.path.join(t.path, name))
+                    except OSError:
+                        pass
             raise ConcurrentWriteError(f"concurrent CREATE at {t.path}")
         return t
 

@@ -136,6 +136,38 @@ def test_ivm_validation_and_unknown_change_type(spark):
         ivm.delta_state(bad, ["g"], sums=["v"]).collect()
 
 
+def test_negative_multiplicity_fails_loudly(spark):
+    """r11 (ADVICE r10): a value-level state carrying a NEGATIVE
+    multiplicity (inconsistent feed / double-folded delta) must error
+    at finalize, never count the dead value as live."""
+    neg = spark.createDataFrame(
+        [("a", 1, -1), ("a", 2, 2)], "g string, v long, __w long"
+    )
+    with pytest.raises(Exception, match="negative multiplicity"):
+        ivm.finalize_distinct(neg, ["g"], "v").collect()
+    with pytest.raises(Exception, match="negative multiplicity"):
+        ivm.finalize_minmax(neg, ["g"], "v").collect()
+    ok = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2)], "g string, v long, __w long"
+    )
+    assert ivm.finalize_distinct(ok, ["g"], "v").collect()[0][1] == 2
+    r = ivm.finalize_minmax(ok, ["g"], "v").collect()[0]
+    assert (r["min_v"], r["max_v"]) == (1, 2)
+
+
+def test_refresh_view_requires_feed_key(spark, tmp_path):
+    """r11 (ADVICE r10): an empty feed_key must fail at wiring time
+    with a pointed error, not degenerate into a keyless diff on the
+    second refresh."""
+    t = TxTable.create(
+        spark, str(tmp_path / "src_fk"), _mk(spark, [(1, "a", 1)])
+    )
+    with pytest.raises(ValueError, match="feed_key"):
+        ivm.refresh_view(
+            spark, t, str(tmp_path / "view_fk"), ["g"], sums=["v"]
+        )
+
+
 def test_streaming_cdc_feeds_maintained_view(spark, tmp_path):
     """The streaming CDC source drives the SAME fold: each micro-batch
     of change rows maintains the state via foreachBatch — the

@@ -1929,6 +1929,31 @@ def test_deep_clone_survives_source_reclaim(spark, tmp_path):
         sh.read().collect()  # shallow references are gone
 
 
+def test_deep_clone_lost_race_leaves_no_orphans(spark, tmp_path, monkeypatch):
+    """r11 (ADVICE r10): a deep clone that loses the create race (or
+    dies mid-copy) must not leave stray data files loose in the target
+    root for a later create to inherit. Copies are staged in a hidden
+    dir and removed when the commit loses."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources import (
+        txtable as txt,
+    )
+
+    src = str(tmp_path / "dcr_src")
+    t = TxTable.create(spark, src, _mk(spark, 0, 10).coalesce(1))
+    target = str(tmp_path / "dcr_tgt")
+    monkeypatch.setattr(
+        txt.TxTable, "_try_commit", lambda self, v, actions: False
+    )
+    with pytest.raises(txt.ConcurrentWriteError):
+        t.clone(target, deep=True)
+    monkeypatch.undo()
+    leftovers = [
+        n for n in os.listdir(target) if not n.startswith(".clone-staging")
+    ]
+    assert leftovers in ([], ["_tx_log"]), leftovers
+    assert not [n for n in os.listdir(target) if n.endswith(".parquet")]
+
+
 def test_deep_clone_carries_dv_sidecar(spark, tmp_path):
     """Deep-cloning a MOR table copies the DV sidecar too and the
     local reference applies on read."""
