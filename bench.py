@@ -228,6 +228,14 @@ _NEW_R10 = [
     "ivm_maintained_view_events",
 ]
 
+_NEW_R11 = [
+    # JOIN-probe ADC tiers: query set stays a DataFrame (distributed
+    # mapInPandas LUT + pure-JVM posexplode ⋈ LUT scoring) — the
+    # corpus-vs-corpus path, benched alongside its driver-probe twin
+    "ann_pq_topk_join",
+    "ann_ivf_pq_topk_join",
+]
+
 HEADLINE = (
     [q for q in GATE_PRIORITY if q not in _UNBENCHABLE]
     + _CONTINUITY
@@ -239,6 +247,7 @@ HEADLINE = (
     + _NEW_R7
     + _NEW_R8
     + _NEW_R10
+    + _NEW_R11
 )
 
 

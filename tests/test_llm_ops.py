@@ -4,6 +4,9 @@ dedup invariants, MinHash/LSH behavior, ANN recall, multimodal stub.
 
 from __future__ import annotations
 
+import io
+from contextlib import redirect_stdout
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1069,6 +1072,18 @@ def test_pq_adc_join_probe_matches_driver_probe(spark):
     jnd = sorted(map(tuple, sim.pq_adc_topk(
         emb, queries, k=5, shortlist=40, probe="join").collect()))
     assert drv == jnd and len(drv) > 0
+    # r11 (VERDICT r10 #1): the pair relation ships codes + LUT ints
+    # only — no plan node may carry the query vector alongside codes
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sim.pq_adc_topk(
+            emb, queries, k=5, shortlist=40, probe="join"
+        ).explain(True)
+    offending = [
+        ln for ln in buf.getvalue().splitlines()
+        if "codes" in ln and "query_vec" in ln
+    ]
+    assert not offending, offending
     with pytest.raises(ValueError, match="driver.*join"):
         sim.pq_adc_topk(emb, queries, probe="bogus")
 
@@ -1088,6 +1103,16 @@ def test_ivf_pq_join_probe_matches_driver_probe(spark):
     jnd = sorted(map(tuple, sim.ivf_pq_topk(
         emb, queries, probe="join", **kw).collect()))
     assert drv == jnd and len(drv) > 0
+    # r11 (VERDICT r10 #1): candidate relation = ids + codes + LUT
+    # ints; the query vector never rides along with the codes
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sim.ivf_pq_topk(emb, queries, probe="join", **kw).explain(True)
+    offending = [
+        ln for ln in buf.getvalue().splitlines()
+        if "codes" in ln and "query_vec" in ln
+    ]
+    assert not offending, offending
     with pytest.raises(ValueError, match="driver.*join"):
         sim.ivf_pq_topk(emb, queries, probe="bogus")
 

@@ -63,6 +63,14 @@ QUERIES = [
     "pagerank_customer_supplier",
     "ann_ivf_pq_topk",
     "txtable_clone_events",
+    # r11 (VERDICT r10 #5): the maintained-view fold (construction-
+    # eager table build; warm timings cover base-state scan + CDC
+    # delta aggregate + merge + finalize vs DuckDB's from-scratch
+    # recompute) and the two JOIN-probe ADC tiers (distributed LUT,
+    # no driver collect of the query set).
+    "ivm_maintained_view_events",
+    "ann_pq_topk_join",
+    "ann_ivf_pq_topk_join",
 ]
 
 TABLES = (
