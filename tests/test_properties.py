@@ -16,6 +16,7 @@ from cincinnati_police_calls_for_service_etl_using_python_dask_spark.functions.h
     hash56,
 )
 from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.aggregates import (
+    group_agg_bitmap_fused,
     group_agg_single_distinct,
     group_agg_split_distinct,
 )
@@ -102,6 +103,37 @@ def test_split_distinct_property(spark, rows):
     )
     key = lambda r: (r["k"] is not None, r["k"])
     assert sorted(split.collect(), key=key) == sorted(ref.collect(), key=key)
+
+
+_int_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", None]),                    # group key
+        st.one_of(st.none(), st.integers(-130, 130)),         # integral id
+        st.one_of(st.none(), st.integers(-5, 5).map(float)),  # metric
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@_SETTINGS
+@given(_int_rows)
+def test_integral_distinct_bitmap_property(spark, rows):
+    # r11 (VERDICT r10 #4): for ANY small frame with an integral id —
+    # including negatives straddling bucket boundaries and NULLs —
+    # both the split bitmap branch and the fused one-scan spelling
+    # equal the built-in plan.
+    df = spark.createDataFrame(rows, "k string, d long, m double")
+    ref = df.groupBy("k").agg(
+        F.countDistinct("d").alias("nunique_d"),
+        F.round(F.avg("m"), 4).alias("avg_m"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    key = lambda r: (r["k"] is not None, r["k"])
+    expected = sorted(ref.collect(), key=key)
+    for fn in (group_agg_split_distinct, group_agg_bitmap_fused):
+        out = fn(df, keys=["k"], distinct_col="d", avg=["m"], count_alias="n_rows")
+        assert sorted(out.collect(), key=key) == expected, fn.__name__
 
 
 _dedup_rows = st.lists(

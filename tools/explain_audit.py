@@ -179,12 +179,19 @@ def main() -> None:
         ),
         (
             "groupby_multi_agg",
-            "split distinct: no Expand, wide payload never shuffles",
-            lambda p: "Expand" not in p,
-            "r10 (VERDICT r9 #3): the sum/avg branch collapses map-side "
-            "to ~|groups| rows and the distinct branch shuffles only "
-            "(keys, orderkey) triples — neither Spark's Expand rewrite "
-            "nor the cascade's 73%-cardinality wide level-1 shuffle",
+            "fused bitmap distinct: no Expand, one scan, one shuffle "
+            "chain",
+            # node-detail header "(N) Scan parquet" appears once per
+            # physical scan (the tree line spells it id-last)
+            lambda p: "Expand" not in p
+            and len(re.findall(r"(?m)^\(\d+\) Scan parquet", p)) == 1
+            and "Join" not in p,
+            "r11 (VERDICT r10 #4): countDistinct folds into the ONE "
+            "level-1 aggregate as a 64-id 8-byte bitmap per (keys, "
+            "id>>6) bucket — map-side bit_or collapses dense surrogate "
+            "ids ~64x before the shuffle; no Expand rewrite, no second "
+            "scan, no branch join (0.37 s vs split 0.44 s vs cascade "
+            "1.08 s at sf0.1)",
         ),
         (
             "groupby_multi_agg",
