@@ -74,6 +74,9 @@ _CONSTRUCTION_EAGER = {
     # (base-state scan -> CDC feed delta aggregate -> state merge ->
     # finalize), not the table DML.
     "ivm_maintained_view_events",
+    # r11: same shape for the join view (two scratch tables + DML at
+    # construction; warm runs time the snapshot join + Δ(A⋈B) fold)
+    "ivm_join_view_orders_lineitem",
 }
 
 # Round-over-round continuity: granular queries benched since r1/r2
@@ -234,6 +237,9 @@ _NEW_R11 = [
     # corpus-vs-corpus path, benched alongside its driver-probe twin
     "ann_pq_topk_join",
     "ann_ivf_pq_topk_join",
+    # IVM over a JOIN: scratch tables + DML at construction; warm runs
+    # time the snapshot-join state + Δ(A⋈B) fold (join_delta)
+    "ivm_join_view_orders_lineitem",
 ]
 
 HEADLINE = (

@@ -100,19 +100,69 @@ def state_of(
 
 
 def delta_state(
-    changes: DataFrame, keys: Sequence[str], sums: Sequence[str] = ()
+    changes: DataFrame,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-key DELTA state from a change-feed slice (rows carrying
     ``_change_type``). Same schema as :func:`state_of`; costs one
     aggregate over O(changed rows). An update arrives as its
     pre+post image pair, so an update that doesn't touch the view's
     columns cancels to zero and an update that moves a row between
-    groups transfers its weight — no special-casing."""
+    groups transfers its weight — no special-casing.
+
+    ``weight_col`` (r11): fold rows that ALREADY carry an explicit
+    multiset weight (e.g. the products :func:`join_delta` emits)
+    instead of deriving ±1 from ``_change_type``."""
+    w = F.col(weight_col).cast("long") if weight_col else _weight()
     return (
-        changes.withColumn("__ivm_w", _weight())
+        changes.withColumn("__ivm_w", w)
         .groupBy(*keys)
         .agg(*_state_aggs(sums))
     )
+
+
+def join_delta(
+    a_old: DataFrame,
+    a_changes: DataFrame,
+    b_new: DataFrame,
+    b_changes: DataFrame,
+    on: Sequence[str] | str,
+    weight_col: str = "__ivm_w",
+) -> DataFrame:
+    """Weighted delta of an inner JOIN view (r11): given each source's
+    change-feed slice, emit the join rows that entered/left ``A ⋈ B``
+    with multiset weights — feed straight to
+    ``delta_state(..., weight_col=...)``.
+
+    Algebra (join is bilinear over the multiset semiring, where a
+    change row weighs ±1 and a base row weighs 1):
+
+        Δ(A ⋈ B) = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+
+    because ΔA ⋈ B_new = ΔA ⋈ (B_old + ΔB) = ΔA ⋈ B_old + ΔA ⋈ ΔB —
+    the cross term lands exactly once. Weights multiply; here one
+    side of each term is a base relation (weight 1), so the product
+    is just the change row's ±1.
+
+    Cost: two joins each sized O(|Δ| × matching partners) — the
+    textbook IVM join cost; the base relations are only PROBED on
+    the join key (columns pruned to the view's needs), never
+    re-aggregated. Spark-first: deltas are usually the small side, so
+    AQE broadcasts them and neither base relation shuffles.
+
+    Requirements: ``on`` columns exist on both sides; non-key columns
+    must be disjoint between A and B (standard join hygiene — rename
+    first). Inner-join semantics: NULL join keys match nothing,
+    exactly like the from-scratch recompute.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    da = a_changes.withColumn(weight_col, _weight()).drop(CHANGE_TYPE_COL)
+    db = b_changes.withColumn(weight_col, _weight()).drop(CHANGE_TYPE_COL)
+    left = da.join(b_new, on)
+    right = a_old.join(db, on)
+    return left.unionByName(right.select(*left.columns))
 
 
 def merge_states(
@@ -333,3 +383,105 @@ def refresh_view(
     )
     view.overwrite(merged, txn=(app_id, src_v))
     return src_v
+
+
+def refresh_join_view(
+    spark,
+    source_a,
+    source_b,
+    view_path: str,
+    on: Sequence[str] | str,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    feed_key_a: str | Sequence[str] = (),
+    feed_key_b: str | Sequence[str] = (),
+    app_id: str | None = None,
+    measure_fn=None,
+    log_store=None,
+):
+    """CRASH-SAFE incremental refresh of an aggregate view over an
+    INNER JOIN of two TxTables (r11) — the multi-source materialized
+    view: GROUP BY ``keys`` aggregates over ``A ⋈ B`` stay current by
+    folding BOTH sources' change feeds, never re-joining the tables
+    from scratch after initialization.
+
+    Exactly-once across both sources: every refresh commit carries TWO
+    transactional watermarks — (app_id:a, version_a) and (app_id:b,
+    version_b) — in ONE atomic commit (``overwrite(txn=[...])``), so a
+    crash can never leave the view reflecting source A's new commits
+    but not source B's recorded mark (the double-fold window a
+    two-commit design would have). A replay where neither source
+    advanced no-ops.
+
+    Per refresh: Δ(A⋈B) via :func:`join_delta` — ΔA probes B at its
+    NEW version, ΔB probes A at its OLD (watermark) version, read
+    through the log's time travel; cost O(|ΔA| + |ΔB| + their join
+    partners), not O(|A⋈B|).
+
+    ``measure_fn`` derives measure columns from JOINED rows and is
+    applied identically to the snapshot join and the delta join.
+    Returns (version_a, version_b) now reflected, or None if already
+    current.
+    """
+    from ..sources.txtable import TxTable
+
+    for nm, fk in (("feed_key_a", feed_key_a), ("feed_key_b", feed_key_b)):
+        if not fk:
+            raise ValueError(
+                f"refresh_join_view: {nm} (that source's row-identity "
+                "columns, which change_feed diffs on) must be non-empty"
+            )
+    on = [on] if isinstance(on, str) else list(on)
+    app_id = app_id or f"ivm-join:{view_path}"
+    id_a, id_b = f"{app_id}:a", f"{app_id}:b"
+    va, vb = source_a.latest_version(), source_b.latest_version()
+    view = TxTable(spark, view_path, log_store=log_store)
+
+    def prep(df: DataFrame) -> DataFrame:
+        return measure_fn(df) if measure_fn is not None else df
+
+    if not view.exists():
+        j = prep(source_a.read(version=va).join(source_b.read(version=vb), on))
+        state = state_of(j, keys, sums)
+        TxTable.create(
+            spark, view_path, state, txn=[(id_a, va), (id_b, vb)]
+        )
+        return (va, vb)
+    txns = view.snapshot().txns
+    wma, wmb = txns.get(id_a, -1), txns.get(id_b, -1)
+    if wma < 0 or wmb < 0:
+        raise ValueError(
+            f"table at {view_path} exists but carries no {app_id!r} "
+            f"watermarks — it is not this view's state table"
+        )
+    if va <= wma and vb <= wmb:
+        return None
+
+    def feed_or_empty(source, fk, lo, hi):
+        if hi > lo:
+            return source.change_feed(fk, lo, hi)
+        # typed empty slice: same columns as a feed, zero rows
+        return source.read(version=hi).limit(0).withColumn(
+            CHANGE_TYPE_COL, F.lit("insert")
+        )
+
+    da = feed_or_empty(source_a, feed_key_a, wma, va)
+    db = feed_or_empty(source_b, feed_key_b, wmb, vb)
+    dj = prep(
+        join_delta(
+            source_a.read(version=wma), da, source_b.read(version=vb), db, on
+        )
+    )
+    merged = merge_states(
+        view.read(), delta_state(dj, keys, sums, weight_col="__ivm_w"), keys
+    )
+    # only ADVANCED sources stamp a new watermark: an unchanged
+    # source's stored epoch stays (re-stamping it equal would trip the
+    # all-epochs-replayed no-op guard on a genuinely novel refresh)
+    stamps = []
+    if va > wma:
+        stamps.append((id_a, va))
+    if vb > wmb:
+        stamps.append((id_b, vb))
+    view.overwrite(merged, txn=stamps)
+    return (va, vb)

@@ -312,6 +312,11 @@ _suite(
         # the driver window, not just locally. The oracle recomputes
         # the final view from scratch over the same DML script.
         ("ivm", "ivm_maintained_view_events"),
+        # r11: IVM over a JOIN — Δ(A⋈B) folded from BOTH tables' CDC
+        # feeds (fact append/delete, dim group-move update, dim delete
+        # killing join partners); oracle recomputes the joined view
+        # from the replayed DML.
+        ("ivm_join", "ivm_join_view_orders_lineitem"),
     ],
 )
 

@@ -571,7 +571,13 @@ def q_ivm_maintained_view_events(
         )
 
     keys = ["event_type"]
-    base_snap = vc(t.read(version=0))
+    # persist the shared INPUTS (base snapshot + feed below): the
+    # additive state and the value-level state are two folds over the
+    # same frames — cache the scan, keep both folds live per action so
+    # warm bench runs still measure the aggregates, not a cached
+    # result. Scratch-table lineage is session-unique, so no
+    # plan-matching cache leak into other queries.
+    base_snap = vc(t.read(version=0)).persist()
     state = ivm.state_of(base_snap, keys, sums=["vc"])
     vstate = ivm.distinct_state_of(base_snap, keys, "vc")
 
@@ -610,7 +616,7 @@ def q_ivm_maintained_view_events(
             & (F.col("value") == F.lit(pmax))
         )
 
-    feed = vc(t.change_feed("event_id", 0, t.latest_version()))
+    feed = vc(t.change_feed("event_id", 0, t.latest_version())).persist()
     state = ivm.merge_states(
         state, ivm.delta_state(feed, keys, sums=["vc"]), keys
     )
@@ -658,4 +664,92 @@ def q_ivm_maintained_view_events(
         "nunique_vc",
         "min_vc",
         "max_vc",
+    )
+
+
+_IVM_JOIN_ORACLE = """
+WITH fact_all AS (
+  SELECT l_orderkey * 10 + l_linenumber                    AS k,
+         l_orderkey                                        AS okey,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+fact AS (  -- init (okey%3<>0), append (okey%3=0), then delete k%17=0
+  SELECT * FROM fact_all WHERE NOT k % 17 = 0
+),
+dim AS (   -- update moves okey%11=0 to 'MOVED'; delete okey%13=0
+  SELECT o_orderkey AS okey,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'MOVED'
+              ELSE o_orderpriority END AS prio
+  FROM orders
+  WHERE NOT o_orderkey % 13 = 0
+)
+SELECT prio,
+       COUNT(*)                 AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM fact JOIN dim USING (okey)
+GROUP BY prio
+"""
+
+
+@register("ivm_join_view_orders_lineitem", _IVM_JOIN_ORACLE)
+def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained aggregate view over a JOIN (r11,
+    operators/ivm.py:join_delta): GROUP BY priority over
+    lineitem ⋈ orders stays current by folding BOTH tables' CDC
+    feeds — Δ(A⋈B) = ΔA ⋈ B_new ∪ A_old ⋈ ΔB with multiset weights —
+    never re-joining from scratch after the initial snapshot. The
+    DML window exercises every join-IVM hazard: fact appends and
+    deletes, a dim UPDATE that moves rows between groups (its join
+    rows transfer weight), and a dim DELETE that kills every matching
+    join row. The oracle recomputes the final view directly from the
+    replayed DML in SQL."""
+    from .operators import ivm
+
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+        F.col("l_orderkey").alias("okey"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    od = read_testdata(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    scratch = tempfile.mkdtemp(prefix="txtable_ivmj_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    fact = TxTable.create(
+        spark,
+        os.path.join(scratch, "fact"),
+        li.filter(F.col("okey") % 3 != 0),
+    )
+    dim = TxTable.create(spark, os.path.join(scratch, "dim"), od)
+
+    keys, sums = ["prio"], ["cents"]
+    # the ONE table-sized join the view ever pays (version-0 snapshots)
+    state = ivm.state_of(
+        fact.read(version=0).join(dim.read(version=0), "okey"), keys, sums
+    )
+
+    # DML on BOTH sources inside one refresh window
+    fact.append(li.filter(F.col("okey") % 3 == 0))
+    fact.delete(F.col("k") % 17 == 0)
+    dim.update(F.col("okey") % 11 == 0, {"prio": F.lit("MOVED")})
+    dim.delete(F.col("okey") % 13 == 0)
+
+    dj = ivm.join_delta(
+        fact.read(version=0),
+        fact.change_feed("k", 0, fact.latest_version()),
+        dim.read(),
+        dim.change_feed("okey", 0, dim.latest_version()),
+        "okey",
+    )
+    state = ivm.merge_states(
+        state, ivm.delta_state(dj, keys, sums, weight_col="__ivm_w"), keys
+    )
+    return state.select(
+        "prio",
+        F.col("__w").alias("n_rows"),
+        F.when(F.col("__c_cents") > 0, F.col("__s_cents")).alias("sum_cents"),
     )

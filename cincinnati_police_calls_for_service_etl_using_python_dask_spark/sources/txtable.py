@@ -777,11 +777,12 @@ class TxTable:
         log_store: LogStore | None = None,
         check_constraints: dict | None = None,
         generated_columns: dict | None = None,
-        txn: tuple[str, int] | None = None,
+        txn=None,
     ) -> "TxTable":
         """Create a table at ``path`` from ``df`` (commit 0). Fails if
-        a table already exists there. ``txn=(app_id, epoch)`` stamps
-        commit 0 with a transaction watermark (the IVM-initialization
+        a table already exists there. ``txn=(app_id, epoch)`` — or a
+        sequence of such pairs (r11, multi-source views) — stamps
+        commit 0 with transaction watermark(s) (the IVM-initialization
         contract — see operators/ivm.py:refresh_view).
 
         ``bloom_columns`` enables per-file BLOOM FILTERS for equality
@@ -835,8 +836,9 @@ class TxTable:
         actions += t._write_files(
             _with_checks(df, checks), stats_columns, bloom_spec
         )
-        if txn is not None:
-            actions.append({"txn": {"appId": txn[0], "epoch": txn[1]}})
+        actions += [
+            {"txn": {"appId": a, "epoch": e}} for a, e in _normalize_txns(txn)
+        ]
         actions.append(_commit_info("CREATE", 0))
         if not t._try_commit(0, actions):
             raise ConcurrentWriteError(f"concurrent CREATE at {path}")
@@ -1706,9 +1708,7 @@ class TxTable:
         self._maybe_checkpoint(v)
         return v
 
-    def overwrite(
-        self, df: DataFrame, txn: tuple[str, int] | None = None
-    ) -> int:
+    def overwrite(self, df: DataFrame, txn=None) -> int:
         """Replace the whole table content in one commit.
 
         ``txn=(app_id, epoch)`` makes the overwrite IDEMPOTENT under
@@ -1717,10 +1717,23 @@ class TxTable:
         an epoch at or below the table's recorded high-water mark for
         ``app_id`` is a NO-OP returning the current version — a
         refresh job that crashed after committing but before its
-        driver acknowledged re-runs without double-applying."""
+        driver acknowledged re-runs without double-applying.
+
+        ``txn`` may also be a SEQUENCE of (app_id, epoch) pairs (r11):
+        all watermarks land in the SAME atomic commit — the
+        multi-source materialized-view contract (a join view folds two
+        sources' feeds in one refresh; advancing the watermarks in two
+        commits would leave a crash window where one source's delta is
+        folded twice). The replay no-op triggers only when EVERY
+        supplied epoch is at or below its recorded mark — a correct
+        refresher never mixes replayed and novel epochs (it omits
+        sources that didn't advance)."""
+        txns = _normalize_txns(txn)
         snap = self.snapshot()
         self._assert_writable(snap)
-        if txn is not None and txn[1] <= snap.txns.get(txn[0], -1):
+        if txns and all(
+            e <= snap.txns.get(a, -1) for a, e in txns
+        ):
             return snap.version
         df = _materialize_generated(df, snap.generated_columns)
         self._check_schema(df, snap.schema)
@@ -1732,8 +1745,7 @@ class TxTable:
         v = snap.version + 1
         actions = [{"remove": {"path": p}} for p in snap.files]
         actions += adds
-        if txn is not None:
-            actions.append({"txn": {"appId": txn[0], "epoch": txn[1]}})
+        actions += [{"txn": {"appId": a, "epoch": e}} for a, e in txns]
         actions.append(_commit_info("OVERWRITE", v))
         if not self._try_commit(v, actions):
             raise ConcurrentWriteError(f"OVERWRITE conflicted at {self.path}")
@@ -2761,6 +2773,17 @@ def _appends_disjoint(i_actions: list[dict], read_interval) -> bool:
         except TypeError:
             return False  # incomparable stats/bound types
     return True
+
+
+def _normalize_txns(txn) -> list[tuple[str, int]]:
+    """Accept a single (app_id, epoch) pair or a sequence of them
+    (r11: multi-source view refreshes stamp several watermarks in one
+    atomic commit); None → []."""
+    if txn is None:
+        return []
+    if len(txn) == 2 and isinstance(txn[0], str):
+        return [(txn[0], int(txn[1]))]
+    return [(a, int(e)) for a, e in txn]
 
 
 def _commit_info(op: str, version: int) -> dict:

@@ -333,3 +333,159 @@ def test_refresh_view_measure_fn_cents(spark, tmp_path):
         for r in cents(src.read()).groupBy("g").agg(F.sum("vc").alias("s")).collect()
     }
     assert got == want == {"a": 25000, "b": 100000}
+
+
+# ---------------------------------------------------------------------------
+# r11: IVM over JOINS — Δ(A⋈B) = ΔA⋈B_new ∪ A_old⋈ΔB, folded with
+# multiplied weights; refresh_join_view stamps BOTH source watermarks
+# in one atomic commit.
+# ---------------------------------------------------------------------------
+
+
+def _mk_dim(spark, rows):
+    return spark.createDataFrame(rows, "j long, g string")
+
+
+def _mk_fact(spark, rows):
+    return spark.createDataFrame(rows, "k long, j long, v long")
+
+
+def _join_recompute(a, b):
+    return (
+        a.join(b, "j")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"), F.sum("v").alias("sum_v"))
+    )
+
+
+def test_join_delta_matches_recompute_at_every_version(spark, tmp_path):
+    """Fold Δ(A⋈B) after DML on BOTH sides — fact appends/deletes,
+    dim group-moves (update), dangling fact rows (no partner), a dim
+    delete that kills every matching join row — and the maintained
+    state equals the from-scratch join aggregate at every version."""
+    dim = TxTable.create(
+        spark, str(tmp_path / "jd_dim"),
+        _mk_dim(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1),
+    )
+    fact = TxTable.create(
+        spark, str(tmp_path / "jd_fact"),
+        _mk_fact(
+            spark,
+            [(10, 1, 100), (11, 1, 50), (12, 2, 7), (13, 9, 999)],  # 13 dangles
+        ).coalesce(1),
+    )
+    keys, sums = ["g"], ["v"]
+    state = ivm.state_of(
+        fact.read(version=0).join(dim.read(version=0), "j"), keys, sums
+    )
+    wm_f, wm_d = 0, 0
+
+    def advance():
+        nonlocal state, wm_f, wm_d
+        vf, vd = fact.latest_version(), dim.latest_version()
+        df_ = (
+            fact.change_feed("k", wm_f, vf)
+            if vf > wm_f
+            else fact.read(version=vf).limit(0).withColumn(
+                "_change_type", F.lit("insert"))
+        )
+        dd = (
+            dim.change_feed("j", wm_d, vd)
+            if vd > wm_d
+            else dim.read(version=vd).limit(0).withColumn(
+                "_change_type", F.lit("insert"))
+        )
+        dj = ivm.join_delta(fact.read(version=wm_f), df_, dim.read(version=vd), dd, "j")
+        state = ivm.merge_states(
+            state, ivm.delta_state(dj, keys, sums, weight_col="__ivm_w"), keys
+        )
+        wm_f, wm_d = vf, vd
+        got = _rows(ivm.finalize_state(state, keys, sums=sums))
+        want = _rows(
+            _join_recompute(fact.read(), dim.read()).select(
+                "g", "n_rows", F.col("sum_v").alias("sum_v"))
+        )
+        # align names: finalize_state emits n_rows/sum_v
+        assert got == want, (got, want)
+
+    # fact-side DML only
+    fact.append(_mk_fact(spark, [(14, 2, 3), (15, 3, 11)]).coalesce(1))
+    fact.delete(F.col("k") == 11)
+    advance()
+    # dim-side DML only: group move b->bb, delete c (kills (15,3,11))
+    dim.update(F.col("j") == 2, {"g": F.lit("bb")})
+    dim.delete(F.col("j") == 3)
+    advance()
+    # BOTH sides change between refreshes (exercises the cross term:
+    # a new fact row joining a dim row that changed in the same window)
+    fact.append(_mk_fact(spark, [(16, 4, 21), (17, 1, 2)]).coalesce(1))
+    dim.append(_mk_dim(spark, [(4, "d")]).coalesce(1))
+    dim.update(F.col("j") == 1, {"g": F.lit("aa")})
+    fact.delete(F.col("k") == 12)
+    advance()
+    # idle refresh: zero-delta fold is a no-op
+    advance()
+
+
+def test_refresh_join_view_exactly_once_two_watermarks(spark, tmp_path):
+    dim = TxTable.create(
+        spark, str(tmp_path / "rjv_dim"),
+        _mk_dim(spark, [(1, "a"), (2, "b")]).coalesce(1),
+    )
+    fact = TxTable.create(
+        spark, str(tmp_path / "rjv_fact"),
+        _mk_fact(spark, [(10, 1, 100), (11, 2, 7)]).coalesce(1),
+    )
+    vpath = str(tmp_path / "rjv_view")
+    kw = dict(
+        on="j", keys=["g"], sums=["v"], feed_key_a="k", feed_key_b="j"
+    )
+
+    def served():
+        return _rows(
+            ivm.finalize_state(TxTable(spark, vpath).read(), ["g"], sums=["v"])
+        )
+
+    def want():
+        return _rows(_join_recompute(fact.read(), dim.read()))
+
+    # init stamps BOTH watermarks on commit 0
+    v = ivm.refresh_join_view(spark, fact, dim, vpath, **kw)
+    assert v == (fact.latest_version(), dim.latest_version())
+    assert served() == want()
+    snap = TxTable(spark, vpath).snapshot()
+    assert snap.txns[f"ivm-join:{vpath}:a"] == fact.latest_version()
+    assert snap.txns[f"ivm-join:{vpath}:b"] == dim.latest_version()
+    # current -> None
+    assert ivm.refresh_join_view(spark, fact, dim, vpath, **kw) is None
+    # one source advances
+    fact.append(_mk_fact(spark, [(12, 1, 9)]).coalesce(1))
+    assert ivm.refresh_join_view(spark, fact, dim, vpath, **kw) is not None
+    assert served() == want()
+    # both advance in one window, incl. a dim group move
+    dim.update(F.col("j") == 2, {"g": F.lit("bb")})
+    fact.delete(F.col("k") == 10)
+    ivm.refresh_join_view(spark, fact, dim, vpath, **kw)
+    assert served() == want()
+    # crash-after-commit replay: multi-txn overwrite with stale epochs
+    # is a NO-OP (version does not advance, state unchanged)
+    view = TxTable(spark, vpath)
+    v_before, rows_before = view.latest_version(), served()
+    view.overwrite(
+        view.read().limit(0),
+        txn=[
+            (f"ivm-join:{vpath}:a", fact.latest_version()),
+            (f"ivm-join:{vpath}:b", dim.latest_version()),
+        ],
+    )
+    assert view.latest_version() == v_before and served() == rows_before
+    # validation: empty feed keys and foreign tables are refused
+    with pytest.raises(ValueError, match="feed_key_a"):
+        ivm.refresh_join_view(
+            spark, fact, dim, vpath, on="j", keys=["g"], sums=["v"],
+            feed_key_b="j",
+        )
+    other = str(tmp_path / "rjv_other")
+    TxTable.create(spark, other, _mk_dim(spark, [(1, "a")]).coalesce(1))
+    with pytest.raises(ValueError, match="watermarks"):
+        ivm.refresh_join_view(spark, fact, dim, other, **kw)
