@@ -258,6 +258,19 @@ _suite(
 # A separate suite rather than a curation2 extension: fusing the LM
 # into curation2 was measured at +1.9 s of sequential broadcast-build
 # latency on that gated path (r5, rejected).
+#
+# Measured overhead note (r11): the suite walls ~2.4 s at sf0.1 while
+# its members sum ~1.8 s. Pairwise isolation shows the deficit is the
+# per-stage driver floor on branches with SERIAL stage chains —
+# pagerank's per-iteration broadcast-build jobs and the LM's broadcast
+# build barely overlap other branches (pagerank+lm = 1.29 s ≈ exactly
+# additive; pagerank+shuffle_shards = 0.78 s ≈ fully overlapped) —
+# not data work. Both offenders are sub-parity or near-parity
+# standalone (pagerank 0.66 s vs DuckDB's 1.39 s; lm 0.49 vs 0.25),
+# and the ~90 ms/stage fixed latency amortizes with data volume (the
+# SCALE.md falling-ratio argument), so the union spelling stays:
+# respelling pagerank's broadcasts as shuffle joins measured worse,
+# and splitting the suite would ungate three operators.
 _suite(
     "curation3_suite",
     [
