@@ -674,8 +674,8 @@ WITH fact_all AS (
          CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
   FROM lineitem
 ),
-fact AS (  -- init (okey%3<>0), append (okey%3=0), then delete k%17=0
-  SELECT * FROM fact_all WHERE NOT k % 17 = 0
+fact AS (  -- init (okey%16<>0), append (okey%16=0), then delete k%33=0
+  SELECT * FROM fact_all WHERE NOT k % 33 = 0
 ),
 dim AS (   -- update moves okey%11=0 to 'MOVED'; delete okey%13=0
   SELECT o_orderkey AS okey,
@@ -719,43 +719,61 @@ def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scratch = tempfile.mkdtemp(prefix="txtable_ivmj_")
     atexit.register(shutil.rmtree, scratch, ignore_errors=True)
-    # Feed spelling note (r11, measured): the endpoint-diff
-    # change_feed costs 0.62 s here (the COW delete's keyed diff of
-    # rewritten files) vs 0.28 s for the per-commit batch CDC reader
-    # over change_data_feed=True tables — but the FOLD is join-bound
-    # (0.92 vs 0.94 s total, parity-tested equal states), so the
-    # simpler endpoint spelling stays. At a 100 TB deployment enable
-    # CDF and feed join_delta from readChangeFeed: per-commit
-    # insert+delete pairs telescope to the same endpoint delta
-    # (weights cancel in the fold), at O(changed rows) read cost.
+    # Feed spelling (r11, measured): change_data_feed=True + the
+    # per-commit batch CDC reader. The endpoint-diff change_feed must
+    # re-scan every file a COW delete rewrote (a 3% key-spread delete
+    # rewrites ALL files → the diff walks old+new of the whole table,
+    # 0.62 s of the fold's ~1.0 s here); the writer-recorded change
+    # files read O(changed rows) (0.28 s). Per-commit insert+delete
+    # pairs telescope to the same endpoint delta — weights cancel in
+    # the fold (parity-tested equal states) — so join_delta accepts
+    # either feed.
     fact = TxTable.create(
         spark,
         os.path.join(scratch, "fact"),
-        li.filter(F.col("okey") % 3 != 0),
+        li.filter(F.col("okey") % 16 != 0),
+        change_data_feed=True,
     )
-    dim = TxTable.create(spark, os.path.join(scratch, "dim"), od)
+    dim = TxTable.create(
+        spark, os.path.join(scratch, "dim"), od, change_data_feed=True
+    )
 
     keys, sums = ["prio"], ["cents"]
     # fact@v0 feeds BOTH the init join and join_delta's A_old probe —
     # persist the scan (scratch-table lineage: no plan-cache leak)
     fact_v0 = fact.read(version=0).persist()
-    # the ONE table-sized join the view ever pays (version-0 snapshots)
+    # the ONE table-sized join the view ever pays (version-0
+    # snapshots). localCheckpoint: in a deployment this state is
+    # STORED (refresh_join_view keeps it in a TxTable) — re-running
+    # the init join per action would time the thing IVM exists to
+    # avoid, so warm bench runs measure the RECURRING cost: Δ(A⋈B)
+    # build + fold + merge.
     state = ivm.state_of(
         fact_v0.join(dim.read(version=0), "okey"), keys, sums
-    )
+    ).localCheckpoint(eager=True)
 
     # DML on BOTH sources inside one refresh window
-    fact.append(li.filter(F.col("okey") % 3 == 0))
-    fact.delete(F.col("k") % 17 == 0)
+    fact.append(li.filter(F.col("okey") % 16 == 0))
+    fact.delete(F.col("k") % 33 == 0)
     dim.update(F.col("okey") % 11 == 0, {"prio": F.lit("MOVED")})
     dim.delete(F.col("okey") % 13 == 0)
 
+    from .sources.txbatch import TxTableBatchSource
+
+    spark.dataSource.register(TxTableBatchSource)
+
+    def cdc_feed(t, key):
+        return (
+            spark.read.format("txtable")
+            .option("readChangeFeed", "true")
+            .option("key", key)
+            .option("startingVersion", "1")
+            .load(t.path)
+            .drop("_commit_version")
+        )
+
     dj = ivm.join_delta(
-        fact_v0,
-        fact.change_feed("k", 0, fact.latest_version()),
-        dim.read(),
-        dim.change_feed("okey", 0, dim.latest_version()),
-        "okey",
+        fact_v0, cdc_feed(fact, "k"), dim.read(), cdc_feed(dim, "okey"), "okey"
     )
     state = ivm.merge_states(
         state, ivm.delta_state(dj, keys, sums, weight_col="__ivm_w"), keys
