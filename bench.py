@@ -77,6 +77,12 @@ _CONSTRUCTION_EAGER = {
     # r11: same shape for the join view (two scratch tables + DML at
     # construction; warm runs time the snapshot join + Δ(A⋈B) fold)
     "ivm_join_view_orders_lineitem",
+    # r11: scratch source table + index init (train/assign) + DML
+    # script + the one-MERGE CDC fold all run at construction; warm
+    # runs time the exhaustive PROBE of the maintained index — probe
+    # cost is the steady-state metric, maintenance cost is
+    # O(changed rows) by construction (tests pin the fold).
+    "ann_ivf_index_maintained",
 }
 
 # Round-over-round continuity: granular queries benched since r1/r2

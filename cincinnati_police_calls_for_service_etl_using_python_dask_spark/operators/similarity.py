@@ -1064,6 +1064,174 @@ def build_ivf_index(
     )
 
 
+def _assign_list_udf(centroids: np.ndarray):
+    """Arrow-batched nearest-centroid assignment (one BLAS matmul per
+    batch, centroids closure-captured → broadcast with the task).
+    Zero-norm rows stay zero instead of NaN-poisoning the argmax (the
+    same guard as the probe kernels), so every path that assigns —
+    index build, CDC refresh, probe — agrees on degenerate inputs."""
+    from pyspark.sql.functions import pandas_udf
+
+    cen = centroids
+
+    @pandas_udf("int")
+    def assign_list(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.divide(mat, norms, out=mat, where=norms > 0)
+        return pd.Series(np.argmax(mat @ cen.T, axis=1).astype(np.int32))
+
+    return assign_list
+
+
+def _load_centroids(spark, path: str) -> np.ndarray:
+    rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def _postings_frame(spark, path: str, probed_lists) -> DataFrame:
+    """The probed slice of the index's postings. Two layouts:
+
+    - maintained (``{path}/postings_tx`` is a TxTable,
+      :func:`refresh_ivf_index`): zone-map file pruning on ``_list``
+      (stats column) plays the role directory pruning plays below —
+      the build clusters one list per file, so the [min, max] interval
+      plus the residual IN filter opens only probed lists' files;
+      refresh-churned files have looser zone maps until an
+      ``optimize(zorder_by=["_list"])`` re-tightens them, which only
+      costs extra file OPENS, never wrong rows.
+    - static (``{path}/postings``, :func:`build_ivf_index`): plain
+      parquet ``partitionBy("_list")`` directories, pruned by the IN
+      literal (PartitionFilters in the scan node)."""
+    from ..sources.txtable import TxTable
+
+    tx = TxTable(spark, f"{path}/postings_tx")
+    if tx.exists():
+        pruned = tx.read_pruned("_list", min(probed_lists), max(probed_lists))
+        return pruned.where(F.col("_list").isin(list(probed_lists)))
+    return spark.read.parquet(f"{path}/postings").where(
+        F.col("_list").isin(list(probed_lists))
+    )
+
+
+def refresh_ivf_index(
+    spark,
+    source,
+    path: str,
+    feed_key: str | None = None,
+    n_lists: int = 16,
+    train_sample: int = 100_000,
+    n_iter: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "sample",
+    app_id: str | None = None,
+    log_store=None,
+):
+    """CDC-MAINTAINED persistent IVF index (r11): keep an ANN index
+    current under source DML by folding the source TxTable's change
+    feed, instead of rebuilding — the IVM doctrine
+    (operators/ivm.py:refresh_view) applied to the ANN tier. At the
+    100 TB design point a nightly ``build_ivf_index`` re-scans and
+    re-writes the whole corpus; this folds O(changed rows): each
+    refresh is one feed read + one file-pruned MERGE into the
+    postings table.
+
+    Layout: ``{path}/centroids`` exactly as :func:`build_ivf_index`;
+    postings live in a TxTable at ``{path}/postings_tx`` with ``_list``
+    as a stats column (zone-map pruning replaces the static layout's
+    directory pruning — see :func:`_postings_frame`).
+    :func:`ivf_index_topk` probes both layouts transparently.
+
+    First call initializes: train the coarse quantizer on the source
+    snapshot (``train``/``train_sample``/``n_iter``/``seed`` as in
+    :func:`build_ivf_index`), assign every row, create the postings
+    table stamped with the snapshot's version. Every later call reads
+    ``change_feed(feed_key, watermark, head)`` — the NET per-key
+    change between the endpoint snapshots, so a key appears at most
+    once as insert / delete / pre+post pair — and folds it as ONE
+    MERGE: deletes → op 'D', inserts and update-postimages → upserts
+    assigned to their (possibly new) list map-side. The MERGE commit
+    carries ``(app_id, source_version)`` as a transactional watermark,
+    so the loop is crash-safe exactly-once with no external
+    checkpoint — a replayed fold no-ops (same contract as
+    ``refresh_view``; the watermark lives IN the index).
+
+    Centroids are FROZEN across refreshes — the FAISS/Milvus
+    operational model: incremental adds join existing cells; retraining
+    on distribution drift is a REBUILD, not a refresh. Probe results
+    over the maintained index therefore equal a fresh assignment of
+    the current snapshot under the same centroids (parity-tested), and
+    an exhaustive probe (n_probe = n_lists) stays exact regardless.
+
+    ``feed_key`` defaults to ``id_col`` — the row identity
+    ``change_feed`` diffs on. Returns the source version now
+    reflected, or None if already current.
+    """
+    from ..sources.txtable import TxTable
+
+    feed_key = feed_key or id_col
+    app_id = app_id or f"ivf:{path}"
+    src_v = source.latest_version()
+    postings_path = f"{path}/postings_tx"
+    tx = TxTable(spark, postings_path, log_store=log_store)
+
+    if not tx.exists():
+        vectors = source.read(version=src_v).select(id_col, vec_col)
+        if train == "distributed":
+            centroids = _train_spherical_kmeans_distributed(
+                vectors, n_lists, n_iter, seed, vec_col=vec_col
+            )
+        else:
+            sample = np.stack(
+                vectors.select(vec_col)
+                .limit(train_sample)
+                .toPandas()[vec_col]
+                .to_numpy()
+            ).astype(np.float64)
+            centroids = _train_spherical_kmeans(sample, n_lists, n_iter, seed)
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "list_id int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        assigned = vectors.withColumn(
+            "_list", _assign_list_udf(centroids)(F.col(vec_col))
+        ).repartition(F.col("_list"))  # cluster: one list per file
+        TxTable.create(
+            spark,
+            postings_path,
+            assigned,
+            stats_columns=["_list"],
+            txn=(app_id, src_v),
+            log_store=log_store,
+        )
+        return src_v
+
+    wm = tx.snapshot().txns.get(app_id, -1)
+    if wm < 0:
+        raise ValueError(
+            f"table at {postings_path} exists but carries no {app_id!r} "
+            f"watermark — it is not this index's postings table"
+        )
+    if src_v <= wm:
+        return None
+    centroids = _load_centroids(spark, path)
+    feed = source.change_feed(feed_key, wm, src_v)
+    # postimage upserts cover updates; preimages would double-count
+    changes = feed.filter(F.col("_change_type") != "update_preimage").select(
+        F.col(id_col),
+        F.col(vec_col),
+        _assign_list_udf(centroids)(F.col(vec_col)).alias("_list"),
+        F.when(F.col("_change_type") == "delete", F.lit("D")).alias("op"),
+    )
+    tx.merge(changes, key=id_col, txn=(app_id, src_v))
+    return src_v
+
+
 def ivf_index_topk(
     spark,
     path: str,
@@ -1099,11 +1267,7 @@ def ivf_index_topk(
       probed list ids that drive partition pruning — nothing scales
       with the query table. Row-identical to the driver path
       (parity-tested)."""
-    cent_rows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r["list_id"],
-    )
-    centroids = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    centroids = _load_centroids(spark, path)
 
     if probe == "join":
         from pyspark.sql.functions import pandas_udf
@@ -1127,9 +1291,7 @@ def ivf_index_topk(
         probed_lists = sorted(
             r["_list"] for r in probes.select("_list").distinct().collect()
         )
-        postings = spark.read.parquet(f"{path}/postings").where(
-            F.col("_list").isin(probed_lists)
-        )
+        postings = _postings_frame(spark, path, probed_lists)
         candidates = postings.join(probes, on="_list", how="inner")
         return _ivf_rank_topk(
             candidates, k, id_col, vec_col, query_id_col, query_vec_col, dim
@@ -1171,9 +1333,7 @@ def ivf_index_topk(
         f"SELECT col1 AS {query_id_col}, col2 AS {query_vec_col},"
         f" col3 AS _list FROM VALUES {vals}"
     )
-    postings = spark.read.parquet(f"{path}/postings").where(
-        F.col("_list").isin(probed_lists)
-    )
+    postings = _postings_frame(spark, path, probed_lists)
     candidates = postings.join(F.broadcast(probes), on="_list", how="inner")
     return _ivf_rank_topk(
         candidates, k, id_col, vec_col, query_id_col, query_vec_col, dim

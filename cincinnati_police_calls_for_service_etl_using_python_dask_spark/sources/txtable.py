@@ -2029,6 +2029,7 @@ class TxTable:
         key,
         op_col: str = "op",
         delete_op: str = "D",
+        txn=None,
     ) -> int:
         """MERGE INTO (SCD-1 upsert + delete) with file-pruned
         copy-on-write: rewrite only the files holding keys present in
@@ -2036,11 +2037,26 @@ class TxTable:
         append everything else. Row semantics are EXACTLY
         ``operators.relational.merge_changes`` — a change row replaces
         the base row with its key, ``delete_op`` rows are removed, and
-        a NULL op is an upsert, never a delete."""
+        a NULL op is an upsert, never a delete.
+
+        ``txn=(app_id, epoch)`` — or a sequence of pairs — makes the
+        MERGE IDEMPOTENT under replay exactly like :meth:`overwrite`
+        (r11; the public Delta ``txnAppId``/``txnVersion`` write-option
+        contract): the watermark(s) land in the SAME commit as the
+        merged files, and a replay whose every epoch is at or below
+        the table's recorded mark NO-OPS before reading anything.
+        This is the contract a crash-safe incremental refresher needs
+        when its fold is an upsert+delete rather than a full rewrite —
+        e.g. the CDC-maintained ANN index
+        (operators/similarity.py:refresh_ivf_index) folds each source
+        window as one MERGE stamped with the source version."""
         from ..operators.relational import merge_changes
 
         keys = [key] if isinstance(key, str) else list(key)
+        txns = _normalize_txns(txn)
         snap = self.snapshot()
+        if txns and all(e <= snap.txns.get(a, -1) for a, e in txns):
+            return snap.version
         self._check_schema(source.drop(op_col), snap.schema)
         # meta view: __file comes from the scan's metadata struct and
         # deletion vectors are already masked, so a DV'd row can
@@ -2064,6 +2080,7 @@ class TxTable:
         )
         actions = [{"remove": {"path": p}} for p in sorted(affected)]
         actions += adds
+        actions += [{"txn": {"appId": a, "epoch": e}} for a, e in txns]
         if snap.cdc_enabled:
             actions += self._write_cdc(
                 self._merge_cdc_rows(

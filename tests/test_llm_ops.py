@@ -764,6 +764,95 @@ def test_ivf_persistent_index_matches_adhoc_and_prunes(spark, tmp_path):
     assert {(r["query_id"], r["vec_id"]) for r in out} >= {(q, q) for q in range(5)}
 
 
+def test_refresh_ivf_index_maintains_under_dml(spark, tmp_path):
+    """refresh_ivf_index (r11): the CDC-maintained persistent index.
+    Init trains + assigns the snapshot; DML on the source across
+    SEVERAL commits (delete, vector-moving update, insert) folds in
+    ONE refresh as a single MERGE; the maintained postings equal a
+    fresh assignment of the CURRENT snapshot under the frozen
+    centroids, so an exhaustive probe equals brute force over the
+    current corpus; a replayed refresh no-ops (exactly-once, the
+    watermark lives in the postings table's txn action)."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    rng = np.random.default_rng(11)
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    src = TxTable.create(spark, str(tmp_path / "src"), frame(range(40)))
+    idx = str(tmp_path / "idx")
+    assert sim.refresh_ivf_index(spark, src, idx, n_lists=4, n_iter=4, seed=3) == 0
+    postings = TxTable(spark, f"{idx}/postings_tx")
+    assert postings.read().count() == 40
+    # nothing new since the watermark: no-op
+    assert sim.refresh_ivf_index(spark, src, idx, n_lists=4) is None
+
+    # three source commits, one fold
+    src.delete(F.col("vec_id") % 10 == 0)
+    src.update(
+        F.col("vec_id") < 4,
+        {"embedding": F.transform(F.col("embedding"), lambda x: -x)},
+    )
+    src.append(frame(range(100, 105)))
+    assert sim.refresh_ivf_index(spark, src, idx, n_lists=4) == 3
+
+    # maintained postings == fresh assignment under the FROZEN centroids
+    cen = sim._load_centroids(spark, idx)
+    cur = src.read()
+    expected = set()
+    for r in cur.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        n = np.linalg.norm(v)
+        expected.add(
+            (r["vec_id"], int(np.argmax((v / n if n > 0 else v) @ cen.T)))
+        )
+    got = {(r["vec_id"], r["_list"]) for r in postings.read().collect()}
+    assert got == expected
+    assert len(got) == 40 - 4 + 5
+
+    # exhaustive probe (every list) == exact brute force over the
+    # current corpus — deleted ids gone, moved vectors re-ranked
+    queries = cur.filter(F.col("vec_id").isin(1, 17, 101)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    maintained = sorted(
+        map(tuple, sim.ivf_index_topk(spark, idx, queries, k=5, n_probe=4).collect())
+    )
+    brute = sorted(map(tuple, sim.brute_force_topk(cur, queries, k=5).collect()))
+    assert maintained == brute
+    # the join-probe path reads the maintained layout identically
+    joined = sorted(
+        map(
+            tuple,
+            sim.ivf_index_topk(
+                spark, idx, queries, k=5, n_probe=4, probe="join"
+            ).collect(),
+        )
+    )
+    assert joined == maintained
+
+    # crash-after-commit replay: no new commit, no data change
+    hist = len(postings.history())
+    assert sim.refresh_ivf_index(spark, src, idx, n_lists=4) is None
+    assert len(postings.history()) == hist
+
+    # a foreign table squatting at the postings path is refused —
+    # folding into someone else's data would corrupt silently
+    idx2 = str(tmp_path / "idx2")
+    TxTable.create(spark, f"{idx2}/postings_tx", frame(range(3)))
+    with pytest.raises(ValueError, match="watermark"):
+        sim.refresh_ivf_index(spark, src, idx2, n_lists=4)
+
+
 def test_int8_quantization_invariants(spark):
     emb = read_testdata(spark, SF_SMOKE, "embeddings")
     zero = spark.createDataFrame(

@@ -102,6 +102,44 @@ def test_merge_matches_merge_changes_semantics(spark, tmp_path):
     assert _rows(t.read()) == _rows(expected)
 
 
+def test_merge_txn_idempotent_replay(spark, tmp_path):
+    """merge(txn=...) (r11): the Delta txnAppId/txnVersion contract —
+    a replayed MERGE whose epoch is at or below the table's recorded
+    watermark NO-OPS (no new commit, no data change), an advancing
+    epoch applies, and the watermark lands in the SAME commit as the
+    merged files (crash-safe: there is no window where data moved but
+    the mark didn't)."""
+    p = str(tmp_path / "tmi")
+    t = TxTable.create(spark, p, _mk(spark, 0, 50).coalesce(1))
+    src = spark.range(10, 20).select(
+        F.col("id").alias("k"),
+        F.lit(-1).cast("long").alias("v"),
+        F.lit(None).cast("string").alias("op"),
+    )
+    v1 = t.merge(src, "k", txn=("idx-job", 3))
+    assert t.snapshot().txns["idx-job"] == 3
+    rows_after = _rows(t.read())
+
+    # replay at the same epoch: same version returned, nothing changes
+    poison = spark.range(10, 20).select(
+        F.col("id").alias("k"),
+        F.lit(-999).cast("long").alias("v"),
+        F.lit(None).cast("string").alias("op"),
+    )
+    assert t.merge(poison, "k", txn=("idx-job", 3)) == v1
+    assert t.latest_version() == v1
+    assert _rows(t.read()) == rows_after
+
+    # stale epoch below the mark also no-ops
+    assert t.merge(poison, "k", txn=("idx-job", 2)) == v1
+    assert _rows(t.read()) == rows_after
+
+    # advancing epoch applies and moves the mark
+    v2 = t.merge(poison, "k", txn=("idx-job", 4))
+    assert v2 == v1 + 1 and t.snapshot().txns["idx-job"] == 4
+    assert _rows(t.read()) != rows_after
+
+
 def test_merge_prunes_unmatched_files(spark, tmp_path):
     p = str(tmp_path / "t5")
     t = TxTable.create(spark, p, _mk(spark, 0, 100).coalesce(1))
