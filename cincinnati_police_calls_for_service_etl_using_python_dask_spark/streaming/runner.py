@@ -150,6 +150,55 @@ class CadenceRunner:
 
         return cls.daily_at(pipeline, at=at, **kw)
 
+    @classmethod
+    def for_index_refresh(
+        cls,
+        spark,
+        source,
+        index_path: str,
+        at: str = "01:30",
+        app_id: str | None = None,
+        log_store=None,
+        refresh_kwargs: dict | None = None,
+        **kw,
+    ) -> "CadenceRunner":
+        """Scheduler wiring for the CDC-maintained ANN index (r11) —
+        the :meth:`for_view_refresh` twin for
+        ``operators.similarity.refresh_ivf_index``: each cadence tick
+        folds the source commits since the index's transactional
+        watermark into the postings table as one idempotent MERGE.
+        Same crash contract (a tick that dies before the MERGE commit
+        leaves no partial state and retries at the next cadence; one
+        that dies after it no-ops on replay — the watermark lives IN
+        the postings table's txn action).
+
+        ``refresh_kwargs`` passes index hyperparameters
+        (n_lists/n_iter/seed/train/...) through to the INITIALIZING
+        call; they are inert once the index exists (centroids frozen).
+        ``kw`` passes through to the runner (clock/sleep, catch_up,
+        interval)."""
+        from ..operators import similarity as _sim
+
+        rkw = dict(refresh_kwargs or {})
+
+        def pipeline(fire_ts: float) -> None:
+            v = _sim.refresh_ivf_index(
+                spark,
+                source,
+                index_path,
+                app_id=app_id,
+                log_store=log_store,
+                **rkw,
+            )
+            logger.info(
+                "index %s at source version %s (fire %s)",
+                index_path,
+                "unchanged" if v is None else v,
+                fire_ts,
+            )
+
+        return cls.daily_at(pipeline, at=at, **kw)
+
     def run(self, max_cycles: int | None = None, started_after: float | None = None):
         """Drive the loop. ``max_cycles`` bounds execution (tests /
         supervised deployments); None = run forever like app.py:991.

@@ -1003,6 +1003,114 @@ def test_cadence_view_refresh_exactly_once_across_crashes(
     assert served() == recomputed()
 
 
+def test_cadence_index_refresh_exactly_once_across_crashes(
+    spark, tmp_path, monkeypatch
+):
+    """r11: CadenceRunner.for_index_refresh — the maintained-ANN-index
+    twin of the view wiring. Exactly-once through both crash modes
+    (before the MERGE commit: index stale, next cadence folds both
+    ticks' DML; after it: replay no-ops, no double-fold), and at every
+    healthy tick an exhaustive probe of the maintained index equals
+    brute force over the source's CURRENT snapshot."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        similarity as sim,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.runner import (
+        CadenceRunner,
+    )
+
+    real = sim.refresh_ivf_index
+    crash = {"mode": None}
+
+    def with_crashes(*a, **kw):
+        if crash["mode"] == "before":
+            raise RuntimeError("process died before the fold")
+        v = real(*a, **kw)
+        if crash["mode"] == "after":
+            raise RuntimeError("process died after commit; ack lost")
+        return v
+
+    monkeypatch.setattr(sim, "refresh_ivf_index", with_crashes)
+
+    rng = np.random.default_rng(5)
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    src = TxTable.create(spark, str(tmp_path / "ci_src"), frame(range(24)))
+    idx = str(tmp_path / "ci_idx")
+    postings = TxTable(spark, f"{idx}/postings_tx")
+    clk = _FakeClock(t0=0.0)
+    r = CadenceRunner.for_index_refresh(
+        spark,
+        src,
+        idx,
+        refresh_kwargs={"n_lists": 4, "n_iter": 2, "seed": 5},
+        clock=clk,
+        sleep=clk.sleep,
+    )
+
+    def probe_vs_brute():
+        cur = src.read()
+        queries = cur.filter(F.col("vec_id").isin(1, 2, 3)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = sorted(
+            map(
+                tuple,
+                sim.ivf_index_topk(spark, idx, queries, k=4, n_probe=4).collect(),
+            )
+        )
+        want = sorted(map(tuple, sim.brute_force_topk(cur, queries, k=4).collect()))
+        assert got == want
+
+    # tick 1: init (train + assign the snapshot, watermark stamped)
+    r.run(max_cycles=1)
+    assert r.failures == 0 and postings.read().count() == 24
+    probe_vs_brute()
+
+    # DML lands; tick 2 crashes BEFORE the fold: index stale but
+    # consistent, cadence kept
+    src.delete(F.col("vec_id") % 7 == 0)
+    src.append(frame(range(100, 105)))
+    crash["mode"] = "before"
+    r.run(max_cycles=2)
+    assert r.failures == 1 and postings.read().count() == 24
+
+    # tick 3 heals: ONE merge folds both ticks' DML
+    crash["mode"] = None
+    r.run(max_cycles=3)
+    assert postings.read().count() == 24 - 4 + 5
+    probe_vs_brute()
+
+    # more DML; tick 4 commits then dies before acking
+    src.update(
+        F.col("vec_id") == 1,
+        {"embedding": F.transform(F.col("embedding"), lambda x: -x)},
+    )
+    crash["mode"] = "after"
+    r.run(max_cycles=4)
+    assert r.failures == 2
+    probe_vs_brute()  # already durable
+    vidx = postings.latest_version()
+
+    # tick 5 replays: the MERGE no-ops on its stale txn epoch — the
+    # postings table version does NOT advance, nothing folds twice
+    crash["mode"] = None
+    r.run(max_cycles=5)
+    assert postings.latest_version() == vidx
+    probe_vs_brute()
+
+
 def test_read_evolving_parquet_merges_and_prunes(spark, tmp_path):
     """Schema evolution: batch 1 lacks a column batch 2 adds; the
     merged read unions the schema, NULL-fills the old batch, and still

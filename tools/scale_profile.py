@@ -71,6 +71,11 @@ QUERIES = [
     "ivm_maintained_view_events",
     "ann_pq_topk_join",
     "ann_ivf_pq_topk_join",
+    # r11: the CDC-maintained IVF index — construction-eager (source
+    # table + init + DML + fold); warm timings cover the exhaustive
+    # probe of the maintained postings TxTable vs DuckDB's brute-force
+    # recompute of the same final corpus.
+    "ann_ivf_index_maintained",
 ]
 
 TABLES = (
