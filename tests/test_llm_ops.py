@@ -845,6 +845,15 @@ def test_refresh_ivf_index_maintains_under_dml(spark, tmp_path):
     assert sim.refresh_ivf_index(spark, src, idx, n_lists=4) is None
     assert len(postings.history()) == hist
 
+    # a row-preserving source commit (OPTIMIZE) nets an EMPTY feed:
+    # the refresh must still advance the watermark (else every later
+    # refresh re-diffs across the no-op commit forever), and the
+    # postings row set must be untouched
+    src.optimize(target_file_rows=1000)
+    assert sim.refresh_ivf_index(spark, src, idx, n_lists=4) == src.latest_version()
+    assert {(r["vec_id"], r["_list"]) for r in postings.read().collect()} == got
+    assert sim.refresh_ivf_index(spark, src, idx, n_lists=4) is None
+
     # a foreign table squatting at the postings path is refused —
     # folding into someone else's data would corrupt silently
     idx2 = str(tmp_path / "idx2")

@@ -266,9 +266,9 @@ def main() -> None:
         "txbatch_read_events' flat ~0.3 s (any SF) is the Python",
         "DataSource scan's fixed worker spin-up — the per-query cost of",
         "crossing into Python for planning+read, not data work (its DuckDB",
-        "twin is a trivially pruned filter). It falls 490x -> 78x across the",
-        "panel's 100x span and keeps falling with data; the per-row path is",
-        "Arrow-batched.",
+        "twin is a trivially pruned filter). Its ratio falls by an order",
+        "of magnitude across the panel's 100x span (the table above) and",
+        "keeps falling with data; the per-row path is Arrow-batched.",
     ]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
