@@ -246,6 +246,10 @@ _NEW_R11 = [
     # IVM over a JOIN: scratch tables + DML at construction; warm runs
     # time the snapshot-join state + Δ(A⋈B) fold (join_delta)
     "ivm_join_view_orders_lineitem",
+    # CDC-maintained IVF index: source table + init + DML + fold at
+    # construction; warm runs time the exhaustive probe of the
+    # maintained postings TxTable
+    "ann_ivf_index_maintained",
 ]
 
 HEADLINE = (

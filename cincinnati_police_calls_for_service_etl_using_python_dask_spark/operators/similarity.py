@@ -1198,9 +1198,17 @@ def refresh_ivf_index(
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
             "list_id int, centroid array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        # Range-cluster with an EXPLICIT partition count: contiguous
+        # _list ranges give each file a tight [min, max] zone map
+        # (hash repartition scatters arbitrary lists per partition —
+        # every file's interval then spans everything), and the
+        # explicit count is exempt from AQE partition coalescing, so
+        # clustering survives at any data size. ~one list per file;
+        # at large corpora Spark splits big files on read, preserving
+        # probe parallelism (same doctrine as build_ivf_index).
         assigned = vectors.withColumn(
             "_list", _assign_list_udf(centroids)(F.col(vec_col))
-        ).repartition(F.col("_list"))  # cluster: one list per file
+        ).repartitionByRange(max(1, n_lists), F.col("_list"))
         TxTable.create(
             spark,
             postings_path,

@@ -862,6 +862,48 @@ def test_refresh_ivf_index_maintains_under_dml(spark, tmp_path):
         sim.refresh_ivf_index(spark, src, idx2, n_lists=4)
 
 
+def test_maintained_index_probe_prunes_postings_files(spark, tmp_path):
+    """The maintained layout's scale property: probing one list opens
+    only that list's files — the ``_list`` zone maps play the role the
+    static layout's partitionBy directories play, so probe I/O stays
+    ~n_probe/n_lists of the index even though postings live in a
+    TxTable (file pruning happens in the LOG, before Spark sees a
+    path)."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(32):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[i % 4] = 1.0  # four orthogonal clusters
+        rows.append(
+            (i, [float(x + 0.01 * n) for x, n in zip(v, rng.normal(size=4))])
+        )
+    src = TxTable.create(
+        spark,
+        str(tmp_path / "src"),
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+    )
+    idx = str(tmp_path / "idx")
+    sim.refresh_ivf_index(spark, src, idx, n_lists=4, n_iter=6, seed=7)
+    postings = TxTable(spark, f"{idx}/postings_tx")
+    lists = sorted(
+        r["_list"] for r in postings.read().select("_list").distinct().collect()
+    )
+    assert len(lists) >= 2  # well-separated clusters occupy >1 list
+    total = len(postings.snapshot().files)
+    assert total >= len(lists)  # init clustered one list per file
+    pruned = sim._postings_frame(spark, idx, [lists[0]])
+    opened = len(pruned.inputFiles())
+    assert 0 < opened < total
+    # and the pruned frame's rows are exactly that list's postings
+    assert pruned.select("_list").distinct().collect()[0][0] == lists[0]
+
+
 def test_int8_quantization_invariants(spark):
     emb = read_testdata(spark, SF_SMOKE, "embeddings")
     zero = spark.createDataFrame(
