@@ -1135,7 +1135,10 @@ def refresh_ivf_index(
     """CDC-MAINTAINED persistent IVF index (r11): keep an ANN index
     current under source DML by folding the source TxTable's change
     feed, instead of rebuilding — the IVM doctrine
-    (operators/ivm.py:refresh_view) applied to the ANN tier. At the
+    (operators/ivm.py:refresh_view) applied to the ANN tier, and the
+    incremental answer to the reference's rebuild-everything-nightly
+    shape (app.py:50, 957-968, 991-995 re-ingests and re-derives every
+    artifact daily regardless of how little changed). At the
     100 TB design point a nightly ``build_ivf_index`` re-scans and
     re-writes the whole corpus; this folds O(changed rows): each
     refresh is one feed read + one file-pruned MERGE into the
