@@ -304,6 +304,28 @@ def finalize_distinct(
     )
 
 
+def _require_watermark_readable(source, wm: int, what: str) -> None:
+    """Raise the retention error CONTRACT (the same clear shape the
+    streaming reader gives at txstream.py:_commit_actions) when a
+    refresh's watermark version has been expired by ``expire_log`` /
+    ``vacuum`` — the fold time-travels to the watermark snapshot, so
+    LOG RETENTION MUST OUTLAST REFRESH CADENCE. Without this guard the
+    log layer surfaces whatever it throws (a bare ValueError /
+    FileNotFoundError from snapshot reconstruction), which reads like
+    corruption instead of an operational retention mistake
+    (VERDICT r11 #5)."""
+    try:
+        source.snapshot(wm)
+    except (ValueError, FileNotFoundError) as e:
+        raise RuntimeError(
+            f"ivm: {what} watermark version {wm} is no longer "
+            f"reconstructable from the source log at {source.path} — "
+            f"it was expired by log retention (expire_log/vacuum). "
+            f"Log retention must exceed the refresh cadence; "
+            f"reinitialize the view from a fresh snapshot."
+        ) from e
+
+
 def refresh_view(
     spark,
     source,
@@ -377,6 +399,7 @@ def refresh_view(
         )
     if src_v <= wm:
         return None
+    _require_watermark_readable(source, wm, "refresh_view")
     feed = prep(source.change_feed(feed_key, wm, src_v))
     merged = merge_states(
         view.read(), delta_state(feed, keys, sums), keys
@@ -418,6 +441,13 @@ def refresh_join_view(
     through the log's time travel; cost O(|ΔA| + |ΔB| + their join
     partners), not O(|A⋈B|).
 
+    Because the fold TIME-TRAVELS to each source's watermark version,
+    BOTH sources' log retention must exceed the refresh cadence: an
+    ``expire_log``/``vacuum`` that drops a watermark version makes the
+    next refresh impossible (it raises the pointed retention error,
+    mirroring the streaming reader's contract) and the view must be
+    reinitialized from a fresh snapshot.
+
     ``measure_fn`` derives measure columns from JOINED rows and is
     applied identically to the snapshot join and the delta join.
     Returns (version_a, version_b) now reflected, or None if already
@@ -456,6 +486,8 @@ def refresh_join_view(
         )
     if va <= wma and vb <= wmb:
         return None
+    _require_watermark_readable(source_a, wma, "refresh_join_view source A")
+    _require_watermark_readable(source_b, wmb, "refresh_join_view source B")
 
     def feed_or_empty(source, fk, lo, hi):
         if hi > lo:

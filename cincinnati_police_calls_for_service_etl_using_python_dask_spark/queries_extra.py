@@ -9,6 +9,8 @@ aliases on both engines, money through DECIMAL, int casts pinned.
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -21,7 +23,7 @@ from .operators import relational as rel
 from .operators import similarity as sim
 from .operators import text as tx
 from .queries import register
-from .sources.files import read_testdata
+from .sources.files import oracle_sf_dir, read_testdata
 
 
 # ---------------------------------------------------------------------------
@@ -876,24 +878,41 @@ _IVF_MAINT_DIRS: dict[tuple[int, str], str] = {}
 
 
 def _ivf_maintained_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per session+corpus) the maintained index: scratch
-    source TxTable → init refresh → DML script → fold refresh."""
+    """Build (once per session+corpus) the maintained index FAMILY:
+    scratch source TxTable → init refreshes (IVF postings at
+    ``{root}/idx`` + PQ codes at ``{root}/pq``, r12) → DML script →
+    fold refreshes. Returns the family ROOT (``{root}/src`` holds the
+    source table whose current snapshot is the rerank corpus).
+
+    Model artifacts are trained on the TESTDATA read (the replayable
+    row order every replay oracle shares) and handed to the refreshers
+    explicitly — the bring-your-own-model shape — so the PQ/drift
+    oracles can embed bit-identical literals; the scratch TxTable's
+    own read order never feeds a trainer (r12)."""
     import atexit
     import shutil
     import tempfile
 
+    import numpy as np
+
     from .sources.txtable import TxTable
 
     key = (id(spark), sf_dir)
-    path = _IVF_MAINT_DIRS.get(key)
-    if path is None:
+    root = _IVF_MAINT_DIRS.get(key)
+    if root is None:
         root = tempfile.mkdtemp(prefix="cfs_ivf_maint_")
         emb = read_testdata(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
         )
         src = TxTable.create(spark, f"{root}/src", emb)
-        path = f"{root}/idx"
-        sim.refresh_ivf_index(spark, src, path, n_lists=8, n_iter=8, seed=7)
+        sample = np.stack(
+            emb.select("embedding").limit(100_000).toPandas()["embedding"]
+            .to_numpy()
+        ).astype(np.float64)
+        cents = sim._train_spherical_kmeans(sample, 8, 8, 7)
+        books = sim.train_pq(emb, m=8, ksub=16, n_iter=10, seed=7)
+        sim.refresh_ivf_index(spark, src, f"{root}/idx", centroids=cents)
+        sim.refresh_pq_codes(spark, src, f"{root}/pq", codebooks=books)
         src.delete(F.col("vec_id") % 11 == 0)
         src.update(
             F.col("vec_id") % 7 == 3,
@@ -905,10 +924,11 @@ def _ivf_maintained_dir(spark: SparkSession, sf_dir: str) -> str:
                 F.reverse(F.col("embedding")).alias("embedding"),
             )
         )
-        sim.refresh_ivf_index(spark, src, path, n_lists=8)
-        _IVF_MAINT_DIRS[key] = path
+        sim.refresh_ivf_index(spark, src, f"{root}/idx")
+        sim.refresh_pq_codes(spark, src, f"{root}/pq")
+        _IVF_MAINT_DIRS[key] = root
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-    return path
+    return root
 
 
 @register(
@@ -946,14 +966,138 @@ def q_ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    path = _ivf_maintained_dir(spark, sf_dir)
+    root = _ivf_maintained_dir(spark, sf_dir)
     return sim.ivf_index_topk(
         spark,
-        path,
+        f"{root}/idx",
         queries,
         k=10,
         n_probe=8,  # probe every list => exhaustive => exact
         dim=64,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fully MAINTAINED IVF-PQ (r12, VERDICT r11 #3): both index tiers —
+# routing (postings) AND memory (codes) — are CDC-maintained TxTables
+# folded from the same DML script by idempotent txn-watermarked MERGEs
+# (similarity.refresh_ivf_index + refresh_pq_codes, frozen
+# centroids/codebooks). The probe reads candidates from the maintained
+# postings (zone-map pruned), scores them by integer ADC over the
+# maintained codes (no re-encode), and reranks the shortlist against
+# the source's CURRENT snapshot. Probing every list makes the
+# candidate restriction the identity, so the oracle is the all-pairs
+# PQ replay (bit-identical codebook literals, trained on the same
+# testdata rows as the Spark-side init) over the DML script's final
+# corpus — a FULL value-hash gate on both maintenance paths at once.
+# ---------------------------------------------------------------------------
+
+_MAINT_CORPUS_CTE = """
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = 3
+              THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS embedding
+  FROM embeddings
+  WHERE vec_id % 11 <> 0
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, list_reverse(embedding) AS embedding
+  FROM embeddings WHERE vec_id < 3
+"""
+
+
+@_functools.lru_cache(maxsize=1)
+def _ann_ivf_pq_maintained_oracle() -> str:
+    return sim.pq_adc_replay_sql(
+        f"{oracle_sf_dir()}/embeddings.parquet",
+        k=10, m=8, ksub=16, shortlist=50,
+        corpus_cte=_MAINT_CORPUS_CTE,
+    )
+
+
+@register("ann_ivf_pq_maintained", _ann_ivf_pq_maintained_oracle)
+def q_ann_ivf_pq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.txtable import TxTable
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    root = _ivf_maintained_dir(spark, sf_dir)
+    corpus = TxTable(spark, f"{root}/src").read()
+    return sim.pq_codes_maintained_topk(
+        spark,
+        f"{root}/pq",
+        queries,
+        corpus,
+        k=10,
+        shortlist=50,
+        dim=64,
+        ivf_path=f"{root}/idx",
+        n_probe=8,  # probe every list => candidate restriction = identity
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maintained-index drift probe (r12, VERDICT r11 #8): centroids are
+# FROZEN across refreshes by design, so an operator needs a signal for
+# WHEN to rebuild. This emits per-list occupancy plus an integer-
+# quantized cohesion statistic (Σ floor(1e4 × cos(vector, assigned
+# centroid)) — quantize-then-sum keeps the aggregate summation-order
+# free) over the maintained postings: occupancy skew says routing is
+# degenerating, falling cohesion says the corpus drifted off the
+# training snapshot. One bounded aggregate over the postings table;
+# the oracle replays the DML corpus + centroid literals (trained on
+# the same testdata rows the Spark-side init used).
+# ---------------------------------------------------------------------------
+
+
+@_functools.lru_cache(maxsize=1)
+def _ann_drift_oracle() -> str:
+    mat = sim._replay_corpus_matrix(f"{oracle_sf_dir()}/embeddings.parquet")
+    cents = sim._train_spherical_kmeans(mat, 8, 8, 7)
+    dim = mat.shape[1]
+
+    def lits(l: int) -> str:
+        return "[" + ", ".join(
+            f"{float(cents[l, i])!r}" for i in range(dim)
+        ) + "]"
+
+    cos_case = "CASE a.lst " + " ".join(
+        f"WHEN {l} THEN list_cosine_similarity("
+        f"list_transform(c.embedding, x -> CAST(x AS DOUBLE)), {lits(l)})"
+        for l in range(len(cents))
+    ) + " END"
+    return f"""
+WITH corpus AS ({_MAINT_CORPUS_CTE}),
+env AS ({sim._replay_env_cte(dim, "corpus")}),
+{sim._replay_assign_cte(cents)}
+SELECT CAST(a.lst AS BIGINT) AS list_id,
+       COUNT(*)::BIGINT AS n_vecs,
+       SUM(CAST(FLOOR(10000.0 * ({cos_case})) AS BIGINT)) AS q_cohesion
+FROM assign a JOIN corpus c USING (vec_id)
+GROUP BY a.lst
+"""
+
+
+@register("ann_ivf_maintained_drift", _ann_drift_oracle)
+def q_ann_ivf_maintained_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.txtable import TxTable
+
+    root = _ivf_maintained_dir(spark, sf_dir)
+    postings = TxTable(spark, f"{root}/idx/postings_tx").read()
+    cents = spark.read.parquet(f"{root}/idx/centroids")
+    q = F.floor(
+        F.lit(10000.0) * sim.cosine(F.col("embedding"), F.col("centroid"))
+    ).cast("long")
+    return (
+        postings.join(
+            F.broadcast(cents), postings["_list"] == cents["list_id"]
+        )
+        .groupBy(F.col("_list").cast("bigint").alias("list_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(q).alias("q_cohesion"),
+        )
     )
 
 

@@ -44,15 +44,25 @@ def _suite(name: str, members: list[tuple[str, str]], spark_fn=None) -> None:
     if no_oracle:
         raise RuntimeError(f"suite {name}: members lack oracles: {no_oracle}")
 
-    # an oracle may be a zero-arg callable (r10 replay oracles) —
-    # resolve before composing, so a future suite member with one
-    # can't silently embed a function repr in the SQL
+    # an oracle may be a zero-arg callable (r10 replay oracles, which
+    # read the oracle-contract parquet and replay model training) —
+    # compose LAZILY when any member has one, so importing the
+    # registry (bench.py's spark_queries()) never pays replay-oracle
+    # construction; oracle_sqls() resolves the callable when the
+    # driver actually wants SQL (r12).
     def _sql(m: str) -> str:
         o = REGISTRY[m][1]
         return o() if callable(o) else o
 
-    oracle = "\nUNION ALL BY NAME\n".join(
-        f"SELECT '{seg}' AS seg, * FROM ({_sql(m)})" for seg, m in members
+    def _compose() -> str:
+        return "\nUNION ALL BY NAME\n".join(
+            f"SELECT '{seg}' AS seg, * FROM ({_sql(m)})" for seg, m in members
+        )
+
+    oracle = (
+        _compose
+        if any(callable(REGISTRY[m][1]) for _, m in members)
+        else _compose()
     )
 
     if spark_fn is not None:
@@ -245,11 +255,28 @@ _suite(
 # Retrieval/frequency family: BM25 top-k ranking + Count-Min-sketch
 # heavy hitters (the int8 two-stage ANN tier is already gated in
 # embedding_dedup_suite).
+#
+# r12 (VERDICT r11 #1): the maintained-ANN-index family joins the
+# gated slot — ann_ivf_index_maintained (the r11 flagship: CDC-
+# maintained postings, exhaustive-probe-exact, DML-replay oracle),
+# the two distributed-LUT ADC join-probe twins (replay oracles shared
+# with their driver-probe spellings), and the r12 fully maintained
+# IVF-PQ composition (maintained postings × maintained codes, frozen
+# models, all-pairs PQ replay oracle over the DML corpus). Every
+# member keeps its granular tail registration for bench continuity;
+# this seg-union puts their value-hash gates inside the driver's
+# 50-query window without widening it. Construction (scratch tables,
+# DML scripts, index init+fold) runs once per session via the member
+# builders' caches; warm runs time the probes.
 _suite(
     "retrieval_suite",
     [
         ("bm25", "bm25_topk_docs"),
         ("cms_topk", "cms_top_tokens_docs"),
+        ("ivf_maintained", "ann_ivf_index_maintained"),
+        ("pq_join", "ann_pq_topk_join"),
+        ("ivf_pq_join", "ann_ivf_pq_topk_join"),
+        ("ivf_pq_maintained", "ann_ivf_pq_maintained"),
     ],
 )
 

@@ -2058,10 +2058,34 @@ class TxTable:
         if txns and all(e <= snap.txns.get(a, -1) for a, e in txns):
             return snap.version
         self._check_schema(source.drop(op_col), snap.schema)
+        # Affected-file discovery: when the (single) merge key carries
+        # zone maps, probe the source's key interval FIRST (one tiny
+        # agg over the O(changed) source) and scan only the files whose
+        # [min, max] overlap it — discovery cost then tracks the feed's
+        # key locality, not the index size (ADVICE r11; the same
+        # interval feeds the commit conflict check below). Multi-key or
+        # stat-less merges keep the full meta scan.
+        key_bounds = None
+        scan_paths: list[str] | None = None
+        if len(keys) == 1 and keys[0] in snap.stats_columns:
+            b = source.agg(
+                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            ).collect()[0]
+            if b["lo"] is not None:
+                key_bounds = (b["lo"], b["hi"])
+                pcol = snap.phys(keys[0])
+                scan_paths = []
+                for p, m in snap.files.items():
+                    mn, mx = (m.get("stats") or {}).get(pcol, [None, None])
+                    if mn is None or mx is None or not (
+                        mx < key_bounds[0] or mn > key_bounds[1]
+                    ):
+                        scan_paths.append(p)
+                scan_paths.sort()
         # meta view: __file comes from the scan's metadata struct and
         # deletion vectors are already masked, so a DV'd row can
         # neither pin its file into the rewrite nor resurrect below
-        cur = self._read_snapshot_meta(snap)
+        cur = self._read_snapshot_meta(snap, scan_paths)
         bmap = _basename_keys(snap)
         affected = {
             bmap[r["__file"]]
@@ -2095,12 +2119,9 @@ class TxTable:
         # max(source key)] cannot hold a matching row, so it commutes
         # (the zone-map analog of Delta's partition-pruned merge).
         read_interval = None
-        if len(keys) == 1 and keys[0] in snap.stats_columns:
-            b = source.agg(
-                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
-            ).collect()[0]
-            if b["lo"] is not None:
-                read_interval = (keys[0], b["lo"], b["hi"])
+        if key_bounds is not None:
+            # same interval that pruned discovery above — one agg job
+            read_interval = (keys[0], key_bounds[0], key_bounds[1])
         return self._commit_rmw(
             snap, actions, "MERGE", set(affected), cdc=snap.cdc_enabled,
             read_interval=read_interval,

@@ -160,6 +160,7 @@ class CadenceRunner:
         app_id: str | None = None,
         log_store=None,
         refresh_kwargs: dict | None = None,
+        optimize_every: int | None = None,
         **kw,
     ) -> "CadenceRunner":
         """Scheduler wiring for the CDC-maintained ANN index (r11) —
@@ -176,12 +177,33 @@ class CadenceRunner:
         (n_lists/n_iter/seed/train/...) through to the INITIALIZING
         call; they are inert once the index exists (centroids frozen).
         ``kw`` passes through to the runner (clock/sleep, catch_up,
-        interval)."""
+        interval).
+
+        ``optimize_every=N`` (r12, VERDICT r11 #2): after every N
+        ADVANCING folds (ticks where the source actually moved — no-op
+        ticks don't count, so a quiet source never triggers pointless
+        rewrites), run ``similarity.optimize_ivf_index`` to
+        range-cluster the postings back to ~one list per file. MERGE
+        churn loosens the ``_list`` zone maps monotonically; without a
+        compaction policy probe I/O trends toward full postings scans,
+        so a production deployment should always set this (it is
+        opt-in only because OPTIMIZE cadence is capacity planning —
+        the rewrite costs one pass over live postings). The OPTIMIZE
+        runs INSIDE the tick's try-guard: a failed compaction logs and
+        retries the policy at the next advancing fold, and because
+        OPTIMIZE yields an EMPTY change feed, downstream CDC readers
+        of the postings table never see phantom changes from it."""
         from ..operators import similarity as _sim
 
+        if optimize_every is not None and optimize_every < 1:
+            raise ValueError(
+                f"optimize_every must be >= 1, got {optimize_every}"
+            )
         rkw = dict(refresh_kwargs or {})
+        advanced = 0
 
         def pipeline(fire_ts: float) -> None:
+            nonlocal advanced
             v = _sim.refresh_ivf_index(
                 spark,
                 source,
@@ -196,6 +218,17 @@ class CadenceRunner:
                 "unchanged" if v is None else v,
                 fire_ts,
             )
+            if v is not None and optimize_every is not None:
+                advanced += 1
+                if advanced % optimize_every == 0:
+                    ov = _sim.optimize_ivf_index(
+                        spark, index_path, log_store=log_store
+                    )
+                    logger.info(
+                        "index %s postings re-clustered (optimize v%s)",
+                        index_path,
+                        ov,
+                    )
 
         return cls.daily_at(pipeline, at=at, **kw)
 
