@@ -12,6 +12,14 @@ count() would let Catalyst prune the very expressions being measured).
 
 The quadratic ngram_jaccard_pairs tier is deliberately NOT a headline
 query: its role is ground-truth for MinHash-LSH, which IS measured.
+
+COMPARE protocol (r12, VERDICT r11 #7): this host's wall-clock drifts
+in multi-second weather windows — r11 measured the SAME 122-123-query
+tree at 0.96x and 1.18x DuckDB in two same-day windows (documented
+spread 0.96-1.25x, DuckDB itself swinging 37.0-43.8 s). So: run ONE
+head-to-head COMPARE per round, both engines in the SAME window with
+nothing else on the box (check loadavg_start), and commit it ONCE.
+Never chase a <25% aggregate delta without a same-window re-measure.
 """
 
 from __future__ import annotations
@@ -83,6 +91,14 @@ _CONSTRUCTION_EAGER = {
     # cost is the steady-state metric, maintenance cost is
     # O(changed rows) by construction (tests pin the fold).
     "ann_ivf_index_maintained",
+    # r12: same builder family — the maintained-IVF-PQ probe and the
+    # drift aggregate share ann_ivf_index_maintained's cached scratch
+    # dir (plus the PQ codes init+fold); warm runs time the ADC probe
+    # / the per-list drift aggregate. retrieval_suite inherits the
+    # construction via its new ANN segs.
+    "ann_ivf_pq_maintained",
+    "ann_ivf_maintained_drift",
+    "retrieval_suite",
 }
 
 # Round-over-round continuity: granular queries benched since r1/r2
@@ -252,6 +268,16 @@ _NEW_R11 = [
     "ann_ivf_index_maintained",
 ]
 
+_NEW_R12 = [
+    # fully maintained IVF-PQ: maintained postings route candidates,
+    # maintained codes feed the integer ADC, exact rerank against the
+    # source's current snapshot (construction-eager; see above)
+    "ann_ivf_pq_maintained",
+    # per-list occupancy + quantized cohesion over the maintained
+    # postings — the when-to-rebuild signal for the frozen quantizer
+    "ann_ivf_maintained_drift",
+]
+
 HEADLINE = (
     [q for q in GATE_PRIORITY if q not in _UNBENCHABLE]
     + _CONTINUITY
@@ -264,6 +290,7 @@ HEADLINE = (
     + _NEW_R8
     + _NEW_R10
     + _NEW_R11
+    + _NEW_R12
 )
 
 

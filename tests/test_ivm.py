@@ -489,3 +489,53 @@ def test_refresh_join_view_exactly_once_two_watermarks(spark, tmp_path):
     TxTable.create(spark, other, _mk_dim(spark, [(1, "a")]).coalesce(1))
     with pytest.raises(ValueError, match="watermarks"):
         ivm.refresh_join_view(spark, fact, dim, other, **kw)
+
+
+def test_refresh_view_expired_watermark_raises_retention_error(
+    spark, tmp_path
+):
+    """r12 (VERDICT r11 #5): the fold time-travels to the view's
+    watermark version, so when log retention (expire_log) drops it the
+    refresh must fail with the pointed retention error — the same
+    contract the streaming reader gives — not a bare snapshot
+    reconstruction error that reads like corruption."""
+    t = TxTable.create(
+        spark, str(tmp_path / "ret_src"), _mk(spark, [(1, "a", 10)]).coalesce(1)
+    )
+    vpath = str(tmp_path / "ret_view")
+    ivm.refresh_view(spark, t, vpath, ["g"], sums=["v"], feed_key="k")
+    # drive the source past a checkpoint (every 10 commits) so
+    # expire_log can cut ABOVE the view's watermark (version 0)
+    for i in range(11):
+        t.append(_mk(spark, [(100 + i, "b", i)]).coalesce(1))
+    assert t.expire_log()  # versions below the v10 checkpoint are gone
+    with pytest.raises(RuntimeError, match="log retention"):
+        ivm.refresh_view(spark, t, vpath, ["g"], sums=["v"], feed_key="k")
+
+
+def test_refresh_join_view_expired_watermark_raises_retention_error(
+    spark, tmp_path
+):
+    """Same retention contract for the JOIN view, whose delta term
+    A_old ⋈ ΔB reads source A at its OLD watermark version."""
+    dim = TxTable.create(
+        spark, str(tmp_path / "retj_dim"),
+        _mk_dim(spark, [(1, "a")]).coalesce(1),
+    )
+    fact = TxTable.create(
+        spark, str(tmp_path / "retj_fact"),
+        _mk_fact(spark, [(10, 1, 100)]).coalesce(1),
+    )
+    vpath = str(tmp_path / "retj_view")
+    ivm.refresh_join_view(
+        spark, fact, dim, vpath, on="j", keys=["g"], sums=["v"],
+        feed_key_a="k", feed_key_b="j",
+    )
+    for i in range(11):
+        fact.append(_mk_fact(spark, [(100 + i, 1, i)]).coalesce(1))
+    assert fact.expire_log()
+    with pytest.raises(RuntimeError, match="log retention"):
+        ivm.refresh_join_view(
+            spark, fact, dim, vpath, on="j", keys=["g"], sums=["v"],
+            feed_key_a="k", feed_key_b="j",
+        )

@@ -904,6 +904,226 @@ def test_maintained_index_probe_prunes_postings_files(spark, tmp_path):
     assert pruned.select("_list").distinct().collect()[0][0] == lists[0]
 
 
+def test_refresh_pq_codes_maintains_under_dml(spark, tmp_path):
+    """refresh_pq_codes (r12): the CDC-maintained PQ codes table —
+    the memory tier of a fully maintained IVF-PQ index. Init trains +
+    encodes the snapshot; DML across several source commits folds in
+    ONE merge; the maintained codes equal a fresh encode of the
+    CURRENT snapshot under the FROZEN codebooks; the probe over the
+    maintained table equals a probe over a from-scratch init at the
+    final version (same codebooks); a replayed refresh no-ops; a
+    foreign table at the codes path is refused."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    rng = np.random.default_rng(13)
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    src = TxTable.create(spark, str(tmp_path / "src"), frame(range(40)))
+    pqp = str(tmp_path / "pq")
+    assert (
+        sim.refresh_pq_codes(spark, src, pqp, m=4, ksub=8, n_iter=4, seed=3)
+        == 0
+    )
+    codes_tx = TxTable(spark, f"{pqp}/codes_tx")
+    assert codes_tx.read().count() == 40
+    # nothing new since the watermark: no-op
+    assert sim.refresh_pq_codes(spark, src, pqp) is None
+
+    # three source commits, one fold (delete / code-moving update / insert)
+    src.delete(F.col("vec_id") % 10 == 0)
+    src.update(
+        F.col("vec_id") < 4,
+        {"embedding": F.transform(F.col("embedding"), lambda x: -x)},
+    )
+    src.append(frame(range(100, 105)))
+    assert sim.refresh_pq_codes(spark, src, pqp) == 3
+
+    # maintained codes == fresh encode under the FROZEN codebooks
+    books = sim._load_pq_codebooks(spark, pqp)
+    assert books.shape == (4, 8, 2)
+    cur = src.read()
+    expected = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in sim.pq_encode(cur, books).collect()
+    }
+    got = {
+        (r["vec_id"], tuple(r["codes"])) for r in codes_tx.read().collect()
+    }
+    assert got == expected and len(got) == 40 - 4 + 5
+
+    # probe parity: maintained table == from-scratch init at the final
+    # snapshot with the same frozen codebooks (identical corpus+model
+    # => identical ADC shortlist => identical ranks)
+    queries = cur.filter(F.col("vec_id").isin(1, 17, 101)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    maintained = sorted(
+        map(
+            tuple,
+            sim.pq_codes_maintained_topk(
+                spark, pqp, queries, cur, k=5, shortlist=12
+            ).collect(),
+        )
+    )
+    fresh_p = str(tmp_path / "pq_fresh")
+    sim.refresh_pq_codes(spark, src, fresh_p, codebooks=books)
+    fresh = sorted(
+        map(
+            tuple,
+            sim.pq_codes_maintained_topk(
+                spark, fresh_p, queries, cur, k=5, shortlist=12
+            ).collect(),
+        )
+    )
+    assert maintained == fresh
+    # every query's self-neighbor survives the lossy shortlist
+    assert {(q, q, 1) for q in (1, 17, 101)} <= set(maintained)
+
+    # composed with a maintained IVF index, an exhaustive probe's
+    # candidate restriction is the identity — row-identical
+    idx = str(tmp_path / "idx")
+    sim.refresh_ivf_index(spark, src, idx, n_lists=4, n_iter=4, seed=3)
+    comp = sorted(
+        map(
+            tuple,
+            sim.pq_codes_maintained_topk(
+                spark, pqp, queries, cur, k=5, shortlist=12,
+                ivf_path=idx, n_probe=4,
+            ).collect(),
+        )
+    )
+    assert comp == maintained
+
+    # crash-after-commit replay: no new commit, no data change
+    hist = len(codes_tx.history())
+    assert sim.refresh_pq_codes(spark, src, pqp) is None
+    assert len(codes_tx.history()) == hist
+
+    # a foreign table squatting at the codes path is refused
+    pq2 = str(tmp_path / "pq2")
+    TxTable.create(spark, f"{pq2}/codes_tx", sim.pq_encode(frame(range(3)), books))
+    with pytest.raises(ValueError, match="watermark"):
+        sim.refresh_pq_codes(spark, src, pq2)
+
+
+def _max_probe_opens(postings, n_lists: int) -> int:
+    """Worst-case file opens for a single-list probe, computed from
+    the log's zone maps exactly as read_pruned prunes: a file is
+    opened for list l when its _list [min, max] interval covers l (or
+    it carries no stats)."""
+    snap = postings.snapshot()
+
+    def opens(l: int) -> int:
+        n = 0
+        for m in snap.files.values():
+            mn, mx = (m.get("stats") or {}).get("_list", [None, None])
+            if mn is None or mx is None or (mn <= l <= mx):
+                n += 1
+        return n
+
+    return max(opens(l) for l in range(n_lists))
+
+
+def test_optimize_ivf_index_retightens_zone_maps(spark, tmp_path):
+    """optimize_ivf_index (r12, the r11 weak item): refresh churn
+    rewrites matched files with mixed-list contents, loosening the
+    _list zone maps that stand in for directory pruning — file opens
+    per probe grow monotonically. One OPTIMIZE range-clusters the
+    live rows back to ~one list per file, and probe results stay
+    exactly brute-force throughout (pure file-level rewrite)."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def frame(ids):
+        rows = []
+        for i in ids:
+            v = [0.0, 0.0, 0.0, 0.0]
+            v[i % 4] = 1.0  # four orthogonal clusters
+            rows.append(
+                (i, [float(x + 0.01 * n) for x, n in zip(v, rng.normal(size=4))])
+            )
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    src = TxTable.create(spark, str(tmp_path / "src"), frame(range(32)))
+    idx = str(tmp_path / "idx")
+    sim.refresh_ivf_index(spark, src, idx, n_lists=4, n_iter=6, seed=7)
+    postings = TxTable(spark, f"{idx}/postings_tx")
+    assert _max_probe_opens(postings, 4) == 1  # init: range-clustered
+
+    # churn: scattered updates + inserts force MERGE rewrites whose
+    # output files mix lists -> zone maps widen
+    src.update(
+        F.col("vec_id") % 3 == 1,
+        {"embedding": F.transform(F.col("embedding"), lambda x: -x)},
+    )
+    src.append(frame(range(100, 110)))
+    sim.refresh_ivf_index(spark, src, idx)
+    grew = _max_probe_opens(postings, 4)
+    assert grew > 1, "churn should have loosened the zone maps"
+
+    # the policy: one OPTIMIZE re-tightens to ~n_probe/n_lists opens
+    assert sim.optimize_ivf_index(spark, idx) is not None
+    assert _max_probe_opens(postings, 4) == 1
+
+    # probes stayed exact across churn AND compaction
+    cur = src.read()
+    queries = cur.filter(F.col("vec_id").isin(1, 105)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = sorted(
+        map(tuple, sim.ivf_index_topk(spark, idx, queries, k=4, n_probe=4).collect())
+    )
+    want = sorted(map(tuple, sim.brute_force_topk(cur, queries, k=4).collect()))
+    assert got == want
+    # an OPTIMIZE is row-preserving: the NEXT refresh sees an empty
+    # postings feed and the index keeps folding source DML normally
+    src.delete(F.col("vec_id") == 105)
+    sim.refresh_ivf_index(spark, src, idx)
+    assert postings.read().filter(F.col("vec_id") == 105).count() == 0
+
+
+def test_postings_frame_empty_probe_set_returns_typed_empty(spark, tmp_path):
+    """ADVICE r11: an empty query set on the maintained layout must
+    return an empty frame (like the static path's isin([])), not raise
+    min()-of-empty-sequence."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    rng = np.random.default_rng(3)
+    src = TxTable.create(
+        spark,
+        str(tmp_path / "src"),
+        spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=4)]) for i in range(8)],
+            "vec_id long, embedding array<float>",
+        ),
+    )
+    idx = str(tmp_path / "idx")
+    sim.refresh_ivf_index(spark, src, idx, n_lists=2, n_iter=2, seed=3)
+    out = sim._postings_frame(spark, idx, [])
+    assert out.count() == 0
+    assert {"vec_id", "embedding", "_list"} <= set(out.columns)
+
+
 def test_int8_quantization_invariants(spark):
     emb = read_testdata(spark, SF_SMOKE, "embeddings")
     zero = spark.createDataFrame(

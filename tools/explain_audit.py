@@ -789,6 +789,34 @@ def main() -> None:
             "frame-length walk + header census in one mapInPandas — "
             "same shape as the WAV/H.264 metadata tiers",
         ),
+        # — round 12 —
+        (
+            "ann_ivf_pq_maintained",
+            "maintained IVF-PQ probe: ZERO Python — codes read, never "
+            "re-encoded",
+            lambda p: "EvalPython" not in p
+            and count_ops(p, "MapInPandas") == 0
+            and "BroadcastHashJoin" in p,
+            "the maintained index's whole point at 100 TB: probe time "
+            "touches NO model kernel — candidates come from the "
+            "postings TxTable (zone-map pruned), ADC integers from the "
+            "codes TxTable (encoded once at refresh, O(changed rows)), "
+            "the LUT/probe relations broadcast; the only Python in the "
+            "system runs inside the refresh fold, amortized across "
+            "every probe between refreshes",
+        ),
+        (
+            "ann_ivf_maintained_drift",
+            "drift probe: centroids broadcast, ONE map-combined "
+            "exchange, zero Python",
+            lambda p: "EvalPython" not in p
+            and "BroadcastHashJoin" in p
+            and count_exchanges(p) == 1,
+            "the when-to-rebuild signal costs one pass over the "
+            "postings: the model-sized centroid table broadcasts, the "
+            "quantized cohesion sum map-combines per list — watching "
+            "a 100 TB index for drift is a scan, not a recompute",
+        ),
     ]
 
     lines = [
