@@ -17,6 +17,7 @@ Two tiers, as a real 100 TB pipeline needs:
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import pandas as pd
@@ -1127,6 +1128,47 @@ def _load_centroids(spark, path: str) -> np.ndarray:
     return np.array([r["centroid"] for r in rows], dtype=np.float64)
 
 
+# txn appId under which the maintained index records WHICH centroid
+# artifact its postings were assigned against (r12). Marker absent =
+# the init-era `{path}/centroids` sidecar; epoch N >= 0 = the
+# versioned `{path}/centroids_v{N}.parquet` file a REBUILD wrote
+# before its postings swap. Because the marker rides the SAME commit
+# as the postings, model and postings can never be observed
+# mismatched: a probe (or fold) resolves the snapshot FIRST, then
+# loads exactly the artifact that snapshot references — rebuilds are
+# atomic end-to-end, with no new-centroids/old-postings window.
+_CENTROIDS_TXN = "__ivf_centroids__"
+_CODEBOOKS_TXN = "__pq_codebooks__"
+
+
+def _maintained_centroids(spark, path: str, snap) -> np.ndarray:
+    """Centroids for a maintained-postings SNAPSHOT — resolves the
+    snapshot's centroid-version marker so probes and folds always use
+    the model its postings were assigned with."""
+    epoch = snap.txns.get(_CENTROIDS_TXN, -1)
+    if epoch >= 0:
+        rows = sorted(
+            spark.read.parquet(
+                f"{path}/centroids_v{epoch}.parquet"
+            ).collect(),
+            key=lambda r: r["list_id"],
+        )
+        return np.array([r["centroid"] for r in rows], dtype=np.float64)
+    return _load_centroids(spark, path)
+
+
+def _write_versioned_model(path: str, pdf: "pd.DataFrame") -> None:
+    """Write a model artifact as ONE parquet file via atomic rename —
+    a rebuild's artifact must be fully on disk before the postings
+    commit that references it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq_.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+    os.replace(tmp, path)
+
+
 def _postings_frame(spark, path: str, probed_lists) -> DataFrame:
     """The probed slice of the index's postings. Two layouts:
 
@@ -1298,7 +1340,9 @@ def refresh_ivf_index(
     from .ivm import _require_watermark_readable
 
     _require_watermark_readable(source, wm, "refresh_ivf_index")
-    centroids = _load_centroids(spark, path)
+    # marker-aware: after a rebuild, the fold must assign against the
+    # REBUILT model the current postings were assigned with (r12)
+    centroids = _maintained_centroids(spark, path, tx.snapshot())
     feed = source.change_feed(feed_key, wm, src_v)
     # postimage upserts cover updates; preimages would double-count.
     # Deletes are keyed removals — MERGE ignores their _list — so only
@@ -1352,9 +1396,114 @@ def optimize_ivf_index(spark, path: str, log_store=None) -> int | None:
     )
     if live_rows == 0:
         return None
-    n_lists = len(_load_centroids(spark, path))
+    n_lists = len(_maintained_centroids(spark, path, snap))
     target = max(1, -(-live_rows // max(1, n_lists)))
     return tx.optimize(target_file_rows=target, sort_by=["_list"])
+
+
+def rebuild_ivf_index(
+    spark,
+    source,
+    path: str,
+    n_lists: int = 16,
+    train_sample: int = 100_000,
+    n_iter: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "sample",
+    centroids: "np.ndarray | None" = None,
+    app_id: str | None = None,
+    log_store=None,
+):
+    """RETRAIN-ON-DRIFT rebuild of a maintained IVF index (r12): the
+    refresh loop's complement. :func:`refresh_ivf_index` freezes the
+    coarse quantizer by design — incremental adds join existing cells
+    (the FAISS operational model) — so when the drift probe
+    (``ann_ivf_maintained_drift``'s shape: per-list occupancy skew,
+    falling cohesion) says the corpus has walked off the training
+    snapshot, THIS is the rebuild it calls for: retrain on the CURRENT
+    snapshot (or adopt a caller-trained ``centroids``), re-assign
+    every row, and swap postings + model ATOMICALLY.
+
+    Atomicity (the reason rebuilds are safe to run against live
+    probes): the new centroid artifact is written FIRST as a
+    versioned single-file parquet (``{path}/centroids_v{v}.parquet``,
+    atomic rename), and the postings ``overwrite`` commit carries the
+    centroid-version marker (``__ivf_centroids__`` txn) NEXT TO the
+    refresh watermark. Probes and folds resolve the snapshot first
+    and load exactly the model it references
+    (:func:`_maintained_centroids`), so there is no
+    new-model/old-postings window in either direction; a probe racing
+    the rebuild reads the OLD snapshot + OLD model (snapshot
+    isolation), and time travel to pre-rebuild versions keeps
+    working (old artifacts are never overwritten). A rebuild that
+    crashes mid-way leaves the old index serving; re-running heals it
+    (deterministic retrain + idempotent swap: a replay whose epochs
+    are all at or below the recorded marks no-ops).
+
+    Also ADVANCES the refresh watermark to the rebuilt snapshot's
+    version — the rebuild assigned the full current corpus, so the
+    next refresh folds only later commits. Returns the source version
+    rebuilt against, or None when the index already reflects both
+    this snapshot and a rebuild at it (re-rebuilding identical data
+    retrains deterministically to the same model)."""
+    from ..sources.txtable import TxTable
+
+    app_id = app_id or f"ivf:{path}"
+    src_v = source.latest_version()
+    tx = TxTable(spark, f"{path}/postings_tx", log_store=log_store)
+    if not tx.exists():
+        raise ValueError(
+            f"no maintained IVF index at {path} — initialize with "
+            f"refresh_ivf_index first"
+        )
+    snap = tx.snapshot()
+    if snap.txns.get(app_id, -1) < 0:
+        raise ValueError(
+            f"table at {path}/postings_tx carries no {app_id!r} "
+            f"watermark — it is not this index's postings table"
+        )
+    if (
+        src_v <= snap.txns.get(_CENTROIDS_TXN, -1)
+        and src_v <= snap.txns.get(app_id, -1)
+    ):
+        return None
+
+    vectors = source.read(version=src_v).select(id_col, vec_col)
+    if centroids is not None:
+        centroids = np.asarray(centroids, dtype=np.float64)
+        n_lists = len(centroids)
+    elif train == "distributed":
+        centroids = _train_spherical_kmeans_distributed(
+            vectors, n_lists, n_iter, seed, vec_col=vec_col
+        )
+    else:
+        sample = np.stack(
+            vectors.select(vec_col)
+            .limit(train_sample)
+            .toPandas()[vec_col]
+            .to_numpy()
+        ).astype(np.float64)
+        centroids = _train_spherical_kmeans(sample, n_lists, n_iter, seed)
+
+    _write_versioned_model(
+        f"{path}/centroids_v{src_v}.parquet",
+        pd.DataFrame(
+            {
+                "list_id": np.arange(len(centroids), dtype=np.int32),
+                "centroid": [list(map(float, c)) for c in centroids],
+            }
+        ),
+    )
+    assigned = vectors.withColumn(
+        "_list", _assign_list_udf(centroids)(F.col(vec_col))
+    ).repartitionByRange(max(1, n_lists), F.col("_list"))
+    tx.overwrite(
+        assigned.select(id_col, vec_col, "_list"),
+        txn=[(app_id, src_v), (_CENTROIDS_TXN, src_v)],
+    )
+    return src_v
 
 
 # ---------------------------------------------------------------------------
@@ -1374,11 +1523,12 @@ def optimize_ivf_index(spark, path: str, log_store=None) -> int | None:
 # ---------------------------------------------------------------------------
 
 
-def _load_pq_codebooks(spark, path: str) -> np.ndarray:
-    """(m, ksub, dsub) float64 codebooks from the ``{path}/codebooks``
-    sidecar (written by :func:`refresh_pq_codes`'s init)."""
+def _load_pq_codebooks(spark, path: str, parquet: str | None = None) -> np.ndarray:
+    """(m, ksub, dsub) float64 codebooks from a codebook parquet —
+    the ``{path}/codebooks`` init sidecar by default, or an explicit
+    versioned rebuild artifact."""
     rows = sorted(
-        spark.read.parquet(f"{path}/codebooks").collect(),
+        spark.read.parquet(parquet or f"{path}/codebooks").collect(),
         key=lambda r: (r["sub"], r["code"]),
     )
     m = 1 + max(r["sub"] for r in rows)
@@ -1387,6 +1537,18 @@ def _load_pq_codebooks(spark, path: str) -> np.ndarray:
         [r["centroid"] for r in rows], dtype=np.float64
     ).reshape(m, ksub, -1)
     return books
+
+
+def _maintained_codebooks(spark, path: str, snap) -> np.ndarray:
+    """Codebooks for a maintained-codes SNAPSHOT — resolves the
+    snapshot's codebook-version marker (:data:`_CODEBOOKS_TXN`), the
+    PQ twin of :func:`_maintained_centroids`."""
+    epoch = snap.txns.get(_CODEBOOKS_TXN, -1)
+    if epoch >= 0:
+        return _load_pq_codebooks(
+            spark, path, f"{path}/codebooks_v{epoch}.parquet"
+        )
+    return _load_pq_codebooks(spark, path)
 
 
 def refresh_pq_codes(
@@ -1479,7 +1641,8 @@ def refresh_pq_codes(
     from .ivm import _require_watermark_readable
 
     _require_watermark_readable(source, wm, "refresh_pq_codes")
-    books = _load_pq_codebooks(spark, path)
+    # marker-aware: after a rebuild, encode against the REBUILT model
+    books = _maintained_codebooks(spark, path, tx.snapshot())
     feed = source.change_feed(feed_key, wm, src_v)
     live = pq_encode(
         feed.filter(~F.col("_change_type").isin("update_preimage", "delete")),
@@ -1493,6 +1656,84 @@ def refresh_pq_codes(
         F.lit("D").alias("op"),
     )
     tx.merge(live.unionByName(dels), key=id_col, txn=(app_id, src_v))
+    return src_v
+
+
+def rebuild_pq_codes(
+    spark,
+    source,
+    path: str,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 10,
+    seed: int = 7,
+    train_sample: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "sample",
+    codebooks: "np.ndarray | None" = None,
+    app_id: str | None = None,
+    log_store=None,
+):
+    """RETRAIN-ON-DRIFT rebuild of the maintained PQ codes — the
+    :func:`rebuild_ivf_index` twin for the memory tier: retrain
+    codebooks on the CURRENT snapshot (or adopt ``codebooks``),
+    re-encode every row, and swap codes + model atomically (the
+    versioned ``codebooks_v{v}.parquet`` artifact lands on disk
+    first; the codes ``overwrite`` carries the ``__pq_codebooks__``
+    marker next to the refresh watermark, so probes/folds always
+    load the model the current codes were encoded with). Same crash
+    and replay contract as the index rebuild. Returns the source
+    version rebuilt against, or None when already rebuilt at it."""
+    from ..sources.txtable import TxTable
+
+    app_id = app_id or f"pq:{path}"
+    src_v = source.latest_version()
+    tx = TxTable(spark, f"{path}/codes_tx", log_store=log_store)
+    if not tx.exists():
+        raise ValueError(
+            f"no maintained PQ codes at {path} — initialize with "
+            f"refresh_pq_codes first"
+        )
+    snap = tx.snapshot()
+    if snap.txns.get(app_id, -1) < 0:
+        raise ValueError(
+            f"table at {path}/codes_tx carries no {app_id!r} "
+            f"watermark — it is not this index's codes table"
+        )
+    if (
+        src_v <= snap.txns.get(_CODEBOOKS_TXN, -1)
+        and src_v <= snap.txns.get(app_id, -1)
+    ):
+        return None
+
+    vectors = source.read(version=src_v).select(id_col, vec_col)
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=np.float64)
+    else:
+        books = train_pq(
+            vectors, m=m, ksub=ksub, n_iter=n_iter, seed=seed,
+            train_sample=train_sample, vec_col=vec_col, train=train,
+        )
+    mm_, kk, _ = books.shape
+    _write_versioned_model(
+        f"{path}/codebooks_v{src_v}.parquet",
+        pd.DataFrame(
+            {
+                "sub": np.repeat(np.arange(mm_, dtype=np.int32), kk),
+                "code": np.tile(np.arange(kk, dtype=np.int32), mm_),
+                "centroid": [
+                    list(map(float, books[s, c]))
+                    for s in range(mm_)
+                    for c in range(kk)
+                ],
+            }
+        ),
+    )
+    tx.overwrite(
+        pq_encode(vectors, books, id_col=id_col, vec_col=vec_col),
+        txn=[(app_id, src_v), (_CODEBOOKS_TXN, src_v)],
+    )
     return src_v
 
 
@@ -1560,10 +1801,11 @@ def pq_codes_maintained_topk(
     recompute), then only those candidates' codes are ADC-scored.
     Routing and memory tiers both come from CDC-maintained state;
     nothing corpus-sized is recomputed at probe time."""
-    books = _load_pq_codebooks(spark, path)
     from ..sources.txtable import TxTable
 
-    codes = TxTable(spark, f"{path}/codes_tx").read().select(id_col, "codes")
+    ctx = TxTable(spark, f"{path}/codes_tx")
+    books = _maintained_codebooks(spark, path, ctx.snapshot())
+    codes = ctx.read().select(id_col, "codes")
     lut = _lut_local_frame(spark, queries, books, query_id_col, query_vec_col)
     exploded = codes.select(
         id_col, F.posexplode("codes").alias("__sub", "__code")
@@ -1572,7 +1814,10 @@ def pq_codes_maintained_topk(
     if ivf_path is not None:
         if n_probe is None:
             raise ValueError("pass n_probe with ivf_path")
-        centroids = _load_centroids(spark, ivf_path)
+        centroids = _maintained_centroids(
+            spark, ivf_path,
+            TxTable(spark, f"{ivf_path}/postings_tx").snapshot(),
+        )
         q_rows = queries.select(query_id_col, query_vec_col).collect()
         q_mat = np.stack(
             [np.asarray(r[query_vec_col], dtype=np.float64) for r in q_rows]
@@ -1655,7 +1900,18 @@ def ivf_index_topk(
       probed list ids that drive partition pruning — nothing scales
       with the query table. Row-identical to the driver path
       (parity-tested)."""
-    centroids = _load_centroids(spark, path)
+    from ..sources.txtable import TxTable
+
+    # marker-aware (r12): a maintained index's probe must route with
+    # the model its CURRENT postings were assigned against — after a
+    # rebuild that is the commit-referenced versioned artifact, never
+    # the init-era sidecar (see _CENTROIDS_TXN).
+    _mtx = TxTable(spark, f"{path}/postings_tx")
+    centroids = (
+        _maintained_centroids(spark, path, _mtx.snapshot())
+        if _mtx.exists()
+        else _load_centroids(spark, path)
+    )
 
     if probe == "join":
         from pyspark.sql.functions import pandas_udf

@@ -1098,6 +1098,146 @@ def test_optimize_ivf_index_retightens_zone_maps(spark, tmp_path):
     assert postings.read().filter(F.col("vec_id") == 105).count() == 0
 
 
+def test_rebuild_ivf_index_retrains_on_drift(spark, tmp_path):
+    """rebuild_ivf_index + rebuild_pq_codes (r12): the retrain-on-
+    drift complement of the refresh loop. After the corpus walks off
+    the training snapshot, a rebuild retrains on the CURRENT snapshot
+    and atomically swaps postings+model (the commit references its
+    centroid artifact via the __ivf_centroids__ txn marker, so probes
+    and later folds always load the model the live postings were
+    assigned with); cohesion improves, exhaustive probes stay exact,
+    folds keep working against the rebuilt model, and a replayed
+    rebuild no-ops."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    rng = np.random.default_rng(21)
+
+    def frame(ids, axes):
+        rows = []
+        for i in ids:
+            v = [0.0] * 8
+            v[axes[i % len(axes)]] = 1.0
+            rows.append(
+                (i, [float(x + 0.01 * n) for x, n in zip(v, rng.normal(size=8))])
+            )
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    src = TxTable.create(
+        spark, str(tmp_path / "src"), frame(range(32), axes=[0, 1, 2, 3])
+    )
+    idx = str(tmp_path / "idx")
+    pqp = str(tmp_path / "pq")
+    sim.refresh_ivf_index(spark, src, idx, n_lists=4, n_iter=6, seed=21)
+    sim.refresh_pq_codes(spark, src, pqp, m=4, ksub=8, n_iter=4, seed=21)
+    postings = TxTable(spark, f"{idx}/postings_tx")
+    old_cents = sim._maintained_centroids(spark, idx, postings.snapshot())
+
+    def cohesion(cents) -> float:
+        tot = 0.0
+        for r in src.read().collect():
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            n = np.linalg.norm(v)
+            u = v / n if n > 0 else v
+            tot += float(np.max(u @ cents.T / np.linalg.norm(cents, axis=1)))
+        return tot
+
+    # DRIFT: the corpus moves to four DIFFERENT axes; the frozen
+    # quantizer still folds correctly (exhaustive probes exact) but
+    # fits poorly
+    src.delete(F.lit(True))
+    src.append(frame(range(200, 240), axes=[4, 5, 6, 7]))
+    sim.refresh_ivf_index(spark, src, idx)
+    sim.refresh_pq_codes(spark, src, pqp)
+    drifted = cohesion(old_cents)
+
+    # rebuilds without an init are refused
+    with pytest.raises(ValueError, match="refresh_ivf_index first"):
+        sim.rebuild_ivf_index(spark, src, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="refresh_pq_codes first"):
+        sim.rebuild_pq_codes(spark, src, str(tmp_path / "nope"))
+
+    v = sim.rebuild_ivf_index(spark, src, idx, n_lists=4, n_iter=6, seed=22)
+    assert v == src.latest_version()
+    assert sim.rebuild_pq_codes(spark, src, pqp, m=4, ksub=8, seed=22) == v
+
+    # the swap is commit-referenced: the snapshot's marker resolves to
+    # the versioned artifact, and the retrained model fits the drifted
+    # corpus strictly better
+    snap = postings.snapshot()
+    assert snap.txns[sim._CENTROIDS_TXN] == v
+    new_cents = sim._maintained_centroids(spark, idx, snap)
+    assert new_cents.shape == old_cents.shape
+    assert cohesion(new_cents) > drifted
+
+    # postings == fresh assignment under the REBUILT model
+    expected = set()
+    for r in src.read().collect():
+        vv = np.asarray(r["embedding"], dtype=np.float64)
+        n = np.linalg.norm(vv)
+        expected.add(
+            (r["vec_id"], int(np.argmax((vv / n if n > 0 else vv) @ new_cents.T)))
+        )
+    got = {(r["vec_id"], r["_list"]) for r in postings.read().collect()}
+    assert got == expected
+
+    # probes: exhaustive == brute over the current corpus; the
+    # maintained IVF-PQ composition reads both rebuilt artifacts
+    cur = src.read()
+    queries = cur.filter(F.col("vec_id").isin(201, 237)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got_p = sorted(
+        map(tuple, sim.ivf_index_topk(spark, idx, queries, k=4, n_probe=4).collect())
+    )
+    want = sorted(map(tuple, sim.brute_force_topk(cur, queries, k=4).collect()))
+    assert got_p == want
+    comp = sim.pq_codes_maintained_topk(
+        spark, pqp, queries, cur, k=4, shortlist=10, ivf_path=idx, n_probe=4
+    ).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in comp if r["rank"] == 1} == {
+        (201, 201), (237, 237)
+    }
+
+    # replayed rebuilds no-op (atomic swap is idempotent)
+    hv = postings.latest_version()
+    assert sim.rebuild_ivf_index(spark, src, idx, n_lists=4) is None
+    assert sim.rebuild_pq_codes(spark, src, pqp) is None
+    assert postings.latest_version() == hv
+
+    # the NEXT fold assigns against the rebuilt model
+    src.append(frame(range(300, 305), axes=[4, 5, 6, 7]))
+    sim.refresh_ivf_index(spark, src, idx)
+    sim.refresh_pq_codes(spark, src, pqp)
+    got2 = {(r["vec_id"], r["_list"]) for r in postings.read().collect()}
+    for r in src.read().filter(F.col("vec_id") >= 300).collect():
+        vv = np.asarray(r["embedding"], dtype=np.float64)
+        n = np.linalg.norm(vv)
+        assert (
+            r["vec_id"],
+            int(np.argmax((vv / n if n > 0 else vv) @ new_cents.T)),
+        ) in got2
+    # and the maintained codes equal a fresh encode under the REBUILT
+    # codebooks (the fold loaded the versioned artifact, not the
+    # init-era sidecar)
+    new_books = sim._maintained_codebooks(
+        spark, pqp, TxTable(spark, f"{pqp}/codes_tx").snapshot()
+    )
+    fresh_codes = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in sim.pq_encode(src.read(), new_books).collect()
+    }
+    maint_codes = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in TxTable(spark, f"{pqp}/codes_tx").read().collect()
+    }
+    assert maint_codes == fresh_codes
+
+
 def test_postings_frame_empty_probe_set_returns_typed_empty(spark, tmp_path):
     """ADVICE r11: an empty query set on the maintained layout must
     return an empty frame (like the static path's isin([])), not raise
