@@ -232,6 +232,58 @@ class CadenceRunner:
 
         return cls.daily_at(pipeline, at=at, **kw)
 
+    @classmethod
+    def for_table_maintenance(
+        cls,
+        table,
+        at: str = "02:30",
+        optimize: dict | None = None,
+        expire_log: bool = True,
+        vacuum_min_age_s: float | None = 3600.0,
+        **kw,
+    ) -> "CadenceRunner":
+        """Scheduled HOUSEKEEPING for a transactional table (r12) —
+        the operational complement of the refresh runners, and the
+        other half of the retention contract the refreshers enforce
+        (refresh_view/refresh_join_view/refresh_ivf_index raise a
+        pointed error when retention outpaces cadence; this runner is
+        how retention is actually driven, so schedule it SLOWER than
+        every refresh cadence that time-travels into this table's
+        history). Each tick runs, in order:
+
+        - ``optimize`` (optional dict of OPTIMIZE kwargs — e.g.
+          ``{"target_file_rows": ..., "sort_by": [...]}``): small-file
+          compaction / re-clustering;
+        - ``expire_log`` (default on): cut commits below the newest
+          checkpoint, bounding log replay cost;
+        - ``vacuum(min_age_seconds=vacuum_min_age_s)`` (default 1 h;
+          None disables): reclaim unreferenced data files, with the
+          concurrent-writer age guard.
+
+        The ordering is load-bearing, and reclamation CONVERGES ACROSS
+        TICKS rather than within one: OPTIMIZE unreferences the old
+        small files from head, but they stay vacuum-protected while
+        any retained version (or the newest checkpoint) still lists
+        them — only once a LATER checkpoint passes the compaction does
+        expire_log drop the era that referenced them, letting the next
+        tick's vacuum reclaim. That lag IS the safety property (time
+        travel inside the retention window never breaks), not a
+        missed cleanup. A failed tick logs and retries at the next
+        cadence like every runner pipeline — maintenance is idempotent
+        (a re-run compacts/expires/reclaims whatever is left)."""
+        def pipeline(fire_ts: float) -> None:
+            if optimize is not None:
+                v = table.optimize(**optimize)
+                logger.info("maintenance: OPTIMIZE at v%s (fire %s)", v, fire_ts)
+            if expire_log:
+                gone = table.expire_log()
+                logger.info("maintenance: expired %d log files", len(gone))
+            if vacuum_min_age_s is not None:
+                gone = table.vacuum(min_age_seconds=vacuum_min_age_s)
+                logger.info("maintenance: vacuumed %d data files", len(gone))
+
+        return cls.daily_at(pipeline, at=at, **kw)
+
     def run(self, max_cycles: int | None = None, started_after: float | None = None):
         """Drive the loop. ``max_cycles`` bounds execution (tests /
         supervised deployments); None = run forever like app.py:991.

@@ -1229,6 +1229,82 @@ def test_cadence_index_refresh_optimize_policy(spark, tmp_path):
     probe_vs_brute()
 
 
+def test_cadence_table_maintenance_compacts_expires_vacuums(spark, tmp_path):
+    """r12: for_table_maintenance — scheduled OPTIMIZE + expire_log +
+    vacuum, the retention driver whose cadence must stay slower than
+    any refresh that time-travels into the table. One tick compacts
+    small files, cuts the log below the newest checkpoint, and
+    reclaims files no retained version references; rows never change;
+    a failed tick retries at the next cadence."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.runner import (
+        CadenceRunner,
+    )
+
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "mt"),
+        spark.createDataFrame([(0, 0)], "k long, v long").coalesce(1),
+    )
+    # 12 tiny appends: small-file problem + a checkpoint at v10
+    for i in range(1, 13):
+        t.append(
+            spark.createDataFrame([(i, i)], "k long, v long").coalesce(1)
+        )
+    rows_before = sorted(map(tuple, t.read().collect()))
+    files_before = len(t.snapshot().files)
+    assert files_before == 13
+
+    clk = _FakeClock(t0=0.0)
+    r = CadenceRunner.for_table_maintenance(
+        t,
+        optimize={"target_file_rows": 1000},
+        vacuum_min_age_s=0.0,  # no concurrent writers in the test
+        clock=clk,
+        sleep=clk.sleep,
+    )
+    r.run(max_cycles=1)
+    assert r.failures == 0
+    # compacted to one file, rows identical
+    assert len(t.snapshot().files) == 1
+    assert sorted(map(tuple, t.read().collect())) == rows_before
+    # log cut below the newest checkpoint; pre-cut time travel now
+    # raises (the retention contract the refreshers guard against)
+    assert min(t._versions()) >= 10
+    with pytest.raises(ValueError, match="does not exist"):
+        t.snapshot(0)
+    # vacuum reclaimed NOTHING yet: the v10 checkpoint and retained
+    # versions 10-12 still reference the pre-compaction files — the
+    # cross-tick convergence property (time travel inside retention
+    # never breaks)
+    import glob as _glob
+
+    def on_disk():
+        return {
+            os.path.basename(p)
+            for p in _glob.glob(str(tmp_path / "mt" / "*.parquet"))
+        }
+
+    assert len(on_disk()) == files_before + 1  # 13 small + the compacted
+
+    # drive a LATER checkpoint past the compaction; the next tick's
+    # expire_log drops the old era and vacuum reclaims its files
+    for i in range(13, 21):
+        t.append(
+            spark.createDataFrame([(i, i)], "k long, v long").coalesce(1)
+        )
+    r.run(max_cycles=2)
+    assert r.failures == 0
+    live = set(t.snapshot().files)
+    assert live <= on_disk()
+    assert len(on_disk()) < files_before  # dead small files reclaimed
+    assert sorted(map(tuple, t.read().collect())) == sorted(
+        rows_before + [(i, i) for i in range(13, 21)]
+    )
+
+
 def test_read_evolving_parquet_merges_and_prunes(spark, tmp_path):
     """Schema evolution: batch 1 lacks a column batch 2 adds; the
     merged read unions the schema, NULL-fills the old batch, and still
