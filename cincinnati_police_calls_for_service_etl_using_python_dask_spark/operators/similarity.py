@@ -1746,19 +1746,42 @@ def _lut_local_frame(
 ) -> DataFrame:
     """Driver-built integer ADC LUT relation (query_id, __sub, __code,
     __part) — the bounded-query-set twin of :func:`_lut_frame`, same
-    :func:`_pq_luts` integers."""
+    :func:`_pq_luts` integers.
+
+    Spelled as a VALUES LocalRelation for integral query ids (the
+    registry/bench shape), NOT ``createDataFrame``: an RDD-backed
+    local frame plans as Scan ExistingRDD and re-runs a tiny job to
+    rebuild its broadcast at EVERY action — a ~0.25 s fixed tax per
+    execution (the ivf_index_topk driver-probe lesson, r10). A
+    LocalTableScan broadcasts driver-side with no job; integer
+    literals round-trip exactly. Non-integral ids fall back to the
+    RDD-backed frame (correct, just not job-free)."""
     m, ksub, _ = books.shape
     qpdf = queries.select(query_id_col, query_vec_col).toPandas()
     qmat = np.stack(qpdf[query_vec_col].to_numpy()).astype(np.float64)
     qnorms = np.linalg.norm(qmat, axis=1, keepdims=True)
     np.divide(qmat, qnorms, out=qmat, where=qnorms > 0)
     luts = _pq_luts(qmat, books)
+    qid_field = queries.select(query_id_col).schema.fields[0]
+    qids = qpdf[query_id_col].tolist()
+    if isinstance(qid_field.dataType, (T.LongType, T.IntegerType)):
+        vals = ",".join(
+            f"({int(qid)}L,{s},{c},{int(luts[qi, s, c])}L)"
+            for qi, qid in enumerate(qids)
+            for s in range(m)
+            for c in range(ksub)
+        )
+        return spark.sql(
+            f"SELECT CAST(col1 AS {qid_field.dataType.simpleString()})"
+            f" AS {query_id_col},"
+            f" CAST(col2 AS INT) AS __sub, CAST(col3 AS INT) AS __code,"
+            f" col4 AS __part FROM VALUES {vals}"
+        )
     lut_rows = []
-    for qi, qid in enumerate(qpdf[query_id_col].tolist()):
+    for qi, qid in enumerate(qids):
         for s in range(m):
             for code in range(ksub):
                 lut_rows.append((qid, s, code, int(luts[qi, s, code])))
-    qid_field = queries.select(query_id_col).schema.fields[0]
     return spark.createDataFrame(
         lut_rows,
         T.StructType([
@@ -1826,21 +1849,32 @@ def pq_codes_maintained_topk(
         np.divide(q_mat, q_norms, out=q_mat, where=q_norms > 0)
         probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
         probed_lists = sorted({int(l) for row in probe for l in row})
-        probes = spark.createDataFrame(
-            [
-                (r[query_id_col], int(l))
+        qid_field = queries.select(query_id_col).schema.fields[0]
+        if isinstance(qid_field.dataType, (T.LongType, T.IntegerType)):
+            # VALUES LocalRelation: no per-action broadcast-rebuild job
+            # (same doctrine as _lut_local_frame / ivf_index_topk)
+            vals = ",".join(
+                f"({int(r[query_id_col])}L,{int(l)})"
                 for r, row in zip(q_rows, probe)
                 for l in row
-            ],
-            T.StructType([
-                T.StructField(
-                    query_id_col,
-                    queries.select(query_id_col).schema.fields[0].dataType,
-                    False,
-                ),
-                T.StructField("_list", T.IntegerType(), False),
-            ]),
-        )
+            )
+            probes = spark.sql(
+                f"SELECT CAST(col1 AS {qid_field.dataType.simpleString()})"
+                f" AS {query_id_col}, CAST(col2 AS INT) AS _list"
+                f" FROM VALUES {vals}"
+            )
+        else:
+            probes = spark.createDataFrame(
+                [
+                    (r[query_id_col], int(l))
+                    for r, row in zip(q_rows, probe)
+                    for l in row
+                ],
+                T.StructType([
+                    T.StructField(query_id_col, qid_field.dataType, False),
+                    T.StructField("_list", T.IntegerType(), False),
+                ]),
+            )
         cand_ids = (
             _postings_frame(spark, ivf_path, probed_lists)
             .select(id_col, "_list")
@@ -2804,27 +2838,12 @@ def pq_adc_topk(
         raise ValueError(f"probe must be 'driver' or 'join', got {probe!r}")
 
     # Per-query integer LUT: (query_id, sub, code, part). n_q × m × ksub
-    # rows of longs — broadcastable at any corpus size.
-    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
-    qmat = np.stack(qpdf[query_vec_col].to_numpy()).astype(np.float64)
-    qnorms = np.linalg.norm(qmat, axis=1, keepdims=True)
-    np.divide(qmat, qnorms, out=qmat, where=qnorms > 0)
-    luts = _pq_luts(qmat, books)  # same integers as the join kernel
-    lut_rows = []
-    # .tolist() converts numpy scalars to Python ones for createDataFrame
-    for qi, qid in enumerate(qpdf[query_id_col].tolist()):
-        for s in range(m):
-            for code in range(ksub):
-                lut_rows.append((qid, s, code, int(luts[qi, s, code])))
-    spark = vectors.sparkSession
-    qid_field = queries.select(query_id_col).schema.fields[0]
-    lut_schema = T.StructType([
-        T.StructField(query_id_col, qid_field.dataType, False),
-        T.StructField("__sub", T.IntegerType(), False),
-        T.StructField("__code", T.IntegerType(), False),
-        T.StructField("__part", T.LongType(), False),
-    ])
-    lut = spark.createDataFrame(lut_rows, lut_schema)
+    # rows of longs — broadcastable at any corpus size, built as a
+    # VALUES LocalRelation (r12: the ExistingRDD spelling re-ran a
+    # tiny broadcast-rebuild job at every action, ~0.25 s fixed tax).
+    lut = _lut_local_frame(
+        vectors.sparkSession, queries, books, query_id_col, query_vec_col
+    )
 
     codes = pq_encode(vectors, books, id_col=id_col, vec_col=vec_col)
     exploded = codes.select(
@@ -3104,26 +3123,8 @@ def ivf_pq_topk(
     if probe != "driver":
         raise ValueError(f"probe must be 'driver' or 'join', got {probe!r}")
 
-    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
-    qmat = np.stack(qpdf[query_vec_col].to_numpy()).astype(np.float64)
-    qnorms = np.linalg.norm(qmat, axis=1, keepdims=True)
-    np.divide(qmat, qnorms, out=qmat, where=qnorms > 0)
-    luts = _pq_luts(qmat, books)  # same integers as the join kernel
-    lut_rows = []
-    for qi, qid in enumerate(qpdf[query_id_col].tolist()):
-        for s in range(m):
-            for code in range(ksub):
-                lut_rows.append((qid, s, code, int(luts[qi, s, code])))
-    spark = vectors.sparkSession
-    qid_field = queries.select(query_id_col).schema.fields[0]
-    lut = spark.createDataFrame(
-        lut_rows,
-        T.StructType([
-            T.StructField(query_id_col, qid_field.dataType, False),
-            T.StructField("__sub", T.IntegerType(), False),
-            T.StructField("__code", T.IntegerType(), False),
-            T.StructField("__part", T.LongType(), False),
-        ]),
+    lut = _lut_local_frame(
+        vectors.sparkSession, queries, books, query_id_col, query_vec_col
     )
 
     # --- candidate restriction THEN integer-ADC, all JVM-side -------
