@@ -1401,6 +1401,51 @@ def optimize_ivf_index(spark, path: str, log_store=None) -> int | None:
     return tx.optimize(target_file_rows=target, sort_by=["_list"])
 
 
+def ivf_occupancy_skew(spark, path: str, log_store=None) -> float:
+    """Stateless drift signal over the maintained postings: the
+    largest list's share of the corpus, normalized by the balanced
+    share — ``max(list sizes) / (total / n_lists)``. 1.0 = perfectly
+    balanced routing; values ≫ 1 mean the corpus has concentrated
+    into few cells (the frozen quantizer no longer partitions it) and
+    probe candidate sets are degenerating toward full scans — the
+    cue to :func:`rebuild_ivf_index`. The drift QUERY
+    (``ann_ivf_maintained_drift``'s occupancy + cohesion aggregate)
+    is the richer operator-facing report; this scalar is the
+    trigger-friendly form.
+
+    Cost: one map-combined groupBy over the postings — fine at a
+    daily maintenance cadence; at extreme index sizes, evaluate on a
+    sampled read or less often (the signal is a ratio, stable under
+    uniform sampling). Empty lists count via the n_lists denominator,
+    so a corpus collapsed into one cell reads as ~n_lists."""
+    from ..sources.txtable import TxTable
+
+    tx = TxTable(spark, f"{path}/postings_tx", log_store=log_store)
+    counts = [
+        r["n"]
+        for r in tx.read()
+        .groupBy("_list")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    total = sum(counts)
+    if not total:
+        return 1.0
+    n_lists = len(_maintained_centroids(spark, path, tx.snapshot()))
+    return max(counts) * n_lists / total
+
+
+def skew_rebuild_trigger(threshold: float = 4.0):
+    """``rebuild_if`` predicate for
+    ``CadenceRunner.for_index_refresh``: rebuild when
+    :func:`ivf_occupancy_skew` exceeds ``threshold`` (default 4× the
+    balanced share — routing has collapsed to ≲¼ of the cells)."""
+    def trigger(spark, path: str) -> bool:
+        return ivf_occupancy_skew(spark, path) > threshold
+
+    return trigger
+
+
 def rebuild_ivf_index(
     spark,
     source,

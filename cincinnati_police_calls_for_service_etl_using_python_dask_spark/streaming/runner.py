@@ -161,6 +161,8 @@ class CadenceRunner:
         log_store=None,
         refresh_kwargs: dict | None = None,
         optimize_every: int | None = None,
+        rebuild_if=None,
+        rebuild_kwargs: dict | None = None,
         **kw,
     ) -> "CadenceRunner":
         """Scheduler wiring for the CDC-maintained ANN index (r11) —
@@ -192,7 +194,20 @@ class CadenceRunner:
         runs INSIDE the tick's try-guard: a failed compaction logs and
         retries the policy at the next advancing fold, and because
         OPTIMIZE yields an EMPTY change feed, downstream CDC readers
-        of the postings table never see phantom changes from it."""
+        of the postings table never see phantom changes from it.
+
+        ``rebuild_if`` (r12): a predicate ``fn(spark, index_path) ->
+        bool`` evaluated after every ADVANCING fold — when it fires,
+        the tick runs ``similarity.rebuild_ivf_index(source, ...,
+        **rebuild_kwargs)``: retrain on the current snapshot, atomic
+        postings+model swap. This closes the lifecycle loop the
+        frozen-quantizer doctrine opens (folds never retrain; SOMETHING
+        must decide when a rebuild is due): pass
+        ``similarity.skew_rebuild_trigger(threshold)`` for the
+        stateless occupancy-skew signal, or any custom drift probe. A
+        tick that rebuilds skips the optimize policy (the rebuild's
+        output is already range-clustered); a failed rebuild logs and
+        the trigger re-fires at the next advancing fold."""
         from ..operators import similarity as _sim
 
         if optimize_every is not None and optimize_every < 1:
@@ -218,17 +233,33 @@ class CadenceRunner:
                 "unchanged" if v is None else v,
                 fire_ts,
             )
-            if v is not None and optimize_every is not None:
-                advanced += 1
-                if advanced % optimize_every == 0:
-                    ov = _sim.optimize_ivf_index(
-                        spark, index_path, log_store=log_store
-                    )
-                    logger.info(
-                        "index %s postings re-clustered (optimize v%s)",
-                        index_path,
-                        ov,
-                    )
+            if v is None:
+                return
+            advanced += 1
+            if rebuild_if is not None and rebuild_if(spark, index_path):
+                rv = _sim.rebuild_ivf_index(
+                    spark,
+                    source,
+                    index_path,
+                    app_id=app_id,
+                    log_store=log_store,
+                    **(rebuild_kwargs or {}),
+                )
+                logger.info(
+                    "index %s REBUILT at source version %s (drift trigger)",
+                    index_path,
+                    rv,
+                )
+                return  # fresh layout: nothing for the optimize policy
+            if optimize_every is not None and advanced % optimize_every == 0:
+                ov = _sim.optimize_ivf_index(
+                    spark, index_path, log_store=log_store
+                )
+                logger.info(
+                    "index %s postings re-clustered (optimize v%s)",
+                    index_path,
+                    ov,
+                )
 
         return cls.daily_at(pipeline, at=at, **kw)
 

@@ -1229,6 +1229,177 @@ def test_cadence_index_refresh_optimize_policy(spark, tmp_path):
     probe_vs_brute()
 
 
+def test_cadence_index_refresh_rebuild_trigger_mechanics(spark, tmp_path):
+    """r12: the autonomous lifecycle loop — for_index_refresh with
+    rebuild_if. A non-firing trigger leaves folds untouched; a firing
+    trigger rebuilds in the SAME tick (retrain + atomic swap, marker
+    stamped, the optimize policy skipped for that tick); the next
+    quiet/advancing ticks return to plain folds against the rebuilt
+    model, and probes stay brute-force-exact throughout. The trigger
+    is a controlled stub here so the mechanics are deterministic; the
+    skew SIGNAL itself is pinned in
+    test_ivf_occupancy_skew_flags_concentrated_corpus."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        similarity as sim,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.runner import (
+        CadenceRunner,
+    )
+
+    rng = np.random.default_rng(17)
+
+    def frame(ids, axes):
+        rows = []
+        for i in ids:
+            v = [0.0] * 8
+            v[axes[i % len(axes)]] = 1.0
+            rows.append(
+                (i, [float(x + 0.01 * n) for x, n in zip(v, rng.normal(size=8))])
+            )
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    src = TxTable.create(
+        spark, str(tmp_path / "dr_src"), frame(range(32), axes=[0, 1, 2, 3])
+    )
+    idx = str(tmp_path / "dr_idx")
+    postings = TxTable(spark, f"{idx}/postings_tx")
+    fire = {"now": False}
+    asked = []
+
+    def trigger(s, path):
+        asked.append(path)
+        return fire["now"]
+
+    clk = _FakeClock(t0=0.0)
+    r = CadenceRunner.for_index_refresh(
+        spark,
+        src,
+        idx,
+        refresh_kwargs={"n_lists": 4, "n_iter": 6, "seed": 17},
+        rebuild_if=trigger,
+        rebuild_kwargs={"n_lists": 4, "n_iter": 6, "seed": 18},
+        optimize_every=1,
+        clock=clk,
+        sleep=clk.sleep,
+    )
+
+    def probe_vs_brute():
+        cur = src.read()
+        queries = cur.limit(2).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = sorted(
+            map(
+                tuple,
+                sim.ivf_index_topk(spark, idx, queries, k=4, n_probe=4).collect(),
+            )
+        )
+        want = sorted(
+            map(tuple, sim.brute_force_topk(cur, queries, k=4).collect())
+        )
+        assert got == want
+
+    # tick 1 (init) + tick 2 (DML, trigger quiet): no marker, trigger
+    # was consulted on the advancing fold
+    r.run(max_cycles=1)
+    src.append(frame(range(100, 108), axes=[0, 1, 2, 3]))
+    r.run(max_cycles=2)
+    # both ADVANCING ticks (init + fold) consulted the quiet trigger
+    assert r.failures == 0 and len(asked) == 2
+    assert sim._CENTROIDS_TXN not in postings.snapshot().txns
+
+    # DML + firing trigger: the tick folds THEN rebuilds; the marker
+    # lands at the source head and the optimize policy is skipped
+    # (no OPTIMIZE commit after the rebuild's overwrite)
+    src.delete(F.col("vec_id") % 9 == 1)
+    fire["now"] = True
+    r.run(max_cycles=3)
+    fire["now"] = False
+    assert r.failures == 0
+    snap = postings.snapshot()
+    assert snap.txns.get(sim._CENTROIDS_TXN) == src.latest_version()
+    hist_ops = [h["operation"] for h in postings.history()]
+    assert hist_ops[-1] == "OVERWRITE"  # rebuild, not OPTIMIZE, ended the tick
+    probe_vs_brute()
+
+    # no-op tick: trigger NOT consulted (source unchanged)
+    n_asked = len(asked)
+    r.run(max_cycles=4)
+    assert len(asked) == n_asked
+
+    # post-rebuild fold: plain MERGE against the rebuilt model
+    src.append(frame(range(300, 304), axes=[0, 1, 2, 3]))
+    marker = postings.snapshot().txns[sim._CENTROIDS_TXN]
+    r.run(max_cycles=5)
+    assert postings.snapshot().txns[sim._CENTROIDS_TXN] == marker
+    new_cents = sim._maintained_centroids(spark, idx, postings.snapshot())
+    got2 = {(r2["vec_id"], r2["_list"]) for r2 in postings.read().collect()}
+    for r2 in src.read().filter(F.col("vec_id") >= 300).collect():
+        vv = np.asarray(r2["embedding"], dtype=np.float64)
+        n = np.linalg.norm(vv)
+        assert (
+            r2["vec_id"],
+            int(np.argmax((vv / n if n > 0 else vv) @ new_cents.T)),
+        ) in got2
+    probe_vs_brute()
+
+
+def test_ivf_occupancy_skew_flags_concentrated_corpus(spark, tmp_path):
+    """The stateless drift SIGNAL: balanced four-cluster corpus reads
+    near 1.0; after the corpus collapses onto one axis orthogonal to
+    everything the quantizer trained on (zero components elsewhere, so
+    every row normalizes to the SAME direction and takes the same
+    argmax — deterministic concentration), the skew reads the
+    theoretical maximum n_lists and the default trigger fires."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        similarity as sim,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(32):
+        v = [0.0] * 8
+        v[i % 4] = 1.0
+        rows.append(
+            (i, [float(x + 0.01 * n) for x, n in zip(v, rng.normal(size=8))])
+        )
+    src = TxTable.create(
+        spark,
+        str(tmp_path / "sk_src"),
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+    )
+    idx = str(tmp_path / "sk_idx")
+    sim.refresh_ivf_index(spark, src, idx, n_lists=4, n_iter=6, seed=23)
+    balanced = sim.ivf_occupancy_skew(spark, idx)
+    assert balanced < 3.0
+    assert not sim.skew_rebuild_trigger(3.0)(spark, idx)
+
+    # collapse: every new vector is exactly (0,..,0,c,0) with c > 0 —
+    # identical after normalization, so one cell takes everything
+    src.delete(F.lit(True))
+    drift = [
+        (200 + i, [0.0] * 6 + [float(1.0 + 0.01 * abs(rng.normal()))] + [0.0])
+        for i in range(40)
+    ]
+    src.append(
+        spark.createDataFrame(drift, "vec_id long, embedding array<float>")
+    )
+    sim.refresh_ivf_index(spark, src, idx)
+    assert sim.ivf_occupancy_skew(spark, idx) == pytest.approx(4.0)
+    assert sim.skew_rebuild_trigger(3.0)(spark, idx)
+
+
 def test_cadence_table_maintenance_compacts_expires_vacuums(spark, tmp_path):
     """r12: for_table_maintenance — scheduled OPTIMIZE + expire_log +
     vacuum, the retention driver whose cadence must stay slower than
