@@ -276,6 +276,12 @@ _NEW_R12 = [
     # per-list occupancy + quantized cohesion over the maintained
     # postings — the when-to-rebuild signal for the frozen quantizer
     "ann_ivf_maintained_drift",
+    # maintained inverted-index statistics (IVM over tokenized docs:
+    # the (term, doc) incidence state folds the CDC feed; DML script
+    # at construction, warm runs time the df finalize / the BM25
+    # scoring served entirely from the state — no corpus access)
+    "ivm_text_df_view",
+    "bm25_maintained_topk",
 ]
 
 HEADLINE = (

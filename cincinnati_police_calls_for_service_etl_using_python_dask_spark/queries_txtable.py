@@ -783,3 +783,254 @@ def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__w").alias("n_rows"),
         F.when(F.col("__c_cents") > 0, F.col("__s_cents")).alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintained inverted-index statistics (r12): per-term DOCUMENT
+# FREQUENCY as an incrementally maintained view — the IVM doctrine
+# applied to text/search. A search engine's index stats (df, N,
+# avgdl) go stale as the corpus churns; recomputing them is a full
+# tokenize of 100 TB. Here the (term, doc) incidence lives as a
+# VALUE-LEVEL IVM state (operators/ivm.py): the init pays the one
+# full tokenize, and every refresh folds only the CHANGED documents'
+# tokens through the CDC feed — an update's pre-image tokens retract
+# (-1) and its post-image tokens assert (+1), so moved/edited/deleted
+# documents keep df exact at O(changed docs × tokens/doc). The view
+# is finalize_distinct over live incidence rows. Oracle: the DML
+# script replayed in SQL + df recomputed from scratch with the SAME
+# tokenizer (lower/trim/split \s+, '' dropped — operators/text.py
+# tokens()), so maintained-equals-recomputed IS the gate.
+# ---------------------------------------------------------------------------
+
+_IVM_DF_ORACLE = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+allr AS (SELECT doc_id, text FROM documents),
+upd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 2 THEN text || ' zqdrift zqdrift'
+              ELSE text END AS text
+  FROM allr
+),
+fin AS (SELECT doc_id, text FROM upd WHERE doc_id % 9 <> 4),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM fin
+)
+SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok WHERE term <> '' GROUP BY term
+"""
+
+
+_IVM_DF_STATES: dict[tuple[int, str], DataFrame] = {}
+
+
+def _ivm_df_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (once per session+corpus) the maintained (term, doc)
+    incidence state after the DML script: the shared index state
+    behind ivm_text_df_view AND bm25_maintained_topk — in a
+    deployment this is ONE stored table serving every stats consumer.
+    Returned MERGED state rows carry __w = within-doc term frequency
+    (the value-level multiplicity), which is exactly tf_td — so the
+    same state answers df (live distinct docs per term), dl (Σ tf per
+    doc), N, avgdl, and tf: a complete maintained BM25 index."""
+    from .operators import ivm
+    from .operators import text as txt
+
+    key = (id(spark), sf_dir)
+    cached = _IVM_DF_STATES.get(key)
+    if cached is not None:
+        return cached
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    c1 = int(0.7 * n)
+    scratch = tempfile.mkdtemp(prefix="txtable_ivmdf_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    t = TxTable.create(
+        spark,
+        os.path.join(scratch, "docs_df"),
+        docs.filter(F.col("doc_id") < c1),
+        stats_columns=["doc_id"],
+    )
+
+    def expand(df: DataFrame) -> DataFrame:
+        # tokenize + explode, PRESERVING the feed's _change_type so
+        # delta_state derives each token row's ±1 from its image;
+        # same expansion on snapshot and feed (the IVM invariant) —
+        # within-doc term multiplicity is carried, not deduped: init
+        # and retraction count it identically, so a live row's __w is
+        # the doc's CURRENT term frequency and a dead doc's rows
+        # cancel to zero exactly
+        extra = ["_change_type"] if "_change_type" in df.columns else []
+        return df.select(
+            "doc_id", *extra, F.explode(txt.tokens("text")).alias("term")
+        ).filter(F.col("term") != "")
+
+    keys = ["term", "doc_id"]
+    # init: the ONE full tokenize the stats ever pay
+    state = ivm.state_of(expand(t.read(version=0)), keys)
+
+    # churn: late corpus arrives, docs get edited, docs get dropped
+    t.append(docs.filter(F.col("doc_id") >= c1))
+    t.update(
+        F.col("doc_id") % 5 == 2,
+        {"text": F.concat(F.col("text"), F.lit(" zqdrift zqdrift"))},
+    )
+    t.delete(F.col("doc_id") % 9 == 4)
+
+    feed = expand(t.change_feed("doc_id", 0, t.latest_version()))
+    merged = ivm.merge_states(state, ivm.delta_state(feed, keys), keys)
+    # localCheckpoint: deployed, this state is STORED (refresh_view's
+    # TxTable loop); checkpointing the MERGED state makes warm bench
+    # runs measure the SERVING cost of each consumer (distinct
+    # finalize / BM25 scoring) — the index answers queries without
+    # re-running the fold, exactly like the stored table would.
+    merged = merged.localCheckpoint(eager=True)
+    _IVM_DF_STATES[key] = merged
+    return merged
+
+
+@register("ivm_text_df_view", _IVM_DF_ORACLE)
+def q_ivm_text_df_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import ivm
+
+    state = _ivm_df_state(spark, sf_dir)
+    return ivm.finalize_distinct(state, ["term"], "doc_id", alias="df")
+
+
+# ---------------------------------------------------------------------------
+# BM25 served ENTIRELY from the maintained index state (r12): the
+# value-level (term, doc) state above carries everything the ranking
+# function needs — tf_td is the live multiplicity __w, dl_d = Σ_t tf,
+# df_t = live distinct docs per term, N/avgdl one aggregate over the
+# state — so query-time ranking NEVER touches the corpus (no
+# tokenize, no text scan): the search-engine serving shape, with
+# freshness guaranteed by the CDC fold instead of a nightly reindex.
+# Same cross-engine exactness doctrine as text.bm25_topk: index
+# stats collect driver-side, idf embeds as math.log literals
+# (CPython libm == DuckDB ln), per-term contributions fold in
+# literal order. Docs without a single token are not in the index
+# and are unscorable — N counts indexed docs (index semantics, and
+# the oracle's tok CTE defines the same corpus).
+# ---------------------------------------------------------------------------
+
+
+def _bm25_maintained_oracle() -> str:
+    from .queries_curation2 import _BM25_B, _BM25_K, _BM25_K1, _BM25_TERMS
+
+    k1, b = _BM25_K1, _BM25_B
+    k1p1 = f"{(k1 + 1.0)!r}::DOUBLE"
+    one_minus_b = f"{(1.0 - b)!r}::DOUBLE"
+    k1s, bs = f"{k1!r}::DOUBLE", f"{b!r}::DOUBLE"
+    dfs = ",\n         ".join(
+        f"(SELECT COUNT(DISTINCT doc_id) FROM tok2 WHERE term = '{t}') AS df{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    tfs = ",\n            ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    score = "0.0"
+    for i in range(len(_BM25_TERMS)):
+        score += (
+            f"\n           + ln(1 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+            f" * (t.tf{i} * {k1p1})"
+            f" / (t.tf{i} + {k1s} * ({one_minus_b} + {bs} * t.dl / s.avgdl))"
+        )
+    return f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    upd AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 2 THEN text || ' zqdrift zqdrift'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    fin AS (SELECT doc_id, text FROM upd WHERE doc_id % 9 <> 4),
+    tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM fin
+    ),
+    tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+    s AS (
+      SELECT (SELECT COUNT(*) FROM dl) AS n,
+             (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dl) AS avgdl,
+         {dfs}
+    ),
+    tfx AS (
+      SELECT doc_id,
+            {tfs}
+      FROM tok2 GROUP BY doc_id
+    ),
+    t AS (
+      SELECT d.doc_id, d.dl,
+             {", ".join(f"COALESCE(x.tf{i}, 0) AS tf{i}" for i in range(len(_BM25_TERMS)))}
+      FROM dl d LEFT JOIN tfx x USING (doc_id)
+    )
+    SELECT t.doc_id, {score} AS score
+    FROM t CROSS JOIN s
+    ORDER BY score DESC, t.doc_id
+    LIMIT {_BM25_K}
+    """
+
+
+@register("bm25_maintained_topk", _bm25_maintained_oracle())
+def q_bm25_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from .queries_curation2 import _BM25_B, _BM25_K, _BM25_K1, _BM25_TERMS
+
+    terms, k1, b = list(_BM25_TERMS), _BM25_K1, _BM25_B
+    state = _ivm_df_state(spark, sf_dir)
+    live = state.filter(F.col("__w") > 0)
+
+    # index-sized stats pass (the state, never the corpus): one
+    # aggregate for N / total tokens / per-term df — collected
+    # driver-side so idf embeds as literals (bit-exactness doctrine)
+    stats = live.agg(
+        F.countDistinct("doc_id").alias("n"),
+        F.sum("__w").alias("sdl"),
+        *[
+            F.countDistinct(
+                F.when(F.col("term") == t, F.col("doc_id"))
+            ).alias(f"df{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()[0]
+    n = stats["n"]
+    avgdl = stats["sdl"] / n
+    idf = [
+        math.log(1.0 + (n - stats[f"df{i}"] + 0.5) / (stats[f"df{i}"] + 0.5))
+        for i in range(len(terms))
+    ]
+
+    dl = live.groupBy("doc_id").agg(F.sum("__w").alias("_dl"))
+    tf_rows = (
+        live.where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("term") == t, F.col("__w")).otherwise(0)
+                ).alias(f"_tf{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+    )
+    joined = dl.join(tf_rows, "doc_id", "left").na.fill(
+        {f"_tf{i}": 0 for i in range(len(terms))}
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}")
+        score = score + F.lit(idf[i]) * (tf * F.lit(k1 + 1.0)) / (tf + norm)
+    return (
+        joined.select(F.col("doc_id"), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_K)
+    )
