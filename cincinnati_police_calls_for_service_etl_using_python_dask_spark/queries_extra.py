@@ -1084,8 +1084,28 @@ def q_ann_ivf_maintained_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.txtable import TxTable
 
     root = _ivf_maintained_dir(spark, sf_dir)
-    postings = TxTable(spark, f"{root}/idx/postings_tx").read()
-    cents = spark.read.parquet(f"{root}/idx/centroids")
+    tx = TxTable(spark, f"{root}/idx/postings_tx")
+    # marker-aware + pinned (ADVICE r12): cohesion must be measured
+    # against the model the CURRENT postings were assigned with —
+    # after a rebuild that is the versioned artifact the snapshot's
+    # __ivf_centroids__ marker references, never the init-era sidecar
+    # — and the postings read pins to the SAME snapshot so a rebuild
+    # racing the probe can't mix model and data. Centroids ship as a
+    # VALUES local relation (repr round-trips the doubles exactly; no
+    # per-action broadcast-rebuild job — the _lut_local_frame
+    # doctrine).
+    snap = tx.snapshot()
+    cents_np = sim._maintained_centroids(spark, f"{root}/idx", snap)
+    postings = tx.read(version=snap.version)
+    vals = ",".join(
+        "({}, array({}))".format(
+            l, ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in row)
+        )
+        for l, row in enumerate(cents_np)
+    )
+    cents = spark.sql(
+        f"SELECT col1 AS list_id, col2 AS centroid FROM VALUES {vals}"
+    )
     q = F.floor(
         F.lit(10000.0) * sim.cosine(F.col("embedding"), F.col("centroid"))
     ).cast("long")

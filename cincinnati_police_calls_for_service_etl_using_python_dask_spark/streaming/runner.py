@@ -204,10 +204,29 @@ class CadenceRunner:
         frozen-quantizer doctrine opens (folds never retrain; SOMETHING
         must decide when a rebuild is due): pass
         ``similarity.skew_rebuild_trigger(threshold)`` for the
-        stateless occupancy-skew signal, or any custom drift probe. A
+        stateless occupancy-skew signal, or any custom drift probe
+        (predicates that accept a ``log_store`` keyword receive the
+        runner's configured store, so the drift signal reads the same
+        log every other index operation uses — ADVICE r12). A
         tick that rebuilds skips the optimize policy (the rebuild's
         output is already range-clustered); a failed rebuild logs and
-        the trigger re-fires at the next advancing fold."""
+        the trigger re-fires at the next advancing fold.
+
+        A drift rebuild PRESERVES the configured quantizer shape
+        (ADVICE r12): the rebuild's training params default from
+        ``refresh_kwargs`` (everything but ``feed_key``, which the
+        rebuild API doesn't take, and ``centroids`` — re-adopting the
+        init-era model would make every drift rebuild a no-op
+        retrain), with ``rebuild_kwargs`` overriding per key. An index
+        initialized at ``n_lists=8`` therefore retrains at 8 lists on
+        a skew trigger, never silently at the library default. When
+        the init ADOPTED a caller-trained ``centroids`` matrix, the
+        geometry lives in that matrix rather than in kwargs, so
+        ``rebuild_if`` requires an explicit ``rebuild_kwargs`` naming
+        ``n_lists`` or ``centroids`` — refused at construction
+        otherwise."""
+        import inspect as _inspect
+
         from ..operators import similarity as _sim
 
         if optimize_every is not None and optimize_every < 1:
@@ -215,6 +234,30 @@ class CadenceRunner:
                 f"optimize_every must be >= 1, got {optimize_every}"
             )
         rkw = dict(refresh_kwargs or {})
+        # rebuild training params: refresh_kwargs minus the keys a
+        # rebuild must not inherit, overridden by rebuild_kwargs
+        rbkw = {
+            k: v for k, v in rkw.items() if k not in ("feed_key", "centroids")
+        }
+        rbkw.update(rebuild_kwargs or {})
+        if (
+            rebuild_if is not None
+            and "centroids" in rkw
+            and not ({"n_lists", "centroids"} & set(rbkw))
+        ):
+            raise ValueError(
+                "rebuild_if with an adopted-centroids init: the quantizer "
+                "geometry lives in the centroids matrix, so a drift rebuild "
+                "cannot infer it — pass rebuild_kwargs with n_lists= (or a "
+                "fresh centroids=) to pin the rebuilt shape"
+            )
+        try:
+            rebuild_takes_store = rebuild_if is not None and (
+                "log_store"
+                in _inspect.signature(rebuild_if).parameters
+            )
+        except (TypeError, ValueError):
+            rebuild_takes_store = False
         advanced = 0
 
         def pipeline(fire_ts: float) -> None:
@@ -236,14 +279,19 @@ class CadenceRunner:
             if v is None:
                 return
             advanced += 1
-            if rebuild_if is not None and rebuild_if(spark, index_path):
+            fired = rebuild_if is not None and (
+                rebuild_if(spark, index_path, log_store=log_store)
+                if rebuild_takes_store
+                else rebuild_if(spark, index_path)
+            )
+            if fired:
                 rv = _sim.rebuild_ivf_index(
                     spark,
                     source,
                     index_path,
                     app_id=app_id,
                     log_store=log_store,
-                    **(rebuild_kwargs or {}),
+                    **rbkw,
                 )
                 logger.info(
                     "index %s REBUILT at source version %s (drift trigger)",

@@ -1238,6 +1238,87 @@ def test_rebuild_ivf_index_retrains_on_drift(spark, tmp_path):
     assert maint_codes == fresh_codes
 
 
+def test_probe_pins_one_snapshot_across_rebuild(spark, tmp_path):
+    """ADVICE r12 (snapshot pinning): a probe resolves ONE snapshot
+    per table up front and pins every read to it. A rebuild committing
+    AFTER the probe plan is constructed but BEFORE its (lazy) action
+    must not mix the old model with new postings/codes: the already-
+    constructed plan keeps reading the pinned pre-rebuild version
+    (snapshot isolation), and a freshly constructed plan sees the
+    rebuilt pair. Exercised for both maintained probe paths
+    (ivf_index_topk and the fully maintained IVF-PQ composition)."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    rng = np.random.default_rng(29)
+
+    def frame(ids, axes):
+        rows = []
+        for i in ids:
+            v = [0.0] * 8
+            v[axes[i % len(axes)]] = 1.0
+            rows.append(
+                (i, [float(x + 0.01 * n) for x, n in zip(v, rng.normal(size=8))])
+            )
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    src = TxTable.create(
+        spark, str(tmp_path / "src"), frame(range(24), axes=[0, 1, 2, 3])
+    )
+    idx = str(tmp_path / "idx")
+    pqp = str(tmp_path / "pq")
+    sim.refresh_ivf_index(spark, src, idx, n_lists=4, n_iter=6, seed=29)
+    sim.refresh_pq_codes(spark, src, pqp, m=4, ksub=8, n_iter=4, seed=29)
+
+    cur = src.read(version=0)
+    queries = cur.filter(F.col("vec_id").isin(1, 7)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # plans constructed NOW: model already resolved, data reads lazy
+    ivf_plan = sim.ivf_index_topk(spark, idx, queries, k=4, n_probe=4)
+    pq_plan = sim.pq_codes_maintained_topk(
+        spark, pqp, queries, cur, k=4, shortlist=10, ivf_path=idx, n_probe=4
+    )
+    want_ivf = sorted(map(tuple, ivf_plan.collect()))
+    want_pq = sorted(map(tuple, pq_plan.collect()))
+    assert want_ivf == sorted(
+        map(tuple, sim.brute_force_topk(cur, queries, k=4).collect())
+    )
+
+    # the race: drift + rebuild BOTH tiers before the plans re-execute
+    src.delete(F.col("vec_id") >= 12)
+    src.append(frame(range(200, 224), axes=[4, 5, 6, 7]))
+    sim.refresh_ivf_index(spark, src, idx)
+    sim.refresh_pq_codes(spark, src, pqp)
+    assert sim.rebuild_ivf_index(
+        spark, src, idx, n_lists=4, n_iter=6, seed=30
+    ) == src.latest_version()
+    assert sim.rebuild_pq_codes(
+        spark, src, pqp, m=4, ksub=8, n_iter=4, seed=30
+    ) == src.latest_version()
+
+    # pinned plans replay the PRE-rebuild pairing bit-for-bit — no
+    # old-model/new-postings mix in either direction
+    assert sorted(map(tuple, ivf_plan.collect())) == want_ivf
+    assert sorted(map(tuple, pq_plan.collect())) == want_pq
+
+    # a fresh plan resolves the rebuilt snapshot and equals brute
+    # force over the current corpus
+    cur2 = src.read()
+    q2 = cur2.filter(F.col("vec_id").isin(201, 223)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = sorted(
+        map(tuple, sim.ivf_index_topk(spark, idx, q2, k=4, n_probe=4).collect())
+    )
+    assert got == sorted(
+        map(tuple, sim.brute_force_topk(cur2, q2, k=4).collect())
+    )
+
+
 def test_postings_frame_empty_probe_set_returns_typed_empty(spark, tmp_path):
     """ADVICE r11: an empty query set on the maintained layout must
     return an empty frame (like the static path's isin([])), not raise
@@ -1262,6 +1343,71 @@ def test_postings_frame_empty_probe_set_returns_typed_empty(spark, tmp_path):
     out = sim._postings_frame(spark, idx, [])
     assert out.count() == 0
     assert {"vec_id", "embedding", "_list"} <= set(out.columns)
+
+
+def test_driver_probe_query_bound_refused(spark, tmp_path):
+    """VERDICT r12 #5: probe='driver' paths collect the query set —
+    above the configurable bound they must refuse with a pointed
+    error naming probe='join', not silently materialize a query TABLE
+    on the driver. The refusing read is itself bounded
+    (limit(bound+1)), so even the refusal never collects the full
+    set."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(16)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = vecs.limit(6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="probe='join'"):
+        sim.pq_adc_topk(
+            vecs, queries, k=3, m=4, ksub=4, n_iter=2,
+            max_driver_queries=3,
+        )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    src = TxTable.create(spark, str(tmp_path / "bsrc"), vecs)
+    idx = str(tmp_path / "bidx")
+    sim.refresh_ivf_index(spark, src, idx, n_lists=2, n_iter=2, seed=41)
+    with pytest.raises(ValueError, match="probe='join'"):
+        sim.ivf_index_topk(
+            spark, idx, queries, k=3, n_probe=2, max_driver_queries=3
+        )
+    # within the bound both paths work unchanged
+    assert (
+        sim.ivf_index_topk(
+            spark, idx, queries, k=3, n_probe=2, max_driver_queries=6
+        ).count()
+        > 0
+    )
+
+
+def test_lut_values_threshold_falls_back_exactly(spark, monkeypatch):
+    """ADVICE r12: the VALUES spelling of the driver ADC LUT inlines
+    n_q×m×ksub literal tuples into one SQL string — above the
+    threshold it falls back to the RDD-backed createDataFrame path.
+    Forcing the threshold to 0 must change ONLY the plan shape: the
+    driver probe's rows stay identical (same _pq_luts integers)."""
+    import numpy as np
+
+    rng = np.random.default_rng(43)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = vecs.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    kw = dict(k=3, m=4, ksub=4, n_iter=2, seed=43, train_sample=24)
+    want = sorted(map(tuple, sim.pq_adc_topk(vecs, queries, **kw).collect()))
+    monkeypatch.setattr(sim, "_LUT_VALUES_MAX_ROWS", 0)
+    got = sorted(map(tuple, sim.pq_adc_topk(vecs, queries, **kw).collect()))
+    assert got == want
 
 
 def test_int8_quantization_invariants(spark):

@@ -1350,6 +1350,150 @@ def test_cadence_index_refresh_rebuild_trigger_mechanics(spark, tmp_path):
     probe_vs_brute()
 
 
+def test_cadence_rebuild_inherits_refresh_geometry(spark, tmp_path):
+    """ADVICE r12: a drift rebuild preserves the configured quantizer
+    shape. An index initialized at n_lists=8 via refresh_kwargs and
+    rebuilt with NO rebuild_kwargs retrains at 8 lists (the rebuild's
+    training params default from refresh_kwargs), never silently at
+    the library default 16 — index geometry and probe cost don't move
+    without an explicit override."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        similarity as sim,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.runner import (
+        CadenceRunner,
+    )
+
+    rng = np.random.default_rng(31)
+    src = TxTable.create(
+        spark,
+        str(tmp_path / "geo_src"),
+        spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)]) for i in range(32)],
+            "vec_id long, embedding array<float>",
+        ),
+    )
+    idx = str(tmp_path / "geo_idx")
+    clk = _FakeClock(t0=0.0)
+    r = CadenceRunner.for_index_refresh(
+        spark,
+        src,
+        idx,
+        refresh_kwargs={"n_lists": 8, "n_iter": 4, "seed": 31},
+        rebuild_if=lambda s, p: True,  # fire on the first advancing fold
+        clock=clk,
+        sleep=clk.sleep,
+    )
+    r.run(max_cycles=1)
+    assert r.failures == 0
+    postings = TxTable(spark, f"{idx}/postings_tx")
+    snap = postings.snapshot()
+    assert sim._CENTROIDS_TXN in snap.txns  # the rebuild happened
+    rebuilt = sim._maintained_centroids(spark, idx, snap)
+    assert rebuilt.shape[0] == 8  # geometry inherited, not default 16
+
+
+def test_cadence_rebuild_adopted_centroids_requires_geometry(spark, tmp_path):
+    """ADVICE r12: when the init ADOPTED a caller-trained centroids
+    matrix, the geometry lives in the matrix — a rebuild_if without
+    rebuild_kwargs naming n_lists/centroids is refused at CONSTRUCTION
+    (before any tick can silently retrain at the wrong shape)."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.runner import (
+        CadenceRunner,
+    )
+
+    cents = np.eye(4, 8)
+    with pytest.raises(ValueError, match="rebuild_kwargs"):
+        CadenceRunner.for_index_refresh(
+            spark,
+            None,
+            str(tmp_path / "nope"),
+            refresh_kwargs={"centroids": cents},
+            rebuild_if=lambda s, p: False,
+        )
+    # naming the rebuilt shape explicitly constructs fine
+    CadenceRunner.for_index_refresh(
+        spark,
+        None,
+        str(tmp_path / "nope"),
+        refresh_kwargs={"centroids": cents},
+        rebuild_if=lambda s, p: False,
+        rebuild_kwargs={"n_lists": 4},
+    )
+
+
+def test_cadence_rebuild_trigger_receives_log_store(spark, tmp_path):
+    """ADVICE r12: for_index_refresh threads its configured log_store
+    into rebuild_if predicates that accept one, so the drift signal
+    reads the same log every other index operation uses; 2-arg
+    predicates keep working unchanged."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        similarity as sim,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        HardLinkLogStore,
+        TxTable,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.runner import (
+        CadenceRunner,
+    )
+
+    class CountingStore(HardLinkLogStore):
+        def __init__(self):
+            super().__init__()
+            self.puts = 0
+
+        def put_if_absent(self, content: bytes, dst: str) -> bool:
+            ok = super().put_if_absent(content, dst)
+            if ok:
+                self.puts += 1
+            return ok
+
+    store = CountingStore()
+    rng = np.random.default_rng(37)
+    src = TxTable.create(
+        spark,
+        str(tmp_path / "ls_src"),
+        spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=4)]) for i in range(16)],
+            "vec_id long, embedding array<float>",
+        ),
+    )
+    idx = str(tmp_path / "ls_idx")
+    seen = []
+
+    def trigger(s, path, log_store=None):
+        seen.append(log_store)
+        return False
+
+    clk = _FakeClock(t0=0.0)
+    r = CadenceRunner.for_index_refresh(
+        spark,
+        src,
+        idx,
+        refresh_kwargs={"n_lists": 2, "n_iter": 2, "seed": 37},
+        rebuild_if=trigger,
+        log_store=store,
+        clock=clk,
+        sleep=clk.sleep,
+    )
+    r.run(max_cycles=1)
+    assert r.failures == 0 and seen == [store]
+    assert store.puts >= 1  # the index really committed through it
+    # the shipped skew trigger accepts the keyword and reads the
+    # store-backed index end-to-end
+    assert sim.skew_rebuild_trigger(1e9)(spark, idx, log_store=store) is False
+
+
 def test_ivf_occupancy_skew_flags_concentrated_corpus(spark, tmp_path):
     """The stateless drift SIGNAL: balanced four-cluster corpus reads
     near 1.0; after the corpus collapses onto one axis orthogonal to
