@@ -57,6 +57,12 @@ _UNBENCHABLE = {
     # Round 4: the gated streaming family has the same
     # drain-at-construction shape as its members.
     "streaming_suite",
+    # r13 (VERDICT r12 #8): CDC-APPLY materialization — the
+    # apply_changes stream drains at construction (its docstring says
+    # so); a warm run would time a static read of table B, not the
+    # feed->reduce->MERGE loop. The loop's costs are pinned by
+    # tests/test_txstream.py instead.
+    "txstream_apply_changes",
 }
 
 # _CONSTRUCTION_EAGER (r10, VERDICT r9 #8): benchable queries whose
@@ -99,6 +105,13 @@ _CONSTRUCTION_EAGER = {
     "ann_ivf_pq_maintained",
     "ann_ivf_maintained_drift",
     "retrieval_suite",
+    # r13: the join-probe twin shares the same cached scratch dir;
+    # warm runs time the distributed-LUT probe. The clone lifecycle's
+    # scratch DML runs at construction; warm runs time the clone READ
+    # (external parquet + external DV sidecar + local divergence in
+    # one plan) — the steady-state cost of serving a zero-copy clone.
+    "ann_ivf_pq_maintained_join",
+    "txtable_clone_events",
 }
 
 # Round-over-round continuity: granular queries benched since r1/r2
@@ -284,6 +297,16 @@ _NEW_R12 = [
     "bm25_maintained_topk",
 ]
 
+_NEW_R13 = [
+    # DataFrame-scale twin of the fully maintained IVF-PQ probe:
+    # Arrow-batched probe assignment + _lut_frame distributed LUT —
+    # the query table never collects (construction-eager; see above)
+    "ann_ivf_pq_maintained_join",
+    # shallow-CLONE read path: mixed external/local/DV-sidecar snapshot
+    # scan (scratch DML at construction; see _CONSTRUCTION_EAGER)
+    "txtable_clone_events",
+]
+
 HEADLINE = (
     [q for q in GATE_PRIORITY if q not in _UNBENCHABLE]
     + _CONTINUITY
@@ -297,7 +320,53 @@ HEADLINE = (
     + _NEW_R10
     + _NEW_R11
     + _NEW_R12
+    + _NEW_R13
 )
+
+# Tail queries NOT in HEADLINE, each with its one-line exclusion
+# rationale (r13, VERDICT r12 #8). Every registry query must appear in
+# HEADLINE, _UNBENCHABLE, or here — bench.py refuses to run otherwise,
+# so a future registration can't silently skip the roster. "suite
+# member" = a granular spelling whose gated suite IS benched every
+# round (the member stays locally oracle-gated by test_oracle_parity).
+_UNBENCHED_TWINS = {
+    "ann_lsh_topk": "LSH bucket-join + rerank; plan twin of benched "
+                    "fingerprint_suite lsh_cand + ann rerank tiers",
+    "anti_join_customers_without_orders": "semi_anti_customers suite member",
+    "semi_join_customers_with_orders": "semi_anti_customers suite member",
+    "setops_custkeys": "setops_union_suite member",
+    "intersect_custkeys": "setops_union_suite member",
+    "except_custkeys": "setops_union_suite member",
+    "union_monthly_slices": "setops_union_suite member",
+    "distinct_part_brand_type": "setops_union_suite member (A7 distinct)",
+    "approx_profile_events": "approx sketches, rows-only oracle; timing "
+                             "twin of benched null_profile_events scan",
+    "composite_key_events": "scalar-function micro-query; benched via "
+                            "events_enrich (F5)",
+    "numeric_coerce": "scalar-function micro-query; benched via "
+                      "events_enrich (F6)",
+    "timestamp_parse_roundtrip": "scalar micro-query; benched via "
+                                 "events_enrich (F1/F8)",
+    "first_last_nth_order_price": "window_functions_suite member",
+    "ntile_customers_by_balance": "window_functions_suite member",
+    "percent_rank_orders": "window_functions_suite member",
+    "rolling_revenue_per_customer": "rolling_windows_suite member "
+                                    "(also plan-audited standalone)",
+    "rollup_region_nation": "partials-not-Expand twin of benched "
+                            "cube/grouping_sets queries",
+    "topk_orders": "TakeOrderedAndProject micro-twin of benched "
+                   "sql_shipping_priority_q3 (also plan-audited)",
+    "multimodal_decode_stub": "stub plumbing; real codecs benched via "
+                              "multimodal_decode_real + media_decode_suite",
+    "multimodal_resize_stub": "stub plumbing; benched via "
+                              "multimodal_geometry_suite",
+    "multimodal_frame_sample": "benched via multimodal_geometry_suite",
+    "ngram_jaccard_pairs": "deliberately unbenched quadratic ground-"
+                           "truth tier (see module docstring)",
+    "txtable_change_feed_events": "merge_suite cdc_feed member; the "
+                                  "batch twin txbatch_change_feed_events "
+                                  "is benched",
+}
 
 
 def main() -> None:
@@ -356,6 +425,18 @@ def main() -> None:
     # window, so a whole-suite second pass minutes later gives each
     # query draws from two independent windows and the min survives
     # one bad one. loadavg at start/end is recorded for attribution.
+    # Roster completeness (r13): every registered query is benched,
+    # documented-unbenchable, or a rationale-carrying twin — nothing
+    # silently falls off the measurement roster.
+    unrostered = (
+        set(queries) - set(HEADLINE) - _UNBENCHABLE - set(_UNBENCHED_TWINS)
+    )
+    if unrostered:
+        raise RuntimeError(
+            f"queries missing from the bench roster (add to HEADLINE, "
+            f"_UNBENCHABLE, or _UNBENCHED_TWINS): {sorted(unrostered)}"
+        )
+
     names = list(only if only is not None else HEADLINE)
     load_start = os.getloadavg()
     times: dict[str, float] = {}

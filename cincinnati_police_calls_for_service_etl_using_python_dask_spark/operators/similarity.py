@@ -1979,11 +1979,12 @@ def pq_codes_maintained_topk(
     ivf_path: str | None = None,
     n_probe: int | None = None,
     max_driver_queries: int | None = None,
+    probe: str = "driver",
 ) -> DataFrame:
     """ADC top-k over a MAINTAINED codes table: the probe never
     re-encodes the corpus — codes are read from ``{path}/codes_tx``
     exactly as :func:`refresh_pq_codes` left them, scored with the
-    same pure-JVM posexplode(codes) ⋈ broadcast(LUT) shape as
+    same pure-JVM posexplode(codes) ⋈ LUT shape as
     :func:`pq_adc_topk`, then the integer shortlist reranks with
     exact cosine against ``vectors`` (the CURRENT source snapshot —
     PQ is lossy, so the refine step reads true vectors, the FAISS
@@ -1995,7 +1996,30 @@ def pq_codes_maintained_topk(
     (:func:`_postings_frame` — zone-map file pruning, no assignment
     recompute), then only those candidates' codes are ADC-scored.
     Routing and memory tiers both come from CDC-maintained state;
-    nothing corpus-sized is recomputed at probe time."""
+    nothing corpus-sized is recomputed at probe time.
+
+    ``probe`` (r13, VERDICT r12 #3 — the r9 ``probe="join"`` doctrine
+    applied to the maintained layout):
+
+    - ``"driver"`` (default): collects the query set once (guarded by
+      ``max_driver_queries``) — probe lists from one driver matmul,
+      LUT as a VALUES LocalRelation. Right for bounded interactive
+      query sets; the only path with zero probe-side jobs.
+    - ``"join"``: the query TABLE stays a DataFrame end-to-end —
+      probe assignment runs in the same Arrow-batched kernel shape as
+      :func:`ivf_index_topk`'s join probe (broadcast-captured
+      marker-resolved centroids, map-side), probes explode to
+      (query, _list) rows and join the maintained postings on
+      ``_list`` so each list's queries co-locate with that list's
+      zone-map-pruned scan, and the integer LUT relation is built by
+      ONE ``mapInPandas`` over the query table (:func:`_lut_frame`,
+      keyed (query_id, __sub, __code), hint-free — AQE broadcasts a
+      small LUT, shuffle-joins an unbounded one). The only
+      driver-side collections are the two model artifacts and the
+      ≤ n_lists distinct probed list ids that drive file pruning;
+      nothing scales with the query table, and the rerank join does
+      not broadcast the queries. Row-identical to ``"driver"``
+      (shared :func:`_pq_luts` integers; parity-tested)."""
     from ..sources.txtable import TxTable
 
     # one Snapshot per table, resolved up front and pinned through
@@ -2009,17 +2033,75 @@ def pq_codes_maintained_topk(
     csnap = ctx.snapshot()
     books = _maintained_codebooks(spark, path, csnap)
     codes = ctx.read(version=csnap.version).select(id_col, "codes")
-    lut = _lut_local_frame(
-        spark, queries, books, query_id_col, query_vec_col,
-        max_driver_queries,
-    )
     exploded = codes.select(
         id_col, F.posexplode("codes").alias("__sub", "__code")
     )
 
+    if ivf_path is not None and n_probe is None:
+        raise ValueError("pass n_probe with ivf_path")
+
+    if probe == "join":
+        from pyspark.sql.functions import pandas_udf
+
+        lut = _lut_frame(queries, books, query_id_col, query_vec_col)
+        if ivf_path is not None:
+            psnap = TxTable(spark, f"{ivf_path}/postings_tx").snapshot()
+            cen = _maintained_centroids(spark, ivf_path, psnap)
+            npr = n_probe
+
+            @pandas_udf("array<int>")
+            def probe_lists(v: pd.Series) -> pd.Series:
+                mat = np.stack(v.to_numpy()).astype(np.float64)
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                np.divide(mat, norms, out=mat, where=norms > 0)
+                top = np.argsort(-(mat @ cen.T), axis=1)[:, :npr]
+                return pd.Series(list(top.astype(np.int32)))
+
+            probes = queries.select(
+                query_id_col,
+                F.explode(probe_lists(F.col(query_vec_col))).alias("_list"),
+            )
+            # bounded: ≤ n_lists ints — file pruning needs literals
+            probed_lists = sorted(
+                r["_list"]
+                for r in probes.select("_list").distinct().collect()
+            )
+            cand_ids = (
+                _postings_frame(spark, ivf_path, probed_lists, snap=psnap)
+                .select(id_col, "_list")
+                .join(probes, "_list")
+                .select(query_id_col, id_col)
+            )
+            # hint-free LUT join on full-cardinality key (AQE decides)
+            scored = (
+                cand_ids.join(exploded, [id_col])
+                .join(lut, [query_id_col, "__sub", "__code"])
+                .groupBy(query_id_col, id_col)
+                .agg(F.sum("__part").alias("__adc"))
+            )
+        else:
+            # all-pairs: broadcast the LUT on purpose — the join key
+            # (__sub, __code) has only m×ksub distinct values, so a
+            # shuffled join would collapse to ≤128 partitions (the
+            # pq_adc_topk probe="join" rationale)
+            scored = (
+                exploded.join(F.broadcast(lut), ["__sub", "__code"])
+                .groupBy(query_id_col, id_col)
+                .agg(F.sum("__part").alias("__adc"))
+            )
+        return _adc_tail(
+            scored, vectors, queries, k, shortlist, id_col, vec_col,
+            query_id_col, query_vec_col, dim, broadcast_queries=False,
+        )
+    if probe != "driver":
+        raise ValueError(f"probe must be 'driver' or 'join', got {probe!r}")
+
+    lut = _lut_local_frame(
+        spark, queries, books, query_id_col, query_vec_col,
+        max_driver_queries,
+    )
+
     if ivf_path is not None:
-        if n_probe is None:
-            raise ValueError("pass n_probe with ivf_path")
         psnap = TxTable(spark, f"{ivf_path}/postings_tx").snapshot()
         centroids = _maintained_centroids(spark, ivf_path, psnap)
         q_rows = _collect_query_rows(
@@ -2031,15 +2113,15 @@ def pq_codes_maintained_topk(
         )
         q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
         np.divide(q_mat, q_norms, out=q_mat, where=q_norms > 0)
-        probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
-        probed_lists = sorted({int(l) for row in probe for l in row})
+        probe_mat = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
+        probed_lists = sorted({int(l) for row in probe_mat for l in row})
         qid_field = queries.select(query_id_col).schema.fields[0]
         if isinstance(qid_field.dataType, (T.LongType, T.IntegerType)):
             # VALUES LocalRelation: no per-action broadcast-rebuild job
             # (same doctrine as _lut_local_frame / ivf_index_topk)
             vals = ",".join(
                 f"({int(r[query_id_col])}L,{int(l)})"
-                for r, row in zip(q_rows, probe)
+                for r, row in zip(q_rows, probe_mat)
                 for l in row
             )
             probes = spark.sql(
@@ -2051,7 +2133,7 @@ def pq_codes_maintained_topk(
             probes = spark.createDataFrame(
                 [
                     (r[query_id_col], int(l))
-                    for r, row in zip(q_rows, probe)
+                    for r, row in zip(q_rows, probe_mat)
                     for l in row
                 ],
                 T.StructType([

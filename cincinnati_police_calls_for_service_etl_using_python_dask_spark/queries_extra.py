@@ -1037,6 +1037,36 @@ def q_ann_ivf_pq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_pq_maintained_join", _ann_ivf_pq_maintained_oracle)
+def q_ann_ivf_pq_maintained_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame-scale twin of ``ann_ivf_pq_maintained`` (r13,
+    VERDICT r12 #2/#3): probe assignment via the Arrow-batched kernel,
+    probes joined to the maintained postings on ``_list``, LUT built
+    distributed by ``_lut_frame`` — the query TABLE never collects.
+    Same replay oracle; row-identical to the driver probe by shared
+    ``_pq_luts`` integers (parity-tested)."""
+    from .sources.txtable import TxTable
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    root = _ivf_maintained_dir(spark, sf_dir)
+    corpus = TxTable(spark, f"{root}/src").read()
+    return sim.pq_codes_maintained_topk(
+        spark,
+        f"{root}/pq",
+        queries,
+        corpus,
+        k=10,
+        shortlist=50,
+        dim=64,
+        ivf_path=f"{root}/idx",
+        n_probe=8,
+        probe="join",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Maintained-index drift probe (r12, VERDICT r11 #8): centroids are
 # FROZEN across refreshes by design, so an operator needs a signal for

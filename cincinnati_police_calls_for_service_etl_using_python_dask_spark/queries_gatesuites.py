@@ -268,6 +268,18 @@ _suite(
 # 50-query window without widening it. Construction (scratch tables,
 # DML scripts, index init+fold) runs once per session via the member
 # builders' caches; warm runs time the probes.
+#
+# r13 (VERDICT r12 #1/#3): the maintained TEXT-index family joins the
+# same slot — the CDC-maintained (term, doc) incidence state serving
+# document frequency (ivm_text_df_view) and full BM25 with zero corpus
+# access (bm25_maintained_topk), the drift probe over the maintained
+# postings (ann_ivf_maintained_drift: per-list occupancy + quantized
+# cohesion vs the marker-resolved model), and the DataFrame-scale join
+# twin of the fully maintained IVF-PQ composition
+# (ann_ivf_pq_maintained_join). All four carry full oracles; the two
+# index fixtures (the DML'd TxTable corpus and the maintained text
+# state) are session-cached, so the suite's warm runs time serving,
+# not construction.
 _suite(
     "retrieval_suite",
     [
@@ -277,6 +289,10 @@ _suite(
         ("pq_join", "ann_pq_topk_join"),
         ("ivf_pq_join", "ann_ivf_pq_topk_join"),
         ("ivf_pq_maintained", "ann_ivf_pq_maintained"),
+        ("ivf_pq_maintained_join", "ann_ivf_pq_maintained_join"),
+        ("drift", "ann_ivf_maintained_drift"),
+        ("text_df_view", "ivm_text_df_view"),
+        ("bm25_maintained", "bm25_maintained_topk"),
     ],
 )
 

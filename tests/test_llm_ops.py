@@ -1238,6 +1238,85 @@ def test_rebuild_ivf_index_retrains_on_drift(spark, tmp_path):
     assert maint_codes == fresh_codes
 
 
+def test_pq_codes_maintained_join_probe_parity(spark, tmp_path):
+    """VERDICT r12 #3: pq_codes_maintained_topk(probe='join') — the
+    DataFrame-scale twin of the driver probe over the maintained
+    layout. Row-identical to probe='driver' for both shapes (all-pairs
+    ADC and the full IVF-PQ composition), including after DML churn;
+    and the join path never collects the query table (it works above
+    a driver bound that makes the driver path refuse)."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    rng = np.random.default_rng(47)
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    src = TxTable.create(spark, str(tmp_path / "src"), frame(range(40)))
+    pqp, idx = str(tmp_path / "pq"), str(tmp_path / "idx")
+    sim.refresh_pq_codes(spark, src, pqp, m=4, ksub=8, n_iter=4, seed=47)
+    sim.refresh_ivf_index(spark, src, idx, n_lists=4, n_iter=4, seed=47)
+    # churn both tiers so the parity covers folded state, not just init
+    src.delete(F.col("vec_id") % 10 == 3)
+    src.update(
+        F.col("vec_id") < 4,
+        {"embedding": F.transform(F.col("embedding"), lambda x: -x)},
+    )
+    src.append(frame(range(100, 106)))
+    sim.refresh_pq_codes(spark, src, pqp)
+    sim.refresh_ivf_index(spark, src, idx)
+
+    cur = src.read()
+    queries = cur.filter(F.col("vec_id").isin(1, 18, 101)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for extra in (
+        {},
+        {"ivf_path": idx, "n_probe": 4},
+        {"ivf_path": idx, "n_probe": 2},
+    ):
+        drv = sorted(
+            map(
+                tuple,
+                sim.pq_codes_maintained_topk(
+                    spark, pqp, queries, cur, k=5, shortlist=12, **extra
+                ).collect(),
+            )
+        )
+        jn = sorted(
+            map(
+                tuple,
+                sim.pq_codes_maintained_topk(
+                    spark, pqp, queries, cur, k=5, shortlist=12,
+                    probe="join", **extra,
+                ).collect(),
+            )
+        )
+        assert jn == drv, extra
+    # the join path is the scale escape hatch the driver guard names
+    with pytest.raises(ValueError, match="probe='join'"):
+        sim.pq_codes_maintained_topk(
+            spark, pqp, queries, cur, k=5, shortlist=12,
+            ivf_path=idx, n_probe=4, max_driver_queries=2,
+        )
+    over = sim.pq_codes_maintained_topk(
+        spark, pqp, queries, cur, k=5, shortlist=12,
+        ivf_path=idx, n_probe=4, max_driver_queries=2, probe="join",
+    )
+    assert over.count() == 15  # 3 queries × k=5, no collect anywhere
+    with pytest.raises(ValueError, match="probe must be"):
+        sim.pq_codes_maintained_topk(
+            spark, pqp, queries, cur, k=5, probe="nope"
+        )
+
+
 def test_probe_pins_one_snapshot_across_rebuild(spark, tmp_path):
     """ADVICE r12 (snapshot pinning): a probe resolves ONE snapshot
     per table up front and pins every read to it. A rebuild committing
