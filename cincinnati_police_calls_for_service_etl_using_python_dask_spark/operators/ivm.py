@@ -356,7 +356,15 @@ def refresh_view(
     First call initializes: ONE full aggregate of the source snapshot
     (the only table-sized scan the view ever pays), stamped with that
     snapshot's version. Every later call reads only the feed between
-    the watermark and the source head — O(changed rows).
+    the watermark and the source head. Feed-read cost model (r13,
+    measured by tools/text_index_cost.py): ``change_feed`` reads only
+    files that DIFFER between the endpoint snapshots, so the read is
+    O(files the DML rewrote) — O(changed rows) when source churn is
+    key-clustered (range-partitioned writes, zone-mapped DML), but a
+    predicate scattered across every file rewrites every file and the
+    feed degenerates to a corpus re-read. Cluster churned keys, or
+    stream the writer-side CDC files (change_data_feed=True +
+    readChangeFeed) for strict O(changed rows) at any churn shape.
 
     ``feed_key`` is REQUIRED: it is the source table's row identity,
     which ``change_feed`` diffs versions on — an empty key would

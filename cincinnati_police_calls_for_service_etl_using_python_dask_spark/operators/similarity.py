@@ -1286,7 +1286,11 @@ def refresh_ivf_index(
     100 TB design point a nightly ``build_ivf_index`` re-scans and
     re-writes the whole corpus; this REWRITES O(changed rows): each
     refresh is one feed read + one MERGE whose copy-on-write touches
-    only the files holding changed keys. (The MERGE's affected-file
+    only the files holding changed keys. (Feed-read locality, r13:
+    ``change_feed`` reads only files that differ between the endpoint
+    snapshots — O(changed rows) when source churn is key-clustered,
+    a corpus re-read when a scattered DML predicate rewrote every
+    file; see ``ivm.refresh_view``'s cost-model note.) (The MERGE's affected-file
     DISCOVERY probes the postings metadata keyed on ``id_col`` — the
     id column carries zone maps precisely so that probe is key-range
     pruned to the feed's id interval, not a full meta scan; see

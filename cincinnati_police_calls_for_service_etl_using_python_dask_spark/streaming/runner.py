@@ -70,8 +70,11 @@ class CadenceRunner:
 
     @classmethod
     def daily_at(cls, pipeline: Callable[[float], None], at: str = "01:30", **kw):
-        """The reference's cadence: once a day at HH:MM (app.py:50)."""
-        return cls(pipeline, interval_s=_DAY_S, anchor_s=seconds_into_day(at), **kw)
+        """The reference's cadence: once a day at HH:MM (app.py:50).
+        ``interval_s`` in ``kw`` overrides the daily period while
+        keeping the HH:MM anchor (e.g. every-2-days maintenance)."""
+        kw.setdefault("interval_s", _DAY_S)
+        return cls(pipeline, anchor_s=seconds_into_day(at), **kw)
 
     def next_fire(self, after: float) -> float:
         """Smallest anchor + k·interval strictly greater than ``after``."""
@@ -319,6 +322,7 @@ class CadenceRunner:
         optimize: dict | None = None,
         expire_log: bool = True,
         vacuum_min_age_s: float | None = 3600.0,
+        slower_than=(),
         **kw,
     ) -> "CadenceRunner":
         """Scheduled HOUSEKEEPING for a transactional table (r12) —
@@ -328,7 +332,18 @@ class CadenceRunner:
         pointed error when retention outpaces cadence; this runner is
         how retention is actually driven, so schedule it SLOWER than
         every refresh cadence that time-travels into this table's
-        history). Each tick runs, in order:
+        history).
+
+        ``slower_than`` (r13, VERDICT r12 #6) makes that contract a
+        CONSTRUCTION-TIME check instead of a docstring: pass the
+        refresh runners (or raw interval seconds) that time-travel
+        into this table's history, and construction refuses a
+        maintenance interval that is not strictly larger than every
+        one of them — the misconfiguration that would let expire_log +
+        vacuum outrun a refresh watermark is caught before the first
+        tick, not as a retention error mid-cadence.
+
+        Each tick runs, in order:
 
         - ``optimize`` (optional dict of OPTIMIZE kwargs — e.g.
           ``{"target_file_rows": ..., "sort_by": [...]}``): small-file
@@ -350,6 +365,20 @@ class CadenceRunner:
         missed cleanup. A failed tick logs and retries at the next
         cadence like every runner pipeline — maintenance is idempotent
         (a re-run compacts/expires/reclaims whatever is left)."""
+        interval_s = kw.get("interval_s", _DAY_S)
+        for dep in slower_than:
+            dep_interval = (
+                dep.interval_s if isinstance(dep, CadenceRunner) else float(dep)
+            )
+            if interval_s <= dep_interval:
+                raise ValueError(
+                    f"maintenance cadence ({interval_s:.0f}s) must be "
+                    f"strictly slower than every dependent refresh cadence "
+                    f"(got {dep_interval:.0f}s): expire_log+vacuum on this "
+                    f"table's history must never outrun a refresh watermark "
+                    f"that time-travels into it"
+                )
+
         def pipeline(fire_ts: float) -> None:
             if optimize is not None:
                 v = table.optimize(**optimize)

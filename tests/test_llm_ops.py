@@ -1300,6 +1300,20 @@ def test_pq_codes_maintained_join_probe_parity(spark, tmp_path):
             )
         )
         assert jn == drv, extra
+    # r11 doctrine holds on the maintained layout too: the pair
+    # relation ships codes + LUT ints only — no plan node carries the
+    # query vector alongside the codes
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sim.pq_codes_maintained_topk(
+            spark, pqp, queries, cur, k=5, shortlist=12,
+            ivf_path=idx, n_probe=4, probe="join",
+        ).explain(True)
+    offending = [
+        ln for ln in buf.getvalue().splitlines()
+        if "codes" in ln and "query_vec" in ln
+    ]
+    assert not offending, offending
     # the join path is the scale escape hatch the driver guard names
     with pytest.raises(ValueError, match="probe='join'"):
         sim.pq_codes_maintained_topk(

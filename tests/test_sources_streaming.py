@@ -1544,6 +1544,147 @@ def test_ivf_occupancy_skew_flags_concentrated_corpus(spark, tmp_path):
     assert sim.skew_rebuild_trigger(3.0)(spark, idx)
 
 
+def test_maintained_lifecycle_end_to_end(spark, tmp_path):
+    """r13 (VERDICT r12 #6): ONE scheduled scenario composing every
+    cadence on one index — refresh folds (for_index_refresh), the
+    OPTIMIZE policy (optimize_every=2), a drift REBUILD (rebuild_if),
+    and table MAINTENANCE (for_table_maintenance: OPTIMIZE +
+    expire_log + vacuum on the postings TxTable) — with exhaustive
+    probe == brute force asserted after every stage, real file
+    reclamation at the vacuum stage, and the maintenance-slower-than-
+    refresh contract REFUSED AT CONSTRUCTION when violated."""
+    import glob as _glob
+
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        similarity as sim,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.runner import (
+        CadenceRunner,
+    )
+
+    rng = np.random.default_rng(53)
+
+    def frame(ids, axes):
+        rows = []
+        for i in ids:
+            v = [0.0] * 8
+            v[axes[i % len(axes)]] = 1.0
+            rows.append(
+                (i, [float(x + 0.01 * n) for x, n in zip(v, rng.normal(size=8))])
+            )
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    src = TxTable.create(
+        spark, str(tmp_path / "lc_src"), frame(range(32), axes=[0, 1, 2, 3])
+    )
+    idx = str(tmp_path / "lc_idx")
+    postings = TxTable(spark, f"{idx}/postings_tx")
+    fire = {"now": False}
+
+    clk = _FakeClock(t0=0.0)
+    runner = CadenceRunner.for_index_refresh(
+        spark,
+        src,
+        idx,
+        refresh_kwargs={"n_lists": 4, "n_iter": 4, "seed": 53},
+        optimize_every=2,
+        rebuild_if=lambda s, p: fire["now"],
+        clock=clk,
+        sleep=clk.sleep,
+    )
+
+    def probe_vs_brute():
+        cur = src.read()
+        queries = cur.limit(2).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = sorted(
+            map(
+                tuple,
+                sim.ivf_index_topk(spark, idx, queries, k=4, n_probe=4).collect(),
+            )
+        )
+        want = sorted(
+            map(tuple, sim.brute_force_topk(cur, queries, k=4).collect())
+        )
+        assert got == want
+
+    # the contract check: a maintenance cadence at (or faster than)
+    # the refresh cadence is refused before the first tick
+    with pytest.raises(ValueError, match="strictly slower"):
+        CadenceRunner.for_table_maintenance(
+            postings, slower_than=[runner], clock=clk, sleep=clk.sleep
+        )
+    maint = CadenceRunner.for_table_maintenance(
+        postings,
+        optimize={"target_file_rows": 10_000, "sort_by": ["_list"]},
+        vacuum_min_age_s=0.0,  # no concurrent writers in the test
+        slower_than=[runner],
+        interval_s=2 * 86_400.0,
+        clock=clk,
+        sleep=clk.sleep,
+    )
+
+    # stage 1: refresh (init) -> stage 2: fold + OPTIMIZE policy
+    runner.run(max_cycles=1)
+    probe_vs_brute()
+    src.append(frame(range(100, 108), axes=[0, 1, 2, 3]))
+    runner.run(max_cycles=2)
+    assert runner.failures == 0
+    assert [h["operation"] for h in postings.history()][-1] == "OPTIMIZE"
+    probe_vs_brute()
+
+    # stage 3: drift + REBUILD (atomic swap, marker at source head)
+    src.delete(F.lit(True))
+    src.append(frame(range(200, 240), axes=[4, 5, 6, 7]))
+    fire["now"] = True
+    runner.run(max_cycles=3)
+    fire["now"] = False
+    assert runner.failures == 0
+    assert postings.snapshot().txns.get(sim._CENTROIDS_TXN) == src.latest_version()
+    probe_vs_brute()
+
+    # churn folds past the checkpoint interval so maintenance has a
+    # checkpoint AFTER the rebuild to expire the pre-rebuild era below
+    base = 300
+    while postings.latest_version() < 11:
+        src.append(frame(range(base, base + 2), axes=[4, 5, 6, 7]))
+        base += 2
+        runner.run(max_cycles=runner.cycles_run + 1)
+    assert runner.failures == 0
+    probe_vs_brute()
+
+    # stage 4: table maintenance — compaction + log expiry + REAL
+    # reclamation (the rebuild's overwrite unreferenced every
+    # pre-rebuild file; once expire_log cuts below a post-rebuild
+    # checkpoint, vacuum may reclaim them)
+    def on_disk():
+        return {
+            os.path.basename(p)
+            for p in _glob.glob(f"{idx}/postings_tx/*.parquet")
+        }
+
+    disk_before = len(on_disk())
+    rows_before = sorted(map(tuple, postings.read().collect()))
+    maint.run(max_cycles=1)
+    assert maint.failures == 0
+    assert len(on_disk()) < disk_before  # dead pre-rebuild files gone
+    assert sorted(map(tuple, postings.read().collect())) == rows_before
+    probe_vs_brute()
+
+    # the lifecycle keeps going after maintenance: fold + probe exact
+    src.append(frame(range(900, 904), axes=[4, 5, 6, 7]))
+    runner.run(max_cycles=runner.cycles_run + 1)
+    assert runner.failures == 0
+    probe_vs_brute()
+
+
 def test_cadence_table_maintenance_compacts_expires_vacuums(spark, tmp_path):
     """r12: for_table_maintenance — scheduled OPTIMIZE + expire_log +
     vacuum, the retention driver whose cadence must stay slower than

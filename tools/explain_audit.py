@@ -324,6 +324,37 @@ def main() -> None:
             "(interpreted transform measured 6× slower)",
         ),
         (
+            "ann_cosine_topk",
+            "partial top-k BEFORE the ranking exchange (no n·q shuffle)",
+            lambda p: (
+                lambda mp, me: mp is not None
+                and me is not None
+                and mp.start() < me.start()
+            )(
+                re.search(
+                    r"\(\d+\) WindowGroupLimit\n[^(]*Arguments: [^\n]*Partial", p
+                ),
+                re.search(r"\(\d+\) Exchange", p),
+            ),
+            "r13 (the r12 weak item): InferWindowGroupLimit plans a "
+            "Partial WindowGroupLimit before the exchange — each map "
+            "task emits ≤ q·k rows, so the ranking shuffle carries "
+            "partitions·q·k rows, never the full n·q scored cross "
+            "product; this row fails if a regression re-materializes "
+            "the scored relation into the exchange",
+        ),
+        (
+            "ann_cosine_topk",
+            "per-side norms computed once, not per pair",
+            lambda p: p.count("SQRT(aggregate") == 2,
+            "r13: higher-order folds run interpreted and outside CSE — "
+            "precomputing each side's L2 norm (corpus pre-join, queries "
+            "inside the broadcast) leaves ONE dot-product fold per "
+            "(row, query) pair instead of three (1.6× warm, "
+            "bit-identical scores); exactly 2 SQRT folds in the plan "
+            "means neither norm was re-inlined into the pair projection",
+        ),
+        (
             "merge_upsert_events",
             "merge anti-join + union, single scan family",
             lambda p: re.search(r"(LeftAnti|Anti)", p),

@@ -87,6 +87,13 @@ QUERIES = [
     # over the maintained postings.
     "ann_ivf_pq_maintained",
     "ann_ivf_maintained_drift",
+    # r13 (VERDICT r12 #1/#3): the maintained text-index serving paths
+    # (df finalize / BM25 from the stored state vs DuckDB re-tokenizing
+    # the replayed corpus from scratch) and the maintained IVF-PQ
+    # join-probe twin.
+    "ivm_text_df_view",
+    "bm25_maintained_topk",
+    "ann_ivf_pq_maintained_join",
 ]
 
 TABLES = (
@@ -150,6 +157,40 @@ that INVERTS with data: the panel rows for ivm_maintained_view_events
 the fact table — at the 100 TB design point the from-scratch recompute
 is a full table scan per refresh and the fold is O(changed rows).
 Nothing in the suite's ratio is a data-proportional defect."""
+
+# Measured once by tools/text_index_cost.py (r13, VERDICT r12 #4);
+# kept here so SCALE.md regeneration preserves the section.
+TEXT_INDEX_NOTE = """## Maintained text index: fold vs full reindex (round 13)
+
+Measured by tools/text_index_cost.py (min of 3 warm noop-forced runs;
+corpora = sf0.1 documents replicated with shifted doc_ids, stored
+doc_id-range-clustered; churn = one UPDATE per level over a contiguous
+doc_id range — see the tool docstring for why scattered churn would
+instead rewrite every file and degenerate the endpoint-diff feed to a
+corpus re-read):
+
+| full reindex over | docs | wall |        | fold on 64x corpus | delta term | full fold |
+|---|---|---|---|---|---|---|
+| 1x corpus | 5,000 | 0.39 s | | ~3,200 changed (1%) | 0.49 s | 1.03 s |
+| 16x corpus | 80,000 | 0.77 s | | ~16,000 changed (5%) | 0.71 s | 1.34 s |
+| 64x corpus | 320,000 | 2.86 s | | ~64,000 changed (20%) | 0.89 s | 1.67 s |
+
+The pinned claim, now measured: **full reindex tracks corpus size**
+(0.39 → 2.86 s across the 64× span — the tokenize + aggregate is
+data-proportional, exactly what the reference's nightly rebuild pays
+regardless of churn), while **the fold's tokenize/delta term tracks
+the CHANGED-doc count** (0.49 → 0.89 s across a 20× churn span on a
+FIXED 320k-doc corpus — each changed doc contributes pre-image
+retractions + post-image assertions, nothing else re-tokenizes). The
+full fold adds a ~0.55-0.8 s state-merge term that is ~constant in
+churn (it reads the stored (term, doc, __w) incidence — integer rows,
+no text, no tokenize): at 1% churn the fold beats the reindex 2.8×
+already at 320k docs, and the gap widens linearly with corpus size
+because the reindex re-tokenizes everything while the fold's
+corpus-sized term touches only the compact state. At the 100 TB
+design point the nightly reindex is a full-corpus tokenize; the fold
+is O(changed docs × tokens/doc) text work + one state-sized integer
+merge."""
 
 # Measured once by tools/dv_profile.py; kept here so SCALE.md
 # regeneration preserves the section.
@@ -316,7 +357,8 @@ def main() -> None:
     )
     with open(out, "w") as f:
         f.write(
-            "\n".join(lines) + "\n\n" + MERGE_SUITE_NOTE + "\n\n"
+            "\n".join(lines) + "\n\n" + TEXT_INDEX_NOTE + "\n\n"
+            + MERGE_SUITE_NOTE + "\n\n"
             + CDC_NOTE + "\n\n" + DV_NOTE + "\n"
         )
     print(f"wrote {out}")
