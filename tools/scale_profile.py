@@ -351,6 +351,24 @@ def main() -> None:
         "twin is a trivially pruned filter). Its ratio falls by an order",
         "of magnitude across the panel's 100x span (the table above) and",
         "keeps falling with data; the per-row path is Arrow-batched.",
+        "",
+        "text_profile_docs' r12 COMPARE move (1.23x -> 1.63x on an",
+        "unchanged PLANS.md-pinned zero-exchange single-codegen-scan",
+        "plan) was re-measured in the r13 window at **1.12x** — the",
+        "move did not reproduce, pinning it as host spread exactly as",
+        "suspected (VERDICT r12 #7; the plan cannot be improved and was",
+        "not touched).",
+        "",
+        "A RISES flag on a query that HOVERS AT PARITY is window noise,",
+        "not a defect: the classifier compares first-vs-last SF, and a",
+        "query whose three ratios straddle 1.0 non-monotonically (e.g.",
+        "ann_pq_topk_join's 1.2/0.8/1.4 in the r13 window — 1.2/1.4/1.1",
+        "'falls' in the r12 window, both within this host's documented",
+        "per-query spread, sub-second absolutes on both engines) has",
+        "nothing left for the floor argument to prove. A genuine",
+        "scalability defect shows as a ratio that rises MONOTONICALLY",
+        "from well above parity — the shape r8's native-CUBE Expand had",
+        "before its partials respelling.",
     ]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
