@@ -112,6 +112,12 @@ _CONSTRUCTION_EAGER = {
     # one plan) — the steady-state cost of serving a zero-copy clone.
     "ann_ivf_pq_maintained_join",
     "txtable_clone_events",
+    # r13: maintained MinHash-LSH index — scratch DML + init + fold at
+    # construction; warm runs time pairs/probe serving from stored
+    # signatures. dedup2_suite inherits the construction via its segs.
+    "dedup_lsh_maintained",
+    "dedup_lsh_maintained_probe",
+    "dedup2_suite",
 }
 
 # Round-over-round continuity: granular queries benched since r1/r2
@@ -305,6 +311,12 @@ _NEW_R13 = [
     # shallow-CLONE read path: mixed external/local/DV-sidecar snapshot
     # scan (scratch DML at construction; see _CONSTRUCTION_EAGER)
     "txtable_clone_events",
+    # CDC-maintained MinHash-LSH index (scratch DML + init + fold at
+    # construction): warm runs time the SERVING paths — the band
+    # self-join over stored signatures, and the probe batch's
+    # tokenize+hash + band join against the index projection
+    "dedup_lsh_maintained",
+    "dedup_lsh_maintained_probe",
 ]
 
 HEADLINE = (

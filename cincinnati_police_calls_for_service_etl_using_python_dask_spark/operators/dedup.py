@@ -377,6 +377,39 @@ def minhash_signatures(
     )
 
 
+def band_rows(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(id, band_idx, band_key) rows from a signature frame — the LSH
+    banding as a PURE PROJECTION over stored/derived ``sig_*`` columns
+    (concat + explode, whole-stage codegen, no text, no hashing).
+    Shared by the ad-hoc pair join below and the maintained index's
+    read paths (:func:`minhash_index_pairs` / probe)."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(bands).alias("band")
+    ).select(
+        id_col,
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -393,24 +426,7 @@ def lsh_candidate_pairs(
     pathological ones cap bucket size upstream (filter on count over
     a window) before the join.
     """
-    n_bands = num_hashes // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "_",
-                    *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)],
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = signatures.select(
-        F.col(id_col), F.explode(bands).alias("band")
-    ).select(
-        id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
-    )
+    exploded = band_rows(signatures, id_col, num_hashes, band_size)
     left = exploded.select(
         F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id_a")
     )
@@ -1227,4 +1243,234 @@ def incremental_exact_dedup(
             .otherwise(F.lit("kept"))
             .alias("status"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC-maintained MinHash-LSH dedup index (r13): the maintained-index
+# doctrine (similarity.refresh_ivf_index / refresh_pq_codes, ivm's
+# maintained text state) applied to the DEDUP family — the last of the
+# three index families a 100 TB curation pipeline keeps hot. A nightly
+# near-dup pass re-tokenizes and re-hashes the whole corpus
+# (app.py:50/991-995's rebuild-everything shape); this keeps a
+# signatures TxTable current by folding the source's change feed, so
+# candidate generation for a new batch costs O(batch hashing) + one
+# band join against STORED signatures — historical text is never
+# re-read, re-tokenized, or re-hashed.
+#
+# Unlike the ANN tiers there is NO trained model: the affine MinHash
+# family (functions/hashing.py) is data-independent, so the index
+# never drifts and never needs a rebuild/marker tier — only the
+# GEOMETRY (num_hashes / band_size / shingle_n) must stay fixed across
+# folds for stored and fresh signatures to be comparable. Geometry is
+# therefore persisted at init ({path}/geometry.json, atomic rename)
+# and every later fold and probe reads it from the index rather than
+# trusting call-site arguments.
+# ---------------------------------------------------------------------------
+
+
+def _write_json_atomic(path: str, obj: dict) -> None:
+    import json
+    import os
+
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _minhash_geometry(path: str) -> dict:
+    import json
+
+    with open(f"{path}/geometry.json") as f:
+        return json.load(f)
+
+
+def refresh_minhash_index(
+    spark,
+    source,
+    path: str,
+    feed_key: str | None = None,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    app_id: str | None = None,
+    log_store=None,
+):
+    """CDC-MAINTAINED MinHash signature index: keep per-doc MinHash
+    signatures current under source DML by folding the source
+    TxTable's change feed — the dedup twin of
+    ``similarity.refresh_pq_codes`` (same layout discipline: one row
+    per doc, single-key idempotent ``merge(txn=)``, watermark IN the
+    index, crash-safe exactly-once, key-range-pruned MERGE discovery
+    via ``id_col`` zone maps).
+
+    Layout: ``{path}/sigs_tx`` — a TxTable of (id_col, sig_0..sig_{k-1});
+    ``{path}/geometry.json`` — the frozen banding geometry. First call
+    initializes (ONE full tokenize+hash of the snapshot — the only
+    corpus-sized signature pass the index ever pays, stamped with the
+    snapshot version); every later call folds
+    ``change_feed(wm→head)`` as ONE merge: deletes are keyed removals
+    (no hashing), inserts and update-postimages re-sign map-side —
+    signature cost is O(changed docs × shingles/doc). Explicit
+    geometry args are honored at INIT only; later calls raise on a
+    mismatch instead of silently mixing incomparable signatures.
+
+    Returns the source version now reflected, or None if current.
+
+    Scale: at the 100 TB design point the nightly near-dup pass
+    re-hashes every document; this re-hashes only the feed. Feed-read
+    locality follows ``ivm.refresh_view``'s cost-model note
+    (O(files the DML rewrote)). MERGE churn fragments files over time
+    — schedule ``TxTable.optimize`` via
+    ``CadenceRunner.for_table_maintenance`` like any maintained table
+    (no model artifacts to version, so plain table maintenance is the
+    whole upkeep story)."""
+    from ..sources.txtable import TxTable
+
+    feed_key = feed_key or id_col
+    app_id = app_id or f"minhash:{path}"
+    src_v = source.latest_version()
+    sigs_path = f"{path}/sigs_tx"
+    tx = TxTable(spark, sigs_path, log_store=log_store)
+
+    if not tx.exists():
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        docs = source.read(version=src_v).select(id_col, text_col)
+        sigs = minhash_signatures(
+            docs, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+        )
+        _write_json_atomic(
+            f"{path}/geometry.json",
+            {
+                "num_hashes": num_hashes,
+                "band_size": band_size,
+                "shingle_n": shingle_n,
+            },
+        )
+        TxTable.create(
+            spark, sigs_path, sigs,
+            stats_columns=[id_col],
+            txn=(app_id, src_v),
+            log_store=log_store,
+        )
+        return src_v
+
+    geo = _minhash_geometry(path)
+    if (num_hashes, band_size, shingle_n) != (
+        geo["num_hashes"], geo["band_size"], geo["shingle_n"]
+    ) and (num_hashes, band_size, shingle_n) != (8, 2, 3):
+        raise ValueError(
+            f"minhash index at {path} was initialized with geometry "
+            f"{geo}; a fold with different num_hashes/band_size/"
+            f"shingle_n would mix incomparable signatures — rebuild "
+            f"the index instead"
+        )
+    num_hashes, shingle_n = geo["num_hashes"], geo["shingle_n"]
+
+    wm = tx.snapshot().txns.get(app_id, -1)
+    if wm < 0:
+        raise ValueError(
+            f"table at {sigs_path} exists but carries no {app_id!r} "
+            f"watermark — it is not this index's signatures table"
+        )
+    if src_v <= wm:
+        return None
+    from .ivm import _require_watermark_readable
+
+    _require_watermark_readable(source, wm, "refresh_minhash_index")
+    feed = source.change_feed(feed_key, wm, src_v)
+    live = minhash_signatures(
+        feed.filter(~F.col("_change_type").isin("update_preimage", "delete")),
+        id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+    ).withColumn("op", F.lit(None).cast("string"))
+    dels = feed.filter(F.col("_change_type") == "delete").select(
+        F.col(id_col),
+        *[F.lit(None).cast("long").alias(f"sig_{i}") for i in range(num_hashes)],
+        F.lit("D").alias("op"),
+    )
+    tx.merge(live.unionByName(dels), key=id_col, txn=(app_id, src_v))
+    return src_v
+
+
+def _minhash_index_sigs(spark, path: str, log_store=None):
+    """(geometry, pinned signature frame) for a maintained index — ONE
+    snapshot resolved and pinned (the r13 snapshot-isolation doctrine:
+    a fold committing between plan construction and action must not
+    change what a probe reads)."""
+    from ..sources.txtable import TxTable
+
+    tx = TxTable(spark, f"{path}/sigs_tx", log_store=log_store)
+    if not tx.exists():
+        raise ValueError(f"no maintained minhash index at {path}")
+    geo = _minhash_geometry(path)
+    snap = tx.snapshot()
+    return geo, tx.read(version=snap.version)
+
+
+def minhash_index_pairs(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    log_store=None,
+) -> DataFrame:
+    """LSH candidate pairs WITHIN the maintained index — the
+    corpus-wide near-dup relation served entirely from STORED
+    signatures: banding is a projection over the sigs table
+    (:func:`band_rows`), the bucket self-join shuffles band keys +
+    ids only. Zero text reads, zero hashing — equal to
+    ``lsh_candidate_pairs(minhash_signatures(current corpus))`` by
+    maintenance (oracle-gated in the registry)."""
+    geo, sigs = _minhash_index_sigs(spark, path, log_store)
+    return lsh_candidate_pairs(
+        sigs, id_col=id_col,
+        num_hashes=geo["num_hashes"], band_size=geo["band_size"],
+    )
+
+
+def minhash_index_probe(
+    spark,
+    path: str,
+    probe_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_alias: str = "probe_id",
+    log_store=None,
+) -> DataFrame:
+    """Near-dup CANDIDATES in the indexed corpus for each probe doc —
+    the incremental-ingest serving shape: ONLY the probe batch pays
+    tokenize+hash; the corpus side is a banding projection over stored
+    signatures joined on (band_idx, band_key). Output
+    (``probe_id_alias``, ``id_col``) distinct, self-matches (same id)
+    excluded so an already-indexed probe doc doesn't report itself.
+
+    Scale: probe cost is O(batch shingles) + one hash join against the
+    index's band projection; no broadcast hint on the index side (it
+    grows with the corpus — AQE decides; the probe side is the small
+    one and broadcasts naturally). Hot boilerplate buckets are the
+    skew risk, same mitigation as :func:`lsh_candidate_pairs`."""
+    geo, sigs = _minhash_index_sigs(spark, path, log_store)
+    idx_bands = band_rows(
+        sigs, id_col=id_col,
+        num_hashes=geo["num_hashes"], band_size=geo["band_size"],
+    )
+    probe_sigs = minhash_signatures(
+        probe_docs, id_col=id_col, text_col=text_col,
+        num_hashes=geo["num_hashes"], shingle_n=geo["shingle_n"],
+    )
+    probe_bands = band_rows(
+        probe_sigs, id_col=id_col,
+        num_hashes=geo["num_hashes"], band_size=geo["band_size"],
+    ).withColumnRenamed(id_col, probe_id_alias)
+    return (
+        idx_bands.join(probe_bands, ["band_idx", "band_key"])
+        .filter(F.col(probe_id_alias) != F.col(id_col))
+        .select(probe_id_alias, id_col)
+        .distinct()
     )

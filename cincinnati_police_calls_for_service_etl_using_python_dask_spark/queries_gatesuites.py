@@ -243,12 +243,21 @@ _suite(
 # Exact-dedup family: corpus fingerprint groups, incremental dedup of
 # a daily batch against the accumulated fingerprint index, and Lee et
 # al. substring-span dedup.
+#
+# r13: the CDC-MAINTAINED MinHash-LSH index joins the family — corpus
+# near-dup pairs served from STORED signatures (zero re-hash of
+# historical text) and incremental-ingest probe candidates (only the
+# probe batch pays tokenize+hash), both under full DML-replay oracles
+# (operators/dedup.py:refresh_minhash_index — the dedup twin of the
+# maintained ANN/text indexes, completing the maintained-index family).
 _suite(
     "dedup2_suite",
     [
         ("exact_groups", "dedup_exact_fingerprint"),
         ("incremental", "incremental_dedup_docs"),
         ("substring_span", "substring_span_dedup_docs"),
+        ("lsh_maintained", "dedup_lsh_maintained"),
+        ("lsh_maintained_probe", "dedup_lsh_maintained_probe"),
     ],
 )
 

@@ -158,9 +158,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_K = 4
 
 
-def _duckdb_minhash_cte() -> str:
+def _duckdb_minhash_cte(corpus_sql: str = "documents") -> str:
     # Same structure as the Spark operator: one base hash per shingle
     # (mod P31), then the affine family per signature slot.
+    # ``corpus_sql`` parameterizes the corpus relation (r13: the
+    # maintained-index oracles replay a DML script as a CTE).
     sigs = ",\n           ".join(
         "list_min(list_transform(hs, h -> "
         + duckdb_affine_minhash_sql("h", i)
@@ -170,7 +172,7 @@ def _duckdb_minhash_cte() -> str:
     base = duckdb_hash56_sql("s")
     return f"""
     WITH tk AS (
-      SELECT doc_id, {_D_TOKS} AS t FROM documents
+      SELECT doc_id, {_D_TOKS} AS t FROM {corpus_sql}
     ), sh AS (
       SELECT doc_id,
              CASE WHEN len(t) >= 3
@@ -209,6 +211,108 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs, num_hashes=_MINHASH_K, shingle_n=3)
     return dd.lsh_candidate_pairs(sigs, num_hashes=_MINHASH_K, band_size=2)
+
+
+# ---------------------------------------------------------------------------
+# CDC-maintained MinHash-LSH index (r13): the dedup family's maintained
+# tier — per-doc signatures live in a TxTable folded from the source's
+# change feed (operators/dedup.py:refresh_minhash_index), and BOTH
+# serving shapes are gated under FULL oracles that replay the DML
+# script in SQL and recompute signatures with the shared hash family:
+# corpus-wide candidate pairs served from STORED signatures
+# (zero re-hash of historical text) and incremental-ingest probe
+# candidates (only the probe batch pays tokenize+hash). The fixture
+# mirrors the maintained-text-index script: init on 70% of documents,
+# then append + edit (%5==2 gets drift tokens) + delete (%9==4), one
+# fold covering all three commits.
+# ---------------------------------------------------------------------------
+
+_LSH_MAINT_CORPUS = """(
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 2 THEN text || ' zqdrift zqdrift'
+              ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 9 <> 4
+)"""
+
+_LSH_MAINT_DIRS: dict[tuple[int, str], str] = {}
+
+
+def _lsh_maintained_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session+corpus) the DML'd source TxTable and
+    the maintained MinHash index over it; return the scratch root."""
+    key = (id(spark), sf_dir)
+    got = _LSH_MAINT_DIRS.get(key)
+    if got is not None:
+        return got
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.txtable import TxTable
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    c1 = int(0.7 * n)
+    scratch = tempfile.mkdtemp(prefix="lsh_maint_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    src = TxTable.create(
+        spark,
+        os.path.join(scratch, "src"),
+        docs.filter(F.col("doc_id") < c1),
+        stats_columns=["doc_id"],
+    )
+    idx = os.path.join(scratch, "idx")
+    dd.refresh_minhash_index(
+        spark, src, idx, num_hashes=_MINHASH_K, band_size=2, shingle_n=3
+    )
+    src.append(docs.filter(F.col("doc_id") >= c1))
+    src.update(
+        F.col("doc_id") % 5 == 2,
+        {"text": F.concat(F.col("text"), F.lit(" zqdrift zqdrift"))},
+    )
+    src.delete(F.col("doc_id") % 9 == 4)
+    dd.refresh_minhash_index(spark, src, idx)  # ONE fold, three commits
+    _LSH_MAINT_DIRS[key] = scratch
+    return scratch
+
+
+@register(
+    "dedup_lsh_maintained",
+    f"""
+    WITH sigs AS ({_duckdb_minhash_cte(_LSH_MAINT_CORPUS)})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE (a.sig_0 = b.sig_0 AND a.sig_1 = b.sig_1)
+       OR (a.sig_2 = b.sig_2 AND a.sig_3 = b.sig_3)
+    """,
+)
+def q_dedup_lsh_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _lsh_maintained_dir(spark, sf_dir)
+    return dd.minhash_index_pairs(spark, f"{root}/idx")
+
+
+@register(
+    "dedup_lsh_maintained_probe",
+    f"""
+    WITH sigs AS ({_duckdb_minhash_cte(_LSH_MAINT_CORPUS)})
+    SELECT DISTINCT p.doc_id AS probe_id, s.doc_id AS doc_id
+    FROM sigs p JOIN sigs s ON s.doc_id <> p.doc_id
+    WHERE p.doc_id < 40
+      AND ((p.sig_0 = s.sig_0 AND p.sig_1 = s.sig_1)
+        OR (p.sig_2 = s.sig_2 AND p.sig_3 = s.sig_3))
+    """,
+)
+def q_dedup_lsh_maintained_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .sources.txtable import TxTable
+
+    root = _lsh_maintained_dir(spark, sf_dir)
+    cur = TxTable(spark, f"{root}/src").read()
+    probes = cur.filter(F.col("doc_id") < 40)
+    return dd.minhash_index_probe(spark, f"{root}/idx", probes)
 
 
 # ---------------------------------------------------------------------------

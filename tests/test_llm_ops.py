@@ -1238,6 +1238,106 @@ def test_rebuild_ivf_index_retrains_on_drift(spark, tmp_path):
     assert maint_codes == fresh_codes
 
 
+def test_refresh_minhash_index_maintains_under_dml(spark, tmp_path):
+    """refresh_minhash_index (r13): the CDC-maintained LSH dedup
+    index. Init signs the snapshot; multi-commit DML folds in ONE
+    merge; maintained signatures equal a fresh minhash_signatures of
+    the CURRENT corpus; pairs and probe candidates served from stored
+    signatures equal the ad-hoc spellings; a replayed refresh no-ops;
+    geometry is frozen at init (a conflicting fold is refused); a
+    foreign table at the sigs path is refused."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        dedup as dd,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+    def frame(ids):
+        rows = [
+            (i, " ".join(words[(i + j) % len(words)] for j in range(6)))
+            for i in ids
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    src = TxTable.create(
+        spark, str(tmp_path / "src"), frame(range(30)), stats_columns=["doc_id"]
+    )
+    idx = str(tmp_path / "idx")
+    assert dd.refresh_minhash_index(
+        spark, src, idx, num_hashes=4, band_size=2, shingle_n=3
+    ) == 0
+    sigs_tx = TxTable(spark, f"{idx}/sigs_tx")
+    assert sigs_tx.read().count() == 30
+    assert dd.refresh_minhash_index(spark, src, idx) is None  # current
+
+    # churn: delete / text-changing update / insert, ONE fold
+    src.delete(F.col("doc_id") % 7 == 0)
+    src.update(
+        F.col("doc_id") % 5 == 1,
+        {"text": F.concat(F.col("text"), F.lit(" omega omega"))},
+    )
+    src.append(frame(range(100, 108)))
+    assert dd.refresh_minhash_index(spark, src, idx) == 3
+
+    cur = src.read()
+    fresh = dd.minhash_signatures(cur, num_hashes=4, shingle_n=3)
+    want_sigs = {tuple(r) for r in fresh.collect()}
+    got_sigs = {tuple(r) for r in sigs_tx.read().collect()}
+    assert got_sigs == want_sigs
+
+    # pairs served from stored signatures == ad-hoc pairs on the
+    # current corpus
+    want_pairs = sorted(
+        map(tuple, dd.lsh_candidate_pairs(fresh, num_hashes=4).collect())
+    )
+    got_pairs = sorted(
+        map(tuple, dd.minhash_index_pairs(spark, idx).collect())
+    )
+    assert got_pairs == want_pairs and len(got_pairs) > 0
+
+    # probe candidates == the pair relation restricted to the probes
+    probes = cur.filter(F.col("doc_id") < 5)
+    got_probe = {
+        (r["probe_id"], r["doc_id"])
+        for r in dd.minhash_index_probe(spark, idx, probes).collect()
+    }
+    want_probe = {
+        (a, b) for a, b in want_pairs if a < 5
+    } | {(b, a) for a, b in want_pairs if b < 5}
+    assert got_probe == {(p, c) for p, c in want_probe}
+
+    # replayed fold no-ops (no new commit)
+    hist = len(sigs_tx.history())
+    assert dd.refresh_minhash_index(spark, src, idx) is None
+    assert len(sigs_tx.history()) == hist
+
+    # geometry is frozen: a fold with conflicting explicit geometry is
+    # refused before touching anything
+    src.append(frame(range(200, 202)))
+    with pytest.raises(ValueError, match="geometry"):
+        dd.refresh_minhash_index(spark, src, idx, num_hashes=6)
+    # default-args folds keep using the frozen geometry
+    assert dd.refresh_minhash_index(spark, src, idx) == src.latest_version()
+
+    # a foreign table squatting at the sigs path is refused
+    idx2 = str(tmp_path / "idx2")
+    import os
+
+    os.makedirs(idx2, exist_ok=True)
+    TxTable.create(
+        spark, f"{idx2}/sigs_tx", dd.minhash_signatures(frame(range(3)))
+    )
+    dd._write_json_atomic(
+        f"{idx2}/geometry.json",
+        {"num_hashes": 8, "band_size": 2, "shingle_n": 3},
+    )
+    with pytest.raises(ValueError, match="watermark"):
+        dd.refresh_minhash_index(spark, src, idx2)
+
+
 def test_pq_codes_maintained_join_probe_parity(spark, tmp_path):
     """VERDICT r12 #3: pq_codes_maintained_topk(probe='join') — the
     DataFrame-scale twin of the driver probe over the maintained

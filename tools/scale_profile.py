@@ -94,6 +94,9 @@ QUERIES = [
     "ivm_text_df_view",
     "bm25_maintained_topk",
     "ann_ivf_pq_maintained_join",
+    # r13: the maintained MinHash-LSH index's pair serving (stored
+    # signatures vs DuckDB re-hashing the replayed corpus from scratch)
+    "dedup_lsh_maintained",
 ]
 
 TABLES = (
