@@ -315,6 +315,60 @@ class CadenceRunner:
         return cls.daily_at(pipeline, at=at, **kw)
 
     @classmethod
+    def for_minhash_index_refresh(
+        cls,
+        spark,
+        source,
+        index_path: str,
+        at: str = "01:30",
+        app_id: str | None = None,
+        log_store=None,
+        refresh_kwargs: dict | None = None,
+        **kw,
+    ) -> "CadenceRunner":
+        """Scheduler wiring for the CDC-maintained MinHash-LSH dedup
+        index (r13) — the :meth:`for_index_refresh` sibling for
+        ``operators.dedup.refresh_minhash_index``: each cadence tick
+        re-signs the source commits since the index's transactional
+        watermark and folds them as one idempotent MERGE. Same crash
+        contract as every refresh runner (pre-commit death leaves no
+        partial state and retries next cadence; post-commit death
+        no-ops on replay — the watermark lives IN the signatures
+        table).
+
+        No optimize/rebuild policy parameters: the hash family is
+        data-independent, so this index has no model to drift and no
+        routing zone maps whose tightness probes depend on — file
+        fragmentation from MERGE churn is plain table upkeep, handled
+        by pointing :meth:`for_table_maintenance` at the sigs table
+        (``slower_than=[this runner]``). ``refresh_kwargs`` passes
+        geometry (num_hashes/band_size/shingle_n) through to the
+        INITIALIZING call; the index freezes it there, and later folds
+        with conflicting explicit geometry are refused by the
+        refresher itself."""
+        from ..operators import dedup as _dd
+
+        rkw = dict(refresh_kwargs or {})
+
+        def pipeline(fire_ts: float) -> None:
+            v = _dd.refresh_minhash_index(
+                spark,
+                source,
+                index_path,
+                app_id=app_id,
+                log_store=log_store,
+                **rkw,
+            )
+            logger.info(
+                "minhash index %s at source version %s (fire %s)",
+                index_path,
+                "unchanged" if v is None else v,
+                fire_ts,
+            )
+
+        return cls.daily_at(pipeline, at=at, **kw)
+
+    @classmethod
     def for_table_maintenance(
         cls,
         table,

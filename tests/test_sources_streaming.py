@@ -1544,6 +1544,93 @@ def test_ivf_occupancy_skew_flags_concentrated_corpus(spark, tmp_path):
     assert sim.skew_rebuild_trigger(3.0)(spark, idx)
 
 
+def test_cadence_minhash_index_refresh(spark, tmp_path):
+    """r13: for_minhash_index_refresh — scheduler wiring for the
+    CDC-maintained LSH dedup index. Tick 1 initializes, a quiet tick
+    no-ops (no new commit), a post-DML tick folds; pairs served from
+    the maintained index equal the ad-hoc spelling on the current
+    corpus after every advancing tick; and the maintenance runner
+    composes on the sigs table under the slower-than contract."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        dedup as dd,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.runner import (
+        CadenceRunner,
+    )
+
+    words = ["kappa", "lam", "mu", "nu", "xi", "omicron"]
+
+    def frame(ids):
+        rows = [
+            (i, " ".join(words[(i + j) % len(words)] for j in range(6)))
+            for i in ids
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    src = TxTable.create(
+        spark, str(tmp_path / "mh_src"), frame(range(24)),
+        stats_columns=["doc_id"],
+    )
+    idx = str(tmp_path / "mh_idx")
+    clk = _FakeClock(t0=0.0)
+    r = CadenceRunner.for_minhash_index_refresh(
+        spark,
+        src,
+        idx,
+        refresh_kwargs={"num_hashes": 4, "band_size": 2, "shingle_n": 2},
+        clock=clk,
+        sleep=clk.sleep,
+    )
+
+    def pairs_vs_adhoc():
+        cur = src.read()
+        fresh = dd.minhash_signatures(cur, num_hashes=4, shingle_n=2)
+        want = sorted(
+            map(tuple, dd.lsh_candidate_pairs(fresh, num_hashes=4).collect())
+        )
+        got = sorted(map(tuple, dd.minhash_index_pairs(spark, idx).collect()))
+        assert got == want
+
+    sigs_tx = TxTable(spark, f"{idx}/sigs_tx")
+    r.run(max_cycles=1)  # init
+    assert r.failures == 0 and sigs_tx.read().count() == 24
+    pairs_vs_adhoc()
+
+    hist = len(sigs_tx.history())
+    r.run(max_cycles=2)  # quiet: source unchanged, no new commit
+    assert r.failures == 0 and len(sigs_tx.history()) == hist
+
+    src.delete(F.col("doc_id") % 6 == 1)
+    src.append(frame(range(50, 56)))
+    r.run(max_cycles=3)  # fold
+    assert r.failures == 0
+    pairs_vs_adhoc()
+
+    # the upkeep story: plain table maintenance on the sigs table,
+    # refused at the refresh cadence, accepted strictly slower
+    with pytest.raises(ValueError, match="strictly slower"):
+        CadenceRunner.for_table_maintenance(
+            sigs_tx, slower_than=[r], clock=clk, sleep=clk.sleep
+        )
+    m = CadenceRunner.for_table_maintenance(
+        sigs_tx,
+        optimize={"target_file_rows": 10_000},
+        vacuum_min_age_s=0.0,
+        slower_than=[r],
+        interval_s=2 * 86_400.0,
+        clock=clk,
+        sleep=clk.sleep,
+    )
+    rows_before = sorted(map(tuple, sigs_tx.read().collect()))
+    m.run(max_cycles=1)
+    assert m.failures == 0
+    assert sorted(map(tuple, sigs_tx.read().collect())) == rows_before
+    pairs_vs_adhoc()
+
+
 def test_maintained_lifecycle_end_to_end(spark, tmp_path):
     """r13 (VERDICT r12 #6): ONE scheduled scenario composing every
     cadence on one index — refresh folds (for_index_refresh), the
