@@ -1291,9 +1291,9 @@ def refresh_minhash_index(
     source,
     path: str,
     feed_key: str | None = None,
-    num_hashes: int = 8,
-    band_size: int = 2,
-    shingle_n: int = 3,
+    num_hashes: int | None = None,
+    band_size: int | None = None,
+    shingle_n: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     app_id: str | None = None,
@@ -1314,9 +1314,11 @@ def refresh_minhash_index(
     snapshot version); every later call folds
     ``change_feed(wm→head)`` as ONE merge: deletes are keyed removals
     (no hashing), inserts and update-postimages re-sign map-side —
-    signature cost is O(changed docs × shingles/doc). Explicit
-    geometry args are honored at INIT only; later calls raise on a
-    mismatch instead of silently mixing incomparable signatures.
+    signature cost is O(changed docs × shingles/doc). Geometry args
+    default to ``None`` = "whatever the index froze" (init resolves
+    None to 8/2/3); a LATER call passing an explicit value that
+    differs from the frozen geometry raises instead of silently
+    mixing incomparable signatures.
 
     Returns the source version now reflected, or None if current.
 
@@ -1339,6 +1341,9 @@ def refresh_minhash_index(
     if not tx.exists():
         import os
 
+        num_hashes = 8 if num_hashes is None else num_hashes
+        band_size = 2 if band_size is None else band_size
+        shingle_n = 3 if shingle_n is None else shingle_n
         os.makedirs(path, exist_ok=True)
         docs = source.read(version=src_v).select(id_col, text_col)
         sigs = minhash_signatures(
@@ -1362,14 +1367,20 @@ def refresh_minhash_index(
         return src_v
 
     geo = _minhash_geometry(path)
-    if (num_hashes, band_size, shingle_n) != (
-        geo["num_hashes"], geo["band_size"], geo["shingle_n"]
-    ) and (num_hashes, band_size, shingle_n) != (8, 2, 3):
+    conflicting = [
+        (name, arg, geo[name])
+        for name, arg in (
+            ("num_hashes", num_hashes),
+            ("band_size", band_size),
+            ("shingle_n", shingle_n),
+        )
+        if arg is not None and arg != geo[name]
+    ]
+    if conflicting:
         raise ValueError(
             f"minhash index at {path} was initialized with geometry "
-            f"{geo}; a fold with different num_hashes/band_size/"
-            f"shingle_n would mix incomparable signatures — rebuild "
-            f"the index instead"
+            f"{geo}; a fold with conflicting {conflicting} would mix "
+            f"incomparable signatures — rebuild the index instead"
         )
     num_hashes, shingle_n = geo["num_hashes"], geo["shingle_n"]
 

@@ -1321,6 +1321,12 @@ def test_refresh_minhash_index_maintains_under_dml(spark, tmp_path):
         dd.refresh_minhash_index(spark, src, idx, num_hashes=6)
     # default-args folds keep using the frozen geometry
     assert dd.refresh_minhash_index(spark, src, idx) == src.latest_version()
+    # ... and an explicit value MATCHING the frozen geometry is fine
+    src.append(frame(range(210, 212)))
+    assert (
+        dd.refresh_minhash_index(spark, src, idx, num_hashes=4, shingle_n=3)
+        == src.latest_version()
+    )
 
     # a foreign table squatting at the sigs path is refused
     idx2 = str(tmp_path / "idx2")
