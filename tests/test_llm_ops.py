@@ -1544,6 +1544,34 @@ def test_postings_frame_empty_probe_set_returns_typed_empty(spark, tmp_path):
     assert {"vec_id", "embedding", "_list"} <= set(out.columns)
 
 
+def test_brute_force_topk_plan_is_scale_safe(spark):
+    """r13 (the r12 weak item, pinned as a regression test alongside
+    the PLANS.md rows): the ranking exchange must be BOUNDED — a
+    WindowGroupLimit in Partial mode precedes the Exchange, so each
+    map task emits at most q·k rows and the shuffle never carries the
+    n·q scored cross product — and the per-side norm precompute must
+    survive optimization (exactly 2 SQRT folds in the plan; a
+    CollapseProject regression re-inlining norms into the pair
+    projection would show 4+)."""
+    import re
+
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sim.brute_force_topk(emb, queries, k=10, dim=64).explain("formatted")
+    p = buf.getvalue()
+    mp = re.search(r"\(\d+\) WindowGroupLimit\n[^(]*Arguments: [^\n]*Partial", p)
+    me = re.search(r"\(\d+\) Exchange", p)
+    assert mp is not None, "partial WindowGroupLimit missing from the plan"
+    assert me is not None and mp.start() < me.start(), (
+        "the partial top-k must precede the ranking exchange"
+    )
+    assert p.count("SQRT(aggregate") == 2, p.count("SQRT(aggregate")
+
+
 def test_driver_probe_query_bound_refused(spark, tmp_path):
     """VERDICT r12 #5: probe='driver' paths collect the query set —
     above the configurable bound they must refuse with a pointed
