@@ -1464,7 +1464,9 @@ def optimize_ivf_index(spark, path: str, log_store=None) -> int | None:
     return tx.optimize(target_file_rows=target, sort_by=["_list"])
 
 
-def ivf_occupancy_skew(spark, path: str, log_store=None) -> float:
+def ivf_occupancy_skew(
+    spark, path: str, log_store=None, sample_fraction: float | None = None
+) -> float:
     """Stateless drift signal over the maintained postings: the
     largest list's share of the corpus, normalized by the balanced
     share — ``max(list sizes) / (total / n_lists)``. 1.0 = perfectly
@@ -1477,16 +1479,26 @@ def ivf_occupancy_skew(spark, path: str, log_store=None) -> float:
     trigger-friendly form.
 
     Cost: one map-combined groupBy over the postings — fine at a
-    daily maintenance cadence; at extreme index sizes, evaluate on a
-    sampled read or less often (the signal is a ratio, stable under
-    uniform sampling). Empty lists count via the n_lists denominator,
-    so a corpus collapsed into one cell reads as ~n_lists."""
+    daily maintenance cadence; at extreme index sizes pass
+    ``sample_fraction`` (r13: a seeded uniform Bernoulli sample of the
+    postings scan — the signal is a RATIO of per-list shares, so it is
+    unbiased under uniform row sampling and its noise shrinks with the
+    sampled count) or evaluate less often. Empty lists count via the
+    n_lists denominator, so a corpus collapsed into one cell reads as
+    ~n_lists."""
     from ..sources.txtable import TxTable
 
     tx = TxTable(spark, f"{path}/postings_tx", log_store=log_store)
+    scan = tx.read()
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        scan = scan.sample(fraction=sample_fraction, seed=7)
     counts = [
         r["n"]
-        for r in tx.read()
+        for r in scan
         .groupBy("_list")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()

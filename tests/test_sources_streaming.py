@@ -1542,6 +1542,14 @@ def test_ivf_occupancy_skew_flags_concentrated_corpus(spark, tmp_path):
     sim.refresh_ivf_index(spark, src, idx)
     assert sim.ivf_occupancy_skew(spark, idx) == pytest.approx(4.0)
     assert sim.skew_rebuild_trigger(3.0)(spark, idx)
+    # r13: the sampled read sees the same concentration (every sampled
+    # row is in the one hot cell — the ratio is exact here, and
+    # unbiased in general); a bogus fraction is refused
+    assert sim.ivf_occupancy_skew(
+        spark, idx, sample_fraction=0.5
+    ) == pytest.approx(4.0)
+    with pytest.raises(ValueError, match="sample_fraction"):
+        sim.ivf_occupancy_skew(spark, idx, sample_fraction=1.5)
 
 
 def test_cadence_minhash_index_refresh(spark, tmp_path):
