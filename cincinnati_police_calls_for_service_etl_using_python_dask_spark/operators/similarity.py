@@ -1485,11 +1485,18 @@ def ivf_occupancy_skew(
     unbiased under uniform row sampling and its noise shrinks with the
     sampled count) or evaluate less often. Empty lists count via the
     n_lists denominator, so a corpus collapsed into one cell reads as
-    ~n_lists."""
+    ~n_lists.
+
+    Snapshot discipline (r14, ADVICE r13): ONE snapshot is resolved up
+    front and pins BOTH the postings read (and its sample) and the
+    model lookup — a rebuild committing mid-probe would otherwise mix
+    one snapshot's per-list counts with another model's list count,
+    exactly the race the serve paths' one-snapshot pinning closes."""
     from ..sources.txtable import TxTable
 
     tx = TxTable(spark, f"{path}/postings_tx", log_store=log_store)
-    scan = tx.read()
+    snap = tx.snapshot()
+    scan = tx.read(version=snap.version)
     if sample_fraction is not None:
         if not (0.0 < sample_fraction <= 1.0):
             raise ValueError(
@@ -1506,11 +1513,13 @@ def ivf_occupancy_skew(
     total = sum(counts)
     if not total:
         return 1.0
-    n_lists = len(_maintained_centroids(spark, path, tx.snapshot()))
+    n_lists = len(_maintained_centroids(spark, path, snap))
     return max(counts) * n_lists / total
 
 
-def skew_rebuild_trigger(threshold: float = 4.0, log_store=None):
+def skew_rebuild_trigger(
+    threshold: float = 4.0, log_store=None, sample_fraction: float | None = None
+):
     """``rebuild_if`` predicate for
     ``CadenceRunner.for_index_refresh``: rebuild when
     :func:`ivf_occupancy_skew` exceeds ``threshold`` (default 4× the
@@ -1523,12 +1532,22 @@ def skew_rebuild_trigger(threshold: float = 4.0, log_store=None):
     reads the same log the refresh/rebuild/optimize calls write,
     never the default-store view of it. The runner's keyword (when
     not None) wins over the construction-time store; a None from the
-    runner falls back to it."""
+    runner falls back to it.
+
+    ``sample_fraction`` (r14, ADVICE r13) forwards to
+    :func:`ivf_occupancy_skew`'s seeded postings sample — the knob
+    added for exactly this scheduled-cadence case, now reachable from
+    the scheduled trigger."""
     ctor_store = log_store
 
     def trigger(spark, path: str, log_store=None) -> bool:
         store = log_store if log_store is not None else ctor_store
-        return ivf_occupancy_skew(spark, path, log_store=store) > threshold
+        return (
+            ivf_occupancy_skew(
+                spark, path, log_store=store, sample_fraction=sample_fraction
+            )
+            > threshold
+        )
 
     return trigger
 
@@ -1882,6 +1901,18 @@ def rebuild_pq_codes(
 _MAX_DRIVER_QUERIES = 65_536
 _LUT_VALUES_MAX_ROWS = 100_000
 
+# Hard-broadcast ceiling for the DISTRIBUTED LUT relation (r14, ADVICE
+# r13): the all-pairs probe="join" branch broadcasts the LUT on
+# purpose (the (__sub, __code) key has only m×ksub distinct values, so
+# a shuffled join collapses to that key cardinality) — but LUT rows
+# are Q·m·ksub, LINEAR in the query table, so an unbounded query table
+# must not force a driver-sized broadcast. Above this bound the join
+# goes hint-free: AQE broadcasts a small build side or shuffle-joins
+# with skew-split (oversized key groups are split with the other side
+# duplicated — mechanical salting), trading bounded parallelism for
+# bounded driver memory. ~1M rows of (id, int, int, long) ≈ 32 MB.
+_LUT_BROADCAST_MAX_ROWS = 1_000_000
+
 
 def _collect_query_rows(
     queries: DataFrame, cols, op: str, max_driver_queries: int | None = None
@@ -2099,9 +2130,21 @@ def pq_codes_maintained_topk(
             # all-pairs: broadcast the LUT on purpose — the join key
             # (__sub, __code) has only m×ksub distinct values, so a
             # shuffled join would collapse to ≤128 partitions (the
-            # pq_adc_topk probe="join" rationale)
+            # pq_adc_topk probe="join" rationale). But LUT rows grow
+            # LINEARLY with the query table (Q·m·ksub), so the hint is
+            # gated on a cheap count (ADVICE r13): above
+            # _LUT_BROADCAST_MAX_ROWS the join goes hint-free and AQE
+            # decides (broadcast if it fits, else shuffle + skew-split,
+            # which splits oversized key groups mechanically).
+            m, ksub = int(books.shape[0]), int(books.shape[1])
+            lut_rows = queries.count() * m * ksub
+            lut_side = (
+                F.broadcast(lut)
+                if lut_rows <= _LUT_BROADCAST_MAX_ROWS
+                else lut
+            )
             scored = (
-                exploded.join(F.broadcast(lut), ["__sub", "__code"])
+                exploded.join(lut_side, ["__sub", "__code"])
                 .groupBy(query_id_col, id_col)
                 .agg(F.sum("__part").alias("__adc"))
             )

@@ -424,6 +424,14 @@ class CadenceRunner:
             dep_interval = (
                 dep.interval_s if isinstance(dep, CadenceRunner) else float(dep)
             )
+            if dep_interval <= 0:
+                # ADVICE r13: a raw 0/negative would pass float()
+                # silently and make the slower-than check vacuous
+                raise ValueError(
+                    f"slower_than entries must be positive refresh "
+                    f"intervals (seconds) or CadenceRunners; got "
+                    f"{dep_interval!r}"
+                )
             if interval_s <= dep_interval:
                 raise ValueError(
                     f"maintenance cadence ({interval_s:.0f}s) must be "

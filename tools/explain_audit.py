@@ -848,6 +848,24 @@ def main() -> None:
             "quantized cohesion sum map-combines per list — watching "
             "a 100 TB index for drift is a scan, not a recompute",
         ),
+        # — round 14 —
+        (
+            "dedup_lsh_maintained",
+            "hot-bucket cap truncates MAP-SIDE (Partial "
+            "WindowGroupLimit before the exchange)",
+            lambda p: re.search(
+                r"WindowGroupLimit.*Partial", p, re.DOTALL
+            )
+            and "row_number" in p,
+            "r14 (VERDICT r13 weak #1): max_bucket_size bounds a "
+            "boilerplate band bucket's pair output at cap²/2 instead "
+            "of b²/2 — and because the cap is a row_number≤k filter, "
+            "InferWindowGroupLimit truncates every bucket to ~cap "
+            "rows per map task BEFORE the band exchange, so the 10⁶-"
+            "member pathological bucket never rides the wire (this "
+            "row fails if the rank filter stops planning a Partial "
+            "group limit)",
+        ),
     ]
 
     lines = [
