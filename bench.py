@@ -118,6 +118,14 @@ _CONSTRUCTION_EAGER = {
     "dedup_lsh_maintained",
     "dedup_lsh_maintained_probe",
     "dedup2_suite",
+    # r14: maintained hyperplane-LSH embedding near-dup index — same
+    # builder family (scratch DML + init + fold at construction); warm
+    # runs time pairs/probe serving from stored (bucket, vector)
+    # state. embedding_dedup_suite inherits the construction via its
+    # new segs.
+    "dedup_embedding_maintained",
+    "dedup_embedding_maintained_probe",
+    "embedding_dedup_suite",
 }
 
 # Round-over-round continuity: granular queries benched since r1/r2
@@ -319,6 +327,16 @@ _NEW_R13 = [
     "dedup_lsh_maintained_probe",
 ]
 
+_NEW_R14 = [
+    # CDC-maintained hyperplane-LSH embedding near-dup index (scratch
+    # DML + init + fold at construction): warm runs time the SERVING
+    # paths — within-bucket BLAS Gram over stored (bucket, vector)
+    # state, and the probe batch's hyperplane matmul + bucket join +
+    # bounded exact-cosine verify
+    "dedup_embedding_maintained",
+    "dedup_embedding_maintained_probe",
+]
+
 HEADLINE = (
     [q for q in GATE_PRIORITY if q not in _UNBENCHABLE]
     + _CONTINUITY
@@ -333,6 +351,7 @@ HEADLINE = (
     + _NEW_R11
     + _NEW_R12
     + _NEW_R13
+    + _NEW_R14
 )
 
 # Tail queries NOT in HEADLINE, each with its one-line exclusion

@@ -174,8 +174,22 @@ def _q_embedding_dedup_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     int8 = REGISTRY["ann_int8_rerank_topk"][0](spark, sf_dir).select(
         F.lit("int8_rerank").alias("seg"), "*"
     )
-    return cos.unionByName(sem, allowMissingColumns=True).unionByName(
-        int8, allowMissingColumns=True
+    # r14: the CDC-maintained hyperplane index's two serving shapes
+    # (corpus pairs + ingest probe, both full DML-replay oracles) join
+    # the family gate — the embedding-level twin of dedup2_suite's
+    # maintained-MinHash segs. Same fixture (one DML'd TxTable + one
+    # maintained index per session), so warm runs time serving.
+    maint = REGISTRY["dedup_embedding_maintained"][0](spark, sf_dir).select(
+        F.lit("emb_maintained").alias("seg"), "*"
+    )
+    maintp = REGISTRY["dedup_embedding_maintained_probe"][0](
+        spark, sf_dir
+    ).select(F.lit("emb_maintained_probe").alias("seg"), "*")
+    return (
+        cos.unionByName(sem, allowMissingColumns=True)
+        .unionByName(int8, allowMissingColumns=True)
+        .unionByName(maint, allowMissingColumns=True)
+        .unionByName(maintp, allowMissingColumns=True)
     )
 
 
@@ -185,6 +199,8 @@ _suite(
         ("cos_pairs", "dedup_embedding_cosine"),
         ("semdedup", "semdedup_exact"),
         ("int8_rerank", "ann_int8_rerank_topk"),
+        ("emb_maintained", "dedup_embedding_maintained"),
+        ("emb_maintained_probe", "dedup_embedding_maintained_probe"),
     ],
     spark_fn=_q_embedding_dedup_fused,
 )

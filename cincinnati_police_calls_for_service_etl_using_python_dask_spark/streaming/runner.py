@@ -369,6 +369,51 @@ class CadenceRunner:
         return cls.daily_at(pipeline, at=at, **kw)
 
     @classmethod
+    def for_hyperplane_index_refresh(
+        cls,
+        spark,
+        source,
+        index_path: str,
+        at: str = "01:45",
+        app_id: str | None = None,
+        log_store=None,
+        refresh_kwargs: dict | None = None,
+        **kw,
+    ) -> "CadenceRunner":
+        """Scheduler wiring for the CDC-maintained hyperplane-LSH
+        embedding near-dup index (r14) —
+        ``operators.similarity.refresh_hyperplane_index`` on the
+        :meth:`for_minhash_index_refresh` contract (that docstring is
+        the doctrine: idempotent fold per tick, crash-safe watermark
+        IN the sigs table, no optimize/rebuild policy because the
+        plane family is data-independent — table upkeep goes through
+        :meth:`for_table_maintenance` ``slower_than=[this runner]``).
+        ``refresh_kwargs`` passes geometry (num_planes/dim) through to
+        the INITIALIZING call; later conflicting folds are refused by
+        the refresher itself."""
+        from ..operators import similarity as _sim
+
+        rkw = dict(refresh_kwargs or {})
+
+        def pipeline(fire_ts: float) -> None:
+            v = _sim.refresh_hyperplane_index(
+                spark,
+                source,
+                index_path,
+                app_id=app_id,
+                log_store=log_store,
+                **rkw,
+            )
+            logger.info(
+                "hyperplane index %s at source version %s (fire %s)",
+                index_path,
+                "unchanged" if v is None else v,
+                fire_ts,
+            )
+
+        return cls.daily_at(pipeline, at=at, **kw)
+
+    @classmethod
     def for_table_maintenance(
         cls,
         table,

