@@ -1708,8 +1708,22 @@ class TxTable:
         self._maybe_checkpoint(v)
         return v
 
-    def overwrite(self, df: DataFrame, txn=None) -> int:
+    def overwrite(self, df: DataFrame, txn=None, replace_schema: bool = False) -> int:
         """Replace the whole table content in one commit.
+
+        ``replace_schema=True`` (r14) additionally replaces the table
+        SCHEMA in the same atomic commit (the Delta
+        ``overwriteSchema`` contract): the commit carries a fresh
+        ``metaData`` action next to the remove/add set, so readers of
+        this version onward see the new schema while time travel keeps
+        resolving each old version against the metaData in force when
+        it committed (log replay applies metaData actions in order).
+        Sound only because the OVERWRITE replaces every data file —
+        no old-schema file survives into the new-schema snapshot.
+        Refused when the table carries column mapping, generated
+        columns or CHECK constraints (they reference old-schema
+        columns; re-declare them after the swap), and when
+        stats/bloom columns are absent from the new schema.
 
         ``txn=(app_id, epoch)`` makes the overwrite IDEMPOTENT under
         replay (r10, the IVM refresh contract): the commit carries a
@@ -1735,15 +1749,45 @@ class TxTable:
             e <= snap.txns.get(a, -1) for a, e in txns
         ):
             return snap.version
-        df = _materialize_generated(df, snap.generated_columns)
-        self._check_schema(df, snap.schema)
+        meta_actions: list[dict] = []
+        if replace_schema:
+            blockers = [
+                name
+                for name, val in (
+                    ("column mapping", snap.column_mapping),
+                    ("generated columns", snap.generated_columns),
+                    ("CHECK constraints", snap.check_constraints),
+                )
+                if val
+            ]
+            if blockers:
+                raise SchemaMismatchError(
+                    f"overwrite(replace_schema=True) on a table with "
+                    f"{', '.join(blockers)} — these reference old-schema "
+                    f"columns; drop them first and re-declare after"
+                )
+            new_cols = {f.name for f in df.schema.fields}
+            dangling = [c for c in snap.stats_columns if c not in new_cols]
+            dangling += [c for c in snap.bloom_spec if c not in new_cols]
+            if dangling:
+                raise SchemaMismatchError(
+                    f"overwrite(replace_schema=True): stats/bloom columns "
+                    f"{dangling} absent from the replacement schema"
+                )
+            meta_actions.append(
+                _snapshot_metadata_action(snap, schema=df.schema)
+            )
+        else:
+            df = _materialize_generated(df, snap.generated_columns)
+            self._check_schema(df, snap.schema)
         adds = self._write_files(
             _with_checks(df, snap.check_constraints),
             snap.stats_columns, snap.bloom_spec,
             mapping=snap.column_mapping,
         )
         v = snap.version + 1
-        actions = [{"remove": {"path": p}} for p in snap.files]
+        actions = meta_actions
+        actions += [{"remove": {"path": p}} for p in snap.files]
         actions += adds
         actions += [{"txn": {"appId": a, "epoch": e}} for a, e in txns]
         actions.append(_commit_info("OVERWRITE", v))

@@ -324,6 +324,7 @@ class CadenceRunner:
         app_id: str | None = None,
         log_store=None,
         refresh_kwargs: dict | None = None,
+        migrate_geometry: dict | None = None,
         **kw,
     ) -> "CadenceRunner":
         """Scheduler wiring for the CDC-maintained MinHash-LSH dedup
@@ -345,19 +346,77 @@ class CadenceRunner:
         geometry (num_hashes/band_size/shingle_n) through to the
         INITIALIZING call; the index freezes it there, and later folds
         with conflicting explicit geometry are refused by the
-        refresher itself."""
+        refresher itself.
+
+        ``migrate_geometry`` (r14) is the operational path onto
+        :func:`operators.dedup.rebuild_minhash_index`: declare the
+        geometry the index SHOULD have (any subset of
+        num_hashes/band_size/shingle_n), and the first tick that finds
+        the frozen geometry differing runs the atomic geometry
+        migration instead of a fold; every later tick sees the frozen
+        geometry matching and folds normally — config-driven
+        migration, no manual directory surgery. When it is set, folds
+        pass no geometry args (they follow whatever is frozen), so
+        ``refresh_kwargs`` geometry keys are refused at construction
+        to keep one source of truth."""
         from ..operators import dedup as _dd
 
         rkw = dict(refresh_kwargs or {})
+        mig = dict(migrate_geometry or {})
+        if mig:
+            bad = set(mig) - {"num_hashes", "band_size", "shingle_n"}
+            if bad:
+                raise ValueError(
+                    f"migrate_geometry accepts num_hashes/band_size/"
+                    f"shingle_n only; got {sorted(bad)}"
+                )
+            clash = set(mig) & set(rkw)
+            if clash:
+                raise ValueError(
+                    f"geometry keys {sorted(clash)} appear in BOTH "
+                    f"refresh_kwargs and migrate_geometry — declare the "
+                    f"target geometry once, in migrate_geometry"
+                )
 
         def pipeline(fire_ts: float) -> None:
+            fold_kw = rkw
+            if mig:
+                from ..sources.txtable import TxTable
+
+                tx = TxTable(
+                    spark, f"{index_path}/sigs_tx", log_store=log_store
+                )
+                if not tx.exists():
+                    # first-ever tick: initialize DIRECTLY at the target
+                    # geometry — no init-then-migrate double pass
+                    fold_kw = {**rkw, **mig}
+                else:
+                    cur = _dd._minhash_geometry(index_path, tx.snapshot())
+                    if {**cur, **mig} != cur:
+                        rv = _dd.rebuild_minhash_index(
+                            spark,
+                            source,
+                            index_path,
+                            app_id=app_id,
+                            log_store=log_store,
+                            **mig,
+                        )
+                        logger.info(
+                            "minhash index %s geometry-migrated to %s at "
+                            "source version %s (fire %s)",
+                            index_path,
+                            {**cur, **mig},
+                            rv,
+                            fire_ts,
+                        )
+                        return  # fresh full re-sign: nothing to fold
             v = _dd.refresh_minhash_index(
                 spark,
                 source,
                 index_path,
                 app_id=app_id,
                 log_store=log_store,
-                **rkw,
+                **fold_kw,
             )
             logger.info(
                 "minhash index %s at source version %s (fire %s)",

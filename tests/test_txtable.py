@@ -56,6 +56,45 @@ def test_time_travel_history_and_overwrite(spark, tmp_path):
     assert ops == ["CREATE", "APPEND", "OVERWRITE"]
 
 
+def test_overwrite_replace_schema(spark, tmp_path):
+    """r14 (the Delta overwriteSchema contract): OVERWRITE can swap
+    the table schema in the SAME atomic commit; time travel resolves
+    each version against the metaData in force when it committed;
+    tables whose metadata references old-schema columns refuse."""
+    p = str(tmp_path / "trs")
+    t = TxTable.create(spark, p, _mk(spark, 0, 10), stats_columns=["k"])
+    new = spark.range(4).select(
+        F.col("id").alias("k"),
+        F.lit("x").alias("s1"),
+        F.lit(1.5).alias("s2"),
+    )
+    # default overwrite refuses the new shape; replace_schema commits it
+    with pytest.raises(SchemaMismatchError):
+        t.overwrite(new)
+    v = t.overwrite(new, replace_schema=True)
+    assert [f.name for f in t.read().schema.fields] == ["k", "s1", "s2"]
+    assert t.read().count() == 4
+    # time travel: the pre-swap version keeps the OLD schema
+    assert [f.name for f in t.read(version=v - 1).schema.fields] == ["k", "v"]
+    assert t.read(version=v - 1).count() == 10
+    # post-swap appends enforce the NEW schema; stats columns survived
+    t.append(new)
+    assert t.read().count() == 8
+    with pytest.raises(SchemaMismatchError):
+        t.append(_mk(spark, 0, 1))
+    # a replacement schema dropping a stats column is refused
+    with pytest.raises(SchemaMismatchError, match="stats"):
+        t.overwrite(
+            spark.range(2).select(F.col("id").alias("z")),
+            replace_schema=True,
+        )
+    # metadata referencing old columns blocks the swap
+    t2 = TxTable.create(spark, str(tmp_path / "trs2"), _mk(spark, 0, 5))
+    t2.add_check_constraint("pos", "v IS NOT NULL")
+    with pytest.raises(SchemaMismatchError, match="CHECK"):
+        t2.overwrite(new, replace_schema=True)
+
+
 def test_delete_rewrites_only_affected_files(spark, tmp_path):
     p = str(tmp_path / "t3")
     # two disjoint files via two commits of 1 partition each
