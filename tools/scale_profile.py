@@ -97,6 +97,18 @@ QUERIES = [
     # r13: the maintained MinHash-LSH index's pair serving (stored
     # signatures vs DuckDB re-hashing the replayed corpus from scratch)
     "dedup_lsh_maintained",
+    # r14 (VERDICT r13 #3): the WHOLE gated merge_suite — the one
+    # headline family over the 2x bar with real absolute cost. The
+    # panel row measures the claim the decomposition note asserts:
+    # the suite's wall is ~fixed machinery (branch floors, Python-
+    # DataSource spin-up, commit plumbing) while the DuckDB side
+    # recomputes every seg's view from scratch and grows with the
+    # fact tables — so the ratio must FALL across the 100x span.
+    "merge_suite",
+    # r14: the maintained hyperplane embedding near-dup index's pair
+    # serving (stored buckets+vectors vs DuckDB re-bucketing the
+    # replayed corpus with plane literals from scratch)
+    "dedup_embedding_maintained",
 ]
 
 TABLES = (
@@ -159,7 +171,37 @@ that INVERTS with data: the panel rows for ivm_maintained_view_events
 (added r12) show the fold flat while the from-scratch twin grows with
 the fact table — at the 100 TB design point the from-scratch recompute
 is a full table scan per refresh and the fold is O(changed rows).
-Nothing in the suite's ratio is a data-proportional defect."""
+Nothing in the suite's ratio is a data-proportional defect.
+
+### r14 update (VERDICT r13 #2/#6)
+
+The dominant member, ivm_join (0.80 s of the suite's ~1.7 s warm
+wall), was paying its fixed cost TWICE over: each refresh read two
+CDC feeds through format("txtable"), and every Python-DataSource read
+carries the flat ~0.3 s planning + worker spin-up the txbatch_read
+panel row measures. r14 adds TxTable.table_changes_native — a
+JVM-only per-commit CDC feed for windows made of blind appends +
+writer change files (exactly what a change_data_feed=True table
+produces) with a reader fallback for the general taxonomy — and the
+fold now reads both feeds as ordinary parquet scans:
+**ivm_join 0.80 → 0.35 s warm** (same oracle, parity-tested against
+the reader). Post-change member walls (sf0.1, same window):
+
+| seg | standalone warm | note |
+|---|---|---|
+| dataframe_merge | 0.14 s | anti join + union over parquet |
+| txtable_lifecycle | 0.08 s | snapshot read (post-lifecycle) |
+| cdc_feed / column_mapping / shallow_clone | 0.03-0.07 s | pruned snapshot/CDC reads |
+| txbatch_read | 0.31-0.36 s | Python DataSource fixed spin-up (the deliberate gate of that binding — flat at every SF) |
+| ivm | 0.26 s | base scan + CDC delta fold + merge + finalize |
+| ivm_join | 0.35 s | was 0.80 s — two native CDC feed scans + Δ(A⋈B) fold |
+
+Members sum ~1.3 s; the suite walls ~1.6-1.8 s — the residual is the
+per-branch driver floor of ~9 independent DAGs in one union job
+(the curation3_suite note's measured serial-stage-chain effect), not
+data work. The merge_suite panel row (added r14) measures the
+consequence: flat-ish Spark wall across the 100× span while the
+from-scratch oracle grows."""
 
 # Measured once by tools/text_index_cost.py (r13, VERDICT r12 #4);
 # kept here so SCALE.md regeneration preserves the section.
