@@ -850,6 +850,36 @@ def main() -> None:
         ),
         # — round 14 —
         (
+            "dedup_embedding_maintained",
+            "pairs serve: ZERO hyperplane evals — buckets read from "
+            "stored state, never re-hashed",
+            lambda p: count_ops(p, "ArrowEvalPython") == 0
+            and count_ops(p, "BatchEvalPython") == 0
+            and count_ops(p, "FlatMapGroupsInPandas") == 1,
+            "the maintained embedding index's whole point: serving "
+            "corpus near-dup pairs costs a sigs-table scan + one "
+            "within-bucket BLAS Gram per bucket (the single "
+            "applyInPandas node) — the hyperplane matmul ran once at "
+            "refresh, amortized across every serve between folds; "
+            "this row fails if a regression re-buckets the corpus at "
+            "serve time",
+        ),
+        (
+            "dedup_embedding_maintained_probe",
+            "probe: Arrow evals on the PROBE batch only; corpus side "
+            "is a bare scan into the bucket join",
+            lambda p: "BroadcastHashJoin" in p
+            and count_ops(p, "FlatMapGroupsInPandas") == 0
+            and p.find("ArrowEvalPython")
+            > p.find("BroadcastExchange"),
+            "ingest-time dedup screening: only the incoming batch "
+            "pays the hyperplane matmul (it broadcasts; the eval "
+            "nodes sit under the BroadcastExchange), the corpus side "
+            "joins stored buckets straight off the parquet scan and "
+            "verifies candidates with a JVM cosine fold — probing a "
+            "100 TB index never re-hashes a historical vector",
+        ),
+        (
             "dedup_lsh_maintained",
             "hot-bucket cap truncates MAP-SIDE (Partial "
             "WindowGroupLimit before the exchange)",

@@ -237,6 +237,41 @@ design point the nightly reindex is a full-corpus tokenize; the fold
 is O(changed docs × tokens/doc) text work + one state-sized integer
 merge."""
 
+# Measured once by tools/stream_drain_profile.py (r14, VERDICT r13
+# #5); kept here so SCALE.md regeneration preserves the section.
+STREAM_DRAIN_NOTE = """## Streaming drain: the _UNBENCHABLE path's wall-clock (round 14)
+
+The registry's 7 `_UNBENCHABLE` queries (streaming_suite + members,
+txstream pipeline/apply-changes, the iterative BPE/CC pair) are
+correctness-gated but drain at DataFrame-construction time, so no
+per-round trend existed for the streaming source/sink path. Measured
+by tools/stream_drain_profile.py (one availableNow drain end-to-end:
+txtable_stream source planning, per-added-file Arrow reads, streaming
+engine batch machinery, exactly-once epoch sink commit; min of 3
+fresh drains each — a drain is once-per-offset, there is no warm run):
+
+| sweep | source | rows | files/commits | drain wall |
+|---|---|---|---|---|
+| data | sf0.001 events | 1,000 | 2/2 | 2.36 s |
+| data | sf0.01 events | 10,000 | 2/2 | 2.25 s |
+| data | sf0.1 events | 100,000 | 2/2 | 2.22 s |
+| commits | sf0.1 × 1 commit | 100,000 | 1/1 | 2.19 s |
+| commits | sf0.1 × 2 commits | 100,000 | 2/2 | 2.47 s |
+| commits | sf0.1 × 4 commits | 100,000 | 4/4 | 2.21 s |
+| commits | sf0.1 × 8 commits | 100,000 | 8/8 | 2.18 s |
+
+The drain wall is FLAT across a 100× data span AND a 1→8 commit span:
+~2.2 s of fixed streaming-engine machinery (micro-batch planning,
+checkpoint I/O, the Python stream source's planning worker, one epoch
+commit) and ~0 data-proportional cost at these sizes — Python stream
+sources execute availableNow as a single batch, so the offset count
+doesn't multiply batches either. At the 100 TB design point the Arrow
+reads dominate and the floor amortizes per added file; at gate scale
+the floor IS the number, which is why these queries stay out of the
+per-round bench (their wall would measure the engine constant, not
+the repo's operators) and their correctness stays gated through the
+registry + tests/test_txstream.py."""
+
 # Measured once by tools/dv_profile.py; kept here so SCALE.md
 # regeneration preserves the section.
 DV_NOTE = """## Deletion vectors: DELETE write amplification (round 6)
@@ -427,7 +462,7 @@ def main() -> None:
     with open(out, "w") as f:
         f.write(
             "\n".join(lines) + "\n\n" + TEXT_INDEX_NOTE + "\n\n"
-            + MERGE_SUITE_NOTE + "\n\n"
+            + MERGE_SUITE_NOTE + "\n\n" + STREAM_DRAIN_NOTE + "\n\n"
             + CDC_NOTE + "\n\n" + DV_NOTE + "\n"
         )
     print(f"wrote {out}")
