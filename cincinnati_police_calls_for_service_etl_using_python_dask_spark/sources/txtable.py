@@ -2508,6 +2508,11 @@ class TxTable:
         change files."""
         vs = self._versions()
         v_to = vs[-1] if v_to is None else v_to
+        if vs and v_from + 1 < vs[0]:
+            # expire_log cut commits out of the window: silently
+            # skipping them would drop changes — fall back to the
+            # reader, whose retention error names the problem
+            return None
         snap = self.snapshot(version=v_to)
         if snap.column_mapping:
             return None

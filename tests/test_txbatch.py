@@ -247,6 +247,21 @@ def test_table_changes_native_parity_and_fallback(spark, tmp_path):
     t2.rename_column("v", "val")
     assert t2.table_changes_native(1) is None
 
+    # a window reaching below an expire_log cut falls back (the
+    # reader raises the pointed retention error) instead of silently
+    # skipping the expired commits
+    p3 = str(tmp_path / "cdc_nat3")
+    t3 = TxTable.create(spark, p3, _mk(spark, 0, 5).coalesce(1))
+    for i in range(12):  # past the checkpoint interval
+        t3.append(_mk(spark, 10 + i, 11 + i).coalesce(1))
+    t3.expire_log()
+    cut = t3._versions()[0]
+    assert cut > 1
+    # (cut-2, ...] needs the expired commit cut-1 -> fallback;
+    # (cut-1, ...] is fully inside surviving history -> served
+    assert t3.table_changes_native(cut - 2) is None
+    assert t3.table_changes_native(cut - 1).count() > 0
+
 
 def test_file_uri_paths_accepted(spark, tmp_path):
     """Every binding normalizes file: URIs — the spelling SQL-facing
