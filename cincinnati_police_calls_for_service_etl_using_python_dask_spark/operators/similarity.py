@@ -3762,13 +3762,20 @@ def hyperplane_index_probe(
         ),
         max_bucket_size,
     )
+    # coalesce(…, 0) is semantics-free (hyperplane_bits maps NULL
+    # vectors to bucket 0 already) but makes the join key provably
+    # non-null, so Catalyst drops the inferred isnotnull filter that
+    # otherwise splits the pandas UDF into TWO ArrowEvalPython nodes
+    # (one for the filter, one re-evaluated for the projection) — one
+    # Arrow crossing per probe batch, not two (plan-pinned).
     probes = probe_vecs.select(
         F.col(id_col).alias(probe_id_alias),
         vd.alias("_q"),
         l2_norm(vd).alias("_qn"),
-        hyperplane_bits(F.col(vec_col), geo["num_planes"], geo["dim"]).alias(
-            "_bucket"
-        ),
+        F.coalesce(
+            hyperplane_bits(F.col(vec_col), geo["num_planes"], geo["dim"]),
+            F.lit(0).cast("long"),
+        ).alias("_bucket"),
     )
     denom = F.col("_n") * F.col("_qn")
     score = F.when(

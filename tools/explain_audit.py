@@ -866,15 +866,17 @@ def main() -> None:
         ),
         (
             "dedup_embedding_maintained_probe",
-            "probe: Arrow evals on the PROBE batch only; corpus side "
-            "is a bare scan into the bucket join",
+            "probe: exactly ONE Arrow eval, on the PROBE batch; "
+            "corpus side is a bare scan into the bucket join",
             lambda p: "BroadcastHashJoin" in p
             and count_ops(p, "FlatMapGroupsInPandas") == 0
-            and p.find("ArrowEvalPython")
-            > p.find("BroadcastExchange"),
+            and count_ops(p, "ArrowEvalPython") == 1
+            and p.find("ArrowEvalPython") > p.find("BroadcastExchange"),
             "ingest-time dedup screening: only the incoming batch "
-            "pays the hyperplane matmul (it broadcasts; the eval "
-            "nodes sit under the BroadcastExchange), the corpus side "
+            "pays the hyperplane matmul (the single eval node sits "
+            "under the BroadcastExchange; the coalesce(bucket, 0) "
+            "spelling keeps Catalyst from splitting the UDF into a "
+            "filter eval + a projection re-eval), the corpus side "
             "joins stored buckets straight off the parquet scan and "
             "verifies candidates with a JVM cosine fold — probing a "
             "100 TB index never re-hashes a historical vector",
