@@ -3518,10 +3518,22 @@ def ivf_pq_topk(
 # ---------------------------------------------------------------------------
 
 
-def _hyperplane_geometry(path: str) -> dict:
+# Geometry-version marker for the maintained hyperplane index — the
+# `__minhash_geometry__` doctrine applied to the embedding tier: a
+# REBUILD freezes its new plane geometry in a versioned sidecar and
+# stamps this marker in the SAME overwrite commit that swaps the
+# bucketed state, so snapshot resolution always pairs buckets with
+# the planes they were computed under. Init-era indexes have no
+# marker and read the plain geometry.json.
+_HYPERPLANE_GEO_TXN = "__hyperplane_geometry__"
+
+
+def _hyperplane_geometry(path: str, snap=None) -> dict:
     import json
 
-    with open(f"{path}/geometry.json") as f:
+    epoch = snap.txns.get(_HYPERPLANE_GEO_TXN, -1) if snap is not None else -1
+    name = f"geometry_v{epoch}.json" if epoch >= 0 else "geometry.json"
+    with open(f"{path}/{name}") as f:
         return json.load(f)
 
 
@@ -3614,7 +3626,8 @@ def refresh_hyperplane_index(
         )
         return src_v
 
-    geo = _hyperplane_geometry(path)
+    snap = tx.snapshot()
+    geo = _hyperplane_geometry(path, snap)
     conflicting = [
         (name, arg, geo[name])
         for name, arg in (("num_planes", num_planes), ("dim", dim))
@@ -3622,13 +3635,14 @@ def refresh_hyperplane_index(
     ]
     if conflicting:
         raise ValueError(
-            f"hyperplane index at {path} was initialized with geometry "
+            f"hyperplane index at {path} carries frozen geometry "
             f"{geo}; a fold with conflicting {conflicting} would mix "
-            f"incomparable bucket keys — rebuild the index instead"
+            f"incomparable bucket keys — rebuild_hyperplane_index "
+            f"migrates the index to a new geometry instead"
         )
     num_planes, dim = geo["num_planes"], geo["dim"]
 
-    wm = tx.snapshot().txns.get(app_id, -1)
+    wm = snap.txns.get(app_id, -1)
     if wm < 0:
         raise ValueError(
             f"table at {sigs_path} exists but carries no {app_id!r} "
@@ -3669,8 +3683,8 @@ def _hyperplane_index_state(spark, path: str, log_store=None):
     tx = TxTable(spark, f"{path}/sigs_tx", log_store=log_store)
     if not tx.exists():
         raise ValueError(f"no maintained hyperplane index at {path}")
-    geo = _hyperplane_geometry(path)
     snap = tx.snapshot()
+    geo = _hyperplane_geometry(path, snap)
     return geo, tx.read(version=snap.version)
 
 
@@ -3750,8 +3764,7 @@ def hyperplane_index_probe(
     per-side norms precomputed — the brute_force_topk discipline),
     never per corpus row. ``max_bucket_size`` caps the INDEX side's
     buckets; the probe batch is never truncated."""
-    _, sigs = _hyperplane_index_state(spark, path, log_store)
-    geo = _hyperplane_geometry(path)
+    geo, sigs = _hyperplane_index_state(spark, path, log_store)
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     corpus = _cap_hyperplane_buckets(
         sigs.select(
@@ -3793,3 +3806,73 @@ def hyperplane_index_probe(
         .filter(score >= threshold)
         .select(probe_id_alias, F.col("__id").alias(id_col))
     )
+
+
+def rebuild_hyperplane_index(
+    spark,
+    source,
+    path: str,
+    num_planes: int | None = None,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    app_id: str | None = None,
+    log_store=None,
+):
+    """GEOMETRY MIGRATION for a maintained hyperplane index (r14) —
+    ``dedup.rebuild_minhash_index``'s embedding twin (that docstring
+    is the doctrine): re-bucket the CURRENT source snapshot under the
+    new plane geometry and swap state + geometry ATOMICALLY
+    (``geometry_v{v}.json`` sidecar written first, the
+    ``__hyperplane_geometry__`` txn marker riding the same
+    ``overwrite`` commit as the refresh watermark — probes and folds
+    resolve geometry from the snapshot's marker, so a racing probe
+    reads OLD buckets with OLD planes and time travel keeps pairing
+    correctly). Args default to None = keep the current frozen value.
+    The sigs schema is geometry-independent (one BIGINT bucket), so
+    no schema replacement is ever needed. Replays no-op; a crash
+    after the sidecar write leaves the old index serving."""
+    from ..sources.txtable import TxTable
+
+    from .dedup import _write_json_atomic
+
+    app_id = app_id or f"hyperplane:{path}"
+    src_v = source.latest_version()
+    sigs_path = f"{path}/sigs_tx"
+    tx = TxTable(spark, sigs_path, log_store=log_store)
+    if not tx.exists():
+        raise ValueError(
+            f"no maintained hyperplane index at {path} — initialize "
+            f"with refresh_hyperplane_index first"
+        )
+    snap = tx.snapshot()
+    if snap.txns.get(app_id, -1) < 0:
+        raise ValueError(
+            f"table at {sigs_path} carries no {app_id!r} watermark — "
+            f"it is not this index's signatures table"
+        )
+    cur = _hyperplane_geometry(path, snap)
+    new_geo = {
+        "num_planes": cur["num_planes"] if num_planes is None else num_planes,
+        "dim": cur["dim"] if dim is None else dim,
+    }
+    if (
+        new_geo == cur
+        and src_v <= snap.txns.get(app_id, -1)
+        and src_v <= snap.txns.get(_HYPERPLANE_GEO_TXN, -1)
+    ):
+        return None
+
+    vecs = source.read(version=src_v).select(id_col, vec_col)
+    sigs = vecs.select(
+        id_col,
+        vec_col,
+        hyperplane_bits(
+            F.col(vec_col), new_geo["num_planes"], new_geo["dim"]
+        ).alias("bucket"),
+    )
+    _write_json_atomic(f"{path}/geometry_v{src_v}.json", new_geo)
+    tx.overwrite(
+        sigs, txn=[(app_id, src_v), (_HYPERPLANE_GEO_TXN, src_v)]
+    )
+    return src_v

@@ -437,6 +437,7 @@ class CadenceRunner:
         app_id: str | None = None,
         log_store=None,
         refresh_kwargs: dict | None = None,
+        migrate_geometry: dict | None = None,
         **kw,
     ) -> "CadenceRunner":
         """Scheduler wiring for the CDC-maintained hyperplane-LSH
@@ -449,19 +450,69 @@ class CadenceRunner:
         :meth:`for_table_maintenance` ``slower_than=[this runner]``).
         ``refresh_kwargs`` passes geometry (num_planes/dim) through to
         the INITIALIZING call; later conflicting folds are refused by
-        the refresher itself."""
+        the refresher itself. ``migrate_geometry`` is the
+        config-driven path onto ``rebuild_hyperplane_index`` — same
+        semantics as the minhash runner's knob (fresh index
+        initializes at the target; a differing frozen geometry
+        migrates on the first tick; later ticks fold)."""
         from ..operators import similarity as _sim
 
         rkw = dict(refresh_kwargs or {})
+        mig = dict(migrate_geometry or {})
+        if mig:
+            bad = set(mig) - {"num_planes", "dim"}
+            if bad:
+                raise ValueError(
+                    f"migrate_geometry accepts num_planes/dim only; "
+                    f"got {sorted(bad)}"
+                )
+            clash = set(mig) & set(rkw)
+            if clash:
+                raise ValueError(
+                    f"geometry keys {sorted(clash)} appear in BOTH "
+                    f"refresh_kwargs and migrate_geometry — declare the "
+                    f"target geometry once, in migrate_geometry"
+                )
 
         def pipeline(fire_ts: float) -> None:
+            fold_kw = rkw
+            if mig:
+                from ..sources.txtable import TxTable
+
+                tx = TxTable(
+                    spark, f"{index_path}/sigs_tx", log_store=log_store
+                )
+                if not tx.exists():
+                    fold_kw = {**rkw, **mig}
+                else:
+                    cur = _sim._hyperplane_geometry(
+                        index_path, tx.snapshot()
+                    )
+                    if {**cur, **mig} != cur:
+                        rv = _sim.rebuild_hyperplane_index(
+                            spark,
+                            source,
+                            index_path,
+                            app_id=app_id,
+                            log_store=log_store,
+                            **mig,
+                        )
+                        logger.info(
+                            "hyperplane index %s geometry-migrated to "
+                            "%s at source version %s (fire %s)",
+                            index_path,
+                            {**cur, **mig},
+                            rv,
+                            fire_ts,
+                        )
+                        return
             v = _sim.refresh_hyperplane_index(
                 spark,
                 source,
                 index_path,
                 app_id=app_id,
                 log_store=log_store,
-                **rkw,
+                **fold_kw,
             )
             logger.info(
                 "hyperplane index %s at source version %s (fire %s)",

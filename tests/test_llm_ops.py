@@ -1485,6 +1485,105 @@ def test_refresh_hyperplane_index_maintains_under_dml(spark, tmp_path):
     assert capped == {(a, b) for a in range(4) for b in range(4) if a < b}
 
 
+def test_rebuild_hyperplane_index_migrates_geometry(spark, tmp_path):
+    """rebuild_hyperplane_index (r14): the embedding twin of the
+    minhash geometry migration. Endpoint pair-parity under old and
+    new plane counts; snapshot-resolved geometry (time travel pairs
+    old buckets with old planes); replay no-op; post-migration folds
+    freeze the NEW geometry; the cadence knob migrates on its first
+    differing tick."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.streaming.runner import (
+        CadenceRunner,
+    )
+    from tests.test_sources_streaming import _FakeClock
+
+    rng = np.random.default_rng(71)
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    src = TxTable.create(
+        spark, str(tmp_path / "src"), frame(range(30)), stats_columns=["vec_id"]
+    )
+    idx = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="initialize"):
+        sim.rebuild_hyperplane_index(spark, src, idx, num_planes=5)
+    sim.refresh_hyperplane_index(spark, src, idx, num_planes=3, dim=8)
+    sigs_tx = TxTable(spark, f"{idx}/sigs_tx")
+    v_old = sigs_tx.latest_version()
+
+    def adhoc(planes):
+        return sorted(
+            map(
+                tuple,
+                sim.cosine_near_dup_pairs(
+                    src.read(), threshold=0.2, bucket_planes=planes, dim=8
+                ).collect(),
+            )
+        )
+
+    def served():
+        return sorted(
+            map(
+                tuple,
+                sim.hyperplane_index_pairs(spark, idx, threshold=0.2)
+                .collect(),
+            )
+        )
+
+    assert served() == adhoc(3)
+
+    src.append(frame(range(100, 104)))
+    assert (
+        sim.rebuild_hyperplane_index(spark, src, idx, num_planes=5)
+        == src.latest_version()
+    )
+    assert served() == adhoc(5)
+    # replay no-op
+    hist = len(sigs_tx.history())
+    assert sim.rebuild_hyperplane_index(spark, src, idx, num_planes=5) is None
+    assert len(sigs_tx.history()) == hist
+    # time travel pairs old buckets with old planes
+    assert sim._hyperplane_geometry(idx, sigs_tx.snapshot(version=v_old)) == {
+        "num_planes": 3, "dim": 8,
+    }
+    assert sim._hyperplane_geometry(idx, sigs_tx.snapshot()) == {
+        "num_planes": 5, "dim": 8,
+    }
+    # folds after migration freeze the NEW geometry
+    src.delete(F.col("vec_id") % 9 == 4)
+    with pytest.raises(ValueError, match="rebuild_hyperplane_index"):
+        sim.refresh_hyperplane_index(spark, src, idx, num_planes=3)
+    assert (
+        sim.refresh_hyperplane_index(spark, src, idx, num_planes=5, dim=8)
+        == src.latest_version()
+    )
+    assert served() == adhoc(5)
+
+    # cadence knob: a runner with a wider target migrates, then folds
+    clk = _FakeClock(t0=0.0)
+    r = CadenceRunner.for_hyperplane_index_refresh(
+        spark, src, idx,
+        migrate_geometry={"num_planes": 4, "dim": 8},
+        clock=clk, sleep=clk.sleep,
+    )
+    r.run(max_cycles=1)
+    assert r.failures == 0
+    assert sim._hyperplane_geometry(idx, sigs_tx.snapshot())["num_planes"] == 4
+    src.append(frame(range(200, 203)))
+    r.run(max_cycles=2)
+    assert r.failures == 0
+    assert served() == adhoc(4)
+
+
 def test_rebuild_minhash_index_migrates_geometry(spark, tmp_path):
     """rebuild_minhash_index (r14, VERDICT r13 missing #2): geometry
     migration as a first-class op. Old→new geometry swap is atomic
