@@ -82,6 +82,10 @@ _CONSTRUCTION_EAGER = {
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
+    # r14: shares ann_ivf_full_probe's session-cached static index
+    # build; warm runs time the FILTERED probe (zone-map-pruned id
+    # range + residual predicate + exhaustive-list rerank)
+    "ann_ivf_filtered_topk",
     "semdedup_clusters",
     # r11 (VERDICT r10 #6): the scratch-table build + DML history run
     # once at construction; warm runs measure the VIEW READ + FOLD
@@ -335,6 +339,13 @@ _NEW_R14 = [
     # bounded exact-cosine verify
     "dedup_embedding_maintained",
     "dedup_embedding_maintained_probe",
+    # filtered ANN: exhaustive IVF probe with a zone-map-pruned id
+    # range + residual predicate on the postings side (index built
+    # once per session; warm runs time the filtered probe)
+    "ann_ivf_filtered_topk",
+    # hybrid RRF: BM25 arm + cosine arm + k-sized fusion — warm runs
+    # time both corpus passes plus the bounded fusion join/window
+    "hybrid_rrf_topk_docs",
 ]
 
 HEADLINE = (

@@ -1239,3 +1239,173 @@ def pagerank_customer_supplier_df(
 @register("pagerank_customer_supplier", _PAGERANK_ORACLE)
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_customer_supplier_df(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# FILTERED ANN (r14): predicate-restricted vector search — the
+# tenant/shard/attribute-filter query every vector store grows, here
+# as a pushdown into the IVF probe: `where_range` zone-map-prunes the
+# postings read on the id stats (conjunctive with the `_list`
+# pruning on the maintained layout; parquet row-group stats on the
+# static one), `where` applies the residual predicate before the
+# rerank, so the top-k is computed among MATCHING rows only and the
+# ranking shuffle never carries a filtered-out candidate. Probing
+# every list keeps the filtered result exact, so the oracle is brute
+# force + WHERE — a full value-hash gate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivf_filtered_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(
+                          list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) DESC,
+                        e.vec_id ASC
+             ) AS rank
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id BETWEEN 100 AND 399 AND e.vec_id % 3 <> 1
+    )
+    SELECT query_id, vec_id, rank FROM scored WHERE rank <= 10
+    """,
+)
+def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = _ivf_index_dir(spark, sf_dir)
+    return sim.ivf_index_topk(
+        spark,
+        path,
+        queries,
+        k=10,
+        n_probe=8,  # probe every list => exhaustive => filtered-exact
+        dim=64,
+        where="vec_id % 3 != 1",
+        where_range=("vec_id", 100, 399),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HYBRID RETRIEVAL (r14): reciprocal rank fusion of the BM25 text
+# arm and the cosine vector arm over the shared documents/embeddings
+# id space — operators/retrieval.py. Both arms' ranks are already
+# cross-engine deterministic (BM25 scores bit-match by the
+# driver-side-idf argument on bm25_topk_docs; cosine ranks by the
+# ann_cosine_topk spelling), and the fusion adds only
+# 1.0/(60 + rank) terms — one correctly-rounded IEEE division of
+# exact integers per arm, summed in fixed arm order — so the fused
+# scores value-hash exactly. Fusion work is k-sized (top lists only);
+# the corpus-scale cost lives in the two arms.
+# ---------------------------------------------------------------------------
+
+_HYBRID_TERMS = ["vector", "join", "stream"]
+_HYBRID_QV_ID = 7
+_HYBRID_K, _HYBRID_K_EACH, _HYBRID_RRF_K = 10, 20, 60
+
+
+def _hybrid_rrf_oracle() -> str:
+    k1, b = 1.2, 0.75
+    k1p1 = f"{(k1 + 1.0)!r}::DOUBLE"
+    one_minus_b = f"{(1.0 - b)!r}::DOUBLE"
+    k1s, bs = f"{k1!r}::DOUBLE", f"{b!r}::DOUBLE"
+    terms = _HYBRID_TERMS
+    dfs = ",\n             ".join(
+        f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    tfs = ",\n            ".join(
+        f"len(list_filter(toks, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    score = "0.0"
+    for i in range(len(terms)):
+        score += (
+            f"\n           + ln(1 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+            f" * (t.tf{i} * {k1p1})"
+            f" / (t.tf{i} + {k1s} * ({one_minus_b} + {bs} * t.dl / s.avgdl))"
+        )
+    rk = _HYBRID_RRF_K
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+             END AS dl,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             {dfs}
+      FROM d
+    ), t AS (
+      SELECT doc_id, dl,
+            {tfs}
+      FROM d
+    ), bm AS (
+      SELECT t.doc_id, {score} AS score
+      FROM t CROSS JOIN s
+    ), brank AS (
+      SELECT doc_id, text_rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS text_rank
+        FROM bm
+      ) WHERE text_rank <= {_HYBRID_K_EACH}
+    ), qv AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id = {_HYBRID_QV_ID}
+    ), vrank AS (
+      SELECT doc_id, vec_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY list_cosine_similarity(
+                            list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                            qv.v) DESC,
+                          e.vec_id ASC
+               ) AS vec_rank
+        FROM embeddings e CROSS JOIN qv
+      ) WHERE vec_rank <= {_HYBRID_K_EACH}
+    ), fused AS (
+      SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             b.text_rank, v.vec_rank,
+             COALESCE((1.0::DOUBLE) / ({rk} + b.text_rank), 0.0::DOUBLE)
+               + COALESCE((1.0::DOUBLE) / ({rk} + v.vec_rank), 0.0::DOUBLE)
+               AS rrf_score
+      FROM brank b FULL OUTER JOIN vrank v ON b.doc_id = v.doc_id
+    )
+    SELECT doc_id, text_rank, vec_rank, rrf_score, rank FROM (
+      SELECT doc_id, text_rank, vec_rank, rrf_score,
+             ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= {_HYBRID_K}
+    """
+
+
+@register("hybrid_rrf_topk_docs", _hybrid_rrf_oracle())
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import retrieval as rt
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == _HYBRID_QV_ID).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return rt.hybrid_rrf_topk(
+        docs,
+        emb,
+        _HYBRID_TERMS,
+        queries,
+        k=_HYBRID_K,
+        k_each=_HYBRID_K_EACH,
+        rrf_k=_HYBRID_RRF_K,
+        dim=64,
+    )

@@ -1127,27 +1127,53 @@ class TxTable:
             .unionByName(ins.select(*order))
         )
 
-    def read_pruned(self, column: str, lower, upper, version: int | None = None) -> DataFrame:
+    def read_pruned(
+        self,
+        column: str,
+        lower,
+        upper,
+        version: int | None = None,
+        extra: "list[tuple] | None" = None,
+    ) -> DataFrame:
         """Zone-map file skipping: read only files whose [min, max]
         range for ``column`` overlaps [lower, upper], with the residual
         filter applied on top. The file list shrink happens BEFORE
         Spark ever sees a path — the log's answer to partition pruning,
-        effective on any stats column, not just a partition key."""
+        effective on any stats column, not just a partition key.
+
+        ``extra`` (r14, the filtered-ANN probe): further
+        ``(column, lower, upper)`` constraints INTERSECTED with the
+        primary one — a file survives only if every constraint's
+        interval overlaps its zone map, and every residual range
+        filter is applied on top. This is conjunctive multi-column
+        skipping (Delta/Iceberg data-skipping semantics): each extra
+        clustered dimension multiplies the skip rate."""
         snap = self.snapshot(version)
-        if column not in snap.stats_columns:
-            raise ValueError(
-                f"{column!r} carries no zone-map stats (have {snap.stats_columns})"
-            )
-        pcol = snap.phys(column)  # file stats are keyed physical
+        constraints = [(column, lower, upper)] + [
+            (c, lo, hi) for c, lo, hi in (extra or [])
+        ]
+        for c, _, _ in constraints:
+            if c not in snap.stats_columns:
+                raise ValueError(
+                    f"{c!r} carries no zone-map stats (have {snap.stats_columns})"
+                )
         keep = []
         for p, meta in snap.files.items():
-            mn, mx = meta["stats"].get(pcol, [None, None])
-            if mn is None or mx is None:  # stat-less file: cannot skip
-                keep.append(p)
-            elif not (mx < lower or mn > upper):
+            ok = True
+            for c, lo, hi in constraints:
+                pcol = snap.phys(c)  # file stats are keyed physical
+                mn, mx = meta["stats"].get(pcol, [None, None])
+                if mn is None or mx is None:  # stat-less: cannot skip
+                    continue
+                if mx < lo or mn > hi:
+                    ok = False
+                    break
+            if ok:
                 keep.append(p)
         df = self._read_snapshot(snap, keep)
-        return df.filter((F.col(column) >= lower) & (F.col(column) <= upper))
+        for c, lo, hi in constraints:
+            df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+        return df
 
     def bloom_keep_files(
         self, column: str, value, version: int | None = None

@@ -2606,3 +2606,188 @@ def test_pq_adc_join_probe_zero_norm_query_parity(spark):
         emb, queries, k=3, probe="join").collect()))
     assert drv == jnd
     assert {q for q, _, _ in drv} == {0, 1, 2, 9001}
+
+
+def test_rrf_fuse_semantics(spark):
+    """rrf_fuse (r14): contribution math, one-armed documents, the
+    (score desc, id asc) tie-break, and the input contracts."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        retrieval as rt,
+    )
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, rank long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rt.rrf_fuse(
+            [("x", a), ("y", b)], k=10, rrf_k=60, id_col="doc_id"
+        ).collect()
+    }
+    assert set(out) == {10, 20, 30, 40}
+    # doc 20 sums both arms; 10/30/40 ride one arm each (NULL other)
+    assert out[20]["x_rank"] == 2 and out[20]["y_rank"] == 1
+    assert out[10]["y_rank"] is None and out[40]["x_rank"] is None
+    assert out[20]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    assert out[10]["rrf_score"] == 1.0 / 61
+    # fused order: 20 (two arms) first; 10 and 40?  1/61 > 1/62, and
+    # the equal-score pair (30 at 1/63 vs nothing) orders by id
+    ranks = {d: r["rank"] for d, r in out.items()}
+    assert ranks[20] == 1 and ranks[10] == 2 and ranks[40] == 3
+    assert ranks[30] == 4
+    # equal rrf ties break by id: two docs alone at the same rank
+    c = spark.createDataFrame([(7, 1), (3, 1)], "doc_id long, rank long")
+    d = spark.createDataFrame(
+        [(99, 1)], "doc_id long, rank long"
+    ).limit(0)
+    tie = rt.rrf_fuse([("u", c), ("v", d)], k=10).collect()
+    assert [r["doc_id"] for r in sorted(tie, key=lambda r: r["rank"])] == [3, 7]
+    with pytest.raises(ValueError, match="non-empty"):
+        rt.rrf_fuse([], k=5)
+    with pytest.raises(ValueError, match="distinct"):
+        rt.rrf_fuse([("x", a), ("x", b)], k=5)
+
+
+def test_hybrid_rrf_topk_matches_manual_fusion(spark):
+    """hybrid_rrf_topk == manually fusing its two arms' top lists —
+    the operator adds exactly the RRF arithmetic, nothing else."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        retrieval as rt,
+    )
+
+    docs = read_testdata(spark, SF_SMOKE, "documents")
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = {
+        r["doc_id"]: r
+        for r in rt.hybrid_rrf_topk(
+            docs, emb, ["vector", "join"], queries,
+            k=8, k_each=15, rrf_k=60, dim=64,
+        ).collect()
+    }
+    srank = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            tx.bm25_topk(docs, ["vector", "join"], k=15).collect()
+        )
+    }
+    vrank = {
+        r["vec_id"]: r["rank"]
+        for r in sim.brute_force_topk(emb, queries, k=15, dim=64).collect()
+    }
+    fused = {
+        d: (1.0 / (60 + srank[d]) if d in srank else 0.0)
+        + (1.0 / (60 + vrank[d]) if d in vrank else 0.0)
+        for d in set(srank) | set(vrank)
+    }
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert [(d, s) for d, s in want] == [
+        (d, got[d]["rrf_score"])
+        for d in [d for d, _ in want]
+    ]
+    for rank_pos, (d, _) in enumerate(want, start=1):
+        assert got[d]["rank"] == rank_pos
+        assert got[d]["text_rank"] == srank.get(d)
+        assert got[d]["vec_rank"] == vrank.get(d)
+
+
+def test_ivf_filtered_probe_parity_and_pruning(spark, tmp_path):
+    """Filtered ANN (r14): the predicate restricts the top-k to
+    matching rows only — on BOTH probe modes and BOTH index layouts —
+    and `where_range` skips files via the maintained postings' id
+    zone maps (conjunctive with the `_list` pruning)."""
+    import numpy as np
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    flt = (F.col("vec_id") >= 100) & (F.col("vec_id") <= 299) & (
+        F.col("vec_id") % 2 == 0
+    )
+    want = sorted(
+        map(
+            tuple,
+            sim.brute_force_topk(
+                emb.filter(flt), queries, k=5, dim=64
+            ).collect(),
+        )
+    )
+    kw = dict(
+        k=5, n_probe=6, dim=64,
+        where="vec_id % 2 = 0", where_range=("vec_id", 100, 299),
+    )
+
+    # static layout (partitionBy directories)
+    static = str(tmp_path / "static")
+    sim.build_ivf_index(emb, static, n_lists=6, n_iter=4, seed=3)
+    for probe in ("driver", "join"):
+        got = sorted(map(tuple, sim.ivf_index_topk(
+            spark, static, queries, probe=probe, **kw).collect()))
+        assert got == want, probe
+
+    # maintained layout: one file per id-range slice => zone maps on
+    # vec_id can skip files the range excludes
+    src = TxTable.create(
+        spark, str(tmp_path / "src"),
+        emb.filter("vec_id < 100").repartition(1),
+    )
+    for lo in range(100, 500, 100):
+        src.append(
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)
+            ).repartition(1)
+        )
+    maint = str(tmp_path / "maint")
+    assert sim.refresh_ivf_index(
+        spark, src, maint, n_lists=6, n_iter=4, seed=3
+    ) == 4
+    for probe in ("driver", "join"):
+        got = sorted(map(tuple, sim.ivf_index_topk(
+            spark, maint, queries, probe=probe, **kw).collect()))
+        assert got == want, probe
+
+    # the conjunctive skip itself, on a layout where the second
+    # dimension is actually clustered: one file per (bucket, id
+    # slice) — read_pruned(extra=) must intersect BOTH zone maps and
+    # open a strict subset, and an after-the-fact optimize(zorder_by)
+    # is what re-clusters a churned postings table into this shape
+    zt_path = str(tmp_path / "zt")
+    zt = None
+    for bucket in range(2):
+        for lo in (0, 100, 200):
+            part = emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)
+            ).select(F.lit(bucket).alias("_list"), "vec_id", "embedding")
+            if zt is None:
+                zt = TxTable.create(
+                    spark, zt_path, part.repartition(1),
+                    stats_columns=["_list", "vec_id"],
+                )
+            else:
+                zt.append(part.repartition(1))
+    full = zt.read_pruned("_list", 0, 1)
+    ranged = zt.read_pruned("_list", 0, 1, extra=[("vec_id", 100, 199)])
+    one_bucket = zt.read_pruned(
+        "_list", 1, 1, extra=[("vec_id", 100, 199)]
+    )
+    assert len(full.inputFiles()) == 6
+    assert len(ranged.inputFiles()) == 2
+    assert len(one_bucket.inputFiles()) == 1
+    assert one_bucket.count() == 100
+    assert ranged.count() == 200
+
+    # read_pruned(extra=) contract: unknown stats column refused
+    with pytest.raises(ValueError, match="zone-map"):
+        zt.read_pruned("_list", 0, 5, extra=[("embedding", 0, 1)])

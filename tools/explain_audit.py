@@ -898,6 +898,50 @@ def main() -> None:
             "row fails if the rank filter stops planning a Partial "
             "group limit)",
         ),
+        (
+            "ann_ivf_filtered_topk",
+            "filtered probe: id range pushed to the postings scan, "
+            "list pruning intact",
+            lambda p: "GreaterThanOrEqual(vec_id,100)" in p
+            and "LessThanOrEqual(vec_id,399)" in p
+            and re.search(r"PartitionFilters: \[[^\]]*_list", p),
+            "r14 filtered ANN: the where_range predicate reaches the "
+            "postings scan as PushedFilters (row-group/file skipping "
+            "— the maintained layout additionally zone-map-prunes "
+            "files BEFORE Spark sees a path) while the `_list IN` "
+            "partition pruning still restricts the probe to routed "
+            "lists: conjunctive data skipping, so a tenant-filtered "
+            "search of a 100 TB index reads only matching slices of "
+            "probed lists",
+        ),
+        (
+            "ann_ivf_filtered_topk",
+            "rerank sees only MATCHING candidates; partial top-k "
+            "before the ranking exchange",
+            lambda p: re.search(r"WindowGroupLimit.*Partial", p, re.DOTALL)
+            and "BatchEvalPython" not in p
+            and "ArrowEvalPython" not in p,
+            "the residual predicate filters candidates before the "
+            "cosine rerank, and the rank≤k filter plans the map-side "
+            "WindowGroupLimit — the ranking shuffle carries at most "
+            "partitions·q·k MATCHING rows, never a filtered-out "
+            "candidate; scoring stays in JVM codegen",
+        ),
+        (
+            "hybrid_rrf_topk_docs",
+            "fusion inputs are BOUNDED: both arms top-k before the "
+            "fused window",
+            lambda p: count_ops(p, "TakeOrderedAndProject") >= 1
+            and count_ops(p, "WindowGroupLimit") >= 1
+            and "BatchEvalPython" not in p
+            and "ArrowEvalPython" not in p,
+            "r14 hybrid RRF: the BM25 arm ends in a "
+            "TakeOrderedAndProject and the dense arm in the partial-"
+            "top-k WindowGroupLimit, so the fusion join + ranking "
+            "window only ever see Σ k_each rows — the unpartitioned "
+            "fused window is k-sized by construction, never a corpus "
+            "funnel, and every score expression is JVM codegen",
+        ),
     ]
 
     lines = [
