@@ -86,6 +86,10 @@ _CONSTRUCTION_EAGER = {
     # build; warm runs time the FILTERED probe (zone-map-pruned id
     # range + residual predicate + exhaustive-list rerank)
     "ann_ivf_filtered_topk",
+    # r14: scratch (text, embedding) corpus + DML + BOTH index folds
+    # run at construction; warm runs time hybrid serving from the
+    # maintained states (no corpus access — plan-audited)
+    "hybrid_rrf_maintained",
     "semdedup_clusters",
     # r11 (VERDICT r10 #6): the scratch-table build + DML history run
     # once at construction; warm runs measure the VIEW READ + FOLD
@@ -346,6 +350,10 @@ _NEW_R14 = [
     # hybrid RRF: BM25 arm + cosine arm + k-sized fusion — warm runs
     # time both corpus passes plus the bounded fusion join/window
     "hybrid_rrf_topk_docs",
+    # maintained hybrid: scratch corpus + both index folds at
+    # construction; warm runs time the two STATE-SERVED arms (text
+    # state scoring + exhaustive maintained-postings probe) + fusion
+    "hybrid_rrf_maintained",
 ]
 
 HEADLINE = (

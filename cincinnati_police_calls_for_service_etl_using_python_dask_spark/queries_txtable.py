@@ -986,14 +986,17 @@ def _bm25_maintained_oracle() -> str:
     """
 
 
-@register("bm25_maintained_topk", _bm25_maintained_oracle())
-def q_bm25_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_serve_from_state(
+    state: DataFrame, terms: "list[str]", k: int, k1: float, b: float
+) -> DataFrame:
+    """Shared BM25-from-maintained-state serving tail: score and
+    rank from the live (term, doc, __w) rows ONLY — no corpus
+    access. Split out of ``bm25_maintained_topk`` (r14) so the
+    maintained hybrid arm serves through the identical expressions
+    (bit-exactness doctrine: driver-side idf literals, fixed-order
+    per-term fold)."""
     import math
 
-    from .queries_curation2 import _BM25_B, _BM25_K, _BM25_K1, _BM25_TERMS
-
-    terms, k1, b = list(_BM25_TERMS), _BM25_K1, _BM25_B
-    state = _ivm_df_state(spark, sf_dir)
     live = state.filter(F.col("__w") > 0)
 
     # index-sized stats pass (the state, never the corpus): one
@@ -1042,5 +1045,259 @@ def q_bm25_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.select(F.col("doc_id"), score.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(_BM25_K)
+        .limit(k)
+    )
+
+
+@register("bm25_maintained_topk", _bm25_maintained_oracle())
+def q_bm25_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_curation2 import _BM25_B, _BM25_K, _BM25_K1, _BM25_TERMS
+
+    return _bm25_serve_from_state(
+        _ivm_df_state(spark, sf_dir),
+        list(_BM25_TERMS), _BM25_K, _BM25_K1, _BM25_B,
+    )
+
+
+# ---------------------------------------------------------------------------
+# HYBRID RETRIEVAL SERVED WHOLLY FROM MAINTAINED STATE (r14): the
+# capstone of the maintained-index family — ONE churned corpus
+# (doc_id, text, embedding), BOTH index tiers maintained over it (the
+# (term, doc, tf) text state and the CDC-folded IVF postings), and
+# the hybrid RRF query answered without touching the corpus: the
+# sparse arm scores from the text state (driver-side idf literals),
+# the dense arm probes the maintained postings exhaustively (== brute
+# force over the live corpus, the ann_ivf_index_maintained trick),
+# and the fusion is the k-sized rrf_fuse tail. Freshness is part of
+# the gate: one query term ('zqdrift') exists ONLY in post-init
+# edits, and the DML negates some vectors — a stale index fails the
+# oracle, which replays the DML in SQL and recomputes both arms from
+# scratch.
+# ---------------------------------------------------------------------------
+
+_HYB_M_TERMS = ["vector", "stream", "zqdrift"]
+_HYB_M_K, _HYB_M_K_EACH, _HYB_M_RRF_K = 10, 20, 60
+_HYB_M_QV_ID = 7
+_HYB_M_LISTS = 8
+
+_HYB_M_STATES: dict[tuple[int, str], tuple] = {}
+
+
+def _hybrid_maintained_state(spark: SparkSession, sf_dir: str) -> tuple:
+    """Build (once per session+corpus) the maintained pair behind
+    hybrid_rrf_maintained: scratch source TxTable of
+    (doc_id, text, embedding) → init BOTH indexes at v0 → DML churn
+    touching BOTH modalities (late append, text edit, vector negate,
+    delete) → fold BOTH (one delta merge for the text state, one CDC
+    MERGE for the postings). Returns (text_state, ivf_path). All of
+    this is construction work; warm runs time the two SERVING arms."""
+    from .operators import ivm
+    from .operators import similarity as sim
+    from .operators import text as txt
+
+    key = (id(spark), sf_dir)
+    cached = _HYB_M_STATES.get(key)
+    if cached is not None:
+        return cached
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    n = base.count()
+    c1 = int(0.7 * n)
+    scratch = tempfile.mkdtemp(prefix="txtable_hybm_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    src = TxTable.create(
+        spark,
+        os.path.join(scratch, "src"),
+        base.filter(F.col("doc_id") < c1),
+        stats_columns=["doc_id"],
+    )
+
+    def expand(df: DataFrame) -> DataFrame:
+        extra = ["_change_type"] if "_change_type" in df.columns else []
+        return df.select(
+            "doc_id", *extra, F.explode(txt.tokens("text")).alias("term")
+        ).filter(F.col("term") != "")
+
+    keys = ["term", "doc_id"]
+    state = ivm.state_of(expand(src.read(version=0)), keys)
+    idx = os.path.join(scratch, "ivf")
+    assert (
+        sim.refresh_ivf_index(
+            spark, src, idx, n_lists=_HYB_M_LISTS, n_iter=4, seed=7,
+            id_col="doc_id", vec_col="embedding",
+        )
+        == 0
+    )
+
+    # churn on BOTH modalities, then one fold per index
+    src.append(base.filter(F.col("doc_id") >= c1))
+    src.update(
+        F.col("doc_id") % 5 == 2,
+        {"text": F.concat(F.col("text"), F.lit(" zqdrift zqdrift"))},
+    )
+    src.update(
+        F.col("doc_id") % 7 == 3,
+        {"embedding": F.transform(F.col("embedding"), lambda x: -x)},
+    )
+    src.delete(F.col("doc_id") % 9 == 4)
+
+    feed = expand(src.change_feed("doc_id", 0, src.latest_version()))
+    state = ivm.merge_states(
+        state, ivm.delta_state(feed, keys), keys
+    ).localCheckpoint(eager=True)
+    assert (
+        sim.refresh_ivf_index(
+            spark, src, idx, n_lists=_HYB_M_LISTS,
+            id_col="doc_id", vec_col="embedding",
+        )
+        == 4
+    )
+    _HYB_M_STATES[key] = (state, idx)
+    return _HYB_M_STATES[key]
+
+
+def _hybrid_maintained_oracle() -> str:
+    from .queries_curation2 import _BM25_B, _BM25_K1
+
+    k1, b = _BM25_K1, _BM25_B
+    k1p1 = f"{(k1 + 1.0)!r}::DOUBLE"
+    one_minus_b = f"{(1.0 - b)!r}::DOUBLE"
+    k1s, bs = f"{k1!r}::DOUBLE", f"{b!r}::DOUBLE"
+    terms = _HYB_M_TERMS
+    dfs = ",\n         ".join(
+        f"(SELECT COUNT(DISTINCT doc_id) FROM tok2 WHERE term = '{t}') AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    tfs = ",\n            ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    score = "0.0"
+    for i in range(len(terms)):
+        score += (
+            f"\n           + ln(1 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+            f" * (t.tf{i} * {k1p1})"
+            f" / (t.tf{i} + {k1s} * ({one_minus_b} + {bs} * t.dl / s.avgdl))"
+        )
+    rk = _HYB_M_RRF_K
+    return f"""
+    WITH base AS (
+      SELECT d.doc_id, d.text, e.embedding
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    upd AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 2 THEN text || ' zqdrift zqdrift'
+                  ELSE text END AS text,
+             CASE WHEN doc_id % 7 = 3 THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM base
+    ),
+    fin AS (SELECT * FROM upd WHERE doc_id % 9 <> 4),
+    tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM fin
+    ),
+    tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+    s AS (
+      SELECT (SELECT COUNT(*) FROM dl) AS n,
+             (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dl) AS avgdl,
+         {dfs}
+    ),
+    tfx AS (
+      SELECT doc_id,
+            {tfs}
+      FROM tok2 GROUP BY doc_id
+    ),
+    t AS (
+      SELECT d.doc_id, d.dl,
+             {", ".join(f"COALESCE(x.tf{i}, 0) AS tf{i}" for i in range(len(terms)))}
+      FROM dl d LEFT JOIN tfx x USING (doc_id)
+    ),
+    bm AS (
+      SELECT t.doc_id, {score} AS score
+      FROM t CROSS JOIN s
+    ),
+    brank AS (
+      SELECT doc_id, text_rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS text_rank
+        FROM bm
+      ) WHERE text_rank <= {_HYB_M_K_EACH}
+    ),
+    qv AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id = {_HYB_M_QV_ID}
+    ),
+    vrank AS (
+      SELECT doc_id, vec_rank FROM (
+        SELECT f.doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY list_cosine_similarity(
+                            list_transform(f.embedding, x -> CAST(x AS DOUBLE)),
+                            qv.v) DESC,
+                          f.doc_id ASC
+               ) AS vec_rank
+        FROM fin f CROSS JOIN qv
+      ) WHERE vec_rank <= {_HYB_M_K_EACH}
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             b.text_rank, v.vec_rank,
+             COALESCE((1.0::DOUBLE) / ({rk} + b.text_rank), 0.0::DOUBLE)
+               + COALESCE((1.0::DOUBLE) / ({rk} + v.vec_rank), 0.0::DOUBLE)
+               AS rrf_score
+      FROM brank b FULL OUTER JOIN vrank v ON b.doc_id = v.doc_id
+    )
+    SELECT doc_id, text_rank, vec_rank, rrf_score, rank FROM (
+      SELECT doc_id, text_rank, vec_rank, rrf_score,
+             ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= {_HYB_M_K}
+    """
+
+
+@register("hybrid_rrf_maintained", _hybrid_maintained_oracle())
+def q_hybrid_rrf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators import retrieval as rt
+    from .operators import similarity as sim
+    from .queries_curation2 import _BM25_B, _BM25_K1
+
+    state, idx = _hybrid_maintained_state(spark, sf_dir)
+
+    sparse = _bm25_serve_from_state(
+        state, _HYB_M_TERMS, _HYB_M_K_EACH, _BM25_K1, _BM25_B
+    )
+    sparse = sparse.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    queries = (
+        read_testdata(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == _HYB_M_QV_ID)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    dense = sim.ivf_index_topk(
+        spark, idx, queries,
+        k=_HYB_M_K_EACH, n_probe=_HYB_M_LISTS,  # exhaustive => exact
+        id_col="doc_id", vec_col="embedding", dim=64,
+    ).select("doc_id", "rank")
+    return rt.rrf_fuse(
+        [("text", sparse), ("vec", dense)],
+        k=_HYB_M_K, rrf_k=_HYB_M_RRF_K, id_col="doc_id",
     )

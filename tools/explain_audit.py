@@ -942,6 +942,24 @@ def main() -> None:
             "fused window is k-sized by construction, never a corpus "
             "funnel, and every score expression is JVM codegen",
         ),
+        (
+            "hybrid_rrf_maintained",
+            "ZERO corpus access at serve time: one parquet scan "
+            "(maintained postings), text arm from stored state, no "
+            "Python",
+            lambda p: "documents" not in p
+            and len(re.findall(r"(?m)^\(\d+\) Scan parquet", p)) == 1
+            and "BatchEvalPython" not in p
+            and "ArrowEvalPython" not in p,
+            "r14 maintained-hybrid capstone: the sparse arm scores "
+            "from the (term, doc, tf) IVM state and the dense arm "
+            "probes the CDC-maintained postings (its one parquet "
+            "scan), so hybrid RAG-style retrieval never re-tokenizes "
+            "or re-scans a 100 TB corpus between folds — the "
+            "search-engine serving shape with CDC freshness (one "
+            "query term exists only in post-init edits, so a stale "
+            "index fails the value-hash oracle)",
+        ),
     ]
 
     lines = [
