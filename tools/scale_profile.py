@@ -109,6 +109,12 @@ QUERIES = [
     # serving (stored buckets+vectors vs DuckDB re-bucketing the
     # replayed corpus with plane literals from scratch)
     "dedup_embedding_maintained",
+    # r14: hybrid RRF served wholly from maintained state (text state
+    # scoring + exhaustive maintained-postings probe + k-sized
+    # fusion) vs DuckDB recomputing BOTH arms from the replayed
+    # corpus — serving cost must track index/state size, not corpus
+    # tokenize/scan cost, so the ratio falls as data grows
+    "hybrid_rrf_maintained",
 ]
 
 TABLES = (
