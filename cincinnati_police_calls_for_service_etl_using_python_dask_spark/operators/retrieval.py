@@ -128,6 +128,17 @@ def hybrid_rrf_topk(
     from .similarity import brute_force_topk
     from .text import bm25_topk
 
+    # the hybrid query is ONE query spelled two ways — a multi-row
+    # dense frame would silently multiply fusion-join rows once
+    # query_id is dropped. Bounded check (2-row read, one tiny job —
+    # the same construction-time cost class as the BM25 stats pass).
+    if len(queries.select(query_id_col).limit(2).collect()) != 1:
+        raise ValueError(
+            "hybrid_rrf_topk fuses ONE hybrid query: `queries` must "
+            "have exactly one row (fan multi-query workloads out "
+            "over rrf_fuse directly)"
+        )
+
     sparse = bm25_topk(
         docs, query_terms, k=k_each, k1=k1, b=b,
         id_col=id_col, text_col=text_col,

@@ -2791,3 +2791,22 @@ def test_ivf_filtered_probe_parity_and_pruning(spark, tmp_path):
     # read_pruned(extra=) contract: unknown stats column refused
     with pytest.raises(ValueError, match="zone-map"):
         zt.read_pruned("_list", 0, 5, extra=[("embedding", 0, 1)])
+
+
+def test_hybrid_rrf_topk_refuses_multi_row_query(spark):
+    """The dense arm's query frame must be the hybrid query's one
+    vector — a multi-row frame would silently multiply fusion rows."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        retrieval as rt,
+    )
+
+    docs = read_testdata(spark, SF_SMOKE, "documents")
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    two = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    with pytest.raises(ValueError, match="exactly one row"):
+        rt.hybrid_rrf_topk(docs, emb, ["vector"], two, k=5)
+    with pytest.raises(ValueError, match="exactly one row"):
+        rt.hybrid_rrf_topk(docs, emb, ["vector"], two.limit(0), k=5)
