@@ -425,6 +425,7 @@ def cube_from_partials(
     partials: Mapping[str, Column],
     reaggs: Mapping[str, Column],
     finalize: Mapping[str, Column] | None = None,
+    finest_partitions: int | None = None,
 ) -> DataFrame:
     """CUBE over DECOMPOSABLE aggregates via partial re-aggregation —
     the scale spelling of :func:`cube_agg`.
@@ -449,7 +450,18 @@ def cube_from_partials(
     ``finalize`` (optional) maps the partial columns to the output
     ones (rounding, casts). Missing keys in coarser tiers are typed
     NULL literals, exactly CUBE's subtotal rows; rows whose key VALUE
-    is NULL group under NULL in every tier, also CUBE's rule."""
+    is NULL group under NULL in every tier, also CUBE's rule.
+
+    ``finest_partitions`` (r14, guide §2.4): when the caller KNOWS the
+    finest tier is small (the product of the key cardinalities — enum
+    keys like status × priority bound it at dozens of rows),
+    ``finest_partitions=1`` coalesces the finest aggregate so every
+    coarser tier re-aggregates a single-partition child: a 1-partition
+    input satisfies any clustering requirement, so EnsureRequirements
+    inserts NO exchange per tier (measured on the 2-key orders cube:
+    4 Exchange → 1, one post-shuffle stage wave instead of two, rows
+    identical). Leave ``None`` for high-cardinality finest tiers —
+    the per-tier exchanges there are real repartitions, not overhead."""
     keys = list(keys)
     key_types = dict(
         (f.name, f.dataType) for f in df.select(*keys).schema.fields
@@ -457,6 +469,8 @@ def cube_from_partials(
     finest = df.groupBy(*keys).agg(
         *[c.alias(n) for n, c in partials.items()]
     )
+    if finest_partitions is not None:
+        finest = finest.coalesce(finest_partitions)
     part_names = list(partials)
     frames = [finest.select(*keys, *part_names)]
     # all proper subsets, by bitmask (2^n - 1 of them, n is small)
@@ -489,6 +503,7 @@ def grouping_sets_from_partials(
     reaggs: Mapping[str, Column],
     finalize: Mapping[str, Column] | None = None,
     grouping_cols: Mapping[str, str] | None = None,
+    finest_partitions: int | None = None,
 ) -> DataFrame:
     """Arbitrary ``GROUPING SETS`` over DECOMPOSABLE aggregates via
     partial re-aggregation — :func:`cube_from_partials` generalized
@@ -510,6 +525,10 @@ def grouping_sets_from_partials(
     is exactly the semantics (a genuine NULL key value keeps
     indicator 0 in tiers that group by it). A set equal to ``keys``
     reuses the finest frame directly (no re-aggregation).
+
+    ``finest_partitions`` — see :func:`cube_from_partials`: pass 1
+    when the finest tier is provably small to plan every requested
+    set's re-aggregation exchange-free off the one shared shuffle.
     """
     keys = list(keys)
     key_types = dict(
@@ -529,6 +548,8 @@ def grouping_sets_from_partials(
     finest = df.groupBy(*keys).agg(
         *[c.alias(n) for n, c in partials.items()]
     )
+    if finest_partitions is not None:
+        finest = finest.coalesce(finest_partitions)
     part_names = list(partials)
     gcols = dict(grouping_cols or {})
     frames = []

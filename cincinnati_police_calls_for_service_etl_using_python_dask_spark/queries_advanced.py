@@ -130,6 +130,10 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders": F.col("n_orders"),
             "sum_price": F.round("__sum_dec", 2).cast("double"),
         },
+        # r14 (guide §2.4): status × priority is ≤ 15 rows at any SF,
+        # so the three coarser tiers re-aggregate a single-partition
+        # finest frame exchange-free (4 Exchange → 1).
+        finest_partitions=1,
     )
 
 

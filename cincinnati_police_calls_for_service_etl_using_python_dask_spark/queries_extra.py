@@ -55,14 +55,31 @@ def q_exists_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     li.createOrReplaceTempView("__q4_lineitem")
     # SQL spelling on purpose: exercises Catalyst's RewritePredicateSubquery
     # (EXISTS -> LeftSemi join) rather than hand-building the semi join.
+    #
+    # r14 (guide §2.3/§3.1): the subquery pre-reduces lineitem to
+    # (l_orderkey, MAX(l_shipdate)) before the correlation — EXISTS(l:
+    # l_shipdate > d) ⟺ MAX(l_shipdate) > d because the predicate is
+    # monotone in l_shipdate (and an all-NULL group yields NULL > d =
+    # false, exactly the EXISTS answer). The semi-join build side drops
+    # from every lineitem ROW (600 k at sf0.1, no pushable filter) to
+    # one row per orderkey (150 k), the reduction happens map-side as a
+    # partial_max before the exchange, and at cluster scale the same
+    # pre-aggregate shrinks the shuffled/broadcast bytes 4× regardless
+    # of join strategy. Measured 0.68 → 0.48 s warm at sf0.1, row
+    # parity verified. The EXISTS -> LeftSemi rewrite still fires (the
+    # plan keeps BroadcastHashJoin LeftSemi with the residual
+    # __max_ship > o_orderdate + 60d condition).
     return spark.sql(
         """
         SELECT o_orderpriority, CAST(COUNT(*) AS LONG) AS n_orders
         FROM __q4_orders
         WHERE EXISTS (
-          SELECT 1 FROM __q4_lineitem
-          WHERE l_orderkey = o_orderkey
-            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          SELECT 1 FROM (
+            SELECT l_orderkey, MAX(l_shipdate) AS __max_ship
+            FROM __q4_lineitem GROUP BY l_orderkey
+          ) lm
+          WHERE lm.l_orderkey = o_orderkey
+            AND lm.__max_ship > o_orderdate + INTERVAL 60 DAY
         )
         GROUP BY o_orderpriority
         """

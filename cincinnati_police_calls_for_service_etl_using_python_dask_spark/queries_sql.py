@@ -11,6 +11,8 @@ DataFrame/SQL duality the reference's fixed dataflow lacked.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -80,6 +82,12 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus": "g_status",
             "o_orderpriority": "g_priority",
         },
+        # r14 (guide §2.4): both keys are bounded enums (order status ×
+        # priority ≤ 15 combos at any scale), so the finest tier fits
+        # one partition and every requested set re-aggregates it
+        # exchange-free — 4 Exchange → 1 in the plan, one stage wave
+        # fewer per tier.
+        finest_partitions=1,
     )
     return out
 
@@ -110,22 +118,41 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micro-dollars (functions/scalar.py:revenue_micros contract) so the
     # ORDER BY key is cross-engine deterministic; the LIMIT compiles to
     # TakeOrderedAndProject, never a global sort.
+    #
+    # r14 (guide §3.1): the flat 3-relation spelling let Catalyst
+    # broadcast the FILTERED LINEITEM side (BuildRight over ~325 k rows
+    # at sf0.1 — the fact table, merely small enough to sneak under the
+    # 10 MB estimate). The (customer ⋈ orders) subtree — BUILDING
+    # segment × pre-1996 orders, ~20× fewer rows than the lineitem side
+    # at every scale factor — is the side a planner with real stats
+    # would build, so it is named as a subquery and hinted when the
+    # ORDERS scan is small enough that the filtered subtree provably
+    # fits a broadcast (file-size-derived, not core-count-derived: a
+    # <1 GiB orders parquet bounds the 3-column filtered join side well
+    # under the guide's few-hundred-MB comfort zone). Above the bound
+    # the hint is omitted and the planner shuffles both sides — the
+    # 100 TB-correct shape. Measured 0.59 → 0.31 s warm at sf0.1 (both
+    # joins BuildLeft, lineitem streams), row parity verified.
     register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    orders_bytes = os.path.getsize(os.path.join(sf_dir, "orders.parquet"))
+    hint = "/*+ BROADCAST(co) */ " if orders_bytes < (1 << 30) else ""
     return spark.sql(
-        """
-        SELECT l.l_orderkey,
+        f"""
+        SELECT {hint}l.l_orderkey,
                CAST(ROUND(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
                               * (10000 - CAST(FLOOR(l.l_discount * 10000 + 0.5) AS BIGINT)))
                           / 1000000.0, 2) AS DOUBLE)       AS revenue,
-               CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS order_date,
-               o.o_orderpriority
-        FROM customer c
-        JOIN orders o   ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE c.c_mktsegment = 'BUILDING'
-          AND o.o_orderdate < TIMESTAMP '1996-01-01'
-          AND l.l_shipdate  > TIMESTAMP '1996-01-01'
-        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+               CAST(CAST(co.o_orderdate AS DATE) AS STRING) AS order_date,
+               co.o_orderpriority
+        FROM (
+          SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority
+          FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+          WHERE c.c_mktsegment = 'BUILDING'
+            AND o.o_orderdate < TIMESTAMP '1996-01-01'
+        ) co
+        JOIN lineitem l ON l.l_orderkey = co.o_orderkey
+        WHERE l.l_shipdate > TIMESTAMP '1996-01-01'
+        GROUP BY l.l_orderkey, co.o_orderdate, co.o_orderpriority
         ORDER BY revenue DESC, l.l_orderkey
         LIMIT 10
         """

@@ -533,3 +533,67 @@ def test_grouping_sets_from_partials_matches_native(spark):
             df, keys=["k1"], sets=[],
             partials={"n": F.count(F.lit(1))}, reaggs={"n": F.sum("n")},
         )
+
+
+def test_partials_finest_coalesce_drops_tier_exchanges(spark):
+    """r14 (guide §2.4): with ``finest_partitions=1`` the coarser tiers
+    re-aggregate a single-partition finest frame, so the plan keeps
+    exactly ONE Exchange (the shared finest shuffle) — and the rows are
+    identical to the default spelling. Counted under AQE OFF (the bench
+    session below 1 GiB) so static exchange reuse makes the counts
+    deterministic; a DataFrame pins its physical plan at first use, so
+    the frames are built after the toggle."""
+    import io
+    from contextlib import redirect_stdout
+
+    def n_exchanges(frame) -> int:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            frame.explain("formatted")
+        return sum(
+            1
+            for line in buf.getvalue().splitlines()
+            if line.strip().startswith("(")
+            and line.split(")", 1)[-1].strip() == "Exchange"
+        )
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), (None, "x", 4), ("b", None, 8),
+         ("b", "y", 16), (None, None, 32)],
+        "k1 string, k2 string, v long",
+    )
+    kwargs = dict(
+        keys=["k1", "k2"],
+        sets=[["k1"], ["k2"], []],
+        partials={"n": F.count(F.lit(1)), "sv": F.sum("v")},
+        reaggs={"n": F.sum("n"), "sv": F.sum("sv")},
+        grouping_cols={"k1": "g1", "k2": "g2"},
+    )
+    key = lambda r: tuple(str(v) for v in r)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        base = ag.grouping_sets_from_partials(df, **kwargs)
+        fast = ag.grouping_sets_from_partials(
+            df, finest_partitions=1, **kwargs
+        )
+        assert n_exchanges(base) == 4  # finest + one per requested set
+        assert n_exchanges(fast) == 1  # the shared finest shuffle only
+        assert sorted(map(tuple, fast.collect()), key=key) == \
+               sorted(map(tuple, base.collect()), key=key)
+
+        # cube_from_partials threads the same knob
+        cube_kwargs = dict(
+            keys=["k1", "k2"],
+            partials={"n": F.count(F.lit(1)), "sv": F.sum("v")},
+            reaggs={"n": F.sum("n"), "sv": F.sum("sv")},
+        )
+        cbase = ag.cube_from_partials(df, **cube_kwargs)
+        cfast = ag.cube_from_partials(
+            df, finest_partitions=1, **cube_kwargs
+        )
+        assert n_exchanges(cfast) == 1
+        assert sorted(map(tuple, cfast.collect()), key=key) == \
+               sorted(map(tuple, cbase.collect()), key=key)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
