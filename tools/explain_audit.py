@@ -235,6 +235,16 @@ def main() -> None:
             "copies of every row (r8: the one RISING panel ratio)",
         ),
         (
+            "cube_orders_status_priority",
+            "coarser tiers re-aggregate exchange-free@noaqe",
+            lambda p: count_exchanges(p) == 1,
+            "r14 (guide §2.4): finest_partitions=1 coalesces the "
+            "bounded-enum finest tier (status × priority ≤ 15 rows at "
+            "any SF) to one partition, which satisfies every coarser "
+            "tier's clustering requirement — the plan keeps exactly "
+            "the one shared finest shuffle (was 4 Exchange)",
+        ),
+        (
             "pagerank_customer_supplier",
             "iterative joins stay hash-based, zero Python",
             lambda p: "CartesianProduct" not in p
@@ -280,6 +290,36 @@ def main() -> None:
             "per set (3x scan); the finest groupBy scans once and each "
             "requested set re-aggregates its tiny result (r9, same "
             "treatment CUBE got in r8)",
+        ),
+        (
+            "grouping_sets_orders",
+            "requested sets re-aggregate exchange-free@noaqe",
+            lambda p: count_exchanges(p) == 1,
+            "r14 (guide §2.4): same finest_partitions=1 treatment as "
+            "the cube — one shared finest shuffle, zero per-set "
+            "exchanges (was 4 Exchange / one extra stage wave per set)",
+        ),
+        (
+            "sql_shipping_priority_q3",
+            "fact table streams; dim-join side is the broadcast build",
+            lambda p: "BuildRight" not in p
+            and p.count("BroadcastHashJoin") >= 2,
+            "r14 (guide §3.1): the flat spelling broadcast the FILTERED "
+            "LINEITEM (fact) side because it sneaked under the 10 MB "
+            "estimate; the named (customer ⋈ orders) subtree — ~20× "
+            "fewer rows at every SF — is hinted (size-gated on the "
+            "orders scan, omitted above 1 GiB so the planner shuffles "
+            "both sides at scale) and lineitem is never collected",
+        ),
+        (
+            "exists_late_shipments",
+            "semi-join build side is the per-orderkey MAX, not raw rows",
+            lambda p: "partial_max" in p,
+            "r14 (guide §2.3): EXISTS(l: l_shipdate > d) ⟺ "
+            "MAX(l_shipdate) > d (monotone predicate), so the subquery "
+            "pre-reduces lineitem map-side before the exchange — build "
+            "side one row per orderkey (4× fewer at sf0.1, and the "
+            "shuffled bytes shrink identically at cluster scale)",
         ),
         (
             "sql_top_revenue_nations",
@@ -989,6 +1029,19 @@ def main() -> None:
                     # memoized from whatever conf was active first.
                     plans[(name, mode)] = plan_of(
                         build(name)(spark, SF_DIR).select("*"), mode
+                    )
+                finally:
+                    spark.conf.set("spark.sql.adaptive.enabled", "true")
+            elif mode == "noaqe":
+                # Formatted plan with AQE off: static exchange reuse
+                # (ReuseExchangeAndSubquery) then applies, so shared
+                # subtrees of a union print as ReusedExchange and
+                # count_exchanges counts the plan's REAL shuffles —
+                # the same shape the sub-GiB bench session executes.
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+                try:
+                    plans[(name, mode)] = plan_of(
+                        build(name)(spark, SF_DIR).select("*"), "formatted"
                     )
                 finally:
                     spark.conf.set("spark.sql.adaptive.enabled", "true")
