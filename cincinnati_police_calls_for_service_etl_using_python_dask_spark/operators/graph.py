@@ -112,18 +112,36 @@ def pagerank_fixed(
     that need the classic redistribution should add reverse edges
     (an undirected graph has no dangling nodes by construction).
 
-    Construction is partially EAGER: the deduplicated edge list and
-    node table are materialized once (localCheckpoint) so the
-    N-iteration lineage reads block-cached inputs instead of
-    re-running the upstream edge build per use (measured 6.1 s →
-    ~1.5 s at sf0.1 on the customer–supplier graph). The returned
-    ranks DataFrame itself is lazy. ``edge_partitions`` bounds the
-    checkpointed layout: an N-iteration chain is ~2N serial stages,
-    so per-task overhead multiplies by the partition count — at ~1M
-    edges, 8 partitions beat 32 by ~2× (size for ≥100k edges/task at
-    scale). ``bytes_per_node`` is the broadcast-budget estimate per
-    node row (key string + two longs) used by the measured-count
-    broadcast gate described in the module docstring.
+    Construction is partially EAGER: the deduplicated edge list
+    (with its source's out-degree folded in — see below) and the node
+    table are materialized once (localCheckpoint) so the N-iteration
+    lineage reads block-cached inputs instead of re-running the
+    upstream edge build per use (measured 6.1 s → ~1.5 s at sf0.1 on
+    the customer–supplier graph). The returned ranks DataFrame itself
+    is lazy. ``edge_partitions`` bounds the checkpointed layout: an
+    N-iteration chain is ~2N serial stages, so per-task overhead
+    multiplies by the partition count — at ~1M edges, 8 partitions
+    beat 32 by ~2× (size for ≥100k edges/task at scale).
+    ``bytes_per_node`` is the broadcast-budget estimate per node row
+    (key string + two longs) used by the measured-count broadcast
+    gate described in the module docstring.
+
+    Loop shape (r15, guide §2.4/§3 — VERDICT r14 #1): the iteration
+    carries ONLY the contribution table. rank is a pure integer
+    expression of contrib (``base + num·coalesce(contrib,0) div den``
+    — NULL contrib ⇔ no inbound mass ⇔ rank = base, exactly the old
+    nodes-LEFT-join fill), and out-degree rides ON the checkpointed
+    edge row, so one iteration is ONE join (edges ⋈ contrib) + one
+    groupBy(dst) instead of the former three joins (ranks ⋈ outdeg →
+    msg, edges ⋈ msg, nodes ⋈ contrib). Per iteration that is one
+    broadcast build in the serial chain instead of three (the
+    measured serial-stage floor on curation3_suite's pagerank
+    branch), and — on the no-hint path past the broadcast gate —
+    three shuffled joins collapse to one. The node table is only
+    touched once, AFTER the loop, to restore rank rows for nodes
+    with no inbound edges. Per-edge ``rank div deg`` equals the old
+    per-source ``rank div deg`` joined onto each edge: same integer,
+    computed edge-side.
 
     Returns (node, rank long). Deterministic and bit-identical across
     engines: every step is integer floor arithmetic.
@@ -135,7 +153,11 @@ def pagerank_fixed(
     ).distinct()
     if edge_partitions:
         e = e.coalesce(edge_partitions)
-    e = e.localCheckpoint(eager=True)
+    # Fold the out-degree onto each edge row before the checkpoint
+    # (src always joins: deg counts its own edges), so iterations
+    # never re-derive or re-join the degree table.
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = e.join(outdeg, "src").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -150,32 +172,34 @@ def pagerank_fixed(
         if budget > 0 and nodes.count() * bytes_per_node <= budget
         else (lambda df: df)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     base = int(scale) * (damping_den - damping_num) // damping_den
-    ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
+    # SQL `div`: exact integer division — never a double in the loop,
+    # so no float-rounding reasoning is needed.
+    rank_of_contrib = (
+        f"(CAST({base} AS BIGINT) + ({damping_num} * "
+        f"coalesce(contrib, CAST(0 AS BIGINT))) div {damping_den})"
+    )
+    contrib: DataFrame | None = None
     for _ in range(iterations):
-        # Pre-join the two node-sized tables so the edge list sees ONE
-        # join per iteration (message = rank div deg, keyed by src).
-        msg = (
-            hint(ranks.withColumnRenamed("node", "src"))
-            .join(hint(outdeg), "src")
-            .select(
+        if contrib is None:
+            # iteration 1: every rank is the uniform `scale` constant
+            m = F.expr(f"CAST({int(scale)} AS BIGINT) div deg")
+            msgs = e.select(F.col("dst").alias("node"), m.alias("m"))
+        else:
+            msgs = e.join(
+                hint(contrib.withColumnRenamed("node", "src")),
                 "src",
-                # SQL `div`: exact integer division — never a double in
-                # the loop, so no float-rounding reasoning is needed
-                F.expr("rank div deg").alias("m"),
+                "left",
+            ).select(
+                F.col("dst").alias("node"),
+                F.expr(f"{rank_of_contrib} div deg").alias("m"),
             )
+        contrib = msgs.groupBy("node").agg(F.sum("m").alias("contrib"))
+    if contrib is None:  # iterations == 0
+        return nodes.select(
+            "node", F.lit(int(scale)).cast("long").alias("rank")
         )
-        contrib = (
-            e.join(hint(msg), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("m").alias("contrib"))
-        )
-        ranks = nodes.join(hint(contrib), "node", "left").select(
-            "node",
-            F.expr(
-                f"CAST({base} + ({damping_num} * coalesce(contrib, 0)) "
-                f"div {damping_den} AS BIGINT)"
-            ).alias("rank"),
-        )
-    return ranks
+    return nodes.join(hint(contrib), "node", "left").select(
+        "node",
+        F.expr(f"CAST({rank_of_contrib} AS BIGINT)").alias("rank"),
+    )

@@ -51,22 +51,47 @@ def rrf_fuse(
     summed in ``parts`` order and ``rank`` the fused 1-based position
     (score desc, id asc tie-break).
 
-    The full-outer join chain and the ranking window both run over
-    k-sized inputs only — the unpartitioned window is bounded by
-    Σ |part| rows by construction, never corpus-scaled.
+    Fusion runs over k-sized inputs only — bounded by Σ |part| rows
+    by construction, never corpus-scaled.
+
+    Plan shape (r15, VERDICT r14 #4 / guide §2.4): the full-outer
+    join chain of N k-sized arms cost 2N exchanges + sorts (each arm
+    re-hashed by id for its SortMergeJoin FullOuter). A full-outer
+    join on a unique key is exactly UNION + one-row-per-part pivot,
+    so the arms union instead (each padding the other parts' rank
+    columns with typed NULLs) and one groupBy(id) MAX-folds them.
+    Because every arm is bounded at its k, the union is coalesce(1)d
+    first — the aggregate and the ranking window then run in that
+    single bounded partition with ZERO exchanges (SinglePartition
+    satisfies any clustering; same bounded-enum-key reasoning as
+    aggregates.finest_partitions). The coalesce is safe precisely
+    because of the top-list contract above: inputs are k-sized at any
+    corpus scale.
     """
     if not parts:
         raise ValueError("parts must be non-empty")
     names = [n for n, _ in parts]
     if len(set(names)) != len(names):
         raise ValueError(f"ranker names must be distinct, got {names}")
-    fused = None
+    unioned = None
     for name, p in parts:
-        p = p.select(
+        row = p.select(
             F.col(id_col),
-            F.col(rank_col).cast("long").alias(f"{name}_rank"),
+            *[
+                (
+                    F.col(rank_col).cast("long")
+                    if n == name
+                    else F.lit(None).cast("long")
+                ).alias(f"{n}_rank")
+                for n in names
+            ],
         )
-        fused = p if fused is None else fused.join(p, id_col, "full_outer")
+        unioned = row if unioned is None else unioned.unionByName(row)
+    fused = (
+        unioned.coalesce(1)
+        .groupBy(id_col)
+        .agg(*[F.max(f"{n}_rank").alias(f"{n}_rank") for n in names])
+    )
     score = None
     for name in names:
         term = F.coalesce(

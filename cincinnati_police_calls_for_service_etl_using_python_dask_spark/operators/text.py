@@ -1227,17 +1227,81 @@ def lm_surprise_filter(
     thr = int(sample_rate * TWO_POW_56)
     keep = hash56(F.col(id_col).cast("string"), seed=seed) < thr
     samp = _score(df.filter(keep))
-    w = Window.orderBy("surprise_micro", id_col)
-    ranked = samp.select(
+
+    # Exact distributed tercile selection (r15, VERDICT r14 #2 /
+    # guide §2). The former spelling ranked the whole sample with an
+    # unpartitioned row_number — a SinglePartition sort whose one task
+    # grows linearly with the corpus (the sample is RATE-bounded, not
+    # size-bounded). The cutoffs are k-th order statistics (k =
+    # ⌊m/3⌋, ⌊2m/3⌋ of the sample ordered by (surprise, id)), and an
+    # order statistic only depends on the VALUE multiset, so:
+    #   1. collapse the sample to per-value counts (map-combined
+    #      groupBy — shuffle bytes ∝ distinct values, not rows);
+    #   2. range-partition the value table (default shuffle-partition
+    #      count — the same scale knob as every other exchange) and
+    #      take a per-range-partition running count (window keyed by
+    #      spark_partition_id: each task holds ~1/P of the values);
+    #   3. turn running counts into GLOBAL cumulative counts with a
+    #      per-partition offset table (P rows — the only unpartitioned
+    #      window left is over partition COUNTS, bounded by the
+    #      shuffle-partition setting, never by data).
+    # A value v's rows occupy global ranks (cum−cnt+1 .. cum), so the
+    # old "max s over row_number·3 ≤ m" is exactly "max v with
+    # 3·(cum−cnt+1) ≤ m" — the doc_id tie-break cancels at value
+    # level. Empty sample: every relation below is empty and the final
+    # no-group agg still yields one all-NULL cuts row, as before.
+    vc = samp.groupBy("surprise_micro").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    rngd = vc.repartitionByRange(F.col("surprise_micro")).select(
+        "surprise_micro", "__cnt", F.spark_partition_id().alias("__p")
+    )
+    wrun = (
+        Window.partitionBy("__p")
+        .orderBy("surprise_micro")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = rngd.select(
         F.col("surprise_micro").alias("__s"),
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("__mm"),
+        "__cnt",
+        "__p",
+        F.sum("__cnt").over(wrun).alias("__run"),
+    )
+    pc = rngd.groupBy("__p").agg(F.sum("__cnt").alias("__pc"))
+    woff = Window.orderBy("__p").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("__p").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # one P-row pass carries BOTH the exclusive prefix (the partition's
+    # global offset) and the grand total m — same tiny WindowExec, no
+    # separate total aggregate / crossJoin stage in the serial chain
+    offs = pc.select(
+        "__p",
+        F.coalesce(F.sum("__pc").over(woff), F.lit(0).cast("long")).alias(
+            "__off"
+        ),
+        F.sum("__pc").over(wall).cast("long").alias("__mm"),
+    )
+    # merge-join, NOT broadcast (the planner's auto-estimate would
+    # broadcast offs, paying a separate build-job round-trip in the
+    # serial cuts chain): loc is already hash-clustered by __p from
+    # the running-count window, so the SMJ re-uses that clustering —
+    # no new exchange on the value side, one trivial per-partition
+    # sort (each task holds a single __p run), and the whole fit
+    # executes inside ONE job tree
+    ranked = loc.join(offs.hint("merge"), "__p").select(
+        "__s",
+        (F.col("__run") + F.col("__off") - F.col("__cnt") + F.lit(1))
+        .alias("__minrank"),
+        "__mm",
     )
     cuts = ranked.agg(
-        F.max(F.when(F.col("__rn") * 3 <= F.col("__mm"), F.col("__s"))).alias("__c1v"),
-        F.max(F.when(F.col("__rn") * 3 <= 2 * F.col("__mm"), F.col("__s"))).alias(
-            "__c2v"
-        ),
+        F.max(
+            F.when(F.col("__minrank") * 3 <= F.col("__mm"), F.col("__s"))
+        ).alias("__c1v"),
+        F.max(
+            F.when(F.col("__minrank") * 3 <= 2 * F.col("__mm"), F.col("__s"))
+        ).alias("__c2v"),
     )
     return doc.crossJoin(F.broadcast(cuts)).select(
         id_col,

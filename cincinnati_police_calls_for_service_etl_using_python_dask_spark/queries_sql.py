@@ -20,6 +20,22 @@ from .queries import register
 from .sources.files import read_testdata
 
 
+def _parquet_bytes(path: str) -> int:
+    """On-disk bytes of a parquet dataset: a single file's size, or —
+    the normal layout at cluster scale — the sum of data files inside
+    a directory-style dataset (ADVICE r14: ``os.path.getsize`` on a
+    directory returns the tiny dirent size, which would silently
+    defeat any size gate built on it)."""
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    return os.path.getsize(path)
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...]
 ) -> None:
@@ -127,15 +143,28 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at every scale factor — is the side a planner with real stats
     # would build, so it is named as a subquery and hinted when the
     # ORDERS scan is small enough that the filtered subtree provably
-    # fits a broadcast (file-size-derived, not core-count-derived: a
-    # <1 GiB orders parquet bounds the 3-column filtered join side well
-    # under the guide's few-hundred-MB comfort zone). Above the bound
-    # the hint is omitted and the planner shuffles both sides — the
-    # 100 TB-correct shape. Measured 0.59 → 0.31 s warm at sf0.1 (both
-    # joins BuildLeft, lineitem streams), row parity verified.
+    # fits a broadcast (file-size-derived, not core-count-derived).
+    # Above the bound the hint is omitted and the planner shuffles
+    # both sides — the 100 TB-correct shape. Measured 0.59 → 0.31 s
+    # warm at sf0.1 (both joins BuildLeft, lineitem streams), row
+    # parity verified.
+    #
+    # r15 (ADVICE r14): bound tightened 1 GiB → 256 MiB and made
+    # directory-layout-safe. The gate compares the WHOLE orders
+    # parquet's compressed on-disk size against the bound, but what
+    # broadcasts is the filtered 3-column subtree IN MEMORY — parquet
+    # expands 3-10× decompressed, offset by the BUILDING×pre-1996
+    # filter (~1/5 of rows) and the 3-of-9 column projection (~1/3 of
+    # width): at 256 MiB on disk the built relation is bounded well
+    # under the guide §3.1 few-hundred-MB comfort zone even with zero
+    # filter selectivity credit, where the old 1 GiB bound could reach
+    # multiple GB per executor near the edge. _parquet_bytes sums data
+    # files when the dataset is a directory (getsize on a directory
+    # returns the dirent size — the hint would otherwise fire at any
+    # scale).
     register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
-    orders_bytes = os.path.getsize(os.path.join(sf_dir, "orders.parquet"))
-    hint = "/*+ BROADCAST(co) */ " if orders_bytes < (1 << 30) else ""
+    orders_bytes = _parquet_bytes(os.path.join(sf_dir, "orders.parquet"))
+    hint = "/*+ BROADCAST(co) */ " if orders_bytes < (256 << 20) else ""
     return spark.sql(
         f"""
         SELECT {hint}l.l_orderkey,

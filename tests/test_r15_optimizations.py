@@ -1,0 +1,181 @@
+"""r15 optimization-round pins: each changed operator keeps its
+semantics AND its new plan shape.
+
+- pagerank's contrib-only loop (graph.py) must stay bit-identical to
+  the definitional integer recurrence and must not regrow the old
+  per-iteration join triple;
+- the LM tercile fit (text.py) must keep exact value-level selection
+  while planning NO corpus-scaled single-partition sort;
+- rrf_fuse (retrieval.py) must fuse with zero exchanges past the arms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# pagerank: contrib-only loop ≡ the definitional recurrence
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_reference(edges, iterations, scale=1_000_000, num=85, den=100):
+    """Plain-python integer PageRank, the spec the operator implements."""
+    from collections import defaultdict
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    base = scale * (den - num) // den
+    rank = {n: scale for n in nodes}
+    for _ in range(iterations):
+        contrib = defaultdict(int)
+        for s, d in edges:
+            contrib[d] += rank[s] // deg[s]
+        rank = {n: base + (num * contrib.get(n, 0)) // den for n in nodes}
+    return rank
+
+
+def test_pagerank_contrib_loop_matches_reference(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.graph import (
+        pagerank_fixed,
+    )
+
+    # asymmetric digraph with a dangling node (c→ nothing… b has no
+    # out-edge), a self-feeding hub, and a node with no inbound edges
+    edges = [
+        ("a", "b"), ("a", "c"), ("c", "a"), ("d", "a"),
+        ("d", "b"), ("c", "b"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for iters in (0, 1, 3):
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank_fixed(df, iterations=iters).collect()
+        }
+        assert got == _pagerank_reference(edges, iters), f"iters={iters}"
+
+
+def test_pagerank_plan_is_one_join_per_iteration(spark, tmp_path):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.graph import (
+        pagerank_fixed,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string"
+    )
+    plan = _plan(pagerank_fixed(df, iterations=3))
+    # 2 iteration joins (iteration 1 is join-free) + the final nodes
+    # restore = 3; the old loop planned 9 (3 per iteration)
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# LM tercile fit: exact distributed selection, no corpus-scaled
+# single-partition sort
+# ---------------------------------------------------------------------------
+
+
+def test_lm_tercile_cutoffs_exact_on_skewed_values(spark):
+    """The distributed k-th-order-statistic respelling must reproduce
+    the definitional row-level ranking on a value distribution with
+    heavy duplicates (rank ties spanning range partitions)."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.functions.hashing import (
+        TWO_POW_56,
+        hash56,
+    )
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.text import (
+        LM_SAMPLE_RATE,
+        LM_SAMPLE_SEED,
+        lm_surprise_filter,
+    )
+
+    # docs engineered so surprise values collide heavily: tiny vocab,
+    # repeated bigrams
+    rows = []
+    words = ["aa", "bb", "cc"]
+    for i in range(240):
+        w1, w2 = words[i % 3], words[(i // 3) % 3]
+        rows.append((i, f"{w1} {w2} {w1} {w2}", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = lm_surprise_filter(docs).collect()
+    assert len(out) == 240
+
+    # reference: rank the SAME hash sample row-level, in python
+    scored = {r["doc_id"]: r["surprise_micro"] for r in out}
+    thr = int(LM_SAMPLE_RATE * TWO_POW_56)
+    sample_ids = [
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id",
+            hash56(F.col("doc_id").cast("string"), seed=LM_SAMPLE_SEED).alias(
+                "h"
+            ),
+        ).collect()
+        if r["h"] < thr
+    ]
+    ranked = sorted((scored[i], i) for i in sample_ids)
+    m = len(ranked)
+    assert m > 10  # the fixture must actually exercise the fit
+    c1 = max((s for j, (s, _) in enumerate(ranked, 1) if j * 3 <= m), default=None)
+    c2 = max(
+        (s for j, (s, _) in enumerate(ranked, 1) if j * 3 <= 2 * m), default=None
+    )
+
+    def bucket(s):
+        if c1 is not None and s <= c1:
+            return "head"
+        if c2 is not None and s <= c2:
+            return "middle"
+        return "tail"
+
+    for r in out:
+        assert r["ppl_bucket"] == bucket(r["surprise_micro"]), r
+
+
+def test_lm_fit_plans_no_corpus_scaled_single_partition_sort(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.text import (
+        lm_surprise_filter,
+    )
+
+    # enough rows that the hash sample is non-empty — over a literal
+    # LocalRelation Catalyst folds the sample filter at plan time, and
+    # an empty fold would collapse the whole fit subtree to
+    # LocalTableScan <empty>, hiding the shape this test pins
+    docs = spark.createDataFrame(
+        [(i, "aa bb aa bb", "en") for i in range(60)],
+        "doc_id long, text string, lang string",
+    )
+    plan = _plan(lm_surprise_filter(docs).select("*"))
+    assert "rangepartitioning(surprise_micro" in plan, plan
+    assert "row_number" not in plan  # the old sample-wide ranking
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse: union+pivot fusion — no exchange past the arms
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_plans_zero_exchanges_for_local_arms(spark):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators import (
+        retrieval as rt,
+    )
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long")
+    fused = rt.rrf_fuse([("x", a), ("y", b)], k=3)
+    plan = _plan(fused.select("*"))
+    # local arms: the whole fusion (union → coalesce(1) → pivot agg →
+    # ranking window → filter) must add NO exchange at all
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" not in plan and "FullOuter" not in plan
+    rows = {r["doc_id"]: r for r in fused.collect()}
+    assert rows[2]["x_rank"] == 2 and rows[2]["y_rank"] == 1
+    assert rows[1]["y_rank"] is None and rows[3]["x_rank"] is None
+    assert rows[2]["rank"] == 1  # in both lists → highest fused score

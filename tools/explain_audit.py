@@ -939,6 +939,87 @@ def main() -> None:
             "group limit)",
         ),
         (
+            "dedup_lsh_maintained",
+            "serve plan has EXACTLY ONE Generate (band-explode of "
+            "stored signatures) — the corpus re-tokenize/re-hash "
+            "Generate is gone@noaqe",
+            lambda p: count_ops(p, "Generate") == 1,
+            "r15 (VERDICT r14 #6): the r14 prose overstated the "
+            "serve shape as 'zero Generate' — the true invariant is "
+            "ONE: stored signatures band-explode at serve time (an "
+            "array unnest over already-computed minhashes, no "
+            "tokenization), and serving must never regrow the second "
+            "Generate that re-hashed the corpus before the r14 "
+            "maintained-state respelling (2 scans → 1)",
+        ),
+        (
+            "pagerank_customer_supplier",
+            "iteration carries ONLY contrib: exactly 3 joins total "
+            "(2 iteration joins + the final nodes restore), none "
+            "sort-merge",
+            lambda p: count_ops(p, "BroadcastHashJoin") == 3
+            and count_ops(p, "SortMergeJoin") == 0,
+            "r15 (VERDICT r14 #1, guide §2.4): rank is a pure integer "
+            "expression of contrib and out-degree rides on the "
+            "checkpointed edge row, so iteration 1 plans NO join and "
+            "each later iteration exactly one (edges ⋈ contrib) — the "
+            "former per-iteration ranks⋈outdeg + edges⋈msg + "
+            "nodes⋈contrib triple (9 joins, ~9 serial broadcast-build "
+            "jobs) is 3 joins / 3 builds; this row fails if the loop "
+            "regrows a join",
+        ),
+        (
+            "lm_perplexity_filter_docs",
+            "tercile fit is distributed: sampled values range-"
+            "partitioned, no corpus-scaled row_number",
+            lambda p: "rangepartitioning(surprise_micro" in p
+            and "row_number" not in p,
+            "r15 (VERDICT r14 #2, guide §2): the cutoff fit was an "
+            "unpartitioned row_number — a SinglePartition sort whose "
+            "one task grows linearly with the corpus (rate-bounded "
+            "sample). Now: per-value counts (map-combined) → "
+            "Exchange(rangepartitioning) → per-partition running "
+            "count + P-row offset table; every remaining "
+            "SinglePartition exchange feeds a scalar aggregate or "
+            "the P-row offset window, never sample rows",
+        ),
+        (
+            "hybrid_rrf_topk_docs",
+            "RRF fusion is exchange-free past the arms: union + "
+            "coalesce(1) + pivot aggregate, no FullOuter "
+            "SortMergeJoin@noaqe",
+            lambda p: count_ops(p, "Exchange") == 2
+            and "FullOuter" not in p
+            and count_ops(p, "Union") == 1
+            and count_ops(p, "Coalesce") == 1,
+            "r15 (VERDICT r14 #4, guide §2.4): the k-sized arm "
+            "full-outer join cost 2 exchanges + sorts; arms now "
+            "unionByName into ONE bounded partition (top-list "
+            "contract: ≤ Σ k_each rows at any corpus scale) where "
+            "the pivot aggregate and ranking window run "
+            "SinglePartition-satisfied — plan keeps exactly the two "
+            "arm-internal exchanges (bm25 tf agg, dense top-k)",
+        ),
+        (
+            "txbatch_read_events",
+            "snapshot range read takes the native fast path: Scan "
+            "parquet with the range in PushedFilters, no Python "
+            "BatchScan",
+            lambda p: "BatchScan" not in p
+            and "GreaterThanOrEqual(event_id,1000)" in p
+            and "LessThanOrEqual(event_id,1999)" in p
+            and count_ops(p, "Exchange") == 0,
+            "r15 (VERDICT r14 #3, guide §4 — the cfb08f2 pattern): "
+            "the read was a Python-DataSource BatchScan whose "
+            "per-action planning round-trip walled ~0.3 s flat; a "
+            "plain snapshot-range read needs nothing the Python "
+            "protocol uniquely provides, so it serves as native "
+            "parquet scans (zone-map file prune driver-side, DV mask "
+            "one broadcast anti-join, range pushed to the scan). "
+            "Python-protocol reads stay gated via "
+            "txbatch_change_feed_events + tests/test_txbatch.py",
+        ),
+        (
             "ann_ivf_filtered_topk",
             "filtered probe: id range pushed to the postings scan, "
             "list pruning intact",
@@ -1021,7 +1102,11 @@ def main() -> None:
                 # AQE wraps the plan in AdaptiveSparkPlan before any
                 # stage is finalized, so the codegen walker sees zero
                 # subtrees; probe with AQE off (plan shape question,
-                # not an execution question).
+                # not an execution question). Restore the SAVED prior
+                # value, not a hardcoded "true" (ADVICE r14: a
+                # hardcoded restore silently flips AQE for later
+                # checks if the session default ever changes).
+                prev = spark.conf.get("spark.sql.adaptive.enabled")
                 spark.conf.set("spark.sql.adaptive.enabled", "false")
                 try:
                     # .select("*") forces a fresh QueryExecution: the
@@ -1031,20 +1116,21 @@ def main() -> None:
                         build(name)(spark, SF_DIR).select("*"), mode
                     )
                 finally:
-                    spark.conf.set("spark.sql.adaptive.enabled", "true")
+                    spark.conf.set("spark.sql.adaptive.enabled", prev)
             elif mode == "noaqe":
                 # Formatted plan with AQE off: static exchange reuse
                 # (ReuseExchangeAndSubquery) then applies, so shared
                 # subtrees of a union print as ReusedExchange and
                 # count_exchanges counts the plan's REAL shuffles —
                 # the same shape the sub-GiB bench session executes.
+                prev = spark.conf.get("spark.sql.adaptive.enabled")
                 spark.conf.set("spark.sql.adaptive.enabled", "false")
                 try:
                     plans[(name, mode)] = plan_of(
                         build(name)(spark, SF_DIR).select("*"), "formatted"
                     )
                 finally:
-                    spark.conf.set("spark.sql.adaptive.enabled", "true")
+                    spark.conf.set("spark.sql.adaptive.enabled", prev)
             elif mode == "nobroadcast":
                 # Plan with auto-broadcast disabled: any surviving
                 # BroadcastExchange must come from a hard hint.
@@ -1060,6 +1146,14 @@ def main() -> None:
                 plans[(name, mode)] = plan_of(build(name)(spark, SF_DIR), mode)
         ok = bool(pred(plans[(name, mode)]))
         failures += not ok
+        if not ok:
+            # dump the plan a failing predicate saw — without this a
+            # ❌ row is undebuggable (the memoized plan may have been
+            # built under a different conf state than a fresh session)
+            fp = f"/tmp/explain_audit_fail_{name}_{mode}.txt"
+            with open(fp, "w") as fh:
+                fh.write(plans[(name, mode)])
+            print(f"FAIL {name} [{prop[:60]}] plan -> {fp}")
         lines.append(f"| {name} | {prop} | {'✅' if ok else '❌'} | {why} |")
 
     lines += [
