@@ -198,7 +198,7 @@ the reader). Post-change member walls (sf0.1, same window):
 | dataframe_merge | 0.14 s | anti join + union over parquet |
 | txtable_lifecycle | 0.08 s | snapshot read (post-lifecycle) |
 | cdc_feed / column_mapping / shallow_clone | 0.03-0.07 s | pruned snapshot/CDC reads |
-| txbatch_read | 0.31-0.36 s | Python DataSource fixed spin-up (the deliberate gate of that binding — flat at every SF) |
+| txbatch_read | 0.31-0.36 s | Python DataSource fixed spin-up (r15: respelled as the native snapshot read — 0.06-0.08 s, see the r15 note below) |
 | ivm | 0.26 s | base scan + CDC delta fold + merge + finalize |
 | ivm_join | 0.35 s | was 0.80 s — two native CDC feed scans + Δ(A⋈B) fold |
 
@@ -436,12 +436,14 @@ def main() -> None:
         "basis for accepting the sub-second sf0.1 residue as floor, not",
         "fat.",
         "",
-        "txbatch_read_events' flat ~0.3 s (any SF) is the Python",
-        "DataSource scan's fixed worker spin-up — the per-query cost of",
-        "crossing into Python for planning+read, not data work (its DuckDB",
-        "twin is a trivially pruned filter). Its ratio falls by an order",
-        "of magnitude across the panel's 100x span (the table above) and",
-        "keeps falling with data; the per-row path is Arrow-batched.",
+        "txbatch_read_events carried a flat ~0.3 s (any SF) Python-",
+        "DataSource planning/worker spin-up through r14; r15 (VERDICT",
+        "r14 #3) serves the snapshot range read as native parquet scans",
+        "(zone-map prune driver-side, broadcast anti-join DV mask) and",
+        "the row now reads ~0.06 s at sf0.01/sf0.1 — construction (the",
+        "format-API write + DELETE) still dominates the sf0.001 cold",
+        "column. The Python-protocol read cost remains measured by the",
+        "txbatch_change_feed_events row, the binding that still needs it.",
         "",
         "text_profile_docs' r12 COMPARE move (1.23x -> 1.63x on an",
         "unchanged PLANS.md-pinned zero-exchange single-codegen-scan",
