@@ -30,6 +30,9 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # window attribution (VERDICT r14 #8): record load at both ends so
+    # a committed COMPARE carries its own weather evidence
+    load_start = [round(x, 2) for x in os.getloadavg()]
 
     import duckdb
 
@@ -130,6 +133,8 @@ def main() -> None:
           f"{len(rows) - n_gated} unpaired)")
     out = {
         "sf_dir": sf_dir,
+        "loadavg_start": load_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "spark": spk,
         "duckdb": duck,
         "ratios": {r[0]: r[3] for r in rows if r[3] is not None},
