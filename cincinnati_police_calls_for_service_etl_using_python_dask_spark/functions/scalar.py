@@ -103,3 +103,24 @@ def null_percent_exprs(columns: list[str], scale: int = 1) -> list[Column]:
         F.round(F.avg(F.col(c).isNull().cast("int")) * 100, scale).alias(c)
         for c in columns
     ]
+
+
+def empty_frame(spark, schema):
+    """Typed EMPTY DataFrame as a pure-JVM relation (r15).
+
+    ``spark.createDataFrame([], schema)`` plans as ``Scan ExistingRDD``
+    — a Python-RDD scan whose every downstream ACTION pays ~0.25-0.4 s
+    of Python-worker round-trips on a local[32] session, even with
+    zero rows. ``range(0)`` + typed NULL casts yields the identical
+    schema (createDataFrame also surfaces every field nullable) as an
+    empty JVM relation: ~0.05 s per action, and statically
+    empty-foldable by Catalyst. Used by the snapshot/CDC read paths
+    whose pruning can legitimately eliminate every file (point lookup
+    misses, out-of-range scans) — at serving scale those are hot
+    paths, not edges.
+    """
+    from pyspark.sql import functions as F
+
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )

@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..functions.hashing import hash56
+from ..functions.scalar import empty_frame
 
 
 def _to_double(arr: Column) -> Column:
@@ -1271,7 +1272,7 @@ def _postings_frame(
             # empty frame gracefully; min()/max() over an empty probe
             # set would raise instead (ADVICE r11) — short-circuit to
             # the same typed empty relation without opening any file.
-            return spark.createDataFrame([], snap.schema)
+            return empty_frame(spark, snap.schema)
         pruned = tx.read_pruned(
             "_list", min(probed_lists), max(probed_lists),
             version=snap.version, extra=id_ranges,

@@ -79,6 +79,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.scalar import empty_frame
+
 LOG_DIR = "_txlog"
 CDC_DIR = "_change_data"
 CHECKPOINT_INTERVAL = 10
@@ -906,7 +908,7 @@ class TxTable:
     def _read_snapshot(self, snap: Snapshot, paths: list[str] | None = None) -> DataFrame:
         use = paths if paths is not None else list(snap.files)
         if not use:
-            return self.spark.createDataFrame([], snap.schema)
+            return empty_frame(self.spark, snap.schema)
         if any(snap.files.get(p, {}).get("dv") for p in use):
             # merge-on-read: mask deletion-vector positions
             return self._read_snapshot_meta(snap, use).drop("__file", "__pos")
@@ -938,7 +940,7 @@ class TxTable:
             ]
         )
         if not use:
-            return self.spark.createDataFrame([], meta_schema)
+            return empty_frame(self.spark, meta_schema)
         df = snap.to_logical(
             self.spark.read.schema(snap.physical_schema()).parquet(
                 *[os.path.join(self.path, p) for p in use]
@@ -2602,7 +2604,7 @@ class TxTable:
                     T.StructField("_commit_version", T.LongType()),
                 ]
             )
-            return self.spark.createDataFrame([], empty)
+            return empty_frame(self.spark, empty)
         return out
 
     def expire_log(self, before_version: int | None = None) -> list[str]:

@@ -158,6 +158,48 @@ def test_lm_fit_plans_no_corpus_scaled_single_partition_sort(spark):
 
 
 # ---------------------------------------------------------------------------
+# empty_frame: typed empty relations stay pure-JVM
+# ---------------------------------------------------------------------------
+
+
+def test_empty_frame_is_jvm_local_and_schema_identical(spark):
+    """The snapshot/CDC prune-to-zero paths return typed empty frames;
+    those must plan as JVM relations (no `Scan ExistingRDD`, whose
+    Python partitions cost ~0.3 s per downstream action) with exactly
+    the schema createDataFrame([], schema) produced."""
+    from pyspark.sql.types import StructType
+
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.functions.scalar import (
+        empty_frame,
+    )
+
+    st = StructType.fromDDL(
+        "k long, s string, ts timestamp_ntz, a array<float>, d double"
+    )
+    e = empty_frame(spark, st)
+    assert e.schema == spark.createDataFrame([], st).schema
+    assert e.count() == 0
+    assert "ExistingRDD" not in _plan(e)
+
+
+def test_txtable_prune_to_zero_read_is_jvm_empty(spark, tmp_path):
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.sources.txtable import (
+        TxTable,
+    )
+
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "pz"),
+        spark.createDataFrame([(1, 10)], "k long, v long").coalesce(1),
+        stats_columns=["k"],
+    )
+    miss = t.read_pruned("k", 100, 200)  # zone maps eliminate every file
+    assert miss.count() == 0
+    assert miss.schema == t.read().schema
+    assert "ExistingRDD" not in _plan(miss)
+
+
+# ---------------------------------------------------------------------------
 # rrf_fuse: union+pivot fusion — no exchange past the arms
 # ---------------------------------------------------------------------------
 
