@@ -111,16 +111,26 @@ def empty_frame(spark, schema):
     ``spark.createDataFrame([], schema)`` plans as ``Scan ExistingRDD``
     — a Python-RDD scan whose every downstream ACTION pays ~0.25-0.4 s
     of Python-worker round-trips on a local[32] session, even with
-    zero rows. ``range(0)`` + typed NULL casts yields the identical
-    schema (createDataFrame also surfaces every field nullable) as an
+    zero rows. ``range(0)`` + typed NULL casts yields the same-typed
     empty JVM relation: ~0.05 s per action, and statically
     empty-foldable by Catalyst. Used by the snapshot/CDC read paths
     whose pruning can legitimately eliminate every file (point lookup
     misses, out-of-range scans) — at serving scale those are hot
     paths, not edges.
+
+    A NULL-cast column is nullable, so when the target schema carries
+    a non-nullable TOP-LEVEL field (``.to(schema)`` refuses that
+    direction) this falls back to the classic path to keep the
+    returned schema EXACTLY what createDataFrame([], schema) produced
+    — every current caller's schema is parquet/StructField-default
+    (all nullable), so the fallback is a schema-fidelity guard, not a
+    live path. Nested nullability flags live in the field dataType and
+    survive the cast either way.
     """
     from pyspark.sql import functions as F
 
+    if not all(f.nullable for f in schema.fields):
+        return spark.createDataFrame([], schema)
     return spark.range(0).select(
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
     )

@@ -66,7 +66,15 @@ def rrf_fuse(
     satisfies any clustering; same bounded-enum-key reasoning as
     aggregates.finest_partitions). The coalesce is safe precisely
     because of the top-list contract above: inputs are k-sized at any
-    corpus scale.
+    corpus scale. Caveat for callers: coalesce is NARROW and
+    propagates upstream through narrow lineage — an arm whose top
+    list arrives as a bare multi-partition scan (no window/TakeOrdered
+    boundary of its own) would have that scan squeezed into one task.
+    Every ranker in this repo ends in a TakeOrdered or rank window (a
+    partitioning boundary), which the contract's "rank 1 = best"
+    column already implies; keep arms that way rather than swapping
+    in repartition(1), which would reintroduce the exchange this
+    spelling removes.
     """
     if not parts:
         raise ValueError("parts must be non-empty")

@@ -1267,6 +1267,18 @@ def lm_surprise_filter(
         "__p",
         F.sum("__cnt").over(wrun).alias("__run"),
     )
+    # INVARIANT (pinned in PLANS.md + tests): `rngd` has two consumers
+    # — the running-count window and this per-partition total — and
+    # the offset math is only valid when both observe the IDENTICAL
+    # physical range partitioning. Spark guarantees that via exchange
+    # reuse (static ReuseExchangeAndSubquery with AQE off, stage-cache
+    # reuse under AQE — both default-on): the plan carries exactly ONE
+    # rangepartitioning exchange, the second consumer a ReusedExchange.
+    # If a conf/planner change ever re-executed the subtree instead,
+    # the two RangePartitioners would sample different boundaries
+    # (seeded by rdd.id) and the offsets would silently misalign —
+    # which is why the audit row fails loudly on a second
+    # rangepartitioning exchange rather than trusting the default.
     pc = rngd.groupBy("__p").agg(F.sum("__cnt").alias("__pc"))
     woff = Window.orderBy("__p").rowsBetween(Window.unboundedPreceding, -1)
     wall = Window.orderBy("__p").rowsBetween(

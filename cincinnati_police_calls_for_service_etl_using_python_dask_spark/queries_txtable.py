@@ -28,7 +28,9 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from .functions.scalar import empty_frame
 from .queries import register
 from .sources.files import read_testdata
 from .sources.txtable import TxTable
@@ -228,7 +230,7 @@ def q_txstream_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = TxTable.create(
         spark,
         os.path.join(scratch, "b"),
-        spark.createDataFrame([], "event_id long, event_type string"),
+        empty_frame(spark, T.StructType.fromDDL("event_id long, event_type string")),
     )
     stream = spark.readStream.format("txtable_stream").load(a.path)
     b.write_stream(
@@ -413,7 +415,7 @@ def q_txstream_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = TxTable.create(
         spark,
         os.path.join(scratch, "b"),
-        spark.createDataFrame([], "event_id long, event_type string, value double"),
+        empty_frame(spark, T.StructType.fromDDL("event_id long, event_type string, value double")),
     )
     apply_changes(
         spark, a.path, b, "event_id", os.path.join(scratch, "ckpt")

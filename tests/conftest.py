@@ -51,8 +51,12 @@ def _fast_local_frames(s) -> None:
 
     def fast(data=None, schema=None, **kw):
         ok_schema = isinstance(schema, (str, StructType))
+        # type(r) is tuple, NOT isinstance: pyspark Row subclasses
+        # tuple, but kwargs-Rows convert BY NAME on the classic path
+        # while this fast path would map them positionally — Rows
+        # must fall through
         ok_data = isinstance(data, (list, tuple)) and (
-            len(data) == 0 or all(isinstance(r, tuple) for r in data)
+            len(data) == 0 or all(type(r) is tuple for r in data)
         )
         if ok_schema and ok_data and not kw:
             try:

@@ -157,6 +157,42 @@ def test_lm_fit_plans_no_corpus_scaled_single_partition_sort(spark):
     assert "row_number" not in plan  # the old sample-wide ranking
 
 
+def test_lm_fit_offsets_reuse_one_range_exchange(spark):
+    """The tercile offset table is keyed on spark_partition_id, so
+    both consumers of the range exchange MUST observe one physical
+    partitioning. With AQE off, static exchange reuse must leave
+    EXACTLY one rangepartitioning exchange (the second consumer a
+    ReusedExchange) — two of them would mean independently-sampled
+    RangePartitioners and silently misaligned cutoffs."""
+    from cincinnati_police_calls_for_service_etl_using_python_dask_spark.operators.text import (
+        lm_surprise_filter,
+    )
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # frames must be built AFTER the conf toggle (a DataFrame pins
+        # its physical plan at first use)
+        docs = spark.createDataFrame(
+            [(i, "aa bb aa bb cc", "en") for i in range(60)],
+            "doc_id long, text string, lang string",
+        )
+        plan = _plan(lm_surprise_filter(docs).select("*"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    # simple-format tree: the real Exchange prints the partitioning,
+    # and the ReusedExchange node re-prints its target's description —
+    # so exactly ONE non-reused exchange line and at least one
+    # ReusedExchange line must carry it
+    rng_lines = [
+        l for l in plan.splitlines() if "rangepartitioning(surprise_micro" in l
+    ]
+    real = [l for l in rng_lines if "ReusedExchange" not in l]
+    reused = [l for l in rng_lines if "ReusedExchange" in l]
+    assert len(real) == 1, plan
+    assert len(reused) >= 1, plan
+
+
 # ---------------------------------------------------------------------------
 # empty_frame: typed empty relations stay pure-JVM
 # ---------------------------------------------------------------------------

@@ -984,6 +984,33 @@ def main() -> None:
             "the P-row offset window, never sample rows",
         ),
         (
+            "lm_perplexity_filter_docs",
+            "tercile offsets see ONE physical range partitioning: "
+            "exactly one rangepartitioning exchange, second consumer "
+            "reuses it@noaqe",
+            lambda p: p.count("rangepartitioning(surprise_micro") == 1
+            and (
+                lambda m: m is not None
+                and f"Reuses operator id: {m.group(1)}" in p
+            )(
+                re.search(
+                    r"\((\d+)\) Exchange\nInput[^\n]*\n"
+                    r"Arguments: rangepartitioning\(surprise_micro",
+                    p,
+                )
+            ),
+            "r15 review hardening: the per-partition offset table is "
+            "keyed on spark_partition_id, so BOTH consumers of the "
+            "range exchange (running-count window, per-partition "
+            "totals) must observe the identical partitioning — "
+            "guaranteed by exchange reuse (ReusedExchange here; AQE "
+            "stage-cache at runtime). A second rangepartitioning "
+            "exchange in this plan means the subtree re-executes with "
+            "an independently-sampled RangePartitioner and the "
+            "cutoffs can silently misalign — this row fails before "
+            "that ships",
+        ),
+        (
             "hybrid_rrf_topk_docs",
             "RRF fusion is exchange-free past the arms: union + "
             "coalesce(1) + pivot aggregate, no FullOuter "
